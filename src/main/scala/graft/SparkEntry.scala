@@ -1,13 +1,178 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Analytics, RetailQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented SURVEY §2 operator (plus the
+  * M8 training-data ops); `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against at sf0.01. Column names/types are aligned
+  * on both sides; see RetailQueries scaladoc for the determinism rules.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RetailQueries.funnelBySegment(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §2.1/2.2 — scans, projections, filters, predicates
+    "q01_scan_project" -> (RetailQueries.scanProject _),
+    "q02_fillna" -> (RetailQueries.fillnaCoalesce _),
+    "q03_literal_stamp" -> (RetailQueries.literalStamp _),
+    "q04_filter_notnull" -> (RetailQueries.filterNotNull _),
+    "q05_case_when" -> (RetailQueries.caseWhenRevenue _),
+    // §2.4 — aggregations
+    "q06_fact_build" -> (RetailQueries.factBuild _),
+    "q07_daily_revenue" -> (RetailQueries.dailyRevenue _),
+    "q08_funnel_join" -> (RetailQueries.funnelBySegment _),
+    "q09_distinct" -> (RetailQueries.distinctUsers _),
+    // §2.6 — dedup / sort / limit / top-k
+    "q10_dedup_first" -> (RetailQueries.dedupFirstPerPart _),
+    "q11_topk" -> (RetailQueries.topUsersByRevenue _),
+    "q17_daily_counts" -> (RetailQueries.dailyEventCounts _),
+    "q18_head_sample" -> (RetailQueries.headSample _),
+    // §2.8 — scalar functions
+    "q12_dim_date" -> (RetailQueries.dimDate _),
+    "q13_split_hierarchy" -> (RetailQueries.splitHierarchy _),
+    "q14_epoch_roundtrip" -> (RetailQueries.epochRoundtrip _),
+    "q15_isin" -> (RetailQueries.isinFilter _),
+    "q16_dropna" -> (RetailQueries.dropnaKeys _),
+    "q22_json_extract" -> (RetailQueries.jsonExtract _),
+    // §2.7 — set operations
+    "q19_union_all" -> (RetailQueries.unionAppend _),
+    "q26_intersect" -> (RetailQueries.setOpsUsers _),
+    // §2.5 — window functions
+    "q20_window_funcs" -> (RetailQueries.windowPerUser _),
+    "q21_rollup" -> (RetailQueries.rollupCounts _),
+    // §2.3 — joins
+    "q23_semi_join" -> (RetailQueries.semiJoinActive _),
+    "q24_anti_join" -> (RetailQueries.antiJoinInactive _),
+    "q25_outer_join" -> (RetailQueries.outerJoinOrders _),
+    // Headline analytics (bench workload)
+    "q27_pricing_summary" -> (Analytics.pricingSummary _),
+    "q28_top_orders" -> (Analytics.topOrdersByRevenue _),
+    "q29_region_revenue" -> (Analytics.regionRevenue _),
+    "q30_above_brand_avg" -> (Analytics.aboveBrandAvg _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE value > 50.0",
+    "q02_fillna" ->
+      "SELECT event_id, coalesce(nullif(event_type,'error'),'Unknown') AS etype FROM events",
+    "q03_literal_stamp" ->
+      "SELECT event_id, CAST(ts AS DATE) AS event_date, 'batch42' AS load_tag FROM events",
+    "q04_filter_notnull" ->
+      "SELECT event_id, user_id, value FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL",
+    "q05_case_when" ->
+      ("SELECT event_id, CASE WHEN event_type='purchase' THEN value ELSE 0.0 END AS revenue, " +
+        "CAST(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS BIGINT) AS is_purchase FROM events"),
+    "q06_fact_build" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, user_id, count(*) AS total_events, " +
+        "CAST(sum(CAST(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue " +
+        "FROM events GROUP BY 1,2,3"),
+    "q07_daily_revenue" ->
+      ("SELECT event_date, revenue, unique_users, purchases, carts, views, " +
+        "carts / nullif(views,0) AS cart_rate, purchases / nullif(views,0) AS purchase_rate FROM (" +
+        "SELECT CAST(ts AS DATE) AS event_date, " +
+        "CAST(sum(CAST(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(DISTINCT user_id) AS unique_users, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS carts, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views " +
+        "FROM events GROUP BY 1) t"),
+    "q08_funnel_join" ->
+      ("SELECT c_mktsegment, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS carts, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, " +
+        "CAST(sum(CAST(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1"),
+    "q09_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q10_dedup_first" ->
+      ("SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM (" +
+        "SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate, " +
+        "row_number() OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn " +
+        "FROM lineitem) t WHERE rn = 1"),
+    "q11_topk" ->
+      ("SELECT user_id, revenue FROM (" +
+        "SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM events WHERE event_type='purchase' GROUP BY 1) t " +
+        "ORDER BY revenue DESC, user_id LIMIT 10"),
+    "q12_dim_date" ->
+      ("SELECT CAST(d AS DATE) AS date, CAST(EXTRACT(DAY FROM d) AS BIGINT) AS day, " +
+        "CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS month, CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS year, " +
+        "CAST(isodow(d) - 1 AS BIGINT) AS weekday, CAST(weekofyear(d) AS BIGINT) AS week " +
+        "FROM (SELECT unnest(generate_series(DATE '2019-10-01', DATE '2020-03-31', INTERVAL 1 DAY)) AS d) t"),
+    "q13_split_hierarchy" ->
+      ("SELECT p_partkey, coalesce(str_split(p_name,' ')[1],'na') AS category, " +
+        "coalesce(str_split(p_name,' ')[2],'na') AS sub_category1, " +
+        "coalesce(str_split(p_name,' ')[3],'na') AS sub_category2 FROM part"),
+    "q14_epoch_roundtrip" ->
+      "SELECT event_id, epoch_ms(ts) AS epoch_ms, epoch_ms(epoch_ms(ts)) AS ts_ms FROM events",
+    "q15_isin" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('view','click','purchase')",
+    "q16_dropna" ->
+      "SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL",
+    "q17_daily_counts" ->
+      "SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n FROM events GROUP BY 1,2 ORDER BY 1,2",
+    "q18_head_sample" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 1000",
+    "q19_union_all" ->
+      ("SELECT event_id, user_id FROM events WHERE event_type='view' " +
+        "UNION ALL SELECT event_id, user_id FROM events WHERE event_type='purchase'"),
+    "q20_window_funcs" ->
+      ("SELECT event_id, user_id, CAST(row_number() OVER w AS BIGINT) AS rn, " +
+        "lag(value,1) OVER w AS prev_value, lead(event_type,1) OVER w AS next_type, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q21_rollup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)",
+    "q22_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events",
+    "q23_semi_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)"),
+    "q24_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"),
+    "q25_outer_join" ->
+      ("SELECT c_custkey, coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend " +
+        "FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM orders GROUP BY 1) t " +
+        "ON c_custkey = o_custkey"),
+    "q26_intersect" ->
+      "SELECT user_id AS id FROM events INTERSECT SELECT c_custkey AS id FROM customer",
+    "q27_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' GROUP BY 1,2"),
+    "q28_top_orders" ->
+      ("SELECT o_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1,2,3 ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q29_region_revenue" ->
+      ("SELECT r_name, n_name, " +
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY 1,2"),
+    "q30_above_brand_avg" ->
+      ("SELECT p_partkey, p.p_brand, p_retailprice FROM part p JOIN (" +
+        "SELECT p_brand AS b_brand, CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price " +
+        "FROM part GROUP BY 1) b ON p.p_brand = b.b_brand WHERE p_retailprice > avg_price")
+  )
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Headline analytical queries over the TPC-H-ish corpus — the bench
+  * workload (BASELINE.md targets). Shapes chosen to exercise the three
+  * plans that dominate a 100 TB warehouse: wide-scan hash aggregation,
+  * broadcast star join + top-k, and a multi-way shuffle join tree that AQE
+  * can re-plan at runtime.
+  */
+object Analytics {
+
+  /** TPC-H Q1 shape: full lineitem scan → 2-key hash agg, many measures.
+    * Partial (map-side) aggregation collapses 600k rows to a handful per
+    * partition before the shuffle; decimal sums keep results
+    * order-independent. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit("2000-12-01"))
+    val extDec = col("l_extendedprice").cast("decimal(18,2)")
+    val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(22,6)")
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(extDec).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        (sum(extDec).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, grouped revenue, top-10.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * o_orderkey — the natural co-partitioning key that bucketing would pin
+    * at warehouse scale. Top-k is TakeOrderedAndProject, not a full sort. */
+  def topOrdersByRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("2000-01-01"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 5-way star join through region→nation→customer→orders→
+    * lineitem. region/nation/customer broadcast; the single large shuffle is
+    * orders⋈lineitem on orderkey. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Correlated-style aggregate filter: parts priced above their brand's
+    * average (decorrelated into a broadcast join on the brand aggregate). */
+  def aboveBrandAvg(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+      .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+    p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_brand", "p_retailprice")
+  }
+}

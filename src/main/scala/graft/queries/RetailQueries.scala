@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{DimDate, RetailOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 operator inventory instantiated over the driver corpus
+  * (TESTDATA.md tables), one query per operator row. Each has a matching
+  * DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism rules (oracle hash parity):
+  *  - every LIMIT/top-k carries a total-order tie-break;
+  *  - double sums go through decimal(18,2) then back to double;
+  *  - division by zero → NULL via nullif on both sides;
+  *  - integer outputs cast to long (DuckDB EXTRACT/COUNT are BIGINT).
+  */
+object RetailQueries {
+
+  // S1/S4/P4 — projection + predicate; both reach the parquet scan
+  // (PushedFilters + pruned ReadSchema — the scan reads 4 of 6 columns).
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("value") > 50.0)
+
+  // P1/P2 — null-fill / coalesce (nulls synthesized via nullif since the
+  // corpus has none; same expression both sides).
+  def fillnaCoalesce(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      coalesce(when(col("event_type") === "error", lit(null)).otherwise(col("event_type")),
+        lit("Unknown")).as("etype"))
+
+  // P3/F5/F7 — literal column add + date truncation cast.
+  def literalStamp(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      to_date(col("ts")).as("event_date"),
+      lit("batch42").as("load_tag"))
+
+  // P5 — IS NOT NULL predicates.
+  def filterNotNull(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  // P7 — CASE WHEN conditional measure.
+  def caseWhenRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      RetailOps.purchaseRevenue(col("event_type"), col("value")).as("revenue"),
+      RetailOps.flag(col("event_type"), "purchase").as("is_purchase"))
+
+  // A1 — fact build: 3-key group with COUNT(*) + conditional decimal-exact SUM.
+  def factBuild(s: SparkSession, dir: String): DataFrame =
+    RetailOps.factBuild(
+      Tables.events(s, dir).withColumn("event_date", to_date(col("ts"))),
+      "event_date", "event_type", Seq("user_id"), "value")
+
+  // A2 + P6 — daily revenue summary: exact COUNT(DISTINCT) + ratios.
+  def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+    RetailOps.dailyRevenueSummary(Tables.events(s, dir), to_date(col("ts")))
+
+  // J1 + A3 — star join (broadcast dim) + funnel aggregation.
+  def funnelBySegment(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumnRenamed("user_id", "c_custkey")
+    val dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    RetailOps.funnelByDim(ev, dim, Seq("c_custkey"), Seq("c_mktsegment"))
+  }
+
+  // A4/A5 — DISTINCT projection.
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("user_id", "event_type").distinct()
+
+  // D1 — deterministic keep-first dedup via window rank.
+  def dedupFirstPerPart(s: SparkSession, dir: String): DataFrame =
+    RetailOps.dedupKeepFirst(
+      Tables.lineitem(s, dir),
+      Seq("l_partkey"),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+
+  // T1 — top-k by measure with deterministic tie-break → TakeOrderedAndProject.
+  def topUsersByRevenue(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+    RetailOps.topK(perUser, 10, Seq(col("revenue").desc, col("user_id").asc))
+  }
+
+  // F2/F3 — calendar dimension generation (183 rows, golden from reference logs).
+  def dimDate(s: SparkSession, dir: String): DataFrame =
+    DimDate.build(s, "2019-10-01", "2020-03-31")
+
+  // F1 — split-with-default hierarchy levels.
+  def splitHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val parts = RetailOps.splitHierarchy(col("p_name"), " ", 3)
+    Tables.part(s, dir).select(
+      col("p_partkey"), parts(0).as("category"),
+      parts(1).as("sub_category1"), parts(2).as("sub_category2"))
+  }
+
+  // P10/F4-ish — epoch-ms round-trip cast. ts is TIMESTAMP_NTZ; unix_millis
+  // wants TIMESTAMP (LTZ) — with the session pinned to UTC the cast is the
+  // identity on the underlying micros.
+  def epochRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ltz = col("ts").cast("timestamp")
+    Tables.events(s, dir).select(
+      col("event_id"),
+      unix_millis(ltz).as("epoch_ms"),
+      RetailOps.epochMsToTimestamp(unix_millis(ltz)).cast("timestamp_ntz").as("ts_ms"))
+  }
+
+  // P8 — membership predicate (isin).
+  def isinFilter(s: SparkSession, dir: String): DataFrame =
+    RetailOps.isinFilter(Tables.events(s, dir), "event_type",
+      Seq("view", "click", "purchase"))
+      .select("event_id", "event_type")
+
+  // P9 — dropna on key subset.
+  def dropnaKeys(s: SparkSession, dir: String): DataFrame =
+    RetailOps.dropNullRows(Tables.events(s, dir), Seq("user_id", "event_type"))
+      .select("event_id", "user_id")
+
+  // A6 + T2 — daily event counts with global ORDER BY (range-partitioned sort).
+  def dailyEventCounts(s: SparkSession, dir: String): DataFrame =
+    RetailOps.dailyEventCounts(Tables.events(s, dir), "ts", "event_type")
+
+  // S8/T3 — deterministic head-n sample (ORDER BY key LIMIT n → top-k plan).
+  def headSample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_id", "user_id", "event_type")
+      .orderBy("event_id").limit(1000)
+
+  // §2.7 — UNION ALL (the reference's append-by-storage path).
+  def unionAppend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "view").select("event_id", "user_id")
+      .unionAll(ev.filter(col("event_type") === "purchase").select("event_id", "user_id"))
+  }
+
+  // Set ops beyond the reference (free in Spark; oracle exercises them).
+  def setOpsUsers(s: SparkSession, dir: String): DataFrame = {
+    val evUsers = Tables.events(s, dir).select(col("user_id").as("id"))
+    val custKeys = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+    evUsers.intersect(custKeys)
+  }
+
+  // Window functions — ranking + offsets + running sum per user.
+  def windowPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      row_number().over(w).cast("long").as("rn"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      sum(col("value").cast("decimal(18,2)")).over(wSum).cast("double").as("running_value"))
+  }
+
+  // Rollup (grouping-set planning; one-token addition per SURVEY §2.4).
+  def rollupCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  // JSON extraction from events.props (SURVEY §2.8 note; driver corpus).
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  // Left outer join with null-fill aggregate (joins beyond the reference).
+  def outerJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    Tables.customer(s, dir).join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+  }
+
+  // Left semi join (EXISTS).
+  def semiJoinActive(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+
+  // Left anti join (NOT EXISTS). Filtered probe side keeps the result
+  // non-empty (every customer has *some* order in the corpus).
+  def antiJoinInactive(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+}
