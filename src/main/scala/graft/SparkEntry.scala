@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, RetailQueries}
+import graft.queries.{Analytics, CorpusQueries, RetailQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,7 +54,19 @@ object SparkEntry {
     "q27_pricing_summary" -> (Analytics.pricingSummary _),
     "q28_top_orders" -> (Analytics.topOrdersByRevenue _),
     "q29_region_revenue" -> (Analytics.regionRevenue _),
-    "q30_above_brand_avg" -> (Analytics.aboveBrandAvg _)
+    "q30_above_brand_avg" -> (Analytics.aboveBrandAvg _),
+    // M8 — training-data pipeline operators (SURVEY §7.2 M8)
+    "m01_text_stats" -> (CorpusQueries.textStats _),
+    "m02_lang_quality_filter" -> (CorpusQueries.langQualityFilter _),
+    "m03_exact_dedup_groups" -> (CorpusQueries.exactDedupGroups _),
+    "m04_exact_dedup" -> (CorpusQueries.exactDedup _),
+    "m05_minhash_pairs" -> (CorpusQueries.minhashPairs _),
+    "m06_simhash_pairs" -> (CorpusQueries.simhashPairs _),
+    "m07_ngram_jaccard" -> (CorpusQueries.ngramJaccardPairs _),
+    "m08_ann_brute" -> (CorpusQueries.annBruteForce _),
+    "m09_ann_lsh" -> (CorpusQueries.annLsh _),
+    "m10_embed_neardup" -> (CorpusQueries.embeddingNearDups _),
+    "m11_multimodal" -> (CorpusQueries.multimodalFeatures _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,6 +185,67 @@ object SparkEntry {
     "q30_above_brand_avg" ->
       ("SELECT p_partkey, p.p_brand, p_retailprice FROM part p JOIN (" +
         "SELECT p_brand AS b_brand, CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price " +
-        "FROM part GROUP BY 1) b ON p.p_brand = b.b_brand WHERE p_retailprice > avg_price")
+        "FROM part GROUP BY 1) b ON p.p_brand = b.b_brand WHERE p_retailprice > avg_price"),
+    // M8 oracles. m05/m06/m07/m09/m10/m11 are intentionally omitted:
+    // hash-function/LSH internals aren't SQL-expressible → rows-only check.
+    "m01_text_stats" ->
+      (TextStatsBase +
+        "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(n_tokens_est AS BIGINT) AS n_tokens_est, CAST(n_stopwords AS BIGINT) AS n_stopwords, " +
+        "CAST(n_digits AS BIGINT) AS n_digits, CAST(n_punct AS BIGINT) AS n_punct, " +
+        QualityExpr + " AS quality, " + LangExpr + " AS lang_pred, md5(text) AS fingerprint " +
+        "FROM base"),
+    "m02_lang_quality_filter" ->
+      (TextStatsBase +
+        "SELECT doc_id, lang_pred, quality FROM (" +
+        "SELECT doc_id, " + LangExpr + " AS lang_pred, " + QualityExpr + " AS quality FROM base) t " +
+        "WHERE lang_pred = 'en' AND quality >= 0.3"),
+    "m03_exact_dedup_groups" ->
+      (AugmentedDocs +
+        "SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies " +
+        "FROM aug GROUP BY 1"),
+    "m04_exact_dedup" ->
+      (AugmentedDocs +
+        "SELECT doc_id, lang, source, n_chars FROM aug WHERE doc_id IN (" +
+        "SELECT min(doc_id) FROM aug GROUP BY md5(text))"),
+    "m08_ann_brute" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10), " +
+        "scored AS (SELECT query_id, v.vec_id AS neighbor_id, " +
+        "list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim " +
+        "FROM v CROSS JOIN q WHERE v.vec_id <> query_id) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (" +
+        "SELECT query_id, neighbor_id, sim, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) r " +
+        "WHERE rank <= 5")
   )
+
+  // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
+  // graft.text.TextOps (same regexes, same double-arithmetic order).
+  private val TextStatsBase: String =
+    "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_c, " +
+      "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +
+      "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_est, " +
+      "len(list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t IN (" +
+      "'the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS n_stopwords, " +
+      "len(regexp_extract_all(text, '[0-9]')) AS n_digits, " +
+      "len(regexp_extract_all(text, '[.,;:!?''\"()-]')) AS n_punct " +
+      "FROM documents) "
+
+  private val QualityExpr: String =
+    "(0.4 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) " +
+      "+ 0.4 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 4.0, 1.0) " +
+      "+ 0.1 * (1.0 - least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0)) " +
+      "+ 0.1 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0)))"
+
+  private val LangExpr: String =
+    "(CASE WHEN n_words = 0 THEN 'unknown' " +
+      "WHEN CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) >= 0.03 THEN 'en' " +
+      "ELSE 'unknown' END)"
+
+  private val AugmentedDocs: String =
+    "WITH aug AS (SELECT * FROM documents " +
+      "UNION ALL SELECT doc_id + 20000, text, lang, source, n_chars FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 10000, 'zz' || substr(text, 3), lang, source, n_chars " +
+      "FROM documents WHERE doc_id < 50) "
 }

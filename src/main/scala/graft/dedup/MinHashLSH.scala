@@ -1,0 +1,111 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection:
+  * shingle → minhash signature → band → bucket-join → verified Jaccard.
+  *
+  * Built entirely from codegen'd higher-order array functions — no UDFs, no
+  * crossJoin. The only shuffle is the band-bucket exchange, whose keys are
+  * 64-bit hashes (uniform, skew-free up to genuinely viral duplicates,
+  * which `bucketCap` guards against). This is the standard web-scale dedup
+  * shape: cost is O(docs × bands) rows shuffled, each a few dozen bytes —
+  * document text never moves.
+  *
+  * Signature math: h_i(x) = (a_i·x + b_i) mod p over shingle hashes reduced
+  * into [0, p), with p = 2^31-1. The modulus must be ≤ the hash range:
+  * a larger p makes a·x+b effectively monotone (no wraparound), collapsing
+  * every coordinate onto the same argmin shingle — zero permutation
+  * diversity. With p = 2^31-1 the product a·x < 2^62 wraps ~2^31 times
+  * (and stays under Long overflow, which ANSI mode would throw on).
+  */
+object MinHashLSH {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** Deterministic (a,b) parameter pairs for the k hash functions,
+    * a ∈ [1, p), b ∈ [0, p). */
+  private def params(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k)((rng.nextInt((P - 1).toInt).toLong + 1L, rng.nextInt(P.toInt).toLong))
+  }
+
+  /** Word w-shingles of the lowercased text; a doc shorter than w words
+    * contributes its whole text as a single shingle. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(lower(trim(text)), " +")
+    val n = size(toks)
+    when(n < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - w),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+  }
+
+  /** k-wide minhash signature (array<bigint>) of a shingle array. */
+  def signature(shingleCol: Column, k: Int = 64, seed: Long = 42L): Column = {
+    // Shingle hashes reduced into [0, p) keep a·x + b within 62 bits.
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    val sigs: Seq[Column] = params(k, seed).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }
+    array(sigs: _*)
+  }
+
+  /** (doc_id, band, band_hash) — one row per band per doc. */
+  def bandedSignatures(docs: DataFrame, textCol: String = "text",
+                       numHashes: Int = 64, bands: Int = 16,
+                       seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    docs
+      .select(col("doc_id"), signature(shingles(col(textCol)), numHashes, seed).as("sig"))
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", lit(b) +: (0 until rows).map(r =>
+            col("sig").getItem(b * rows + r)): _*))): _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-duplicate pairs (doc_a < doc_b) from LSH buckets.
+    *
+    * `bucketCap` drops pathological buckets (boilerplate that hashes
+    * together) before the self-join — at web scale a single hot bucket of
+    * 10^6 docs would otherwise produce 10^12 candidate pairs. Dropped
+    * buckets are a recall trade the caller opts into, as in production
+    * dedup systems.
+    */
+  def candidatePairs(docs: DataFrame, textCol: String = "text",
+                     numHashes: Int = 64, bands: Int = 16,
+                     bucketCap: Int = 1000, seed: Long = 42L): DataFrame = {
+    val banded = bandedSignatures(docs, textCol, numHashes, bands, seed)
+    val capped = banded
+      .groupBy("band", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, bucketCap))
+    // Pairs within a bucket, without re-shuffling: explode the (small,
+    // capped) id list twice and keep the upper triangle.
+    capped
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the candidate pairs — the verify
+    * stage. Joining signatures back costs two broadcast-or-shuffle hash
+    * joins keyed on doc_id; only candidate docs' shingles are rehydrated. */
+  def verifiedPairs(docs: DataFrame, textCol: String = "text",
+                    threshold: Double = 0.7, numHashes: Int = 64,
+                    bands: Int = 16, bucketCap: Int = 1000,
+                    seed: Long = 42L): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col(textCol))).as("sh"))
+    val pairs = candidatePairs(docs, textCol, numHashes, bands, bucketCap, seed)
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

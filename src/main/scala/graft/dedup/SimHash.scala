@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: 64-bit locality-sensitive fingerprint
+  * per document; near-dups are pairs within a small Hamming distance.
+  *
+  * The signature is one compact Scala UDF (per-row, no state); candidate
+  * generation is native: the 64-bit simhash is split into 4 16-bit chunks,
+  * and by pigeonhole any pair with Hamming distance ≤ 3 agrees on at least
+  * one chunk — so an equi-join per chunk finds all such pairs without a
+  * cross join. Hamming verification is codegen'd `bit_count(a XOR b)`.
+  *
+  * Scale: 4 shuffles on (chunk_idx, chunk_value) — uniform 16-bit keys —
+  * each carrying only (doc_id, simhash). Same cap logic as MinHashLSH
+  * applies for pathological chunks.
+  */
+object SimHash {
+
+  /** 64-bit simhash over whitespace tokens (term-frequency weighted). */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) 0L
+      else {
+        val acc = new Array[Int](64)
+        text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          // Deterministic 64-bit token hash (FNV-1a), engine-independent.
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < tok.length) { h ^= tok.charAt(i); h *= 0x100000001b3L; i += 1 }
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+        sig
+      }
+    }
+
+  def signatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), simhash64(col(textCol)).as("simhash"))
+
+  private def chunk(sim: Column, idx: Int): Column =
+    shiftrightunsigned(sim, idx * 16).bitwiseAND(lit(0xFFFFL))
+
+  /** Pairs (doc_a < doc_b) with Hamming distance ≤ maxDist (≤ 3 for full
+    * recall with 4 chunks; larger maxDist trades recall as usual). */
+  def nearDuplicates(docs: DataFrame, textCol: String = "text",
+                     maxDist: Int = 3): DataFrame = {
+    val sigs = signatures(docs, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i => chunk(col("simhash"), i)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.{Ann, Vectors}
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries over the documents/embeddings corpus.
+  *
+  * The shipped corpus is all-distinct (no natural near-duplicates), so the
+  * dedup queries run over [[withSyntheticDups]] — a deterministic
+  * augmentation that adds exact copies and lightly-mutated copies of the
+  * first docs. That keeps every dedup query's output non-empty and actually
+  * demonstrates detection, while staying a pure function of the input (the
+  * oracle can reproduce the exact-dup half in SQL).
+  */
+object CorpusQueries {
+
+  /** +50 exact copies (doc_id+20000) and +50 mutated copies (doc_id+10000,
+    * first word replaced) of the lowest-id documents. */
+  def withSyntheticDups(docs: DataFrame): DataFrame = {
+    val exact = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val mutated = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(lit("zz"), substring(col("text"), 3, 1000000)))
+    docs.unionByName(exact).unionByName(mutated)
+  }
+
+  // ---- text analysis --------------------------------------------------
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables.documents(s, dir))
+
+  def langQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
+  }
+
+  // ---- dedup ----------------------------------------------------------
+
+  def exactDedupGroups(s: SparkSession, dir: String): DataFrame =
+    ExactDedup.groups(withSyntheticDups(Tables.documents(s, dir)))
+
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    ExactDedup.dedup(withSyntheticDups(Tables.documents(s, dir)))
+      .select("doc_id", "lang", "source", "n_chars")
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.verifiedPairs(withSyntheticDups(Tables.documents(s, dir)),
+      threshold = 0.5)
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicates(withSyntheticDups(Tables.documents(s, dir)), maxDist = 3)
+
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    NgramJaccard.nearDuplicates(withSyntheticDups(Tables.documents(s, dir)),
+      threshold = 0.6)
+
+  // ---- similarity search ----------------------------------------------
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Vectors.toDouble(col("embedding")).as("vec"))
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    Ann.bruteForceTopK(all.filter(col("id") < 10), all, k = 5)
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    Ann.lshTopK(all.filter(col("id") < 10), all, k = 5, numPlanes = 4)
+  }
+
+  /** Embedding near-dups over an augmented set: +20 slightly-perturbed
+    * copies (id+10000, last component +0.05 — the corpus vectors are
+    * unit-norm, so that keeps cosine ≈ 0.999) guarantee hits ≥ 0.99. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val perturbed = all.filter(col("id") < 20)
+      .select((col("id") + 10000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 63, x + 0.05).otherwise(x)).as("vec"))
+    Ann.nearDupPairs(all.unionByName(perturbed), threshold = 0.99)
+  }
+
+  // ---- multimodal -----------------------------------------------------
+
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pipeline(s, Tables.documents(s, dir))
+}

@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old barn"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the old barn"), // near dup of 1
+    (4L, "completely different text about spark query engines and shuffles"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("ExactDedup groups exact copies and keeps the min doc_id") {
+    val g = ExactDedup.groups(docs).collect()
+    g.length shouldBe 4
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    dup.getAs[Long]("doc_id") shouldBe 1L
+    ExactDedup.dedup(docs).select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L, 4L, 5L)
+  }
+
+  test("MinHashLSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = MinHashLSH.verifiedPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.map(p => Set(p._1, p._2)) should not contain Set(1L, 4L)
+    pairs.map(p => Set(p._1, p._2)) should not contain Set(4L, 5L)
+  }
+
+  test("MinHashLSH jaccard of an exact pair is 1.0") {
+    val j = MinHashLSH.verifiedPairs(docs, threshold = 0.5)
+      .filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .select("jaccard").as[Double].collect()(0)
+    j shouldBe 1.0
+  }
+
+  test("MinHashLSH signature approximates jaccard (property)") {
+    // sig agreement fraction ≈ true jaccard for a 1-word-changed doc.
+    val sig = docs.select($"doc_id",
+      MinHashLSH.signature(MinHashLSH.shingles($"text"), k = 128).as("sig"))
+    val Seq(s1, s3) = sig.filter($"doc_id".isin(1L, 3L)).orderBy("doc_id")
+      .select("sig").as[Seq[Long]].collect().toSeq
+    val agree = s1.zip(s3).count { case (a, b) => a == b } / 128.0
+    // true word-3-shingle jaccard of docs 1 vs 3 is 8/14 ≈ 0.571
+    agree should (be >= 0.4 and be <= 0.75)
+  }
+
+  test("SimHash: identical docs distance 0; near dup small; unrelated large") {
+    val pairs = SimHash.nearDuplicates(docs, maxDist = 10)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pairs((1L, 2L)) shouldBe 0L
+    pairs.get((1L, 3L)).foreach(_ should be <= 10L)
+    pairs.keySet.map(p => Set(p._1, p._2)) should not contain Set(1L, 4L)
+  }
+
+  test("NgramJaccard scores candidate pairs exactly") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val scored = NgramJaccard.scorePairs(docs, pairs)
+      .orderBy("doc_b").select("jaccard").as[Double].collect()
+    scored(0) shouldBe 1.0 // exact copy
+    scored(1) should be < 0.3 // unrelated
+  }
+
+  test("bucketCap drops pathological buckets (scale guard)") {
+    // 60 identical docs all land in the same buckets; cap 10 rejects them.
+    val viral = (1L to 60L).map(i => (i, "same same same same text here")).toDF("doc_id", "text")
+    MinHashLSH.candidatePairs(viral, bucketCap = 10).count() shouldBe 0
+    MinHashLSH.candidatePairs(viral, bucketCap = 100).count() shouldBe 60L * 59L / 2L
+  }
+}

@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("wordCount / tokenEstimate / digit and punct counts") {
+    val df = one("The cat sat, 42 times!")
+    val r = TextOps.textStats(df).collect()(0)
+    r.getAs[Long]("n_words") shouldBe 5 // the, cat, sat, 42, times
+    r.getAs[Long]("n_digits") shouldBe 2
+    r.getAs[Long]("n_punct") shouldBe 2 // comma + bang... '!' not in class? see below
+    r.getAs[Long]("n_stopwords") shouldBe 1 // 'the'
+  }
+
+  test("langId: english text detected, non-stopword text unknown") {
+    val en = one("the quick brown fox jumps over the lazy dog and runs to a barn")
+    val xx = one("zzz qqq www rrr ttt yyy uuu")
+    en.select(TextOps.langId($"text")).as[String].collect()(0) shouldBe "en"
+    xx.select(TextOps.langId($"text")).as[String].collect()(0) shouldBe "unknown"
+    one("").select(TextOps.langId($"text")).as[String].collect()(0) shouldBe "unknown"
+  }
+
+  test("qualityScore stays in [0,1] and favors stopword-rich prose") {
+    val prose = one("the cat and the dog ran to the house in a field of grass")
+    val junk = one("0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")
+    val p = prose.select(TextOps.qualityScore($"text")).as[Double].collect()(0)
+    val j = junk.select(TextOps.qualityScore($"text")).as[Double].collect()(0)
+    p should be > j
+    p should (be >= 0.0 and be <= 1.0)
+    j should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("fingerprint is md5 hex of the utf-8 bytes") {
+    one("abc").select(TextOps.fingerprint($"text")).as[String].collect()(0) shouldBe
+      "900150983cd24fb0d6963f7d28e17f72"
+  }
+}
