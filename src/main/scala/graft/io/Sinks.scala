@@ -1,0 +1,68 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Writers (SURVEY §2.1 sinks).
+  *
+  * The reference's `to_sql(if_exists="replace")` wipes whole tables every
+  * run (SURVEY §7.4.2) — correct-looking on a laptop, an outage at 100 TB.
+  * The engine keeps both semantics but defaults to per-partition dynamic
+  * overwrite: idempotent re-runs of one day never touch other days.
+  */
+object Sinks {
+
+  /** S3 (replace mode) — drop-and-recreate semantics of
+    * `to_sql(if_exists="replace")` (retail_pipeline_assets.py:48,...). */
+  def replaceTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** S3 (incremental) — overwrite only the date partitions present in `df`
+    * (partitionOverwriteMode=dynamic scoped to this write). Re-running a
+    * day replaces exactly that day: idempotent AND incremental, which is
+    * what the reference's README claims and its code doesn't do. */
+  def upsertDatePartition(df: DataFrame, table: String,
+                          partitionCol: String = "event_date"): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      df.write.partitionBy(partitionCol).saveAsTable(table)
+    } else {
+      // insertInto resolves BY POSITION, and saveAsTable+partitionBy moved
+      // the partition column to the end of the table schema — realign the
+      // frame to the table's column order or every later insert writes
+      // values into the wrong columns.
+      val ordered = df.select(spark.table(table).columns.map(df.col): _*)
+      // The session conf, not the write option: the option is not honored
+      // on the catalog-table insertInto path and silently degrades to a
+      // STATIC overwrite (wiping every other partition).
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try ordered.write.mode(SaveMode.Overwrite).insertInto(table)
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
+  /** S5 — mart parquet under `aggregates/<name>/dt=<date>/` (retail_pipeline
+    * .py:78-84). The Hive-style `dt=` path is load-bearing downstream
+    * (partition discovery); S6 empty guard included (py:79). */
+  def writeMartParquet(df: DataFrame, martRoot: String, name: String,
+                       date: String): Unit = {
+    if (!df.isEmpty) {
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(s"$martRoot/aggregates/$name/dt=$date/")
+    }
+  }
+
+  /** S7 — catalog registration replacing the Glue crawler: tables get the
+    * crawler's `agg_` prefix (aws-stack.ts:54). `saveAsTable` writes data +
+    * schema in one step, so there is nothing to crawl. */
+  def registerMartTable(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(s"agg_$name")
+
+  /** S9 — legacy single-file CSV summary (`df.to_csv(path)`). coalesce(1)
+    * mirrors the reference's one-file contract — only for small summaries;
+    * a large table keeps its parallelism. */
+  def writeCsvSummary(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+}

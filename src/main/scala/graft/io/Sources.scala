@@ -1,0 +1,63 @@
+package graft.io
+
+import graft.schema.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers (SURVEY §2.1 scans).
+  *
+  * All production paths take an explicit schema — `inferSchema` is a
+  * dev-only convenience (mirroring the reference's pandas inference) that a
+  * 100 TB ingest must never pay: inference reads the data twice and lets a
+  * bad file widen types silently.
+  */
+object Sources {
+
+  /** S1 — day-partitioned raw event CSV
+    * (reference retail_pipeline_assets.py:36-41). The reference pulls one
+    * S3 object per day; here the day directory is the unit, so one call
+    * scans one partition and a glob scans the history. */
+  def rawEventsCsv(spark: SparkSession, root: String, date: String): DataFrame =
+    spark.read
+      .schema(Schemas.rawEvent)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssXXX")
+      .csv(s"$root/Day_Wise/$date/event.csv")
+
+  /** All days at once (used by backfills and the streaming parity test). */
+  def rawEventsCsvAll(spark: SparkSession, root: String): DataFrame =
+    spark.read
+      .schema(Schemas.rawEvent)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssXXX")
+      .csv(s"$root/Day_Wise/*/event.csv")
+
+  /** S8 — legacy local CSV scan with head-n sample (pyc .281473178407232:
+    * `pd.read_csv(path).head(n)`). */
+  def legacyEventsCsv(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame = {
+    val df = spark.read
+      .schema(Schemas.legacyEvent)
+      .option("header", "true")
+      .csv(path)
+    limit.fold(df)(df.limit)
+  }
+
+  /** S2 — empty-input guard (retail_pipeline_assets.py:42-43). `isEmpty`
+    * plans a LocalLimit(1) probe — it does NOT scan the full input. */
+  def requireNonEmpty(df: DataFrame, what: String): DataFrame = {
+    if (df.isEmpty) throw new IllegalStateException(s"No data found in $what")
+    df
+  }
+
+  /** §2.9 — Structured Streaming file source over the same Day_Wise tree.
+    * `maxFilesPerTrigger` bounds micro-batch size; pair with
+    * `Trigger.AvailableNow` for catch-up-then-stop semantics (the idiomatic
+    * equivalent of the reference's daily scheduled pulls). */
+  def rawEventsStream(spark: SparkSession, root: String,
+                      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(Schemas.rawEvent)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssXXX")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(s"$root/Day_Wise/*/event.csv")
+}

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import graft.io.{Sinks, Sources}
+import graft.operators.{DimDate, RetailOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's asset DAG (SURVEY §2.11, §3) as an explicit call graph:
+  * ingestDay → buildStarSchema → buildMart. Airflow's `@asset(schedule=
+  * upstream)` dependency edges become function-call ordering; branch-on-
+  * failure becomes exceptions propagating to the caller.
+  *
+  * Every stage is date-parameterized and idempotent (dynamic partition
+  * overwrite), so a scheduler can re-run any day without touching history —
+  * the property the reference claims ("all loads are incremental",
+  * README.md:55) but its replace-mode `to_sql` calls don't deliver.
+  */
+class RetailPipeline(spark: SparkSession, rawRoot: String, martRoot: String,
+                     loadedAt: Column = current_timestamp()) {
+
+  /** Ingest one day: S3-style CSV scan → empty guard → preprocess
+    * (reference retail_pipeline_assets.py:26-53). */
+  def ingestDay(date: String): DataFrame = {
+    val raw = Sources.requireNonEmpty(
+      Sources.rawEventsCsv(spark, rawRoot, date), s"raw events for $date")
+    val cleaned = RetailOps.fillNa(raw,
+        Map("category_code" -> "Unknown", "brand" -> "Generic"))
+      .withColumn("event_date", to_date(lit(date)))
+      .withColumn("loaded_at", loadedAt)
+    Sinks.upsertDatePartition(cleaned, "staging_events")
+    cleaned
+  }
+
+  /** Star schema build for one day (retail_pipeline_assets.py:56-142). */
+  def buildStarSchema(date: String): Unit = {
+    val staging = spark.table("staging_events")
+      .filter(col("event_date") === to_date(lit(date)))
+
+    // fact_events (A1): 4-key grain, conditional revenue.
+    val fact = RetailOps.factBuild(staging, "event_date", "event_type",
+      Seq("product_id", "user_id"), "price")
+    Sinks.upsertDatePartition(fact, "fact_events")
+
+    // dim_user (A4/P5): DISTINCT projection of non-null users.
+    val dimUser = staging
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "user_session").distinct()
+      .withColumn("updated_at", loadedAt)
+    Sinks.replaceTable(dimUser, "dim_user")
+
+    // dim_product (A5/P2/F1/D1): DISTINCT + 'other' fill + hierarchy split
+    // + deterministic keep-first dedup on product_id (§7.4.3 — pandas'
+    // scan-order keep-first becomes an explicit stable ordering).
+    val parts = RetailOps.splitHierarchy(col("category_code"))
+    val products = staging
+      .filter(col("product_id").isNotNull)
+      .select("product_id", "category_id", "category_code", "brand", "price")
+      .distinct()
+      .na.fill(Map("category_code" -> "other"))
+      .withColumn("category", parts(0))
+      .withColumn("sub_category1", parts(1))
+      .withColumn("sub_category2", parts(2))
+    val dimProduct = RetailOps.dedupKeepFirst(products, Seq("product_id"),
+        Seq(col("price").asc, col("brand").asc_nulls_last, col("category_id").asc))
+      .withColumn("updated_at", loadedAt)
+    Sinks.replaceTable(dimProduct, "dim_product")
+
+    // dim_date (F2/F3): one-shot calendar (reference @once asset).
+    if (!spark.catalog.tableExists("dim_date")) {
+      Sinks.replaceTable(DimDate.build(spark, "2019-10-01", "2020-03-31"), "dim_date")
+    }
+  }
+
+  /** Mart aggregation for one day (retail_pipeline.py:28-105): three
+    * aggregate tables → partitioned parquet (`dt=` layout) → catalog
+    * registration with the crawler's `agg_` prefix. */
+  def buildMart(date: String): Map[String, DataFrame] = {
+    val d = to_date(lit(date))
+    val fact = spark.table("fact_events").filter(col("event_date") === d)
+
+    // Faithful to retail_pipeline.py:34-45: measures are over FACT rows
+    // (the (date,type,product,user) grain), not re-expanded raw events.
+    val et = col("event_type")
+    val revenue = fact
+      .groupBy("event_date")
+      .agg(
+        sum(col("total_revenue").cast("decimal(18,2)")).cast("double").as("revenue"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(when(et === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(et === "cart", 1L).otherwise(0L)).as("carts"),
+        sum(when(et === "view", 1L).otherwise(0L)).as("views"))
+      .withColumn("cart_rate",
+        col("carts") / when(col("views") === 0L, lit(null)).otherwise(col("views")))
+      .withColumn("purchase_rate",
+        col("purchases") / when(col("views") === 0L, lit(null)).otherwise(col("views")))
+
+    // retail_pipeline.py:54-67 — fact ⋈ broadcast dim_product funnel.
+    val funnel = fact
+      .join(broadcast(spark.table("dim_product")
+        .select("product_id", "brand", "category_code")), Seq("product_id"))
+      .groupBy("event_date", "brand", "category_code")
+      .agg(
+        sum(when(et === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(et === "cart", 1L).otherwise(0L)).as("carts"),
+        sum(when(et === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(et === "purchase", col("total_revenue")).otherwise(lit(0.0))
+          .cast("decimal(18,2)")).cast("double").as("revenue"))
+
+    val topBrands = RetailOps.topK(funnel, 10,
+      Seq(col("revenue").desc, col("brand").asc_nulls_last))
+
+    val tables = Map(
+      "daily_revenue_summary" -> revenue,
+      "daily_funnel_by_brand" -> funnel,
+      "top_brands_by_revenue" -> topBrands)
+    tables.foreach { case (name, df) =>
+      Sinks.writeMartParquet(df, martRoot, name, date)
+      Sinks.registerMartTable(df, name)
+    }
+    tables
+  }
+
+  /** Full day run — the reference's two DAGs chained. */
+  def runDay(date: String): Map[String, DataFrame] = {
+    ingestDay(date)
+    buildStarSchema(date)
+    buildMart(date)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.io.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming equivalent of the reference's daily scheduled
+  * ingest (SURVEY §2.9): a file source over the Day_Wise tree, a 1-day
+  * event-time tumbling window with a 1-day watermark (modeling "a day
+  * closes when its file is processed"), and `Trigger.AvailableNow` for
+  * catch-up-then-stop batch-parity runs.
+  *
+  * At scale this is the migration path from scheduled batch: the same
+  * DataFrame transformations, plus exactly-once file tracking and
+  * incremental state — no operator rewrites.
+  */
+object StreamingIngest {
+
+  /** Daily event counts as a streaming aggregation (the legacy A6 summary
+    * query, incrementalized). */
+  def dailyCounts(spark: SparkSession, rawRoot: String): DataFrame =
+    Sources.rawEventsStream(spark, rawRoot)
+      .withWatermark("event_time", "1 day")
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("window.start")).as("event_date"), col("event_type"), col("n"))
+
+  /** Run to completion over all currently-available files and stop
+    * (AvailableNow), writing complete results per micro-batch via
+    * foreachBatch into a parquet target — the streaming version of the
+    * mart writer. Returns the finished query. */
+  def runAvailableNow(agg: DataFrame, outPath: String,
+                      checkpoint: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

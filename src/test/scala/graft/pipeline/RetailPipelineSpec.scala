@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test of the reference DAG semantics (SURVEY §5.2)
+  * over reference-shaped fixture CSVs (FIXTURES.md A1), including the §7.4
+  * edge rows: null category+brand, price-0 purchase, multi-price product,
+  * and a day with zero views. */
+class RetailPipelineSpec extends SparkSpec {
+
+  private val root = Files.createTempDirectory("graft-raw").toString
+  private val mart = Files.createTempDirectory("graft-mart").toString
+
+  private def writeDay(date: String, rows: Seq[String]): Unit = {
+    val dir = Paths.get(s"$root/Day_Wise/$date")
+    Files.createDirectories(dir)
+    val header = "event_time,event_type,product_id,category_id,category_code,brand,price,user_id,user_session,event_date"
+    Files.write(dir.resolve("event.csv"), (header +: rows).mkString("\n").getBytes)
+  }
+
+  // Day 1: normal traffic + edge rows.
+  writeDay("2019-10-01", Seq(
+    s"2019-10-01 10:00:00+00:00,view,1001,200,electronics.smartphone,apple,999.00,1,s1,2019-10-01",
+    s"2019-10-01 10:01:00+00:00,cart,1001,200,electronics.smartphone,apple,999.00,1,s1,2019-10-01",
+    s"2019-10-01 10:02:00+00:00,purchase,1001,200,electronics.smartphone,apple,999.00,1,s1,2019-10-01",
+    s"2019-10-01 11:00:00+00:00,view,1002,201,,,49.50,2,s2,2019-10-01", // null cat+brand
+    s"2019-10-01 11:30:00+00:00,purchase,1003,202,apparel,nike,0.00,2,s2,2019-10-01", // price-0 purchase
+    s"2019-10-01 12:00:00+00:00,view,1001,200,electronics.smartphone,apple,899.00,3,s3,2019-10-01" // second price for 1001
+  ))
+  // Day 2: zero views (division-by-zero path).
+  writeDay("2019-10-02", Seq(
+    s"2019-10-02 09:00:00+00:00,purchase,1001,200,electronics.smartphone,apple,999.00,1,s4,2019-10-02",
+    s"2019-10-02 09:05:00+00:00,cart,1002,201,,samsung,49.50,2,s5,2019-10-02"
+  ))
+
+  private lazy val pipeline =
+    new RetailPipeline(spark, root, mart, loadedAt = lit("2019-10-03 00:00:00").cast("timestamp"))
+
+  test("day 1 end-to-end: staging, star schema, and mart match hand-computed goldens") {
+    pipeline.runDay("2019-10-01")
+
+    val staging = spark.table("staging_events")
+      .filter(col("event_date") === "2019-10-01")
+    staging.count() shouldBe 6
+    // P1 fills applied
+    staging.filter(col("brand") === "Generic").count() shouldBe 1
+    staging.filter(col("category_code") === "Unknown").count() shouldBe 1
+
+    // A1 grain: (date,type,product,user) — 6 events collapse to 6 grains here
+    val fact = spark.table("fact_events").filter(col("event_date") === "2019-10-01")
+    fact.count() shouldBe 6
+    fact.agg(sum("total_revenue")).collect()(0).getDouble(0) shouldBe 999.0 // 999 + 0
+
+    // dims
+    spark.table("dim_user").count() shouldBe 3
+    val p1001 = spark.table("dim_product").filter(col("product_id") === 1001).collect()
+    p1001.length shouldBe 1 // D1 dedup kept one row
+    p1001(0).getAs[Double]("price") shouldBe 899.0 // deterministic keep-first by price asc
+    // Reference-faithful: the null category was already filled to 'Unknown'
+    // at ingest (P1), so dim_product's 'other' fill (P2) is a no-op here
+    // and the split yields ('Unknown','na','na').
+    val p1002 = spark.table("dim_product").filter(col("product_id") === 1002).collect()(0)
+    p1002.getAs[String]("category") shouldBe "Unknown"
+    p1002.getAs[String]("sub_category1") shouldBe "na"
+    spark.table("dim_date").count() shouldBe 183
+
+    // mart goldens
+    val rev = spark.table("agg_daily_revenue_summary").collect()(0)
+    rev.getAs[Double]("revenue") shouldBe 999.0
+    rev.getAs[Long]("unique_users") shouldBe 3
+    rev.getAs[Long]("views") shouldBe 3
+    rev.getAs[Long]("purchases") shouldBe 2
+    rev.getAs[Double]("cart_rate") shouldBe (1.0 / 3.0)
+
+    // dt= partition layout on disk (S5)
+    Files.exists(Paths.get(
+      s"$mart/aggregates/daily_revenue_summary/dt=2019-10-01")) shouldBe true
+    spark.table("agg_top_brands_by_revenue").count() should be <= 10L
+  }
+
+  test("day 2: zero views → null rates, not inf (§7.4.1)") {
+    pipeline.runDay("2019-10-02")
+    val rev = spark.table("agg_daily_revenue_summary").collect()(0)
+    rev.getAs[Long]("views") shouldBe 0
+    assert(rev.isNullAt(rev.fieldIndex("cart_rate")))
+    assert(rev.isNullAt(rev.fieldIndex("purchase_rate")))
+  }
+
+  test("re-running a day is idempotent and leaves other days intact (S3 dynamic overwrite)") {
+    pipeline.ingestDay("2019-10-02") // self-contained: both days present
+    pipeline.ingestDay("2019-10-01")
+    pipeline.ingestDay("2019-10-01")
+    val staging = spark.table("staging_events")
+    staging.filter(col("event_date") === "2019-10-01").count() shouldBe 6
+    staging.filter(col("event_date") === "2019-10-02").count() shouldBe 2
+  }
+
+  test("empty day triggers the S2 guard") {
+    writeDay("2019-10-03", Seq.empty)
+    val ex = intercept[IllegalStateException](pipeline.ingestDay("2019-10-03"))
+    ex.getMessage should include("2019-10-03")
+  }
+}
