@@ -41,7 +41,10 @@ object MinHashLSH {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
 
-  /** k-wide minhash signature (array<bigint>) of a shingle array. */
+  /** k-wide minhash signature (array<bigint>) of a shingle array, as a
+    * single Column. Correct but O(k) re-evaluations of the shingle pipeline
+    * per row (Catalyst inlines the shared subtree into every coordinate) —
+    * use [[signatures]] for anything bigger than a unit test. */
   def signature(shingleCol: Column, k: Int = 64, seed: Long = 42L): Column = {
     // Shingle hashes reduced into [0, p) keep a·x + b within 62 bits.
     val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
@@ -51,13 +54,32 @@ object MinHashLSH {
     array(sigs: _*)
   }
 
+  /** (doc_id, sig) signatures for a whole corpus — the production path:
+    * explode shingles, hash each ONCE, then k min-aggregates per doc.
+    * Tokenization/xxhash cost is paid once per shingle instead of once per
+    * (shingle × coordinate); the k multiply-mod-min ops run as partial
+    * (map-side) aggregates, so the doc_id exchange carries k longs per doc
+    * per partition. */
+  def signatures(docs: DataFrame, textCol: String = "text",
+                 numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(shingles(col(textCol))).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val aggs = params(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** (doc_id, band, band_hash) — one row per band per doc. */
   def bandedSignatures(docs: DataFrame, textCol: String = "text",
                        numHashes: Int = 64, bands: Int = 16,
                        seed: Long = 42L): DataFrame = {
     val rows = numHashes / bands
-    docs
-      .select(col("doc_id"), signature(shingles(col(textCol)), numHashes, seed).as("sig"))
+    signatures(docs, textCol, numHashes, seed)
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
           xxhash64(concat_ws(",", lit(b) +: (0 until rows).map(r =>

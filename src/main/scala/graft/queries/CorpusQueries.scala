@@ -86,7 +86,10 @@ object CorpusQueries {
     val perturbed = all.filter(col("id") < 20)
       .select((col("id") + 10000).as("id"),
         transform(col("vec"), (x, i) => when(i === 63, x + 0.05).otherwise(x)).as("vec"))
-    Ann.nearDupPairs(all.unionByName(perturbed), threshold = 0.99)
+    // LSH mode — the scale path: only same-bucket pairs are scored.
+    // 8 planes × 3 OR-amplified tables ≈ 0.998 recall at cosine 0.999.
+    Ann.nearDupPairs(all.unionByName(perturbed), threshold = 0.99,
+      numPlanes = 8, tables = 3)
   }
 
   // ---- multimodal -----------------------------------------------------

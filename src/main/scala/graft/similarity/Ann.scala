@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,22 +15,35 @@ import org.apache.spark.sql.functions._
   *    bucket from a fixed set of hyperplanes; only same-bucket pairs are
   *    scored. This bounds the scored pairs, turning the cross product into
   *    an equi-join shuffle on bucket id; recall is tunable via `planes`
-  *    (fewer planes → bigger buckets → higher recall, more compute).
+  *    (fewer planes → bigger buckets → higher recall, more compute) and
+  *    `tables` (OR-amplification: a pair is scored if it collides in ANY
+  *    table, recall 1-(1-r)^tables).
   *
-  * Hyperplanes are generated from a fixed seed on the driver and inlined as
-  * literal arrays: deterministic, no fit/persist step needed for a
-  * stateless batch engine.
+  * Per-pair similarity is `graft_dot` — the codegen'd ArrayDotProduct
+  * Catalyst expression — with norms precomputed once per row, so the
+  * O(pairs) inner loop is a primitive dot product, not an interpreted
+  * higher-order fold. Hyperplanes are generated from a fixed seed on the
+  * driver and inlined as literal arrays: deterministic, no fit/persist.
   */
 object Ann {
+
+  private def withNorm(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    df.withColumn("nrm", sqrt(GraftFunctions.dot(spark, col("vec"), col("vec"))))
+  }
 
   /** Exact top-k neighbors per query vector. `queries` and `corpus` both
     * have (id, vec double[]). Self-matches are excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus
-      .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"))))
+    val spark = corpus.sparkSession
+    val q = withNorm(queries)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val scored = withNorm(corpus)
+      .join(broadcast(q))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        Vectors.cosine(col("qvec"), col("vec")).as("sim"))
+        (GraftFunctions.dot(spark, col("qvec"), col("vec")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -43,26 +57,39 @@ object Ann {
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes.
+    * O(rows), not O(pairs) — the interpreted fold is fine here. */
   def bucketId(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
       when(Vectors.dot(vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: score only same-bucket candidates. Returns the same
-    * schema as bruteForceTopK; ranks are within retrieved candidates, so
-    * recall < 1 by design. */
+  /** (row..., table, bucket) — one row per hash table (OR-amplification). */
+  private def withBuckets(df: DataFrame, numPlanes: Int, dim: Int,
+                          tables: Int, seed: Long): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      bucketId(col("vec"), hyperplanes(numPlanes, dim, seed + t))): _*)
+    df.select(col("*"), posexplode(buckets).as(Seq("table", "bucket")))
+  }
+
+  /** LSH-bucketed ANN: score only candidates sharing a (table, bucket).
+    * Returns the same schema as bruteForceTopK; ranks are within retrieved
+    * candidates, so recall < 1 by design. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(numPlanes, dim, seed)
-    val qb = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      bucketId(col("vec"), hp).as("bucket"))
-    val cb = corpus.select(col("id"), col("vec"), bucketId(col("vec"), hp).as("bucket"))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+              numPlanes: Int = 8, dim: Int = 64, tables: Int = 1,
+              seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = withBuckets(withNorm(queries), numPlanes, dim, tables, seed)
+      .select(col("table"), col("bucket"), col("id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val c = withBuckets(withNorm(corpus), numPlanes, dim, tables, seed)
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        Vectors.cosine(col("qvec"), col("vec")).as("sim"))
+        (GraftFunctions.dot(spark, col("qvec"), col("vec")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
+      .distinct() // collisions in several tables count once
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -71,26 +98,33 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, doc_a < doc_b.
-    * LSH-bucketed so only same-bucket pairs are scored (the 100 TB path);
-    * with numPlanes=0 it degrades to the exact all-pairs check. */
+    * numPlanes=0 → exact all-pairs (O(n²) scored with the codegen'd dot —
+    * the verification baseline); numPlanes>0 → LSH buckets with
+    * OR-amplified tables (the 100 TB path: only same-bucket pairs ship). */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
-                   numPlanes: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
+                   numPlanes: Int = 0, dim: Int = 64, tables: Int = 1,
+                   seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
     val base =
       if (numPlanes <= 0) {
-        val a = vectors.select(col("id").as("doc_a"), col("vec").as("vec_a"))
-        val b = vectors.select(col("id").as("doc_b"), col("vec").as("vec_b"))
+        val v = withNorm(vectors)
+        val a = v.select(col("id").as("doc_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+        val b = v.select(col("id").as("doc_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
         a.join(b, col("doc_a") < col("doc_b"))
       } else {
-        val hp = hyperplanes(numPlanes, dim, seed)
-        val bucketed = vectors.select(col("id"), col("vec"),
-          bucketId(col("vec"), hp).as("bucket"))
-        bucketed.select(col("bucket"), col("id").as("doc_a"), col("vec").as("vec_a"))
-          .join(bucketed.select(col("bucket"), col("id").as("doc_b"), col("vec").as("vec_b")),
-            Seq("bucket"))
+        val bucketed = withBuckets(withNorm(vectors), numPlanes, dim, tables, seed)
+        bucketed
+          .select(col("table"), col("bucket"), col("id").as("doc_a"),
+            col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+          .join(bucketed.select(col("table"), col("bucket"), col("id").as("doc_b"),
+            col("vec").as("vec_b"), col("nrm").as("nrm_b")),
+            Seq("table", "bucket"))
           .filter(col("doc_a") < col("doc_b"))
       }
     base.select(col("doc_a"), col("doc_b"),
-        Vectors.cosine(col("vec_a"), col("vec_b")).as("sim"))
+        (GraftFunctions.dot(spark, col("vec_a"), col("vec_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan assertions — the 100 TB contract. These pin the properties
+  * that make the queries survive a 1000-executor cluster: pushdown reaching
+  * the scan, pruned read schemas, broadcast dims, true top-k operators,
+  * and partial (map-side) aggregation before every exchange. A regression
+  * here doesn't fail correctness at sf0.01 — it fails the fleet at scale —
+  * so it must be caught by plan shape, not by timing. */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = sf("sf0.001")
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q01: predicate and projection reach the parquet scan") {
+    val p = plan(RetailQueries.scanProject(spark, dir))
+    p should include("PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)]")
+    p should include("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>")
+  }
+
+  test("q27: wide agg reads only the 6 needed lineitem columns and pushes the date filter") {
+    val p = plan(Analytics.pricingSummary(spark, dir))
+    p should include("LessThanOrEqual(l_shipdate")
+    p should include("partial_sum") // map-side combine before the exchange
+    (p should not).include("l_orderkey") // pruned
+  }
+
+  test("q28: dim side broadcasts; top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = Analytics.topOrdersByRevenue(spark, dir)
+    df.collect() // materialize so AQE finalizes join strategies
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+    (p should not).include("GlobalLimit") // would imply sort+limit instead
+  }
+
+  test("q11: grouped top-k also plans as TakeOrderedAndProject") {
+    plan(RetailQueries.topUsersByRevenue(spark, dir)) should
+      include("TakeOrderedAndProject")
+  }
+
+  test("q08: star join broadcasts the customer dim") {
+    val df = RetailQueries.funnelBySegment(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
+  test("q07: exact count-distinct plans two-phase (no naive single Expand shuffle of all rows)") {
+    val p = plan(RetailQueries.dailyRevenue(spark, dir))
+    p should include("partial_count(distinct")
+    p should include("merge_sum")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project hot path") {
+    val p = plan(RetailQueries.scanProject(spark, dir))
+    p should include("*(1)") // codegen stage marker
+  }
+
+  test("minhash/lsh pipeline shuffles signatures, never document text") {
+    val pairs = graft.dedup.MinHashLSH.candidatePairs(
+      graft.Tables.documents(spark, dir))
+    val exchanges = pairs.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+}
