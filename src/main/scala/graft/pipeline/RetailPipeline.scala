@@ -126,4 +126,18 @@ class RetailPipeline(spark: SparkSession, rawRoot: String, martRoot: String,
     buildStarSchema(date)
     buildMart(date)
   }
+
+  /** Multi-day backfill (SURVEY §7.2 M5): sequential day runs, each
+    * idempotent, so a failed backfill resumes by re-running its range.
+    * Days are independent partitions — a scheduler may fan these out;
+    * within one driver, sequential keeps the cluster fully busy per day
+    * without cross-day shuffle interference. */
+  def backfill(startDate: String, endDate: String): Seq[String] = {
+    val start = java.time.LocalDate.parse(startDate)
+    val end = java.time.LocalDate.parse(endDate)
+    val days = Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end)).map(_.toString).toSeq
+    days.foreach(runDay)
+    days
+  }
 }

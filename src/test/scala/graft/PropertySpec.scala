@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.RetailOps
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based invariants (SURVEY §5.4). Runs through sbt's native
+  * ScalaCheck support; each property uses few cases since every case is a
+  * Spark job. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val eventGen = Gen.listOfN(30, for {
+    day <- Gen.choose(1, 3)
+    et <- Gen.oneOf("view", "click", "purchase", "error")
+    uid <- Gen.choose(1L, 5L)
+    value <- Gen.choose(0, 10000).map(_ / 100.0)
+  } yield (f"2019-10-$day%02d 10:00:00", et, uid, value))
+
+  property("funnel counters never exceed total rows and revenue only from purchases") =
+    forAll(eventGen) { rows =>
+      val df = rows.toDF("ts", "event_type", "user_id", "value")
+        .withColumn("ts", to_timestamp($"ts"))
+      val out = RetailOps.dailyRevenueSummary(df, to_date($"ts")).collect()
+      val total = rows.size.toLong
+      out.forall { r =>
+        val counted = r.getAs[Long]("purchases") + r.getAs[Long]("carts") + r.getAs[Long]("views")
+        val purchaseSum = rows
+          .filter(x => x._1.startsWith(r.getAs[java.sql.Date]("event_date").toString) && x._2 == "purchase")
+          .map(_._4).sum
+        counted <= total &&
+          math.abs(r.getAs[Double]("revenue") - purchaseSum) < 1e-6 &&
+          r.getAs[Long]("unique_users") <= 5
+      }
+    }
+
+  property("dedupKeepFirst: one row per key, subset of input, idempotent") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(1L, 6L), Gen.choose(1, 100)))) { rows =>
+      rows.nonEmpty ==> Prop {
+        val df = rows.toDF("k", "v")
+        val once = RetailOps.dedupKeepFirst(df, Seq("k"), Seq($"v".asc, $"k".asc))
+        val twice = RetailOps.dedupKeepFirst(once, Seq("k"), Seq($"v".asc, $"k".asc))
+        val keys = once.select("k").as[Long].collect()
+        keys.toSet.size == keys.length &&
+          keys.toSet == rows.map(_._1).toSet &&
+          twice.collect().toSet == once.collect().toSet &&
+          once.exceptAll(df).count() == 0
+      }
+    }
+
+  property("topK returns ≤ k rows and exactly the maximal measures") =
+    forAll(Gen.listOfN(15, Gen.choose(0, 50)), Gen.choose(1, 10)) { (vs, k) =>
+      vs.nonEmpty ==> Prop {
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }.toDF("id", "m")
+        val got = RetailOps.topK(df, k, Seq($"m".desc, $"id".asc))
+          .select("m").as[Double].collect().toSeq
+        got == vs.map(_.toDouble).sorted.reverse.take(k)
+      }
+    }
+
+  property("qualityScore ∈ [0,1] and langId total for arbitrary strings") =
+    forAll(Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(200)))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = df.select(
+        TextOps.qualityScore($"text").as("q"),
+        TextOps.langId($"text").as("l")).collect()
+      rows.forall { r =>
+        val q = r.getDouble(0)
+        q >= 0.0 && q <= 1.0 && Set("en", "unknown").contains(r.getString(1))
+      }
+    }
+}

@@ -97,6 +97,12 @@ class RetailPipelineSpec extends SparkSpec {
     staging.filter(col("event_date") === "2019-10-02").count() shouldBe 2
   }
 
+  test("backfill runs a date range and accumulates per-day partitions (M5)") {
+    pipeline.backfill("2019-10-01", "2019-10-02") shouldBe Seq("2019-10-01", "2019-10-02")
+    spark.table("staging_events").select("event_date").distinct().count() shouldBe 2
+    spark.table("fact_events").select("event_date").distinct().count() shouldBe 2
+  }
+
   test("empty day triggers the S2 guard") {
     writeDay("2019-10-03", Seq.empty)
     val ex = intercept[IllegalStateException](pipeline.ingestDay("2019-10-03"))

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class SessionizeSpec extends SparkSpec {
+  import Sessionize._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming sessionization closes sessions on gap and counts purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = sessions(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // user 1: two events 10 min apart (one session), then 2h silence, then
+    // one more event (second session). user 2: single purchase.
+    input.addData(
+      SessionEvent(1L, ts("2019-10-01 10:00:00"), "view"),
+      SessionEvent(1L, ts("2019-10-01 10:10:00"), "purchase"),
+      SessionEvent(2L, ts("2019-10-01 10:05:00"), "purchase"))
+    query.processAllAvailable()
+    input.addData(SessionEvent(1L, ts("2019-10-01 12:30:00"), "view"))
+    query.processAllAvailable()
+    // advance the watermark far past all timeouts so sessions close.
+    input.addData(SessionEvent(99L, ts("2019-10-02 12:00:00"), "view"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("sessions_out").as[UserSession].collect()
+      .sortBy(s => (s.user_id, s.session_start.getTime))
+    val u1 = out.filter(_.user_id == 1L)
+    u1.length shouldBe 2
+    u1(0).n_events shouldBe 2
+    u1(0).n_purchases shouldBe 1
+    u1(0).duration_sec shouldBe 600
+    u1(1).n_events shouldBe 1
+    val u2 = out.filter(_.user_id == 2L)
+    u2.length shouldBe 1
+    u2(0).n_purchases shouldBe 1
+  }
+}
