@@ -1,0 +1,42 @@
+package graft.io
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replaceTable drops and recreates (S3 replace semantics)") {
+    Sinks.replaceTable(Seq((1L, "a")).toDF("id", "v"), "t_replace")
+    Sinks.replaceTable(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), "t_replace")
+    spark.table("t_replace").count() shouldBe 2
+    spark.sql("DROP TABLE t_replace")
+  }
+
+  test("writeMartParquet writes dt= layout and skips empty frames (S5/S6)") {
+    val mart = Files.createTempDirectory("sinks-mart").toString
+    Sinks.writeMartParquet(Seq((1, 2.0)).toDF("a", "b"), mart, "m1", "2019-10-01")
+    Files.exists(Paths.get(s"$mart/aggregates/m1/dt=2019-10-01")) shouldBe true
+    Sinks.writeMartParquet(Seq((1, 2.0)).toDF("a", "b").filter(lit(false)),
+      mart, "m_empty", "2019-10-01")
+    Files.exists(Paths.get(s"$mart/aggregates/m_empty")) shouldBe false
+  }
+
+  test("registerMartTable applies the crawler's agg_ prefix (S7)") {
+    Sinks.registerMartTable(Seq((1, 2)).toDF("x", "y"), "sinkspec_probe")
+    spark.catalog.tableExists("agg_sinkspec_probe") shouldBe true
+    spark.sql("DROP TABLE agg_sinkspec_probe")
+  }
+
+  test("writeCsvSummary produces a single readable CSV with header (S9)") {
+    val out = Files.createTempDirectory("sinks-csv").toString + "/summary"
+    Sinks.writeCsvSummary(Seq(("2019-10-01", "view", 3L)).toDF("d", "e", "n"), out)
+    val files = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+    files.length shouldBe 1 // coalesce(1) one-file contract
+    val back = spark.read.option("header", "true").csv(out)
+    back.columns.toSeq shouldBe Seq("d", "e", "n")
+    back.count() shouldBe 1
+  }
+}
