@@ -55,6 +55,8 @@ object SparkEntry {
     "q28_top_orders" -> (Analytics.topOrdersByRevenue _),
     "q29_region_revenue" -> (Analytics.regionRevenue _),
     "q30_above_brand_avg" -> (Analytics.aboveBrandAvg _),
+    "q31_scalar_funcs" -> (RetailQueries.scalarFuncs _),
+    "q32_stats_agg" -> (RetailQueries.statsAgg _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
     "m01_text_stats" -> (CorpusQueries.textStats _),
     "m02_lang_quality_filter" -> (CorpusQueries.langQualityFilter _),
@@ -186,6 +188,38 @@ object SparkEntry {
       ("SELECT p_partkey, p.p_brand, p_retailprice FROM part p JOIN (" +
         "SELECT p_brand AS b_brand, CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price " +
         "FROM part GROUP BY 1) b ON p.p_brand = b.b_brand WHERE p_retailprice > avg_price"),
+    "q31_scalar_funcs" ->
+      ("SELECT o_orderkey, upper(o_orderstatus) AS status_u, " +
+        "lower(o_orderpriority) AS prio_l, " +
+        "substr(o_orderpriority, 1, 1) AS prio_code, " +
+        "CAST(length(o_orderpriority) AS BIGINT) AS prio_len, " +
+        "concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio, " +
+        "regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_num, " +
+        "trim('  x  ') AS trimmed, " +
+        "CAST(o_orderdate AS DATE) AS order_date, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m, " +
+        "date_trunc('month', o_orderdate) AS month_start, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 100 AS price_h, " +
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1, " +
+        "abs(o_totalprice - 200000.0) AS abs_diff, " +
+        "CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k, " +
+        "CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_up, " +
+        "pow(2.0, o_orderkey % 10) AS pow2, " +
+        "greatest(o_totalprice, 100000.0) AS floor_price, " +
+        "least(o_totalprice, 400000.0) AS cap_price, " +
+        "nullif(o_orderstatus, 'F') AS status_nullif " +
+        "FROM orders"),
+    "q32_stats_agg" ->
+      ("SELECT o_orderpriority, n, min_price, max_price, s1 / n AS avg_price, " +
+        "round((s2 - s1 * s1 / n) / (n - 1), 2) AS var_price, " +
+        "round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS sd_price, median_price FROM (" +
+        "SELECT o_orderpriority, count(*) AS n, min(o_totalprice) AS min_price, " +
+        "max(o_totalprice) AS max_price, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2, " +
+        "quantile_cont(o_totalprice, 0.5) AS median_price " +
+        "FROM orders GROUP BY 1) t"),
     // M8 oracles. m05/m06/m07/m09/m10/m11 are intentionally omitted:
     // hash-function/LSH internals aren't SQL-expressible → rows-only check.
     "m01_text_stats" ->

@@ -190,6 +190,67 @@ object RetailQueries {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_mktsegment")
 
+  // Scalar-function breadth (§2.8 extension): string, date, math, and
+  // conditional functions a warehouse user expects, in one projection.
+  // Regexes stay in the Java∩RE2 dialect; rounding uses exact decimals.
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      upper(col("o_orderstatus")).as("status_u"),
+      lower(col("o_orderpriority")).as("prio_l"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      length(col("o_orderpriority")).cast("long").as("prio_len"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+      regexp_extract(col("o_orderpriority"), "^([0-9]+)", 1).as("prio_num"),
+      trim(lit("  x  ")).as("trimmed"),
+      to_date(col("o_orderdate")).as("order_date"),
+      datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+        .cast("long").as("days_to_2002"),
+      add_months(to_date(col("o_orderdate")), 2).as("plus_2m"),
+      date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+      (col("o_totalprice").cast("decimal(18,2)").cast("double") / 100).as("price_h"),
+      round(col("o_totalprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"),
+      abs(col("o_totalprice") - 200000.0).as("abs_diff"),
+      floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+      ceil(col("o_totalprice") / 1000).cast("long").as("price_k_up"),
+      pow(lit(2.0), col("o_orderkey") % 10).as("pow2"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+      least(col("o_totalprice"), lit(400000.0)).as("cap_price"),
+      when(col("o_orderstatus") === "F", lit(null)).otherwise(col("o_orderstatus"))
+        .as("status_nullif"))
+
+  // Statistical aggregates beyond the reference (stddev, variance,
+  // min/max, exact interpolated median) per order-priority class.
+  // Variance/stddev use the exact decimal-sums formula, NOT the built-in
+  // Welford aggregates: Welford's result depends on accumulation order
+  // (different engines/partitionings diverge past 6 dp at 1e10 magnitudes),
+  // while decimal S1/S2 are order-independent and the final double formula
+  // is bit-identical on both engines.
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val xDec = col("o_totalprice").cast("decimal(18,2)")
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(xDec).cast("double").as("s1"),
+        sum(xDec * xDec).cast("double").as("s2"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("median_price"))
+      .select(
+        col("o_orderpriority"), col("n"), col("min_price"), col("max_price"),
+        (col("s1") / col("n")).as("avg_price"),
+        // Rounded in-query: the decimal→double cast of S2 can differ by one
+        // ulp between engines, and the cancellation in S2 - S1²/n amplifies
+        // that past 6-dp hash precision at 1e10 magnitudes.
+        round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 2)
+          .as("var_price"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+          .as("sd_price"),
+        col("median_price"))
+  }
+
   // Left anti join (NOT EXISTS). Filtered probe side keeps the result
   // non-empty (every customer has *some* order in the corpus).
   def antiJoinInactive(s: SparkSession, dir: String): DataFrame =
