@@ -67,6 +67,7 @@ object SparkEntry {
     "m07_ngram_jaccard" -> (CorpusQueries.ngramJaccardPairs _),
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),
     "m09_ann_lsh" -> (CorpusQueries.annLsh _),
+    "m12_ann_ivf" -> (CorpusQueries.annIvf _),
     "m10_embed_neardup" -> (CorpusQueries.embeddingNearDups _),
     "m11_multimodal" -> (CorpusQueries.multimodalFeatures _)
   )

@@ -78,6 +78,13 @@ object CorpusQueries {
     Ann.lshTopK(all.filter(col("id") < 10), all, k = 5, numPlanes = 4)
   }
 
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.similarity.Ivf.topK(all.filter(col("id") < 10), all, model,
+      k = 5, nprobe = 4)
+  }
+
   /** Embedding near-dups over an augmented set: +20 slightly-perturbed
     * copies (id+10000, last component +0.05 — the corpus vectors are
     * unit-norm, so that keeps cosine ≈ 0.999) guarantee hits ≥ 0.99. */

@@ -1,0 +1,112 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into `nlist` cells; a query scores only
+  * the `nprobe` nearest cells. The second scale path next to
+  * [[Ann.lshTopK]] — IVF adapts to the data distribution where hyperplane
+  * LSH is data-oblivious.
+  *
+  * The "model" is `nlist × dim` doubles of driver-side state (like any
+  * fitted quantizer); training is Lloyd's algorithm on DataFrames — assign
+  * via codegen'd dot products, update via per-dimension averages after a
+  * posexplode, collect only the centroid matrix. Initialization is a
+  * deterministic stride sample by id, so runs are reproducible.
+  *
+  * Scale shape: train touches the corpus `iters` times (each one shuffle
+  * of (cell, dim, component)); search is one equi-join on cell id — the
+  * cross product never materializes. Centroid averages are double sums, so
+  * cell boundaries can move by ulps between partitionings — harmless for
+  * ANN (it's approximate by contract), unlike the exact-query paths.
+  */
+object Ivf {
+
+  final case class Model(centroids: Seq[Seq[Double]]) {
+    def nlist: Int = centroids.size
+  }
+
+  /** Squared-distance argmin cell id for a vector column. Computed as
+    * d² = |v|² - 2·v·c + |c|² per centroid; |v|² is common to all cells so
+    * argmin uses (−2·v·c + |c|²) only. array_min over (score, idx) structs
+    * picks the smallest lexicographically → deterministic tie-break on idx. */
+  def cellId(vec: Column, model: Model): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * GraftFunctions.dot(spark, vec, cArr)).as("d"),
+        lit(i).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** `nprobe` nearest cell ids for a query vector (ascending distance). */
+  def probeCells(vec: Column, model: Model, nprobe: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * GraftFunctions.dot(spark, vec, cArr)).as("d"),
+        lit(i).as("idx"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe), s => s.getField("idx"))
+  }
+
+  /** Lloyd's k-means over (id, vec double[]) with deterministic stride
+    * initialization. */
+  def train(vectors: DataFrame, nlist: Int, iters: Int = 3): Model = {
+    val n = vectors.count()
+    val stride = math.max(n / nlist, 1L)
+    val init = vectors
+      .withColumn("__rk", row_number().over(Window.orderBy("id")).cast("long"))
+      .filter((col("__rk") - 1) % stride === 0 && col("__rk") <= stride * nlist)
+      .orderBy("__rk")
+      .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var model = Model(init)
+    for (_ <- 1 to iters) {
+      val assigned = vectors.select(col("vec"), cellId(col("vec"), model).as("cell"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // Empty cells keep their previous centroid.
+      model = Model(model.centroids.zipWithIndex.map { case (c, i) =>
+        updated.getOrElse(i, c)
+      })
+    }
+    model
+  }
+
+  /** IVF top-k search: same schema as [[Ann.bruteForceTopK]]; recall is
+    * bounded by nprobe/nlist coverage. */
+  def topK(queries: DataFrame, corpus: DataFrame, model: Model, k: Int,
+           nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus
+      .withColumn("nrm", sqrt(GraftFunctions.dot(spark, col("vec"), col("vec"))))
+      .withColumn("cell", cellId(col("vec"), model))
+    val q = queries
+      .withColumn("qnrm", sqrt(GraftFunctions.dot(spark, col("vec"), col("vec"))))
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("qnrm"),
+        explode(probeCells(col("vec"), model, nprobe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (GraftFunctions.dot(spark, col("qvec"), col("vec")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}
