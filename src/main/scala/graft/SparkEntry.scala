@@ -57,6 +57,8 @@ object SparkEntry {
     "q30_above_brand_avg" -> (Analytics.aboveBrandAvg _),
     "q31_scalar_funcs" -> (RetailQueries.scalarFuncs _),
     "q32_stats_agg" -> (RetailQueries.statsAgg _),
+    "q33_pivot" -> (RetailQueries.pivotDaily _),
+    "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
     "m01_text_stats" -> (CorpusQueries.textStats _),
     "m02_lang_quality_filter" -> (CorpusQueries.langQualityFilter _),
@@ -221,6 +223,21 @@ object SparkEntry {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2, " +
         "quantile_cont(o_totalprice, 0.5) AS median_price " +
         "FROM orders GROUP BY 1) t"),
+    "q33_pivot" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY 1"),
+    "m13_vocabulary" ->
+      ("SELECT term, tf, df, ln((n_docs + 1.0) / (df + 1.0)) AS idf FROM (" +
+        "SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df, " +
+        "(SELECT count(*) FROM documents) AS n_docs FROM (" +
+        "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
+        "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
+        "ORDER BY tf DESC, term LIMIT 100"),
     // M8 oracles. m05/m06/m07/m09/m10/m11 are intentionally omitted:
     // hash-function/LSH internals aren't SQL-expressible → rows-only check.
     "m01_text_stats" ->

@@ -62,6 +62,25 @@ object CorpusQueries {
     NgramJaccard.nearDuplicates(withSyntheticDups(Tables.documents(s, dir)),
       threshold = 0.6)
 
+  /** Corpus vocabulary with TF/DF/IDF — the classic explode-shuffle-topk
+    * shape (generator → hash agg on term → TakeOrdered). At 100 TB the
+    * term exchange is the dominant cost; partial aggregation collapses
+    * per-partition term counts before the shuffle. */
+  def vocabulary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " +")).as("term"))
+      .filter(col("term") =!= "")
+    terms.groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .select("term", "tf", "df", "idf")
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(100)
+  }
+
   // ---- similarity search ----------------------------------------------
 
   private def vectors(s: SparkSession, dir: String): DataFrame =

@@ -251,6 +251,16 @@ object RetailQueries {
         col("median_price"))
   }
 
+  // Pivot: per-day event counts widened to one column per event type.
+  // Explicit value list keeps the output schema static (a dynamic pivot
+  // would need a driver-side distinct scan — avoid at scale).
+  def pivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   // Left anti join (NOT EXISTS). Filtered probe side keeps the result
   // non-empty (every customer has *some* order in the corpus).
   def antiJoinInactive(s: SparkSession, dir: String): DataFrame =
