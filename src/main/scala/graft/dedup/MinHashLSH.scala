@@ -62,6 +62,10 @@ object MinHashLSH {
     * per partition. */
   def signatures(docs: DataFrame, textCol: String = "text",
                  numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    // The k multiply-mod-mins live in the aggregate update expressions:
+    // measured faster than hoisting them into a wide projection, which
+    // materializes k longs per shingle row into UnsafeRows before the
+    // aggregate consumes them.
     val hashed = docs
       .select(col("doc_id"), explode(shingles(col(textCol))).as("sh"))
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
