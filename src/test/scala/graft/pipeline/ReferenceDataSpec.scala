@@ -32,8 +32,11 @@ class ReferenceDataSpec extends SparkSpec {
       // nunique(dropna=False)); ground truth non-null distinct is 974.
       df.filter(col("brand").isNotNull).select("brand").distinct().count() shouldBe 974
       df.select(coalesce(col("brand"), lit("")).as("b")).distinct().count() shouldBe 975
+      // as with brands, the profile's 116 includes null; non-null is 115.
       df.filter(col("category_code").isNotNull)
-        .select("category_code").distinct().count() shouldBe 116
+        .select("category_code").distinct().count() shouldBe 115
+      df.select(coalesce(col("category_code"), lit("")).as("c"))
+        .distinct().count() shouldBe 116
       val mix = df.groupBy("event_type").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       mix("view") shouldBe 15034
