@@ -82,6 +82,9 @@ object MinHashLSH {
   def bandedSignatures(docs: DataFrame, textCol: String = "text",
                        numHashes: Int = 64, bands: Int = 16,
                        seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — otherwise " +
+        "trailing signature coordinates are silently dropped")
     val rows = numHashes / bands
     signatures(docs, textCol, numHashes, seed)
       .select(col("doc_id"), posexplode(

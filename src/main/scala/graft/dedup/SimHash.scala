@@ -25,10 +25,8 @@ object SimHash {
       else {
         val acc = new Array[Int](64)
         text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-          // Deterministic 64-bit token hash (FNV-1a), engine-independent.
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < tok.length) { h ^= tok.charAt(i); h *= 0x100000001b3L; i += 1 }
+          // Deterministic 64-bit token hash (char-variant FNV-1a).
+          val h = graft.functions.Fnv.chars(tok)
           var b = 0
           while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
         }

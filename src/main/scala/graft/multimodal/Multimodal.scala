@@ -45,14 +45,11 @@ object Multimodal {
     * Replace with a real codec (libjpeg/ffmpeg/...) in production. */
   private def fakeDecode(bytes: Array[Byte]): (Double, Long, Array[Byte]) = {
     var sum = 0L
-    var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < bytes.length) {
-      sum += bytes(i) & 0xFF
-      if (i < 64) { h ^= bytes(i) & 0xFF; h *= 0x100000001b3L }
-      i += 1
-    }
+    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    // byte-variant FNV-1a over the header (shared helper, see Fnv).
+    val h = graft.functions.Fnv.bytes(bytes, limit = 64)
     (mean, h, bytes.take(16)) // "thumb" = byte prefix, stands in for a resize
   }
 

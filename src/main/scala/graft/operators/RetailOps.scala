@@ -44,8 +44,12 @@ object RetailOps {
     * result is order-independent — a double sum over a shuffled 100 TB scan
     * is not reproducible; a decimal sum is. */
   def factBuild(staging: DataFrame, dateCol: String, typeCol: String,
-                keyCols: Seq[String], valueCol: String): DataFrame = {
-    val revenue = when(col(typeCol) === "purchase", col(valueCol)).otherwise(lit(0.0))
+                keyCols: Seq[String], valueCol: String,
+                purchaseKind: String = "purchase"): DataFrame = {
+    // purchaseKind parameterized: the legacy RetailRocket schema calls the
+    // revenue event "transaction", and a hard-coded literal would silently
+    // zero total_revenue there.
+    val revenue = when(col(typeCol) === purchaseKind, col(valueCol)).otherwise(lit(0.0))
     staging
       .groupBy((dateCol +: typeCol +: keyCols).map(col): _*)
       .agg(

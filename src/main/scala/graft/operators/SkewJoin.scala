@@ -25,6 +25,14 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  n: Int, joinType: String = "inner"): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
+    // Right/full outer would duplicate unmatched small-side rows once per
+    // salt replica — only join types that never preserve unmatched
+    // replicated rows are safe with this construction.
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(safe.contains(joinType.toLowerCase),
+      s"saltedJoin does not support join type '$joinType': unmatched " +
+        "replicated small-side rows would appear once per salt")
     val salted = large.withColumn(SaltCol,
       pmod(hash(monotonically_increasing_id()), lit(n)))
     val replicated = small.withColumn(SaltCol,

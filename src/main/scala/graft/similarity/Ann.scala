@@ -58,12 +58,18 @@ object Ann {
   }
 
   /** Sign-bit LSH bucket id of a vector under the given hyperplanes.
-    * O(rows), not O(pairs) — the interpreted fold is fine here. */
-  def bucketId(vec: Column, planes: Seq[Seq[Double]]): Column =
+    * Uses graft_dot (min-length semantics): if the configured `dim`
+    * mismatches the real vector width, the projection falls back to the
+    * common prefix instead of NULL-ing out (zip_with would null-pad, the
+    * sign test would silently send EVERY vector to bucket 0, and the
+    * "LSH" join would degenerate to a full cross product). */
+  def bucketId(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      when(Vectors.dot(vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(GraftFunctions.dot(spark, vec, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** (row..., table, bucket) — one row per hash table (OR-amplification). */
   private def withBuckets(df: DataFrame, numPlanes: Int, dim: Int,
@@ -89,10 +95,12 @@ object Ann {
       .select(col("query_id"), col("id").as("neighbor_id"),
         (GraftFunctions.dot(spark, col("qvec"), col("vec")) /
           (col("qnrm") * col("nrm"))).as("sim"))
-      .distinct() // collisions in several tables count once
+    // collisions in several tables count once; with one table no duplicate
+    // pairs can exist, so skip the extra exchange on the hot path.
+    val deduped = if (tables > 1) scored.distinct() else scored
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    deduped.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -121,10 +129,11 @@ object Ann {
             Seq("table", "bucket"))
           .filter(col("doc_a") < col("doc_b"))
       }
-    base.select(col("doc_a"), col("doc_b"),
+    val pairs = base.select(col("doc_a"), col("doc_b"),
         (GraftFunctions.dot(spark, col("vec_a"), col("vec_b")) /
           (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct()
+    // exact mode and single-table LSH cannot produce duplicate pairs.
+    if (numPlanes > 0 && tables > 1) pairs.distinct() else pairs
   }
 }

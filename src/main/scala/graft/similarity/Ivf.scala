@@ -29,32 +29,31 @@ object Ivf {
     def nlist: Int = centroids.size
   }
 
-  /** Squared-distance argmin cell id for a vector column. Computed as
-    * d² = |v|² - 2·v·c + |c|² per centroid; |v|² is common to all cells so
-    * argmin uses (−2·v·c + |c|²) only. array_min over (score, idx) structs
-    * picks the smallest lexicographically → deterministic tie-break on idx. */
-  def cellId(vec: Column, model: Model): Column = {
+  /** Per-centroid (distance-score, idx) structs — the ONE definition of
+    * the quantizer distance, shared by assignment and probing (if these
+    * diverged, corpus cells and query probes would disagree and recall
+    * would silently collapse). d² = |v|² - 2·v·c + |c|²; |v|² is common to
+    * all cells so the score uses (−2·v·c + |c|²) only. */
+  private def scoredCells(vec: Column, model: Model): Seq[Column] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+    model.centroids.zipWithIndex.map { case (c, i) =>
       val cArr = array(c.map(lit): _*)
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * GraftFunctions.dot(spark, vec, cArr)).as("d"),
         lit(i).as("idx"))
     }
-    array_min(array(scored: _*)).getField("idx")
   }
 
+  /** Squared-distance argmin cell id for a vector column. array_min over
+    * (score, idx) structs picks the smallest lexicographically →
+    * deterministic tie-break on idx. */
+  def cellId(vec: Column, model: Model): Column =
+    array_min(array(scoredCells(vec, model): _*)).getField("idx")
+
   /** `nprobe` nearest cell ids for a query vector (ascending distance). */
-  def probeCells(vec: Column, model: Model, nprobe: Int): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.map(lit): _*)
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * GraftFunctions.dot(spark, vec, cArr)).as("d"),
-        lit(i).as("idx"))
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe), s => s.getField("idx"))
-  }
+  def probeCells(vec: Column, model: Model, nprobe: Int): Column =
+    transform(slice(array_sort(array(scoredCells(vec, model): _*)), 1, nprobe),
+      s => s.getField("idx"))
 
   /** Lloyd's k-means over (id, vec double[]) with deterministic stride
     * initialization. */

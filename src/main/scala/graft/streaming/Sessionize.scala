@@ -35,7 +35,10 @@ object Sessionize {
       val t = e.event_time.getTime
       cur match {
         case Some(s) if t - s.end <= gapSeconds * 1000 =>
-          cur = Some(s.copy(end = t, events = s.events + 1,
+          // min/max, not assignment: a late (within-watermark) event must
+          // not regress the session end below its start.
+          cur = Some(s.copy(start = math.min(s.start, t), end = math.max(s.end, t),
+            events = s.events + 1,
             purchases = s.purchases + (if (e.event_type == "purchase") 1 else 0)))
         case Some(s) =>
           closed ::= toSession(userId, s)

@@ -29,7 +29,14 @@ object StreamingIngest {
   /** Run to completion over all currently-available files and stop
     * (AvailableNow), writing complete results per micro-batch via
     * foreachBatch into a parquet target — the streaming version of the
-    * mart writer. Returns the finished query. */
+    * mart writer. Returns the finished query.
+    *
+    * NOTE on state: complete output mode keeps every (window, type) group
+    * in state and rewrites the full result each batch — the watermark
+    * evicts nothing. That is the right trade for bounded AvailableNow
+    * catch-up runs (exact batch parity, tested); a CONTINUOUS deployment
+    * must switch to append/update mode, where the 1-day watermark bounds
+    * state to open windows (and the last day only emits once it closes). */
   def runAvailableNow(agg: DataFrame, outPath: String,
                       checkpoint: String): StreamingQuery = {
     val q = agg.writeStream

@@ -66,6 +66,11 @@ class DedupSpec extends SparkSpec {
     scored(1) should be < 0.3 // unrelated
   }
 
+  test("bands must divide numHashes (no silent coordinate drop)") {
+    an[IllegalArgumentException] should be thrownBy
+      MinHashLSH.candidatePairs(docs, numHashes = 64, bands = 12)
+  }
+
   test("bucketCap drops pathological buckets (scale guard)") {
     // 60 identical docs all land in the same buckets; cap 10 rejects them.
     val viral = (1L to 60L).map(i => (i, "same same same same text here")).toDF("doc_id", "text")

@@ -88,4 +88,15 @@ class RetailOpsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     out shouldBe Seq(("purchase", 2L, 13.0), ("view", 1L, 0.0))
   }
+
+  test("factBuild purchaseKind handles the legacy 'transaction' event name") {
+    val df = Seq(
+      ("2015-06-01", "transaction", 9L, 7.5),
+      ("2015-06-01", "view", 9L, 3.0)
+    ).toDF("event_date", "event_type", "visitorid", "value")
+    val out = RetailOps.factBuild(df, "event_date", "event_type",
+        Seq("visitorid"), "value", purchaseKind = "transaction")
+      .agg(sum("total_revenue")).as[Double].collect()(0)
+    out shouldBe 7.5
+  }
 }

@@ -38,6 +38,13 @@ class SkewJoinSpec extends SparkSpec {
       plain.map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
 
+  test("right/full outer join types are rejected (would duplicate unmatched rows)") {
+    an[IllegalArgumentException] should be thrownBy
+      SkewJoin.saltedJoin(skewed, dim, Seq("k"), n = 4, "right")
+    an[IllegalArgumentException] should be thrownBy
+      SkewJoin.saltedJoin(skewed, dim, Seq("k"), n = 4, "full_outer")
+  }
+
   test("salt actually spreads the hot key across groups") {
     val groups = skewed.withColumn("s", pmod(hash(monotonically_increasing_id()), lit(8)))
       .filter($"k" === 7L).groupBy("s").count().count()

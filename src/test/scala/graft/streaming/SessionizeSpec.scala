@@ -44,4 +44,29 @@ class SessionizeSpec extends SparkSpec {
     u2.length shouldBe 1
     u2(0).n_purchases shouldBe 1
   }
+
+  test("late within-gap event extends the session backwards, never regresses the end") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = sessions(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(SessionEvent(5L, ts("2019-10-01 10:00:00"), "view"))
+    query.processAllAvailable()
+    // late event 20 min EARLIER, still inside the watermark
+    input.addData(SessionEvent(5L, ts("2019-10-01 09:40:00"), "view"))
+    query.processAllAvailable()
+    input.addData(SessionEvent(99L, ts("2019-10-02 12:00:00"), "view"))
+    query.processAllAvailable()
+    query.stop()
+
+    val s = spark.table("sessions_late").as[UserSession].collect()
+      .filter(_.user_id == 5L)
+    s.length shouldBe 1
+    s(0).session_start shouldBe ts("2019-10-01 09:40:00")
+    s(0).session_end shouldBe ts("2019-10-01 10:00:00")
+    s(0).duration_sec shouldBe 1200 // never negative
+    s(0).n_events shouldBe 2
+  }
 }
