@@ -54,10 +54,26 @@ object Sinks {
   }
 
   /** S7 — catalog registration replacing the Glue crawler: tables get the
-    * crawler's `agg_` prefix (aws-stack.ts:54). `saveAsTable` writes data +
-    * schema in one step, so there is nothing to crawl. */
-  def registerMartTable(df: DataFrame, name: String): Unit =
-    df.write.mode(SaveMode.Overwrite).saveAsTable(s"agg_$name")
+    * crawler's `agg_` prefix (aws-stack.ts:54) and — like the crawler's
+    * table — span EVERY `dt=` partition under the mart root, not just the
+    * day that was written. The table is external over the partitioned
+    * parquet tree; `recoverPartitions` is the crawler-run analogue that
+    * discovers newly-landed days. (A per-day `saveAsTable` overwrite would
+    * leave the catalog holding only the last day — observed on the full
+    * 31-day reference backfill.) */
+  def registerMartTable(df: DataFrame, martRoot: String, name: String): Unit = {
+    val spark = df.sparkSession
+    val table = s"agg_$name"
+    val location = new org.apache.hadoop.fs.Path(s"$martRoot/aggregates/$name")
+    val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // An all-empty history (S6 skipped every write) leaves nothing to crawl.
+    if (fs.exists(location)) {
+      if (!spark.catalog.tableExists(table)) {
+        spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$location'")
+      }
+      spark.catalog.recoverPartitions(table)
+    }
+  }
 
   /** S9 — legacy single-file CSV summary (`df.to_csv(path)`). coalesce(1)
     * mirrors the reference's one-file contract — only for small summaries;

@@ -115,7 +115,7 @@ class RetailPipeline(spark: SparkSession, rawRoot: String, martRoot: String,
       "top_brands_by_revenue" -> topBrands)
     tables.foreach { case (name, df) =>
       Sinks.writeMartParquet(df, martRoot, name, date)
-      Sinks.registerMartTable(df, name)
+      Sinks.registerMartTable(df, martRoot, name)
     }
     tables
   }

@@ -23,9 +23,18 @@ class SinksSpec extends SparkSpec {
     Files.exists(Paths.get(s"$mart/aggregates/m_empty")) shouldBe false
   }
 
-  test("registerMartTable applies the crawler's agg_ prefix (S7)") {
-    Sinks.registerMartTable(Seq((1, 2)).toDF("x", "y"), "sinkspec_probe")
+  test("registerMartTable spans every dt= partition like the crawler (S7)") {
+    val mart = Files.createTempDirectory("sinks-reg").toString
+    val df = Seq((1, 2)).toDF("x", "y")
+    Sinks.writeMartParquet(df, mart, "sinkspec_probe", "2019-10-01")
+    Sinks.registerMartTable(df, mart, "sinkspec_probe")
     spark.catalog.tableExists("agg_sinkspec_probe") shouldBe true
+    spark.table("agg_sinkspec_probe").count() shouldBe 1
+    // a later day lands; re-registration (crawler re-run) discovers it
+    Sinks.writeMartParquet(df, mart, "sinkspec_probe", "2019-10-02")
+    Sinks.registerMartTable(df, mart, "sinkspec_probe")
+    spark.table("agg_sinkspec_probe").count() shouldBe 2
+    spark.table("agg_sinkspec_probe").select("dt").distinct().count() shouldBe 2
     spark.sql("DROP TABLE agg_sinkspec_probe")
   }
 

@@ -66,8 +66,9 @@ class RetailPipelineSpec extends SparkSpec {
     p1002.getAs[String]("sub_category1") shouldBe "na"
     spark.table("dim_date").count() shouldBe 183
 
-    // mart goldens
-    val rev = spark.table("agg_daily_revenue_summary").collect()(0)
+    // mart goldens (the agg_ table spans all dt partitions — filter the day)
+    val rev = spark.table("agg_daily_revenue_summary")
+      .filter(col("dt") === "2019-10-01").collect()(0)
     rev.getAs[Double]("revenue") shouldBe 999.0
     rev.getAs[Long]("unique_users") shouldBe 3
     rev.getAs[Long]("views") shouldBe 3
@@ -82,7 +83,8 @@ class RetailPipelineSpec extends SparkSpec {
 
   test("day 2: zero views → null rates, not inf (§7.4.1)") {
     pipeline.runDay("2019-10-02")
-    val rev = spark.table("agg_daily_revenue_summary").collect()(0)
+    val rev = spark.table("agg_daily_revenue_summary")
+      .filter(col("dt") === "2019-10-02").collect()(0)
     rev.getAs[Long]("views") shouldBe 0
     assert(rev.isNullAt(rev.fieldIndex("cart_rate")))
     assert(rev.isNullAt(rev.fieldIndex("purchase_rate")))
