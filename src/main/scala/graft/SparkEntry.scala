@@ -58,6 +58,7 @@ object SparkEntry {
     "q31_scalar_funcs" -> (RetailQueries.scalarFuncs _),
     "q32_stats_agg" -> (RetailQueries.statsAgg _),
     "q33_pivot" -> (RetailQueries.pivotDaily _),
+    "q34_string_agg" -> (RetailQueries.stringAgg _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
     "m01_text_stats" -> (CorpusQueries.textStats _),
@@ -231,6 +232,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
         "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
         "FROM events GROUP BY 1"),
+    "q34_string_agg" ->
+      ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1"),
     "m13_vocabulary" ->
       ("SELECT term, tf, df, ln((n_docs + 1.0) / (df + 1.0)) AS idf FROM (" +
         "SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df, " +

@@ -261,6 +261,16 @@ object RetailQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  // Ordered string aggregation: collect_list is partition-order-dependent,
+  // so determinism requires sort_array before the join — the same rule as
+  // every other order-sensitive operator in this engine.
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+
   // Left anti join (NOT EXISTS). Filtered probe side keeps the result
   // non-empty (every customer has *some* order in the corpus).
   def antiJoinInactive(s: SparkSession, dir: String): DataFrame =
