@@ -32,7 +32,10 @@ object MinHashLSH {
   }
 
   /** Word w-shingles of the lowercased text; a doc shorter than w words
-    * contributes its whole text as a single shingle. */
+    * contributes its whole text as a single shingle. (Column-expression
+    * form — readable and used by the property tests; the production path
+    * is [[shingleHashes]], because interpreted higher-order lambdas
+    * measured ~13µs per shingle.) */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(lower(trim(text)), " +")
     val n = size(toks)
@@ -40,6 +43,35 @@ object MinHashLSH {
       .otherwise(transform(sequence(lit(0), n - w),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
+
+  /** w-shingle hashes in [0, p), one compiled pass per document: split,
+    * rolling join, FNV — no shingle strings ever materialize in Tungsten
+    * rows, and no per-element lambda dispatch. Whitespace-only docs yield
+    * no shingles (exact dedup owns the empty-content case). */
+  val shingleHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, w: Int) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) Array.empty[Long]
+        else if (toks.length < w) {
+          Array(pmodP(graft.functions.Fnv.chars(toks.mkString(" "))))
+        } else {
+          val out = new Array[Long](toks.length - w + 1)
+          var i = 0
+          while (i + w <= toks.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+            out(i) = pmodP(graft.functions.Fnv.chars(sb))
+            i += 1
+          }
+          out
+        }
+      }
+    }
+
+  private def pmodP(h: Long): Long = ((h % P) + P) % P
 
   /** k-wide minhash signature (array<bigint>) of a shingle array, as a
     * single Column. Correct but O(k) re-evaluations of the shingle pipeline
@@ -67,8 +99,7 @@ object MinHashLSH {
     // materializes k longs per shingle row into UnsafeRows before the
     // aggregate consumes them.
     val hashed = docs
-      .select(col("doc_id"), explode(shingles(col(textCol))).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(col(textCol), lit(3))).as("h"))
     val aggs = params(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
@@ -118,15 +149,16 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Exact Jaccard over shingle sets for the candidate pairs — the verify
-    * stage. Joining signatures back costs two broadcast-or-shuffle hash
-    * joins keyed on doc_id; only candidate docs' shingles are rehydrated. */
+  /** Exact Jaccard over shingle-hash sets for the candidate pairs — the
+    * verify stage. Joining back costs two hash joins keyed on doc_id; only
+    * candidate docs' shingle sets are rehydrated, and the sets are 31-bit
+    * hashes (set-identical to string shingles up to 2^-31 collisions). */
   def verifiedPairs(docs: DataFrame, textCol: String = "text",
                     threshold: Double = 0.7, numHashes: Int = 64,
                     bands: Int = 16, bucketCap: Int = 1000,
                     seed: Long = 42L): DataFrame = {
     val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col(textCol))).as("sh"))
+      array_distinct(shingleHashes(col(textCol), lit(3))).as("sh"))
     val pairs = candidatePairs(docs, textCol, numHashes, bands, bucketCap, seed)
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
