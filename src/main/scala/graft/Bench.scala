@@ -33,13 +33,17 @@ object Bench {
     // baseline's pandas/Postgres numbers are warm steady-state, so the
     // measured pass reports the comparable quantity; the JSON carries
     // "warm" so the methodology is explicit.
+    // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
+    // would run the measured pass in a corrupted JVM.
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     if (warm) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
+        try materialize(fn(spark, sfDir))
+        catch { case scala.util.control.NonFatal(_) => }
       }
     } else {
-      try materialize(Tables.lineitem(spark, sfDir).limit(1)) catch { case _: Throwable => }
+      try materialize(Tables.lineitem(spark, sfDir).limit(1))
+      catch { case scala.util.control.NonFatal(_) => }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -74,10 +74,13 @@ object MinHashLSH {
   private def pmodP(h: Long): Long = ((h % P) + P) % P
 
   /** k-wide minhash signature (array<bigint>) of a shingle array, as a
-    * single Column. Correct but O(k) re-evaluations of the shingle pipeline
-    * per row (Catalyst inlines the shared subtree into every coordinate) —
-    * use [[signatures]] for anything bigger than a unit test. */
-  def signature(shingleCol: Column, k: Int = 64, seed: Long = 42L): Column = {
+    * single Column. Test-only (`private[dedup]`): it hashes shingles with
+    * xxhash64 while the production path ([[signatures]] /
+    * [[bandedSignatures]]) uses FNV-1a, so the two produce intentionally
+    * incompatible signatures and must never be mixed. Also O(k)
+    * re-evaluations of the shingle pipeline per row (Catalyst inlines the
+    * shared subtree into every coordinate). */
+  private[dedup] def signature(shingleCol: Column, k: Int = 64, seed: Long = 42L): Column = {
     // Shingle hashes reduced into [0, p) keep a·x + b within 62 bits.
     val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
     val sigs: Seq[Column] = params(k, seed).map { case (a, b) =>

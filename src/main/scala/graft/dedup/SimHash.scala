@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * one chunk — so an equi-join per chunk finds all such pairs without a
   * cross join. Hamming verification is codegen'd `bit_count(a XOR b)`.
   *
-  * Scale: 4 shuffles on (chunk_idx, chunk_value) — uniform 16-bit keys —
-  * each carrying only (doc_id, simhash). Same cap logic as MinHashLSH
-  * applies for pathological chunks.
+  * Scale: one shuffle on (chunk_idx, chunk_value) — uniform 16-bit keys —
+  * carrying only (doc_id, simhash). `bucketCap` drops pathological chunk
+  * buckets before the pair expansion (e.g. all null/empty texts hash to
+  * simhash 0 and would otherwise self-join quadratically), the same recall
+  * trade [[MinHashLSH.candidatePairs]] makes.
   */
 object SimHash {
 
@@ -44,21 +46,28 @@ object SimHash {
     shiftrightunsigned(sim, idx * 16).bitwiseAND(lit(0xFFFFL))
 
   /** Pairs (doc_a < doc_b) with Hamming distance ≤ maxDist (≤ 3 for full
-    * recall with 4 chunks; larger maxDist trades recall as usual). */
+    * recall with 4 chunks; larger maxDist trades recall as usual).
+    * Buckets larger than `bucketCap` are dropped (recall trade, see class
+    * doc) — the pair expansion is built by exploding the capped per-bucket
+    * id list twice, so no bucket ever re-shuffles. */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
-                     maxDist: Int = 3): DataFrame = {
+                     maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val sigs = signatures(docs, textCol)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
+    val chunked = sigs.select(
+      struct(col("doc_id"), col("simhash")).as("doc"),
       posexplode(array((0 until 4).map(i => chunk(col("simhash"), i)): _*))
         .as(Seq("chunk_idx", "chunk_val")))
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+    val capped = chunked
+      .groupBy("chunk_idx", "chunk_val")
+      .agg(collect_list("doc").as("ds"))
+      .filter(size(col("ds")).between(2, bucketCap))
+    capped
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }

@@ -56,15 +56,22 @@ object Ivf {
       s => s.getField("idx"))
 
   /** Lloyd's k-means over (id, vec double[]) with deterministic stride
-    * initialization. */
+    * initialization. The init sample is a distributed filter on the id
+    * itself (`id % stride == 0`, first nlist by id) — no global window, so
+    * initialization never funnels the corpus through one task. If ids are
+    * sparse enough that the stride yields fewer than nlist seeds, the
+    * deterministic fallback is simply the first nlist vectors by id. */
   def train(vectors: DataFrame, nlist: Int, iters: Int = 3): Model = {
     val n = vectors.count()
     val stride = math.max(n / nlist, 1L)
-    val init = vectors
-      .withColumn("__rk", row_number().over(Window.orderBy("id")).cast("long"))
-      .filter((col("__rk") - 1) % stride === 0 && col("__rk") <= stride * nlist)
-      .orderBy("__rk")
+    val strided = vectors
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(nlist)
       .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val init =
+      if (strided.size >= math.min(nlist, n).toInt) strided
+      else vectors.orderBy("id").limit(nlist)
+        .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
     var model = Model(init)
     for (_ <- 1 to iters) {
       val assigned = vectors.select(col("vec"), cellId(col("vec"), model).as("cell"))

@@ -24,44 +24,56 @@ object Sessionize {
                                n_purchases: Int, duration_sec: Long)
 
   /** Pure state-transition function (shared by the streaming operator and
-    * the batch test harness — deterministic, no wall-clock access). */
+    * the batch test harness — deterministic, no wall-clock access).
+    *
+    * Implemented as an interval merge: the batch's (sorted) events fold
+    * into session intervals, which then merge with the open session from
+    * state in interval order. A late (within-watermark) event therefore
+    * joins the open session only if it lands within `gapSeconds` of it on
+    * EITHER side — an event older than (session_start − gap) forms its own
+    * closed session instead of regressing session_start past the gap
+    * boundary. */
   def updateState(userId: Long, events: Iterator[SessionEvent],
                   state: GroupState[SessionState],
                   gapSeconds: Long): Iterator[UserSession] = {
+    val gapMs = gapSeconds * 1000
     val sorted = events.toSeq.sortBy(_.event_time.getTime)
-    var closed = List.empty[UserSession]
-    var cur = state.getOption
-    sorted.foreach { e =>
+    val batchSessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
       val t = e.event_time.getTime
-      cur match {
-        case Some(s) if t - s.end <= gapSeconds * 1000 =>
-          // min/max, not assignment: a late (within-watermark) event must
-          // not regress the session end below its start.
-          cur = Some(s.copy(start = math.min(s.start, t), end = math.max(s.end, t),
-            events = s.events + 1,
-            purchases = s.purchases + (if (e.event_type == "purchase") 1 else 0)))
-        case Some(s) =>
-          closed ::= toSession(userId, s)
-          cur = Some(SessionState(t, t, 1, if (e.event_type == "purchase") 1 else 0))
-        case None =>
-          cur = Some(SessionState(t, t, 1, if (e.event_type == "purchase") 1 else 0))
+      val p = if (e.event_type == "purchase") 1 else 0
+      acc match {
+        case h :: rest if t - h.end <= gapMs =>
+          h.copy(end = math.max(h.end, t),
+            events = h.events + 1, purchases = h.purchases + p) :: rest
+        case _ => SessionState(t, t, 1, p) :: acc
       }
-    }
+    }.reverse
+    // Newest session at head after the fold below.
+    val merged = (state.getOption.toList ::: batchSessions)
+      .sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: rest if s.start - h.end <= gapMs =>
+            SessionState(math.min(h.start, s.start), math.max(h.end, s.end),
+              h.events + s.events, h.purchases + s.purchases) :: rest
+          case _ => s :: acc
+        }
+      }
     if (state.hasTimedOut) {
-      val out = cur.map(toSession(userId, _)).toList ::: closed
       state.remove()
-      out.reverseIterator
+      merged.reverse.map(toSession(userId, _)).iterator
     } else {
-      cur.foreach { s =>
+      merged.headOption.foreach { s =>
         state.update(s)
         // Register the close-on-silence timeout every batch (an idle key is
         // only re-invoked by its timeout — skipping registration in the
         // first, watermark-0 batch would leave the session open forever).
         // Clamp above the watermark: setTimeoutTimestamp rejects the past.
         state.setTimeoutTimestamp(
-          math.max(s.end + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1))
+          math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
       }
-      closed.reverseIterator
+      // Everything but the newest session closes now, oldest first.
+      merged.drop(1).reverse.map(toSession(userId, _)).iterator
     }
   }
 

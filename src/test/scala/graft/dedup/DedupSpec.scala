@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     pairs.keySet.map(p => Set(p._1, p._2)) should not contain Set(1L, 4L)
   }
 
+  test("SimHash bucketCap drops hot buckets (null/empty texts never blow up)") {
+    // 30 null-text docs all simhash to 0: with the cap they produce no
+    // pairs; the genuine near-dup pair among real docs survives.
+    val withNulls = docs.union(
+      spark.range(100, 130).select($"id".as("doc_id"), lit(null: String).as("text")))
+    val pairs = SimHash.nearDuplicates(withNulls, maxDist = 10, bucketCap = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.filter(p => p._1 >= 100L && p._2 >= 100L) shouldBe empty
+    // without a binding cap the hot bucket pairs up quadratically
+    val uncapped = SimHash.nearDuplicates(withNulls, maxDist = 10, bucketCap = 1000)
+      .filter($"doc_a" >= 100L && $"doc_b" >= 100L).count()
+    uncapped shouldBe (30L * 29L) / 2L
+  }
+
   test("NgramJaccard scores candidate pairs exactly") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
     val scored = NgramJaccard.scorePairs(docs, pairs)

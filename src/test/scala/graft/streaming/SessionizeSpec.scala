@@ -69,4 +69,32 @@ class SessionizeSpec extends SparkSpec {
     s(0).duration_sec shouldBe 1200 // never negative
     s(0).n_events shouldBe 2
   }
+
+  test("late event older than session_start - gap opens its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = sessions(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_toolate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(SessionEvent(7L, ts("2019-10-01 10:00:00"), "view"))
+    query.processAllAvailable()
+    // late event 45 min earlier — inside the 1h watermark (so it is NOT
+    // dropped) but outside the 30-min gap on the start side: it must NOT
+    // merge (that would regress session_start past the gap boundary).
+    input.addData(SessionEvent(7L, ts("2019-10-01 09:15:00"), "purchase"))
+    query.processAllAvailable()
+    input.addData(SessionEvent(99L, ts("2019-10-02 12:00:00"), "view"))
+    query.processAllAvailable()
+    query.stop()
+
+    val s = spark.table("sessions_toolate").as[UserSession].collect()
+      .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+    s.length shouldBe 2
+    s(0).session_start shouldBe ts("2019-10-01 09:15:00")
+    s(0).session_end shouldBe ts("2019-10-01 09:15:00")
+    s(0).n_purchases shouldBe 1
+    s(1).session_start shouldBe ts("2019-10-01 10:00:00")
+    s(1).n_events shouldBe 1
+  }
 }
