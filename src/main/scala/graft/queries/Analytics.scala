@@ -30,25 +30,37 @@ object Analytics {
   }
 
   /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, grouped revenue, top-10.
-    * customer is broadcast (small dim); orders⋈lineitem shuffles on
-    * o_orderkey — the natural co-partitioning key that bucketing would pin
-    * at warehouse scale. Top-k is TakeOrderedAndProject, not a full sort. */
+    *
+    * Lineitem revenue is pre-aggregated per orderkey BELOW the join —
+    * partial-agg pushdown Catalyst doesn't do on its own. The group key set
+    * is functionally dependent on o_orderkey, so per-order decimal sums are
+    * exact and the join then moves one row per order instead of every line
+    * item (4×+ row reduction before the shuffle at any scale; the win grows
+    * with lines-per-order). customer is broadcast; the orderkey shuffle is
+    * the one bucketing would pin at warehouse scale. Top-k is
+    * TakeOrderedAndProject, not a full sort. */
   def topOrdersByRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("2000-01-01"))
-    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val liAgg = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .groupBy(col("l_orderkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .cast("decimal(22,6)")).as("rev"))
+    ord.join(liAgg, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
 
   /** TPC-H Q5 shape: 5-way star join through region→nation→customer→orders→
-    * lineitem. region/nation/customer broadcast; the single large shuffle is
-    * orders⋈lineitem on orderkey. */
+    * lineitem. region/nation/customer broadcast into one dim table; lineitem
+    * revenue/count pre-aggregate per orderkey below the join (see
+    * [[topOrdersByRevenue]] — decimal partial sums re-sum exactly, counts
+    * re-sum as longs), so the orderkey shuffle carries orders-cardinality
+    * rows, not lineitem-cardinality. */
   def regionRevenue(s: SparkSession, dir: String): DataFrame = {
     val nat = Tables.nation(s, dir)
     val reg = Tables.region(s, dir)
@@ -56,13 +68,17 @@ object Analytics {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
-    Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+    val liAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(22,6)")).as("rev"),
+        count(lit(1)).as("cnt"))
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(22,6)")).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("cnt")).as("n_items"))
   }
 
   /** Correlated-style aggregate filter: parts priced above their brand's

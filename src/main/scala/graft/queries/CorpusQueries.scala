@@ -35,12 +35,8 @@ object CorpusQueries {
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables.documents(s, dir))
 
-  def langQualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.qualityScore(col("text")).as("quality"))
-      .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
-  }
+  def langQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextOps.langQualityGate(Tables.documents(s, dir))
 
   // ---- dedup ----------------------------------------------------------
 

@@ -39,4 +39,30 @@ class TextOpsSpec extends SparkSpec {
     one("abc").select(TextOps.fingerprint($"text")).as[String].collect()(0) shouldBe
       "900150983cd24fb0d6963f7d28e17f72"
   }
+
+  test("compiled profile pass is bit-identical to the Column forms") {
+    val texts = Seq(
+      "The cat sat, 42 times!",
+      "the quick brown fox jumps over the lazy dog and runs to a barn",
+      "zzz qqq www rrr ttt yyy uuu",
+      "  leading and trailing  spaces  ",
+      "",
+      "    ",
+      "a1b2c3 mixed alnum-runs... 'quoted' (parens) end-",
+      "0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fast = TextOps.textStats(df).orderBy("doc_id").collect()
+    val slow = df.select(
+      $"doc_id", org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"),
+      TextOps.wordCount($"text").as("n_words"),
+      TextOps.tokenEstimate($"text").as("n_tokens_est"),
+      TextOps.stopwordCount($"text").as("n_stopwords"),
+      TextOps.digitCount($"text").as("n_digits"),
+      TextOps.punctCount($"text").as("n_punct"),
+      TextOps.qualityScore($"text").as("quality"),
+      TextOps.langId($"text").as("lang_pred"),
+      TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy("doc_id").collect()
+    fast.map(_.toSeq) shouldBe slow.map(_.toSeq)
+  }
 }
