@@ -59,6 +59,10 @@ object SparkEntry {
     "q32_stats_agg" -> (RetailQueries.statsAgg _),
     "q33_pivot" -> (RetailQueries.pivotDaily _),
     "q34_string_agg" -> (RetailQueries.stringAgg _),
+    "q35_except" -> (RetailQueries.exceptUsers _),
+    "q36_cube" -> (RetailQueries.cubeCounts _),
+    "q37_asof_join" -> (RetailQueries.asofLastOrder _),
+    "q38_sessionize" -> (RetailQueries.sessionizeBatch _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
     "m01_text_stats" -> (CorpusQueries.textStats _),
@@ -68,6 +72,8 @@ object SparkEntry {
     "m05_minhash_pairs" -> (CorpusQueries.minhashPairs _),
     "m06_simhash_pairs" -> (CorpusQueries.simhashPairs _),
     "m07_ngram_jaccard" -> (CorpusQueries.ngramJaccardPairs _),
+    "m14_gram_index_jaccard" -> (CorpusQueries.gramIndexJaccard _),
+    "m15_embed_neardup_exact" -> (CorpusQueries.embedNearDupExact _),
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),
     "m09_ann_lsh" -> (CorpusQueries.annLsh _),
     "m12_ann_ivf" -> (CorpusQueries.annIvf _),
@@ -235,6 +241,55 @@ object SparkEntry {
     "q34_string_agg" ->
       ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n " +
         "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1"),
+    "q35_except" ->
+      "SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id AS id FROM events",
+    "q36_cube" ->
+      ("SELECT event_type, strftime(event_date, '%Y-%m-%d') AS event_date, n, g_type, g_date FROM (" +
+        "SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n, " +
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
+        "CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_date " +
+        "FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))) t"),
+    "q37_asof_join" ->
+      ("SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate FROM events e " +
+        "ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey " +
+        "FROM orders GROUP BY 1,2) o " +
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
+    "q38_sessionize" ->
+      ("WITH t AS (SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS tms, " +
+        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL " +
+        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS nw " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, event_type, tms, CAST(sum(nw) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM t) " +
+        "SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, " +
+        "max(tms) - min(tms) AS duration_ms FROM s GROUP BY 1,2"),
+    "m14_gram_index_jaccard" ->
+      (AugmentedDocs +
+        ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g), " +
+        "kept AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, " +
+        "count(*) OVER (PARTITION BY gram) AS df FROM gd) WHERE df <= 50), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+        "FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, " +
+        "CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) " +
+        "WHERE jaccard >= 0.6"),
+    "m15_embed_neardup_exact" ->
+      ("WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "aug AS (SELECT id, e FROM v UNION ALL SELECT id + 10000, " +
+        "list_transform(e, (x, i) -> CASE WHEN i = 64 THEN x + 0.05 ELSE x END) " +
+        "FROM v WHERE id < 20), " +
+        "p AS (SELECT id AS probe_id, e AS pe FROM aug WHERE id < 100) " +
+        "SELECT probe_id, neighbor_id, sim FROM (SELECT probe_id, a.id AS neighbor_id, " +
+        "list_dot_product(pe, e) / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))) AS sim " +
+        "FROM aug a CROSS JOIN p WHERE a.id <> probe_id) WHERE sim >= 0.99"),
     "m13_vocabulary" ->
       ("SELECT term, tf, df, ln((n_docs + 1.0) / (df + 1.0)) AS idf FROM (" +
         "SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df, " +

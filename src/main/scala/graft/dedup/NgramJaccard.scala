@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Character n-gram Jaccard similarity — the classic fuzzy-dedup verifier
@@ -66,4 +67,70 @@ object NgramJaccard {
                      threshold: Double = 0.6): DataFrame =
     scorePairs(docs, MinHashLSH.candidatePairs(docs, textCol), textCol, n)
       .filter(col("jaccard") >= threshold)
+
+  /** Distinct word w-shingle STRINGS per document (space-joined, over
+    * space-split tokens of trim(lower(text))); a doc shorter than w words
+    * contributes its whole normalized text as one shingle. String grams —
+    * not hashes — so the inverted-index path below is exactly replicable
+    * in plain SQL (the DuckDB oracle builds the same grams). */
+  val wordShingleSet: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, w: Int) =>
+      if (text == null) Array.empty[String]
+      else {
+        val lower = text.toLowerCase
+        var s = 0; var e = lower.length
+        while (s < e && lower.charAt(s) == ' ') s += 1
+        while (e > s && lower.charAt(e - 1) == ' ') e -= 1
+        val toks = lower.substring(s, e).split(" +", -1)
+        val set = new java.util.LinkedHashSet[String]()
+        if (toks.length < w) set.add(toks.mkString(" "))
+        else {
+          var i = 0
+          while (i + w <= toks.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+            set.add(sb.toString)
+            i += 1
+          }
+        }
+        set.toArray(new Array[String](set.size))
+      }
+    }
+
+  /** Inverted-index (posting-list) near-duplicate join — the SQL-exact
+    * alternative to LSH candidates: explode each doc's distinct word
+    * w-shingles, drop grams with document frequency > `dfCap` (stop-gram
+    * pruning — boilerplate grams would otherwise join quadratically; with
+    * the cap, one gram yields ≤ dfCap² pairs), self-join the remaining
+    * postings on the gram, and compute exact Jaccard from shared-gram
+    * counts: |A∩B| / (|A| + |B| − |A∩B|) over the pruned gram sets.
+    *
+    * Scale shape: one shuffle on gram (posting-list build + join) and one
+    * on the (doc_a, doc_b) pair for the intersection count. Unlike
+    * MinHash/LSH there is no probabilistic recall loss below the cap — and
+    * because every step is relational, the DuckDB oracle replays it
+    * verbatim (m14). */
+  def invertedIndexPairs(docs: DataFrame, textCol: String = "text", w: Int = 3,
+                         threshold: Double = 0.6, dfCap: Int = 50): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordShingleSet(col(textCol), lit(w))).as("gram"))
+    val kept = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "gram")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "n_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "n_b")), Seq("doc_b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 }

@@ -58,6 +58,13 @@ object CorpusQueries {
     NgramJaccard.nearDuplicates(withSyntheticDups(Tables.documents(s, dir)),
       threshold = 0.6)
 
+  /** Inverted-index word-shingle Jaccard — the SQL-exact near-dup path
+    * (string grams, relational pruning), hash-checked against a DuckDB
+    * oracle that replays the identical algorithm. */
+  def gramIndexJaccard(s: SparkSession, dir: String): DataFrame =
+    NgramJaccard.invertedIndexPairs(withSyntheticDups(Tables.documents(s, dir)),
+      threshold = 0.6, dfCap = 50)
+
   /** Corpus vocabulary with TF/DF/IDF — the classic explode-shuffle-topk
     * shape (generator → hash agg on term → TakeOrdered). At 100 TB the
     * term exchange is the dominant cost; partial aggregation collapses
@@ -100,18 +107,29 @@ object CorpusQueries {
       k = 5, nprobe = 4)
   }
 
-  /** Embedding near-dups over an augmented set: +20 slightly-perturbed
-    * copies (id+10000, last component +0.05 — the corpus vectors are
-    * unit-norm, so that keeps cosine ≈ 0.999) guarantee hits ≥ 0.99. */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
-    val all = vectors(s, dir)
+  /** +20 slightly-perturbed copies (id+10000, last component +0.05 — the
+    * corpus vectors are unit-norm, so that keeps cosine ≈ 0.999): plants
+    * guaranteed near-dup hits ≥ 0.99. */
+  def withPerturbedDups(all: DataFrame): DataFrame = {
     val perturbed = all.filter(col("id") < 20)
       .select((col("id") + 10000).as("id"),
         transform(col("vec"), (x, i) => when(i === 63, x + 0.05).otherwise(x)).as("vec"))
+    all.unionByName(perturbed)
+  }
+
+  /** Embedding near-dups over the perturbed-augmented set. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     // LSH mode — the scale path: only same-bucket pairs are scored.
     // 8 planes × 3 OR-amplified tables ≈ 0.998 recall at cosine 0.999.
-    Ann.nearDupPairs(all.unionByName(perturbed), threshold = 0.99,
+    Ann.nearDupPairs(withPerturbedDups(vectors(s, dir)), threshold = 0.99,
       numPlanes = 8, tables = 3)
+
+  /** Exact cosine near-dup for a probe subset (ids < 100) over the
+    * perturbed-augmented corpus — oracle-checkable twin of
+    * [[embeddingNearDups]]'s LSH mode. */
+  def embedNearDupExact(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withPerturbedDups(vectors(s, dir))
+    Ann.bruteForceNearDups(corpus.filter(col("id") < 100), corpus, threshold = 0.99)
   }
 
   // ---- multimodal -----------------------------------------------------

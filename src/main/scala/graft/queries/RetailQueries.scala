@@ -278,4 +278,46 @@ object RetailQueries {
       .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
+
+  // EXCEPT (set difference, distinct semantics) — customers who never
+  // produced an event.
+  def exceptUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      .except(Tables.events(s, dir).select(col("user_id").as("id")))
+
+  // CUBE grouping sets with GROUPING() metadata — all four (type × date)
+  // rollup levels in one pass (Expand + single hash agg, not four scans).
+  // The date renders as a string so super-aggregate NULLs canonicalize
+  // identically on both sides (pandas None vs NaT dtype drift otherwise).
+  def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .cube(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("event_date")).cast("long").as("g_date"))
+      .select(col("event_type"),
+        date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n"), col("g_type"), col("g_date"))
+
+  // Backward as-of join (AsofJoin operator): each event picks the user's
+  // most recent order at or before the event time. The right side is
+  // pre-reduced to unique (custkey, orderdate) — max orderkey per date —
+  // so the as-of pick is deterministic (DuckDB's ASOF JOIN makes the same
+  // uniqueness assumption).
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    graft.operators.AsofJoin.backward(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("o_orderdate"))
+  }
+
+  // Gap-based sessionization, batch form (Sessionize.batchSessions) —
+  // relational twin of the flatMapGroupsWithState operator, 30-minute gap.
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(
+      Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type"))
 }

@@ -105,6 +105,25 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Exact threshold search for a (small, broadcast) probe set: every
+    * corpus vector with cosine ≥ threshold against each probe, self-match
+    * excluded. The oracle-checkable exact baseline next to [[nearDupPairs]]
+    * (whose LSH mode is the at-scale path): the corpus side streams in one
+    * scan, so cost is O(probes × corpus) dot products with no shuffle. */
+  def bruteForceNearDups(probes: DataFrame, corpus: DataFrame,
+                         threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val p = withNorm(probes)
+      .select(col("id").as("probe_id"), col("vec").as("pvec"), col("nrm").as("pnrm"))
+    withNorm(corpus)
+      .join(broadcast(p))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        (GraftFunctions.dot(spark, col("pvec"), col("vec")) /
+          (col("pnrm") * col("nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, doc_a < doc_b.
     * numPlanes=0 → exact all-pairs (O(n²) scored with the codegen'd dot —
     * the verification baseline); numPlanes>0 → LSH buckets with

@@ -1,7 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful sessionization over the event stream — the custom-state
@@ -80,6 +82,32 @@ object Sessionize {
   private def toSession(userId: Long, s: SessionState): UserSession =
     UserSession(userId, new Timestamp(s.start), new Timestamp(s.end),
       s.events, s.purchases, (s.end - s.start) / 1000)
+
+  /** Batch sessionization — the same gap rule as the streaming operator,
+    * expressed relationally so it is SQL-oracle-checkable and runs as two
+    * window passes + one aggregation over ONE shuffle on user_id (the
+    * window and the groupBy share the hash partitioning; no state store).
+    *
+    * session boundary: first event per user, or gap from the previous
+    * event > gapSeconds; session_idx = running count of boundaries.
+    * Input needs (event_id, user_id, ts, event_type); ties within a
+    * timestamp are ordered by event_id so the lag is total-ordered. */
+  def batchSessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val tMs = unix_millis(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__new", when(lag(tMs, 1).over(w).isNull ||
+        tMs - lag(tMs, 1).over(w) > gapSeconds * 1000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        (max(tMs) - min(tMs)).as("duration_ms"))
+  }
 
   /** Streaming sessionization: watermarked event-time state with per-key
     * timeouts. Input must carry (user_id, event_time, event_type). */

@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     scored(1) should be < 0.3 // unrelated
   }
 
+  test("inverted-index jaccard finds exact and near dups with exact scores") {
+    val out = NgramJaccard.invertedIndexPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    out.map(p => (p._1, p._2)) shouldBe Array((1L, 2L), (1L, 3L), (2L, 3L))
+    out.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 1.0
+    // doc 3 differs in one word -> 3 of 11 word-3-grams differ:
+    // |A∩B| = 8, |A∪B| = 14.
+    out.find(p => p._1 == 1L && p._2 == 3L).get._3 shouldBe (8.0 / 14.0)
+  }
+
+  test("inverted-index jaccard dfCap prunes boilerplate grams") {
+    // 5 docs sharing one boilerplate sentence; dfCap below 5 drops those
+    // grams, so no pair survives (their only overlap is the boilerplate).
+    val boiler = (1 to 5).map(i => (i.toLong, s"all rights reserved copyright notice unique$i"))
+      .toDF("doc_id", "text")
+    NgramJaccard.invertedIndexPairs(boiler, threshold = 0.1, dfCap = 4).count() shouldBe 0
+    // with the cap above the df, the shared grams count again.
+    NgramJaccard.invertedIndexPairs(boiler, threshold = 0.1, dfCap = 5)
+      .count() should be > 0L
+  }
+
   test("bands must divide numHashes (no silent coordinate drop)") {
     an[IllegalArgumentException] should be thrownBy
       MinHashLSH.candidatePairs(docs, numHashes = 64, bands = 12)

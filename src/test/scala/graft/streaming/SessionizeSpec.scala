@@ -45,6 +45,36 @@ class SessionizeSpec extends SparkSpec {
     u2(0).n_purchases shouldBe 1
   }
 
+  test("batch sessionization agrees with the streaming gap rule") {
+    // Same shape as the streaming test: user 1 splits into two sessions
+    // across the 2h silence; user 2 has one single-purchase session.
+    val events = Seq(
+      (10L, 1L, ts("2019-10-01 10:00:00"), "view"),
+      (11L, 1L, ts("2019-10-01 10:10:00"), "purchase"),
+      (12L, 2L, ts("2019-10-01 10:05:00"), "purchase"),
+      (13L, 1L, ts("2019-10-01 12:30:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.batchSessions(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "n_purchases", "duration_ms")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (1L, 1L, 2L, 1L, 600000L),
+      (1L, 2L, 1L, 0L, 0L),
+      (2L, 1L, 1L, 1L, 0L))
+  }
+
+  test("batch sessionization: an event exactly at the gap boundary stays in-session") {
+    val events = Seq(
+      (1L, 1L, ts("2019-10-01 10:00:00"), "view"),
+      (2L, 1L, ts("2019-10-01 10:30:00"), "view"), // exactly gap later -> same session
+      (3L, 1L, ts("2019-10-01 11:00:01"), "view") // gap + 1s -> new session
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.batchSessions(events, gapSeconds = 1800)
+      .select("session_idx", "n_events").as[(Long, Long)].collect().sorted
+    out shouldBe Array((1L, 2L), (2L, 1L))
+  }
+
   test("late within-gap event extends the session backwards, never regresses the end") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
