@@ -63,6 +63,8 @@ object SparkEntry {
     "q36_cube" -> (RetailQueries.cubeCounts _),
     "q37_asof_join" -> (RetailQueries.asofLastOrder _),
     "q38_sessionize" -> (RetailQueries.sessionizeBatch _),
+    "q39_corr_subquery" -> (RetailQueries.correlatedAboveAvg _),
+    "m16_chunking" -> (CorpusQueries.chunkDocuments _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
     "m01_text_stats" -> (CorpusQueries.textStats _),
@@ -266,6 +268,17 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, " +
         "max(tms) - min(tms) AS duration_ms FROM s GROUP BY 1,2"),
+    "q39_corr_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > 1.5 * (" +
+        "SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
+        "FROM orders i WHERE i.o_custkey = o.o_custkey)"),
+    "m16_chunking" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM documents) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "array_to_string(list_slice(t, i*40 + 1, i*40 + 50), ' ') AS chunk_text, " +
+        "CAST(len(list_slice(t, i*40 + 1, i*40 + 50)) AS BIGINT) AS n_tokens " +
+        "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
+        "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM toks) x"),
     "m14_gram_index_jaccard" ->
       (AugmentedDocs +
         ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +

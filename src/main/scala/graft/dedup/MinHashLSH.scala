@@ -44,32 +44,33 @@ object MinHashLSH {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
 
-  /** w-shingle hashes in [0, p), one compiled pass per document: split,
-    * rolling join, FNV — no shingle strings ever materialize in Tungsten
-    * rows, and no per-element lambda dispatch. Whitespace-only docs yield
-    * no shingles (exact dedup owns the empty-content case). */
-  val shingleHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String, w: Int) =>
-      if (text == null) Array.empty[Long]
-      else {
-        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        if (toks.isEmpty) Array.empty[Long]
-        else if (toks.length < w) {
-          Array(pmodP(graft.functions.Fnv.chars(toks.mkString(" "))))
-        } else {
-          val out = new Array[Long](toks.length - w + 1)
-          var i = 0
-          while (i + w <= toks.length) {
-            val sb = new java.lang.StringBuilder
-            var j = 0
-            while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-            out(i) = pmodP(graft.functions.Fnv.chars(sb))
-            i += 1
-          }
-          out
-        }
+  /** w-shingle hashes in [0, p): split, rolling join, FNV — no shingle
+    * strings ever materialize in Tungsten rows, and no per-element lambda
+    * dispatch. Whitespace-only docs yield no shingles (exact dedup owns
+    * the empty-content case). */
+  private def shingleHashArray(text: String, w: Int): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty[Long]
+    else if (toks.length < w) {
+      Array(pmodP(graft.functions.Fnv.chars(toks.mkString(" "))))
+    } else {
+      val out = new Array[Long](toks.length - w + 1)
+      var i = 0
+      while (i + w <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out(i) = pmodP(graft.functions.Fnv.chars(sb))
+        i += 1
       }
+      out
     }
+  }
+
+  /** Column form of [[shingleHashArray]] (used by the verify stage). */
+  val shingleHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, w: Int) => shingleHashArray(text, w) }
 
   private def pmodP(h: Long): Long = ((h % P) + P) % P
 
@@ -90,26 +91,44 @@ object MinHashLSH {
   }
 
   /** (doc_id, sig) signatures for a whole corpus — the production path:
-    * explode shingles, hash each ONCE, then k min-aggregates per doc.
-    * Tokenization/xxhash cost is paid once per shingle instead of once per
-    * (shingle × coordinate); the k multiply-mod-min ops run as partial
-    * (map-side) aggregates, so the doc_id exchange carries k longs per doc
-    * per partition. */
+    * ONE compiled pass per document computes the shingle hashes and folds
+    * them straight into the k running minima. The signature is a pure
+    * per-row function of the text, so this needs NO shuffle at all —
+    * round 2 shipped explode + k min-aggregates (one exchange of k longs
+    * per doc even after map-side partials, plus a 64-expression hash-agg
+    * over every shingle row); folding in-row deletes that exchange and the
+    * aggregate hash table, and at 100 TB makes signature generation
+    * scan-bound. Values are bit-identical (same (a,b) params, same
+    * shingle hashes, min is order-free); docs with no shingles are
+    * dropped, as the explode formulation did implicitly. */
   def signatures(docs: DataFrame, textCol: String = "text",
                  numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    // The k multiply-mod-mins live in the aggregate update expressions:
-    // measured faster than hoisting them into a wide projection, which
-    // materializes k longs per shingle row into UnsafeRows before the
-    // aggregate consumes them.
-    val hashed = docs
-      .select(col("doc_id"), explode(shingleHashes(col(textCol), lit(3))).as("h"))
-    val aggs = params(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    val ps = params(numHashes, seed)
+    val as = ps.map(_._1).toArray
+    val bs = ps.map(_._2).toArray
+    val sigUdf = udf { text: String =>
+      val hs = shingleHashArray(text, 3)
+      if (hs.isEmpty) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < hs.length) {
+          val x = hs(i)
+          var j = 0
+          while (j < numHashes) {
+            // a·x + b stays under 2^62 (x < 2^31, a < 2^31) and is
+            // non-negative, so % is already pmod.
+            val v = (as(j) * x + bs(j)) % P
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        sig
+      }
     }
-    hashed.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    docs.select(col("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** (doc_id, band, band_hash) — one row per band per doc. */

@@ -38,6 +38,10 @@ object CorpusQueries {
   def langQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextOps.langQualityGate(Tables.documents(s, dir))
 
+  /** Sliding-window chunking (50-token windows, stride 40). */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(Tables.documents(s, dir))
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =

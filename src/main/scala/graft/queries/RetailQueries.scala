@@ -320,4 +320,16 @@ object RetailQueries {
   def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.batchSessions(
       Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type"))
+
+  // Correlated scalar subquery through the SQL entry point (S4/S11) —
+  // Catalyst decorrelates it into the same aggregate-join q30 writes by
+  // hand. Decimal-exact per-customer average for oracle parity.
+  def correlatedAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_v o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders_v i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
 }

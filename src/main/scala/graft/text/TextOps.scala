@@ -191,6 +191,27 @@ object TextOps {
         col("fingerprint"))
   }
 
+  /** Sliding-window document chunking — the standard training-data prep
+    * step (context-window shards with overlap). Chunk i covers tokens
+    * [i·stride, i·stride + size); starts run while they land inside the
+    * doc. Pure per-row generate (explode) — no shuffle, and each doc emits
+    * ~n_tokens/stride rows, so output size is predictable at any scale.
+    * Tokens are the space-split of trim(lower(text)), consistent with the
+    * stopword/shingle tokenization. */
+  def chunk(docs: DataFrame, textCol: String = "text",
+            size: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val toks = split(lower(trim(col(textCol))), " +")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), floor((org.apache.spark.sql.functions.size(col("t")) - 1) / stride).cast("int")),
+          i => slice(col("t"), i * stride + 1, lit(size)))).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(col("c"), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("c")).cast("long").as("n_tokens"))
+  }
+
   /** Language + quality gate — production path for filter pipelines. */
   def langQualityGate(docs: DataFrame, textCol: String = "text",
                       lang: String = "en", minQuality: Double = 0.3): DataFrame =

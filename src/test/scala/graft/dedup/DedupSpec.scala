@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     scored(1) should be < 0.3 // unrelated
   }
 
+  test("single-pass signatures match the explode + k-min-aggregates formulation") {
+    // Round-2 shipped signature generation as explode(shingleHashes) +
+    // 64 min(pmod(a·h+b, p)) aggregates; the compiled in-row fold must be
+    // bit-identical (and also drop no-shingle docs, as explode did).
+    val withEmpty = docs.union(Seq((6L, "   "), (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val p = 2147483647L
+    val rng = new scala.util.Random(42L)
+    val params = Seq.fill(64)((rng.nextInt((p - 1).toInt).toLong + 1L,
+      rng.nextInt(p.toInt).toLong))
+    val hashed = withEmpty.select(col("doc_id"),
+      explode(MinHashLSH.shingleHashes(col("text"), lit(3))).as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    val legacy = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+      .orderBy("doc_id").collect()
+    val fast = MinHashLSH.signatures(withEmpty).orderBy("doc_id").collect()
+    fast.map(_.toSeq) shouldBe legacy.map(_.toSeq)
+  }
+
   test("inverted-index jaccard finds exact and near dups with exact scores") {
     val out = NgramJaccard.invertedIndexPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b", "jaccard")

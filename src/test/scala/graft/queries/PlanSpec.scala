@@ -66,4 +66,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .linesIterator.filter(_.contains("Exchange")).mkString("\n")
     (exchanges should not).include("text#")
   }
+
+  test("minhash signature generation itself plans with zero exchanges") {
+    val sigs = graft.dedup.MinHashLSH.signatures(
+      graft.Tables.documents(spark, dir))
+    plan(sigs) should not include "Exchange"
+  }
+
+  test("q38: sessionization windows and aggregation share ONE user_id exchange") {
+    // HashPartitioning(user_id) from the window satisfies the groupBy's
+    // (user_id, session_idx) clustering — a second exchange would mean the
+    // sessionize pipeline reshuffles every event twice at scale.
+    val p = plan(RetailQueries.sessionizeBatch(spark, dir))
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("q37: as-of join plans one exchange per side plus the merge sort, no range cross-join") {
+    val p = plan(RetailQueries.asofLastOrder(spark, dir))
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("Window")
+  }
 }

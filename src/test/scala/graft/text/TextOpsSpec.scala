@@ -40,6 +40,21 @@ class TextOpsSpec extends SparkSpec {
       "900150983cd24fb0d6963f7d28e17f72"
   }
 
+  test("chunking: sliding windows with overlap, last partial window kept") {
+    val words = (1 to 85).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextOps.chunk(df, size = 50, stride = 40)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    out.map(r => (r._1, r._2, r._3)) shouldBe Array(
+      (1L, 0L, 50L), (1L, 1L, 45L), (1L, 2L, 5L), (2L, 0L, 2L))
+    out(0)._4 should startWith("w1 w2 ")
+    out(1)._4 should startWith("w41 ") // stride-40 overlap
+    out(2)._4 shouldBe "w81 w82 w83 w84 w85"
+    out(3)._4 shouldBe "tiny doc"
+  }
+
   test("compiled profile pass is bit-identical to the Column forms") {
     val texts = Seq(
       "The cat sat, 42 times!",
