@@ -64,6 +64,9 @@ object SparkEntry {
     "q37_asof_join" -> (RetailQueries.asofLastOrder _),
     "q38_sessionize" -> (RetailQueries.sessionizeBatch _),
     "q39_corr_subquery" -> (RetailQueries.correlatedAboveAvg _),
+    // q40 has no oracle by design: HLL/quantile sketch internals are
+    // engine-specific; SketchSpec bounds the error against exact answers.
+    "q40_sketches" -> (RetailQueries.sketchAggregates _),
     "m16_chunking" -> (CorpusQueries.chunkDocuments _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)

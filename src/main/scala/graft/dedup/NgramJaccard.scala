@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Character n-gram Jaccard similarity — the classic fuzzy-dedup verifier
@@ -115,10 +114,13 @@ object NgramJaccard {
                          threshold: Double = 0.6, dfCap: Int = 50): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(wordShingleSet(col(textCol), lit(w))).as("gram"))
-    val kept = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("df") <= dfCap)
-      .select("doc_id", "gram")
+    // Stop-gram pruning as a broadcast blocklist: gram frequency is
+    // Zipf-shaped, so only a tiny head exceeds dfCap — aggregate df with
+    // map-side partials and broadcast the offenders into an anti-join,
+    // instead of window-sorting every posting row by gram.
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("gram")
+    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.select(col("doc_id").as("doc_a"), col("gram"))
       .join(kept.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))

@@ -321,6 +321,21 @@ object RetailQueries {
     graft.streaming.Sessionize.batchSessions(
       Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type"))
 
+  // Sketch aggregates — the approximate tier the exact queries (q07/q32)
+  // deliberately avoid for oracle parity: HyperLogLog++ distinct counts
+  // and a quantile sketch. No SQL oracle by design (sketch internals are
+  // engine-specific); the spec bounds their error against the exact
+  // answers. At 100 TB these replace exact distinct/median where a few %
+  // error buys an order of magnitude less shuffle (the HLL buffer is KBs
+  // per group vs the exact distinct's two-phase row expansion).
+  def sketchAggregates(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        count(lit(1)).as("n"))
+
   // Correlated scalar subquery through the SQL entry point (S4/S11) —
   // Catalyst decorrelates it into the same aggregate-join q30 writes by
   // hand. Decimal-exact per-customer average for oracle parity.

@@ -26,6 +26,20 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select(to_date(col("window.start")).as("event_date"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the ingest-time twin of
+    * [[graft.dedup.ExactDedup]]: rows whose key columns repeat within the
+    * watermark horizon are dropped as they arrive, with state bounded by
+    * the watermark (dropDuplicatesWithinWatermark evicts expired keys —
+    * a plain dropDuplicates would grow state forever on an unbounded
+    * stream). At 100 TB/day this is the front-door dedup that keeps exact
+    * copies from ever landing in the lake; the batch operators own
+    * historical/near-dup passes. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  eventTimeCol: String = "event_time",
+                  horizon: String = "1 day"): DataFrame =
+    events.withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run to completion over all currently-available files and stop
     * (AvailableNow), writing complete results per micro-batch via
     * foreachBatch into a parquet target — the streaming version of the

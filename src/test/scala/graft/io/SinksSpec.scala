@@ -23,6 +23,28 @@ class SinksSpec extends SparkSpec {
     Files.exists(Paths.get(s"$mart/aggregates/m_empty")) shouldBe false
   }
 
+  test("events round-trip losslessly through ORC and JSON sinks") {
+    // Format is configuration, not code: the same frame writes to the
+    // columnar (ORC) and row-text (JSON) formats Spark ships natively.
+    val dir = Files.createTempDirectory("sinks-fmt").toString
+    val df = graft.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    df.write.mode("overwrite").orc(s"$dir/orc")
+    // JSON's default timestamp pattern is millisecond-precision — an
+    // explicit micros pattern keeps the round-trip lossless.
+    val ntzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    df.write.mode("overwrite").option("timestampNTZFormat", ntzFmt).json(s"$dir/json")
+    val orc = spark.read.orc(s"$dir/orc")
+    orc.schema shouldBe df.schema
+    orc.count() shouldBe df.count()
+    orc.exceptAll(df).count() shouldBe 0
+    // JSON is schema-on-read: supply the schema, then content matches.
+    val json = spark.read.schema(df.schema)
+      .option("timestampNTZFormat", ntzFmt).json(s"$dir/json")
+    json.count() shouldBe df.count()
+    json.exceptAll(df).count() shouldBe 0
+  }
+
   test("registerMartTable spans every dt= partition like the crawler (S7)") {
     val mart = Files.createTempDirectory("sinks-reg").toString
     val df = Seq((1, 2)).toDF("x", "y")

@@ -53,4 +53,26 @@ class StreamingIngestSpec extends SparkSpec {
     stream.schema.fieldNames should contain allOf ("event_time", "event_type", "price")
     stream.isStreaming shouldBe true
   }
+
+  test("streaming dedup drops repeated keys across micro-batches (bounded state)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingIngest.dedupStream(
+      input.toDF().toDF("event_time", "fingerprint"), Seq("fingerprint"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2019-10-01 10:00:00")
+    input.addData((t, "fp1"), (t, "fp1"), (t, "fp2")) // intra-batch dup
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2019-10-01 10:05:00"), "fp1")) // cross-batch dup
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2019-10-01 10:10:00"), "fp3"))
+    q.processAllAvailable()
+    val seen = spark.table("dedup_out").select("fingerprint").as[String].collect().sorted
+    q.stop()
+    seen shouldBe Array("fp1", "fp2", "fp3")
+  }
 }
