@@ -65,6 +65,47 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("asof join equals the naive max-below range join on random data") =
+    forAll(
+      Gen.listOfN(15, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100L))),
+      Gen.listOfN(10, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 100L)))) { (ls, rsRaw) =>
+      // Right (key, time) must be unique — the operator's documented
+      // precondition (and DuckDB ASOF's).
+      val rs = rsRaw.distinct
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lk", "lt")
+      val right = rs.map { case (k, t) => (k, t, k * 1000 + t) }
+        .toDF("rk", "rt", "payload")
+      val got = graft.operators.AsofJoin.backward(left, right, "lk", "rk", "lt", "rt")
+        .select("lid", "payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rs.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (candidates.isEmpty) -1L
+                     else { val m = candidates.maxBy(_._2); m._1 * 1000 + m._2 })
+      }.toMap
+      got == want
+    }
+
+  property("batch sessionization partitions events exactly; durations bounded by span") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 7200L)))) { rows =>
+      rows.nonEmpty ==> Prop {
+        val df = rows.zipWithIndex.map { case ((u, sec), i) =>
+          (i.toLong, u, new java.sql.Timestamp(1570000000000L + sec * 1000), "view")
+        }.toDF("event_id", "user_id", "ts", "event_type")
+        val out = graft.streaming.Sessionize.batchSessions(df, gapSeconds = 600)
+          .collect()
+        val nEvents = out.map(_.getAs[Long]("n_events")).sum
+        nEvents == rows.size &&
+          out.forall { s =>
+            val d = s.getAs[Long]("duration_ms")
+            // ≥ 2 events in a session → every inter-event gap ≤ gap, so the
+            // span is < gap × (n-1); single-event sessions span 0.
+            d >= 0 && d <= 600000L * (s.getAs[Long]("n_events") - 1).max(0)
+          }
+      }
+    }
+
   property("qualityScore ∈ [0,1] and langId total for arbitrary strings") =
     forAll(Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(200)))) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
