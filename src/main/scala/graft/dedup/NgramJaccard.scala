@@ -114,16 +114,19 @@ object NgramJaccard {
                          threshold: Double = 0.6, dfCap: Int = 50): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(wordShingleSet(col(textCol), lit(w))).as("gram"))
-    // Stop-gram pruning as a broadcast blocklist: gram frequency is
-    // Zipf-shaped, so only a tiny head exceeds dfCap — aggregate df with
-    // map-side partials and broadcast the offenders into an anti-join,
-    // instead of window-sorting every posting row by gram.
-    val hot = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("gram")
-    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(kept.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+    // Build the posting list per gram in ONE exchange and cap it there —
+    // stop-gram pruning (df > dfCap → dropped) happens before any pair is
+    // produced, and the pair expansion is a double explode of the capped
+    // id list, never a second shuffle (the [[MinHashLSH.candidatePairs]]
+    // shape). Both the per-doc sizes and the intersection counts derive
+    // from the same exchange, which ReuseExchange runs once.
+    val postings = grams.groupBy("gram")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) <= dfCap)
+    val posts = postings.select(explode(col("ids")).as("doc_id"), col("ids"))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = posts
+      .select(col("doc_id").as("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
