@@ -79,6 +79,7 @@ object SparkEntry {
     "m07_ngram_jaccard" -> (CorpusQueries.ngramJaccardPairs _),
     "m14_gram_index_jaccard" -> (CorpusQueries.gramIndexJaccard _),
     "m15_embed_neardup_exact" -> (CorpusQueries.embedNearDupExact _),
+    "m17_dedup_clusters" -> (CorpusQueries.dedupClusters _),
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),
     "m09_ann_lsh" -> (CorpusQueries.annLsh _),
     "m12_ann_ivf" -> (CorpusQueries.annIvf _),
@@ -283,20 +284,17 @@ object SparkEntry {
         "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
         "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM toks) x"),
     "m14_gram_index_jaccard" ->
-      (AugmentedDocs +
-        ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
-        "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
-        "gd AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g), " +
-        "kept AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, " +
-        "count(*) OVER (PARTITION BY gram) AS df FROM gd) WHERE df <= 50), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1), " +
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
-        "FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, " +
-        "CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard FROM inter " +
-        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) " +
-        "WHERE jaccard >= 0.6"),
+      (AugmentedDocs + GramPairCtes +
+        "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
+    "m17_dedup_clusters" ->
+      (AugmentedDocs.replace("WITH ", "WITH RECURSIVE ") + GramPairCtes +
+        ", p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.6), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
+        "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src"),
     "m15_embed_neardup_exact" ->
       ("WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         "aug AS (SELECT id, e FROM v UNION ALL SELECT id + 10000, " +
@@ -375,4 +373,20 @@ object SparkEntry {
       "UNION ALL SELECT doc_id + 20000, text, lang, source, n_chars FROM documents WHERE doc_id < 50 " +
       "UNION ALL SELECT doc_id + 10000, 'zz' || substr(text, 3), lang, source, n_chars " +
       "FROM documents WHERE doc_id < 50) "
+
+  /** The inverted-index Jaccard chain (m14/m17) as CTEs over `aug` —
+    * replays graft.dedup.NgramJaccard.invertedIndexPairs verbatim. */
+  private val GramPairCtes: String =
+    ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+      "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+      "gd AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g), " +
+      "kept AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, " +
+      "count(*) OVER (PARTITION BY gram) AS df FROM gd) WHERE df <= 50), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+      "FROM kept a JOIN kept b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT doc_a, doc_b, " +
+      "CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "
 }

@@ -128,6 +128,12 @@ object CorpusQueries {
     Ann.nearDupPairs(withPerturbedDups(vectors(s, dir)), threshold = 0.99,
       numPlanes = 8, tables = 3)
 
+  /** Connected components over the verified inverted-index pairs —
+    * (doc_id, cluster_id = min reachable doc_id) for every doc in any
+    * near-dup pair. Oracle replays the closure with a recursive CTE. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
+
   /** Exact cosine near-dup for a probe subset (ids < 100) over the
     * perturbed-augmented corpus — oracle-checkable twin of
     * [[embeddingNearDups]]'s LSH mode. */

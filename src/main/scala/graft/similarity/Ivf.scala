@@ -55,23 +55,17 @@ object Ivf {
     transform(slice(array_sort(array(scoredCells(vec, model): _*)), 1, nprobe),
       s => s.getField("idx"))
 
-  /** Lloyd's k-means over (id, vec double[]) with deterministic stride
-    * initialization. The init sample is a distributed filter on the id
-    * itself (`id % stride == 0`, first nlist by id) — no global window, so
-    * initialization never funnels the corpus through one task. If ids are
-    * sparse enough that the stride yields fewer than nlist seeds, the
-    * deterministic fallback is simply the first nlist vectors by id. */
+  /** Lloyd's k-means over (id, vec double[]) with deterministic hash-order
+    * initialization: the nlist seeds are the vectors with the smallest
+    * xxhash64(id) — a uniform pseudo-random sample that needs no row
+    * count, no dense-id assumption, and no global window (TakeOrdered =
+    * per-partition heap of nlist rows + driver merge). One job instead of
+    * the count + stride-filter pair, and still fully reproducible. */
   def train(vectors: DataFrame, nlist: Int, iters: Int = 3): Model = {
-    val n = vectors.count()
-    val stride = math.max(n / nlist, 1L)
-    val strided = vectors
-      .filter(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").limit(nlist)
+    val init = vectors
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(nlist)
       .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val init =
-      if (strided.size >= math.min(nlist, n).toInt) strided
-      else vectors.orderBy("id").limit(nlist)
-        .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
     var model = Model(init)
     for (_ <- 1 to iters) {
       val assigned = vectors.select(col("vec"), cellId(col("vec"), model).as("cell"))

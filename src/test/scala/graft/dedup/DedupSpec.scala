@@ -125,6 +125,20 @@ class DedupSpec extends SparkSpec {
       .count() should be > 0L
   }
 
+  test("dedup clusters: chain and triangle components converge to min label") {
+    // chain 10-20-30-40 (diameter 3, needs >1 propagation round),
+    // triangle 1-2-3, isolated pair 7-8.
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L),
+      (1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = DedupClusters.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    val keep = DedupClusters.canonical(pairs)
+      .filter(col("keep")).select("doc_id").as[Long].collect().sorted
+    keep shouldBe Array(1L, 7L, 10L)
+  }
+
   test("bands must divide numHashes (no silent coordinate drop)") {
     an[IllegalArgumentException] should be thrownBy
       MinHashLSH.candidatePairs(docs, numHashes = 64, bands = 12)
