@@ -81,4 +81,19 @@ object Sinks {
   def writeCsvSummary(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
+
+  /** Training-shard writer: `numShards` globally range-partitioned,
+    * internally sorted parquet files. Range partitioning (sampled range
+    * exchange) gives disjoint, ordered key ranges per shard — what a
+    * downstream training loader wants for deterministic sharding and
+    * merge-reads — unlike hash partitioning, which interleaves every range
+    * across every file. One exchange + per-partition sort, no global
+    * single-task sort at any scale. */
+  def writeSortedShards(df: DataFrame, path: String, numShards: Int,
+                        sortCols: Seq[String]): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(numShards, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -66,6 +66,29 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame: 1→many child rows of a media row. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Frame sampling — the video-side analogue of text chunking: treat the
+    * byte stream as fixed-size frames and emit every `stride`-th one.
+    * The slicer is the stub stand-in for a demuxer (the 1→many generate
+    * shape, output cardinality ≈ bytes / (frameBytes · stride), is what
+    * survives to production). A trailing partial frame is dropped, as a
+    * demuxer drops a truncated frame. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 32,
+                   stride: Int = 4): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = r.media.length / frameBytes
+      (0 until n by stride).iterator.map { i =>
+        MediaFrame(r.doc_id, i.toLong,
+          java.util.Arrays.copyOfRange(r.media, i * frameBytes, (i + 1) * frameBytes))
+      }
+    }
+  }
+
   /** End-to-end: pack → batch-decode → feature table. */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(pack(docs)).toDF()

@@ -45,6 +45,31 @@ class SinksSpec extends SparkSpec {
     json.exceptAll(df).count() shouldBe 0
   }
 
+  test("writeSortedShards produces disjoint, internally-sorted key ranges") {
+    val dir = Files.createTempDirectory("sinks-shards").toString
+    val df = spark.range(0, 1000).select(
+      (col("id") * 7919 % 1000).as("k"), col("id").as("v")) // scrambled keys
+    Sinks.writeSortedShards(df, s"$dir/shards", 4, Seq("k"))
+    val files = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    files.length shouldBe 4
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // each file sorted internally
+    files.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      ks.toSeq shouldBe ks.sorted.toSeq
+    }
+    // ranges pairwise disjoint
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => hi should be < lo
+      case _ =>
+    }
+    ranges.map { case (lo, hi) => hi - lo }.sum should be > 0L
+  }
+
   test("registerMartTable spans every dt= partition like the crawler (S7)") {
     val mart = Files.createTempDirectory("sinks-reg").toString
     val df = Seq((1, 2)).toDF("x", "y")

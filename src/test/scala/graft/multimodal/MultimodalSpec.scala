@@ -29,4 +29,17 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(Multimodal.pack(docs)).collect()
     all(feats.map(_.thumb.length)) should be <= 16
   }
+
+  test("frame sampling emits every stride-th fixed-size frame, drops the tail") {
+    import spark.implicits._
+    // 100 bytes / 16-byte frames -> 6 whole frames (idx 0..5); stride 2
+    // keeps 0, 2, 4; the 4-byte tail is dropped.
+    val bytes = Array.tabulate[Byte](100)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, bytes, "application/x-fake", 100L)).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    frames.map(_.frame_idx) shouldBe Array(0L, 2L, 4L)
+    frames.foreach(_.frame.length shouldBe 16)
+    frames(1).frame.head shouldBe 32.toByte // frame 2 starts at byte 32
+  }
 }
