@@ -287,7 +287,7 @@ object SparkEntry {
       (AugmentedDocs + GramPairCtes +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
     "m17_dedup_clusters" ->
-      (AugmentedDocs.replace("WITH ", "WITH RECURSIVE ") + GramPairCtes +
+      ("WITH RECURSIVE " + AugmentedDocsBody + GramPairCtes +
         ", p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.6), " +
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
         "UNION SELECT doc_b, doc_a FROM p), " +
@@ -368,11 +368,13 @@ object SparkEntry {
       "WHEN CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) >= 0.03 THEN 'en' " +
       "ELSE 'unknown' END)"
 
-  private val AugmentedDocs: String =
-    "WITH aug AS (SELECT * FROM documents " +
+  private val AugmentedDocsBody: String =
+    "aug AS (SELECT * FROM documents " +
       "UNION ALL SELECT doc_id + 20000, text, lang, source, n_chars FROM documents WHERE doc_id < 50 " +
       "UNION ALL SELECT doc_id + 10000, 'zz' || substr(text, 3), lang, source, n_chars " +
       "FROM documents WHERE doc_id < 50) "
+
+  private val AugmentedDocs: String = "WITH " + AugmentedDocsBody
 
   /** The inverted-index Jaccard chain (m14/m17) as CTEs over `aug` —
     * replays graft.dedup.NgramJaccard.invertedIndexPairs verbatim. */
@@ -380,7 +382,8 @@ object SparkEntry {
     ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
       "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
       "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
-      "gd AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g), " +
+      "gd AS (SELECT doc_id, gram FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g) " +
+      "WHERE gram <> ''), " + // empty docs yield no grams (exact dedup owns them)
       "kept AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, " +
       "count(*) OVER (PARTITION BY gram) AS df FROM gd) WHERE df <= 50), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1), " +

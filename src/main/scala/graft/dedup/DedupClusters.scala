@@ -57,6 +57,13 @@ object DedupClusters {
       labels = next.select("doc_id", "cluster_id")
       i += 1
     }
+    // A silent cap would return intermediate labels that LOOK like
+    // clusters but split long chains — fail loudly instead (components of
+    // diameter > maxIters mean either raise maxIters or revisit the pair
+    // threshold producing such chains).
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge within $maxIters rounds — " +
+        "a near-dup component has diameter > maxIters; raise maxIters")
     labels
   }
 

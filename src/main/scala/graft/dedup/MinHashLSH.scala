@@ -50,7 +50,7 @@ object MinHashLSH {
     * the empty-content case). */
   private def shingleHashArray(text: String, w: Int): Array[Long] = {
     if (text == null) return Array.empty[Long]
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) Array.empty[Long]
     else if (toks.length < w) {
       Array(pmodP(graft.functions.Fnv.chars(toks.mkString(" "))))
@@ -158,10 +158,12 @@ object MinHashLSH {
                      numHashes: Int = 64, bands: Int = 16,
                      bucketCap: Int = 1000, seed: Long = 42L): DataFrame = {
     val banded = bandedSignatures(docs, textCol, numHashes, bands, seed)
+    // cappedIds also bounds the aggregation buffer at bucketCap+1 ids, so
+    // a viral bucket is dropped without ever materializing its full list.
     val capped = banded
       .groupBy("band", "band_hash")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, bucketCap))
+      .agg(graft.functions.CappedCollect.cappedIds(bucketCap)(col("doc_id")).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     // Pairs within a bucket, without re-shuffling: explode the (small,
     // capped) id list twice and keep the upper triangle.
     capped

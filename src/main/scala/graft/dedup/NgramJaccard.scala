@@ -29,7 +29,7 @@ object NgramJaccard {
     udf { (text: String, n: Int) =>
       if (text == null) Array.empty[Long]
       else {
-        val t = text.toLowerCase
+        val t = text.toLowerCase(java.util.Locale.ROOT)
         val set = new java.util.HashSet[java.lang.Long]()
         if (t.length <= n) set.add(graft.functions.Fnv.chars(t))
         else {
@@ -71,18 +71,22 @@ object NgramJaccard {
     * space-split tokens of trim(lower(text))); a doc shorter than w words
     * contributes its whole normalized text as one shingle. String grams —
     * not hashes — so the inverted-index path below is exactly replicable
-    * in plain SQL (the DuckDB oracle builds the same grams). */
+    * in plain SQL (the DuckDB oracle builds the same grams, and filters
+    * out the empty gram the same way). Empty/whitespace-only docs yield NO
+    * shingles — same policy as [[MinHashLSH]]: exact dedup owns the
+    * empty-content case (otherwise every blank doc would pair with every
+    * other blank doc at jaccard 1.0 through the shared "" gram). */
   val wordShingleSet: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, w: Int) =>
       if (text == null) Array.empty[String]
       else {
-        val lower = text.toLowerCase
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
         var s = 0; var e = lower.length
         while (s < e && lower.charAt(s) == ' ') s += 1
         while (e > s && lower.charAt(e - 1) == ' ') e -= 1
         val toks = lower.substring(s, e).split(" +", -1)
         val set = new java.util.LinkedHashSet[String]()
-        if (toks.length < w) set.add(toks.mkString(" "))
+        if (toks.length < w) { if (!(toks.length == 1 && toks(0).isEmpty)) set.add(toks.mkString(" ")) }
         else {
           var i = 0
           while (i + w <= toks.length) {
@@ -118,11 +122,13 @@ object NgramJaccard {
     // stop-gram pruning (df > dfCap → dropped) happens before any pair is
     // produced, and the pair expansion is a double explode of the capped
     // id list, never a second shuffle (the [[MinHashLSH.candidatePairs]]
-    // shape). Both the per-doc sizes and the intersection counts derive
+    // shape). cappedIds bounds the aggregation BUFFER at dfCap+1 ids too:
+    // a viral gram never materializes its full posting list before being
+    // dropped. Both the per-doc sizes and the intersection counts derive
     // from the same exchange, which ReuseExchange runs once.
     val postings = grams.groupBy("gram")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) <= dfCap)
+      .agg(graft.functions.CappedCollect.cappedIds(dfCap)(col("doc_id")).as("ids"))
+      .filter(col("ids").isNotNull)
     val posts = postings.select(explode(col("ids")).as("doc_id"), col("ids"))
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = posts

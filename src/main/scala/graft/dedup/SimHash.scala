@@ -26,7 +26,7 @@ object SimHash {
       if (text == null) 0L
       else {
         val acc = new Array[Int](64)
-        text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).foreach { tok =>
           // Deterministic 64-bit token hash (char-variant FNV-1a).
           val h = graft.functions.Fnv.chars(tok)
           var b = 0
@@ -48,27 +48,32 @@ object SimHash {
   /** Pairs (doc_a < doc_b) with Hamming distance ≤ maxDist (≤ 3 for full
     * recall with 4 chunks; larger maxDist trades recall as usual).
     * Buckets larger than `bucketCap` are dropped (recall trade, see class
-    * doc) — the pair expansion is built by exploding the capped per-bucket
-    * id list twice, so no bucket ever re-shuffles. */
+    * doc), and the cap also bounds the aggregation BUFFER: only doc_ids
+    * are collected (cappedIds stops at cap+1), so the all-empty-texts
+    * bucket at chunk value 0 never materializes. The 64-bit signatures
+    * rejoin by doc_id for the Hamming verify — only candidate docs pay
+    * that join. */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
     val sigs = signatures(docs, textCol)
     val chunked = sigs.select(
-      struct(col("doc_id"), col("simhash")).as("doc"),
+      col("doc_id"),
       posexplode(array((0 until 4).map(i => chunk(col("simhash"), i)): _*))
         .as(Seq("chunk_idx", "chunk_val")))
     val capped = chunked
       .groupBy("chunk_idx", "chunk_val")
-      .agg(collect_list("doc").as("ds"))
-      .filter(size(col("ds")).between(2, bucketCap))
-    capped
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxDist)
+      .agg(graft.functions.CappedCollect.cappedIds(bucketCap)(col("doc_id")).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    val pairs = capped
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
+    pairs
+      .join(sigs.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a")), Seq("doc_a"))
+      .join(sigs.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 }

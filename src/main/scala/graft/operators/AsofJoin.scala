@@ -39,6 +39,11 @@ object AsofJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"asof sides must not share column names, got: ${overlap.mkString(", ")}")
+    val reserved = Set("__k", "__t", "__side", "__pay", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asof reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename: ${clash.mkString(", ")}")
     val payloadCols = right.columns.toSeq
     val r0 = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)

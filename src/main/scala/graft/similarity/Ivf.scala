@@ -55,18 +55,45 @@ object Ivf {
     transform(slice(array_sort(array(scoredCells(vec, model): _*)), 1, nprobe),
       s => s.getField("idx"))
 
-  /** Lloyd's k-means over (id, vec double[]) with deterministic hash-order
-    * initialization: the nlist seeds are the vectors with the smallest
-    * xxhash64(id) — a uniform pseudo-random sample that needs no row
-    * count, no dense-id assumption, and no global window (TakeOrdered =
-    * per-partition heap of nlist rows + driver merge). One job instead of
-    * the count + stride-filter pair, and still fully reproducible. */
+  /** Squared euclidean distance (driver-side, init only). */
+  private def dist2(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Greedy k-center (farthest-point) selection over a candidate pool —
+    * deterministic, O(|pool|·k) on the driver. A plain random sample can
+    * drop every seed into one dense cluster (and "empty cells keep their
+    * centroid" then never separates them); farthest-point guarantees the
+    * seeds spread across the pool's extent. */
+  private def farthestPoints(pool: Seq[Seq[Double]], k: Int): Seq[Seq[Double]] = {
+    if (pool.isEmpty || k <= 0) return Seq.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    val d2 = pool.map(v => dist2(v, pool.head)).toArray
+    while (chosen.size < math.min(k, pool.size)) {
+      var best = 0; var i = 1
+      while (i < d2.length) { if (d2(i) > d2(best)) best = i; i += 1 }
+      val next = pool(best)
+      chosen += next
+      i = 0
+      while (i < d2.length) { d2(i) = math.min(d2(i), dist2(pool(i), next)); i += 1 }
+    }
+    chosen.toSeq
+  }
+
+  /** Lloyd's k-means over (id, vec double[]). Initialization: oversample
+    * 4×nlist candidates by smallest xxhash64(id) — ONE TakeOrdered job
+    * (per-partition heap + driver merge), no row count, no dense-id
+    * assumption, fully reproducible — then greedy farthest-point selection
+    * on the driver picks nlist spread seeds from the pool. */
   def train(vectors: DataFrame, nlist: Int, iters: Int = 3): Model = {
-    val init = vectors
+    val pool = vectors
       .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(nlist)
+      .limit(nlist * 4)
       .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
-    var model = Model(init)
+    var model = Model(farthestPoints(pool, nlist))
     for (_ <- 1 to iters) {
       val assigned = vectors.select(col("vec"), cellId(col("vec"), model).as("cell"))
       val updated = assigned

@@ -91,8 +91,21 @@ object Sessionize {
     * session boundary: first event per user, or gap from the previous
     * event > gapSeconds; session_idx = running count of boundaries.
     * Input needs (event_id, user_id, ts, event_type); ties within a
-    * timestamp are ordered by event_id so the lag is total-ordered. */
+    * timestamp are ordered by event_id so the lag is total-ordered.
+    *
+    * `ts` may be TIMESTAMP (an instant — epoch math is always exact) or
+    * TIMESTAMP_NTZ — but NTZ wall-clock times only convert to epoch
+    * millis through the session timezone, and a DST-shifting zone would
+    * corrupt gaps/durations around transitions, so NTZ input requires the
+    * session pinned to UTC (enforced, not just documented). */
   def batchSessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    if (events.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType) {
+      val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"batchSessions on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC " +
+          s"(got $tz): NTZ→epoch conversion via a DST-shifting zone corrupts gap math")
+    }
     val tMs = unix_millis(col("ts").cast("timestamp"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -110,7 +110,7 @@ object TextOps {
     udf { text: String =>
       if (text == null) null
       else {
-        val lower = text.toLowerCase
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
         // Counts over the original text: chars (code points, like Spark/
         // DuckDB `length`), digits, punctuation.
         var nChars = 0L; var nDigits = 0L; var nPunct = 0L

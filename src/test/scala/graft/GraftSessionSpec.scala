@@ -15,10 +15,10 @@ class GraftSessionSpec extends SparkSpec {
     v shouldBe 11.0
   }
 
-  test("builder pins UTC and AQE") {
-    val b = GraftSession.builder("local[1]")
-    // getOrCreate returns the active session; conf values still apply to it.
+  test("builder pins UTC and AQE on the session it yields") {
+    // getOrCreate applies the builder's options to the (shared) session.
     val s = GraftSession.getOrCreate()
     s.conf.get("spark.sql.session.timeZone") shouldBe "UTC"
+    s.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
   }
 }
