@@ -69,13 +69,12 @@ object NgramJaccard {
 
   /** Distinct word w-shingle STRINGS per document (space-joined, over
     * space-split tokens of trim(lower(text))); a doc shorter than w words
-    * contributes its whole normalized text as one shingle. String grams —
-    * not hashes — so the inverted-index path below is exactly replicable
-    * in plain SQL (the DuckDB oracle builds the same grams, and filters
-    * out the empty gram the same way). Empty/whitespace-only docs yield NO
-    * shingles — same policy as [[MinHashLSH]]: exact dedup owns the
-    * empty-content case (otherwise every blank doc would pair with every
-    * other blank doc at jaccard 1.0 through the shared "" gram). */
+    * contributes its whole normalized text as one shingle. The readable
+    * reference form (what the DuckDB oracle computes); the production
+    * posting path uses [[wordShingleHashSet]]. Empty/whitespace-only docs
+    * yield NO shingles — same policy as [[MinHashLSH]]: exact dedup owns
+    * the empty-content case (otherwise every blank doc would pair with
+    * every other blank doc at jaccard 1.0 through the shared "" gram). */
   val wordShingleSet: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, w: Int) =>
       if (text == null) Array.empty[String]
@@ -101,6 +100,43 @@ object NgramJaccard {
       }
     }
 
+  /** Distinct 64-bit FNV hashes of the word w-shingles — the production
+    * key for [[invertedIndexPairs]]: the posting shuffle then carries
+    * (8-byte hash, 8-byte id) rows instead of gram strings. Set-identical
+    * to [[wordShingleSet]] up to 2^-64 collisions (full 64-bit FNV, NOT
+    * the 31-bit-reduced minhash variant — at web-scale gram counts a
+    * 31-bit key space WOULD collide and perturb Jaccard counts). */
+  val wordShingleHashSet: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, w: Int) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
+        var s = 0; var e = lower.length
+        while (s < e && lower.charAt(s) == ' ') s += 1
+        while (e > s && lower.charAt(e - 1) == ' ') e -= 1
+        val toks = lower.substring(s, e).split(" +", -1)
+        val set = new java.util.HashSet[java.lang.Long]()
+        if (toks.length < w) {
+          if (!(toks.length == 1 && toks(0).isEmpty))
+            set.add(graft.functions.Fnv.chars(toks.mkString(" ")))
+        } else {
+          var i = 0
+          while (i + w <= toks.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+            set.add(graft.functions.Fnv.chars(sb))
+            i += 1
+          }
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      }
+    }
+
   /** Inverted-index (posting-list) near-duplicate join — the SQL-exact
     * alternative to LSH candidates: explode each doc's distinct word
     * w-shingles, drop grams with document frequency > `dfCap` (stop-gram
@@ -112,12 +148,14 @@ object NgramJaccard {
     * Scale shape: one shuffle on gram (posting-list build + join) and one
     * on the (doc_a, doc_b) pair for the intersection count. Unlike
     * MinHash/LSH there is no probabilistic recall loss below the cap — and
-    * because every step is relational, the DuckDB oracle replays it
-    * verbatim (m14). */
+    * every step is relational over the gram SETS, so the DuckDB oracle
+    * (m14) replays it verbatim on the gram strings; the engine shuffles
+    * their 64-bit hashes ([[wordShingleHashSet]]), identical up to 2^-64
+    * collisions. */
   def invertedIndexPairs(docs: DataFrame, textCol: String = "text", w: Int = 3,
                          threshold: Double = 0.6, dfCap: Int = 50): DataFrame = {
     val grams = docs.select(col("doc_id"),
-      explode(wordShingleSet(col(textCol), lit(w))).as("gram"))
+      explode(wordShingleHashSet(col(textCol), lit(w))).as("gram"))
     // Build the posting list per gram in ONE exchange and cap it there —
     // stop-gram pruning (df > dfCap → dropped) happens before any pair is
     // produced, and the pair expansion is a double explode of the capped

@@ -155,4 +155,25 @@ object RetailOps {
     events.groupBy(to_date(col(tsCol)).as("event_date"), col(typeCol))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_date"), col(typeCol))
+
+  /** Stratified sample for dataset balancing (training-data prep): keep
+    * each stratum at its own fraction, deterministically. Implemented as a
+    * pure filter on a seeded hash of a stable row key — unlike
+    * `DataFrameStatFunctions.sampleBy`, the SAME rows are kept however the
+    * data is partitioned or re-read, so downstream runs are reproducible
+    * and the operator stays a codegen'd scan-level filter (no RNG state,
+    * no shuffle, pushdown-friendly). Hash uniformity makes the kept share
+    * of each stratum converge to its fraction. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    // xxhash64 → [0,1) via the positive 2^63 range.
+    val u = (pmod(xxhash64(col(keyCol), lit(seed)), lit(Long.MaxValue)).cast("double")
+      / lit(Long.MaxValue.toDouble))
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
 }

@@ -99,4 +99,21 @@ class RetailOpsSpec extends SparkSpec {
       .agg(sum("total_revenue")).as[Double].collect()(0)
     out shouldBe 7.5
   }
+
+  test("stratifiedSample: deterministic, per-stratum fractions, partition-independent") {
+    val df = (1L to 4000L).map(i => (i, if (i % 4 == 0) "minor" else "major"))
+      .toDF("id", "cls")
+    val fr = Map("major" -> 0.1, "minor" -> 1.0)
+    val s1 = RetailOps.stratifiedSample(df, "cls", "id", fr).collect().map(_.getLong(0)).sorted
+    val s2 = RetailOps.stratifiedSample(df.repartition(7), "cls", "id", fr)
+      .collect().map(_.getLong(0)).sorted
+    s2 shouldBe s1 // same rows regardless of partitioning
+    val byCls = RetailOps.stratifiedSample(df, "cls", "id", fr)
+      .groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byCls("minor") shouldBe 1000L // fraction 1.0 keeps every row
+    byCls("major").toDouble / 3000 shouldBe 0.1 +- 0.03 // hash-uniform
+    // strata not listed default to fraction 0 (dropped)
+    RetailOps.stratifiedSample(df, "cls", "id", Map("minor" -> 1.0))
+      .filter(col("cls") === "major").count() shouldBe 0L
+  }
 }
