@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** MinHash + LSH near-duplicate detection:
   * shingle → minhash signature → band → bucket-join → verified Jaccard.
   *
-  * Built entirely from codegen'd higher-order array functions — no UDFs, no
-  * crossJoin. The only shuffle is the band-bucket exchange, whose keys are
-  * 64-bit hashes (uniform, skew-free up to genuinely viral duplicates,
-  * which `bucketCap` guards against). This is the standard web-scale dedup
-  * shape: cost is O(docs × bands) rows shuffled, each a few dozen bytes —
-  * document text never moves.
+  * Signatures are ONE compiled pass per document (shingle hashes folded
+  * straight into the k running minima — zero shuffle, plan-tested); the
+  * only exchange in the whole pipeline is the band-bucket one, whose keys
+  * are 64-bit hashes (uniform, skew-free up to genuinely viral
+  * duplicates, which `bucketCap` bounds in both result AND aggregation
+  * memory). This is the standard web-scale dedup shape: cost is
+  * O(docs × bands) rows shuffled, each a few dozen bytes — document text
+  * never moves. No crossJoin anywhere.
   *
   * Signature math: h_i(x) = (a_i·x + b_i) mod p over shingle hashes reduced
   * into [0, p), with p = 2^31-1. The modulus must be ≤ the hash range:

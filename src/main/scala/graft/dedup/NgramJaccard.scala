@@ -3,12 +3,15 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Character n-gram Jaccard similarity — the classic fuzzy-dedup verifier
-  * for short texts where word shingles are too coarse.
+/** N-gram Jaccard similarity — the classic fuzzy-dedup verifier.
   *
-  * Pair generation is delegated (use MinHashLSH/SimHash candidates — never
-  * all-pairs at scale); this module scores given pairs with codegen'd array
-  * expressions only.
+  * Two pair-generation modes, both shuffle-bounded (never all-pairs):
+  *  - delegated: score MinHashLSH/SimHash candidate pairs with exact
+  *    char-n-gram Jaccard ([[scorePairs]]) — probabilistic recall;
+  *  - inverted index: [[invertedIndexPairs]] finds ALL pairs sharing a
+  *    sub-dfCap word shingle — deterministic recall, SQL-replayable
+  *    (the m14 oracle), with the posting-list join bounded by the
+  *    stop-gram cap.
   */
 object NgramJaccard {
 

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * cross join. Hamming verification is codegen'd `bit_count(a XOR b)`.
   *
   * Scale: one shuffle on (chunk_idx, chunk_value) — uniform 16-bit keys —
-  * carrying only (doc_id, simhash). `bucketCap` drops pathological chunk
-  * buckets before the pair expansion (e.g. all null/empty texts hash to
-  * simhash 0 and would otherwise self-join quadratically), the same recall
-  * trade [[MinHashLSH.candidatePairs]] makes.
+  * carrying only doc_ids; the 64-bit signatures rejoin by doc_id for the
+  * Hamming verify. `bucketCap` drops pathological chunk buckets (e.g. all
+  * null/empty texts hash to simhash 0 and would otherwise self-join
+  * quadratically) without ever materializing them (capped aggregation
+  * buffer), the same recall trade [[MinHashLSH.candidatePairs]] makes.
   */
 object SimHash {
 
