@@ -80,6 +80,7 @@ object SparkEntry {
     "m14_gram_index_jaccard" -> (CorpusQueries.gramIndexJaccard _),
     "m15_embed_neardup_exact" -> (CorpusQueries.embedNearDupExact _),
     "m17_dedup_clusters" -> (CorpusQueries.dedupClusters _),
+    "m18_corpus_pipeline" -> (CorpusQueries.corpusPipeline _),
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),
     "m09_ann_lsh" -> (CorpusQueries.annLsh _),
     "m12_ann_ivf" -> (CorpusQueries.annIvf _),
@@ -284,17 +285,29 @@ object SparkEntry {
         "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
         "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM toks) x"),
     "m14_gram_index_jaccard" ->
-      (AugmentedDocs + GramPairCtes +
+      (AugmentedDocs + gramPairCtes("aug") +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
     "m17_dedup_clusters" ->
-      ("WITH RECURSIVE " + AugmentedDocsBody + GramPairCtes +
-        ", p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.6), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "reach AS (SELECT src, dst FROM edges " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) " +
+      ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
         "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
         "FROM reach GROUP BY src"),
+    "m18_corpus_pipeline" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody + ", " + textStatsBaseOver("aug") +
+        ", gated AS (SELECT doc_id, text FROM base WHERE " + LangExpr + " = 'en' " +
+        "AND " + QualityExpr + " >= 0.3), " +
+        "exact AS (SELECT doc_id, text FROM gated WHERE doc_id IN (" +
+        "SELECT min(doc_id) FROM gated GROUP BY md5(text)))" +
+        gramPairCtes("exact") + ClusterCtes +
+        ", clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "canon AS (SELECT e.doc_id, e.text FROM exact e WHERE e.doc_id NOT IN (" +
+        "SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)), " +
+        "ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM canon) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "array_to_string(list_slice(t, i*40 + 1, i*40 + 50), ' ') AS chunk_text, " +
+        "CAST(len(list_slice(t, i*40 + 1, i*40 + 50)) AS BIGINT) AS n_tokens " +
+        "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
+        "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM ctoks) x"),
     "m15_embed_neardup_exact" ->
       ("WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         "aug AS (SELECT id, e FROM v UNION ALL SELECT id + 10000, " +
@@ -347,15 +360,17 @@ object SparkEntry {
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
   // graft.text.TextOps (same regexes, same double-arithmetic order).
-  private val TextStatsBase: String =
-    "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_c, " +
+  private def textStatsBaseOver(src: String): String =
+    s"base AS (SELECT doc_id, text, length(text) AS n_chars_c, " +
       "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +
       "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_est, " +
       "len(list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t IN (" +
       "'the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS n_stopwords, " +
       "len(regexp_extract_all(text, '[0-9]')) AS n_digits, " +
       "len(regexp_extract_all(text, '[.,;:!?''\"()-]')) AS n_punct " +
-      "FROM documents) "
+      s"FROM $src) "
+
+  private val TextStatsBase: String = "WITH " + textStatsBaseOver("documents")
 
   private val QualityExpr: String =
     "(0.4 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) " +
@@ -376,10 +391,19 @@ object SparkEntry {
 
   private val AugmentedDocs: String = "WITH " + AugmentedDocsBody
 
-  /** The inverted-index Jaccard chain (m14/m17) as CTEs over `aug` —
+  /** Connected-component closure over `pairs` (m17/m18) — replays
+    * graft.dedup.DedupClusters.components as a recursive CTE. */
+  private val ClusterCtes: String =
+    ", p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.6), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+      "UNION SELECT doc_b, doc_a FROM p), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+
+  /** The inverted-index Jaccard chain (m14/m17/m18) as CTEs over `src` —
     * replays graft.dedup.NgramJaccard.invertedIndexPairs verbatim. */
-  private val GramPairCtes: String =
-    ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+  private def gramPairCtes(src: String): String =
+    s", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM $src), " +
       "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
       "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
       "gd AS (SELECT doc_id, gram FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g) " +

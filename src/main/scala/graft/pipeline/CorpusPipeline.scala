@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.dedup.{DedupClusters, ExactDedup, NgramJaccard}
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data preparation flow, composed from the
+  * engine's corpus operators — what a 100 TB pretraining pipeline actually
+  * runs, as ONE dataflow:
+  *
+  *   quality/language gate → exact dedup → near-dup pair mining →
+  *   dedup clustering → canonical-doc selection → sliding-window chunking
+  *
+  * Every stage is relational, so the whole composite is hash-checked
+  * end-to-end against a single DuckDB oracle (m18) — the strongest
+  * correctness statement the engine makes: not just each operator alone,
+  * but their composition, down to chunk text.
+  *
+  * Scale notes per stage are on the operators themselves; composing them
+  * adds no new shuffles beyond their own (the gate and chunker are pure
+  * projections/generates; dedup stages exchange fingerprints, posting
+  * hashes and id pairs — never document text).
+  */
+object CorpusPipeline {
+
+  def prepare(docs: DataFrame, lang: String = "en", minQuality: Double = 0.3,
+              jaccardThreshold: Double = 0.6, dfCap: Int = 50,
+              chunkSize: Int = 50, chunkStride: Int = 40): DataFrame = {
+    val gated = docs
+      .select(col("doc_id"), col("text"), TextOps.profile(col("text")).as("p"))
+      .filter(col("p.lang_pred") === lang && col("p.quality") >= minQuality)
+      .select("doc_id", "text")
+    val exact = ExactDedup.dedup(gated)
+    val pairs = NgramJaccard
+      .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
+      .select("doc_a", "doc_b")
+    val nonCanonical = DedupClusters.components(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val canon = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+    TextOps.chunk(canon, size = chunkSize, stride = chunkStride)
+  }
+}

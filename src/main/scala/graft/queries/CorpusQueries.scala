@@ -142,6 +142,12 @@ object CorpusQueries {
     Ann.bruteForceNearDups(corpus.filter(col("id") < 100), corpus, threshold = 0.99)
   }
 
+  /** End-to-end corpus prep (gate → dedup → cluster → canonical → chunk)
+    * over the augmented corpus — one hash-checked composite (m18). */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.prepare(
+      withSyntheticDups(Tables.documents(s, dir)))
+
   // ---- multimodal -----------------------------------------------------
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
