@@ -31,7 +31,11 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"), TextOps.profile(col("text")).as("p"))
       .filter(col("p.lang_pred") === lang && col("p.quality") >= minQuality)
       .select("doc_id", "text")
-    val exact = ExactDedup.dedup(gated)
+    // The deduped set feeds three consumers (pair mining, the canonical
+    // anti-join, and chunking) — checkpoint it once instead of re-running
+    // the profile UDF + fingerprint semi-join per consumer. Lazy: it
+    // materializes with the first downstream action.
+    val exact = ExactDedup.dedup(gated).localCheckpoint(eager = false)
     val pairs = NgramJaccard
       .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
       .select("doc_a", "doc_b")
