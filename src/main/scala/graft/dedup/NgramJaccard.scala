@@ -78,29 +78,37 @@ object NgramJaccard {
     * yield NO shingles — same policy as [[MinHashLSH]]: exact dedup owns
     * the empty-content case (otherwise every blank doc would pair with
     * every other blank doc at jaccard 1.0 through the shared "" gram). */
+  /** ONE definition of the SQL-parity shingle walk (trim 0x20 only, split
+    * on space runs, w-token windows joined by single spaces, short doc →
+    * whole text, empty doc → nothing): both gram forms below feed from it,
+    * so their tokenization cannot drift apart (or from the m14/m18 oracle
+    * SQL that replays it). */
+  private def forEachWordShingle(text: String, w: Int)(f: CharSequence => Unit): Unit = {
+    if (text == null) return
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var s = 0; var e = lower.length
+    while (s < e && lower.charAt(s) == ' ') s += 1
+    while (e > s && lower.charAt(e - 1) == ' ') e -= 1
+    val toks = lower.substring(s, e).split(" +", -1)
+    if (toks.length < w) {
+      if (!(toks.length == 1 && toks(0).isEmpty)) f(toks.mkString(" "))
+    } else {
+      var i = 0
+      while (i + w <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        f(sb)
+        i += 1
+      }
+    }
+  }
+
   val wordShingleSet: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, w: Int) =>
-      if (text == null) Array.empty[String]
-      else {
-        val lower = text.toLowerCase(java.util.Locale.ROOT)
-        var s = 0; var e = lower.length
-        while (s < e && lower.charAt(s) == ' ') s += 1
-        while (e > s && lower.charAt(e - 1) == ' ') e -= 1
-        val toks = lower.substring(s, e).split(" +", -1)
-        val set = new java.util.LinkedHashSet[String]()
-        if (toks.length < w) { if (!(toks.length == 1 && toks(0).isEmpty)) set.add(toks.mkString(" ")) }
-        else {
-          var i = 0
-          while (i + w <= toks.length) {
-            val sb = new java.lang.StringBuilder
-            var j = 0
-            while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-            set.add(sb.toString)
-            i += 1
-          }
-        }
-        set.toArray(new Array[String](set.size))
-      }
+      val set = new java.util.LinkedHashSet[String]()
+      forEachWordShingle(text, w)(sh => set.add(sh.toString))
+      set.toArray(new Array[String](set.size))
     }
 
   /** Distinct 64-bit FNV hashes of the word w-shingles — the production
@@ -111,33 +119,13 @@ object NgramJaccard {
     * 31-bit key space WOULD collide and perturb Jaccard counts). */
   val wordShingleHashSet: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, w: Int) =>
-      if (text == null) Array.empty[Long]
-      else {
-        val lower = text.toLowerCase(java.util.Locale.ROOT)
-        var s = 0; var e = lower.length
-        while (s < e && lower.charAt(s) == ' ') s += 1
-        while (e > s && lower.charAt(e - 1) == ' ') e -= 1
-        val toks = lower.substring(s, e).split(" +", -1)
-        val set = new java.util.HashSet[java.lang.Long]()
-        if (toks.length < w) {
-          if (!(toks.length == 1 && toks(0).isEmpty))
-            set.add(graft.functions.Fnv.chars(toks.mkString(" ")))
-        } else {
-          var i = 0
-          while (i + w <= toks.length) {
-            val sb = new java.lang.StringBuilder
-            var j = 0
-            while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-            set.add(graft.functions.Fnv.chars(sb))
-            i += 1
-          }
-        }
-        val out = new Array[Long](set.size)
-        val it = set.iterator()
-        var i = 0
-        while (it.hasNext) { out(i) = it.next(); i += 1 }
-        out
-      }
+      val set = new java.util.HashSet[java.lang.Long]()
+      forEachWordShingle(text, w)(sh => set.add(graft.functions.Fnv.chars(sh)))
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
     }
 
   /** Inverted-index (posting-list) near-duplicate join — the SQL-exact

@@ -56,7 +56,10 @@ object SimHash {
     * that join. */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val sigs = signatures(docs, textCol)
+    // Three consumers (the chunk pass + both verify joins) — checkpoint
+    // the 16 B/doc signature table once instead of re-running the
+    // per-token UDF over the corpus per consumer.
+    val sigs = signatures(docs, textCol).localCheckpoint(false)
     val chunked = sigs.select(
       col("doc_id"),
       posexplode(array((0 until 4).map(i => chunk(col("simhash"), i)): _*))

@@ -26,6 +26,9 @@ object CappedCollect {
   final case class Buf(var ids: Array[Long], var n: Int)
 
   private final class CappedIds(cap: Int) extends Aggregator[Long, Buf, Array[Long]] {
+    require(cap >= 1 && cap < Int.MaxValue,
+      s"cap must be in [1, Int.MaxValue) — got $cap (cap+1 must not overflow; " +
+        "an 'uncapped' collect should use collect_list directly)")
     private val limit = cap + 1 // one past cap proves the overflow
 
     override def zero: Buf = Buf(Array.empty, 0)

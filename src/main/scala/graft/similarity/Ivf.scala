@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * fitted quantizer); training is Lloyd's algorithm on DataFrames — assign
   * via codegen'd dot products, update via per-dimension averages after a
   * posexplode, collect only the centroid matrix. Initialization is a
-  * deterministic stride sample by id, so runs are reproducible.
+  * deterministic hash-ordered oversample refined by greedy farthest-point
+  * selection (see [[train]]), so runs are reproducible and seeds spread.
   *
   * Scale shape: train touches the corpus `iters` times (each one shuffle
   * of (cell, dim, component)); search is one equi-join on cell id — the

@@ -102,8 +102,11 @@ object Sessionize {
     if (events.schema("ts").dataType ==
         org.apache.spark.sql.types.TimestampNTZType) {
       val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
-      require(tz == "UTC",
-        s"batchSessions on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC " +
+      // Any zero-offset fixed zone is fine (UTC, Etc/UTC, GMT, +00:00, Z);
+      // only zones with shifting rules corrupt NTZ→epoch gap math.
+      val normalized = java.time.ZoneId.of(tz).normalized()
+      require(normalized == java.time.ZoneOffset.UTC,
+        s"batchSessions on TIMESTAMP_NTZ needs a UTC session timezone " +
           s"(got $tz): NTZ→epoch conversion via a DST-shifting zone corrupts gap math")
     }
     val tMs = unix_millis(col("ts").cast("timestamp"))

@@ -105,8 +105,19 @@ object TextOps {
   /** Single-pass replica of the Column forms above (state machines over
     * code points instead of regex match-array materialization; double
     * arithmetic in the exact order of [[qualityScore]] so results are
-    * bit-identical to the Column form and the DuckDB oracle). */
-  val profile: org.apache.spark.sql.expressions.UserDefinedFunction =
+    * bit-identical to the Column form and the DuckDB oracle).
+    *
+    * Declared nondeterministic PURELY as an optimizer barrier — the
+    * function is pure. Without it, predicate pushdown substitutes the
+    * aliased struct into each filter conjunct (`UDF(text).lang_pred='en'
+    * AND UDF(text).quality >= 0.3`, verified in the optimized plan) and
+    * FilterExec codegens conjuncts independently — running the whole pass
+    * twice per row. Nondeterministic aliases are never substituted, so
+    * gates evaluate it exactly once. */
+  lazy val profile: org.apache.spark.sql.expressions.UserDefinedFunction =
+    profileImpl.asNondeterministic()
+
+  private lazy val profileImpl: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { text: String =>
       if (text == null) null
       else {
