@@ -67,6 +67,7 @@ object SparkEntry {
     // q40 has no oracle by design: HLL/quantile sketch internals are
     // engine-specific; SketchSpec bounds the error against exact answers.
     "q40_sketches" -> (RetailQueries.sketchAggregates _),
+    "q41_range_window" -> (RetailQueries.rangeWindow _),
     "m16_chunking" -> (CorpusQueries.chunkDocuments _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
@@ -277,6 +278,15 @@ object SparkEntry {
       ("SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > 1.5 * (" +
         "SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
         "FROM orders i WHERE i.o_custkey = o.o_custkey)"),
+    "q41_range_window" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "percent_rank() OVER w AS pr " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"),
     "m16_chunking" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM documents) " +
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +

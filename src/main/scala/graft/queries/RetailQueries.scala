@@ -336,6 +336,25 @@ object RetailQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
         count(lit(1)).as("n"))
 
+  // Value-RANGE window frames + ntile/percent_rank — the window features
+  // q20's ROWS frames don't touch. The RANGE frame is tie-insensitive by
+  // construction (peers included), and ntile/percent_rank carry a total
+  // order (price, orderkey), so results are deterministic. SQL form: the
+  // DataFrame API's rangeBetween only takes long offsets, while the SQL
+  // parser accepts the double-typed boundary this order column needs.
+  def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders_v
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin)
+  }
+
   // Correlated scalar subquery through the SQL entry point (S4/S11) —
   // Catalyst decorrelates it into the same aggregate-join q30 writes by
   // hand. Decimal-exact per-customer average for oracle parity.
