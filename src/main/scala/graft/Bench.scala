@@ -46,7 +46,12 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two measured passes, per-query MIN: a single pass is exposed to GC /
+    // scheduler noise (observed 2× outliers on otherwise-identical runs);
+    // the min of two is the standard noise-floor estimate and still
+    // includes plan + execute end-to-end.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -54,7 +59,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to passes).map(_ => timeOne(name, fn))
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
