@@ -68,6 +68,7 @@ object SparkEntry {
     // engine-specific; SketchSpec bounds the error against exact answers.
     "q40_sketches" -> (RetailQueries.sketchAggregates _),
     "q41_range_window" -> (RetailQueries.rangeWindow _),
+    "q42_range_join" -> (RetailQueries.rangeJoinBands _),
     "m16_chunking" -> (CorpusQueries.chunkDocuments _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
@@ -278,6 +279,11 @@ object SparkEntry {
       ("SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > 1.5 * (" +
         "SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
         "FROM orders i WHERE i.o_custkey = o.o_custkey)"),
+    "q42_range_join" ->
+      ("SELECT event_id, band_id, value FROM events CROSS JOIN (" +
+        "SELECT i AS band_id, i * 10.0 AS lo, i * 10.0 + 20.0 AS hi " +
+        "FROM generate_series(0, 49) t(i)) b " +
+        "WHERE value >= lo AND value < hi"),
     "q41_range_window" ->
       ("SELECT o_orderkey, o_custkey, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized range join — the second time-series/interval operator Spark
+  * lacks (next to [[AsofJoin]]): `left.point ∈ [right.lo, right.hi)`
+  * without an equi-key plans as BroadcastNestedLoopJoin or a cartesian
+  * product, which dies at scale. Bucketizing turns it into an EQUI join:
+  * each right interval explodes to the fixed-width buckets it overlaps,
+  * each left point hashes to its one bucket, and the join on bucket id is
+  * a plain shuffled hash join followed by the exact interval filter.
+  *
+  * Cost model: right side inflates by ≈ (interval length / bucketWidth)+1
+  * rows; candidate pairs per left row are bounded by the intervals
+  * actually overlapping its bucket. Pick bucketWidth near the typical
+  * interval length — the standard range-join optimization trade (a too
+  * small width inflates the build side; too large degrades toward
+  * all-pairs within a bucket).
+  *
+  * Intervals are half-open [lo, hi) and rows with null point/bounds drop,
+  * matching SQL inequality-join semantics (NULL comparisons are never
+  * true). Left/right column names must be disjoint (as in [[AsofJoin]]).
+  */
+object RangeJoin {
+
+  def pointInInterval(left: DataFrame, pointCol: String,
+                      right: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"range-join sides must not share column names, got: ${overlap.mkString(", ")}")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "range join reserves the internal column name __bucket")
+    val l = left.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val r = right
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -336,6 +336,20 @@ object RetailQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
         count(lit(1)).as("n"))
 
+  // Bucketized range join (RangeJoin operator): events land in overlapping
+  // value bands [i·10, i·10+20) — a pure inequality join with no equi-key
+  // (every event matches ~2 bands), planned as an equi-join on bucket id.
+  // The oracle states the same join as a plain CROSS JOIN + WHERE, which
+  // DuckDB's IEJoin handles at oracle scale.
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(50).select(col("id").as("band_id"),
+      (col("id") * 10.0).as("lo"), (col("id") * 10.0 + 20.0).as("hi"))
+    val e = Tables.events(s, dir).select("event_id", "value")
+    graft.operators.RangeJoin.pointInInterval(e, "value", bands, "lo", "hi",
+        bucketWidth = 10.0)
+      .select("event_id", "band_id", "value")
+  }
+
   // Value-RANGE window frames + ntile/percent_rank — the window features
   // q20's ROWS frames don't touch. The RANGE frame is tie-insensitive by
   // construction (peers included), and ntile/percent_rank carry a total

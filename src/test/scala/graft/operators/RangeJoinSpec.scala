@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 99.0))
+    .toDF("pid", "v")
+  private val intervals = Seq((10L, 0.0, 10.0), (20L, 5.0, 30.0), (30L, 95.0, 95.5))
+    .toDF("iid", "lo", "hi")
+
+  test("point-in-interval matches the naive inequality join, half-open bounds") {
+    val got = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 7.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.collect().flatMap { p =>
+      intervals.collect().collect {
+        case i if p.getDouble(1) >= i.getDouble(1) && p.getDouble(1) < i.getDouble(2) =>
+          (p.getLong(0), i.getLong(0))
+      }
+    }.toSet
+    got shouldBe want
+    got should contain((1L, 10L)) // lo inclusive
+    (got should not).contain((3L, 10L)) // hi exclusive
+    (got should not).contain((5L, 30L)) // outside the short interval
+  }
+
+  test("no cartesian/nested-loop join in the plan — it's an equi join on buckets") {
+    val plan = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 7.0)
+      .queryExecution.executedPlan.toString
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("overlapping column names and bad widths are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(points, "v", points, "v", "v", 1.0)
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 0.0)
+  }
+}
