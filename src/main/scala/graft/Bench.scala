@@ -50,7 +50,8 @@ object Bench {
     // scheduler noise (observed 2× outliers on otherwise-identical runs);
     // the min of two is the standard noise-floor estimate and still
     // includes plan + execute end-to-end.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -63,7 +64,11 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to passes).map(_ => timeOne(name, fn))
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      // Min over SUCCESSFUL runs when any succeeded — a fast transient
+      // failure must not report its (meaningless) duration as the time.
+      val good = runs.filter(_._2)
+      val t = (if (good.nonEmpty) good else runs).map(_._1).min
+      (name, t, good.size == runs.size)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -72,7 +77,7 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warm":$warm,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warm":$warm,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

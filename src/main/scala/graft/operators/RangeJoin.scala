@@ -26,8 +26,9 @@ object RangeJoin {
 
   def pointInInterval(left: DataFrame, pointCol: String,
                       right: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 1000000L): DataFrame = {
+    require(bucketWidth > 0 && !bucketWidth.isInfinite, "bucketWidth must be positive and finite")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"range-join sides must not share column names, got: ${overlap.mkString(", ")}")
@@ -35,11 +36,22 @@ object RangeJoin {
       "range join reserves the internal column name __bucket")
     val l = left.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
+    // Fail FAST on intervals that would explode into absurd bucket counts
+    // (hi = +inf, or hi−lo ≫ bucketWidth from a mis-picked width): the
+    // sequence() would otherwise build the giant array per row and die
+    // mid-job with an opaque executor error. The guard is folded INTO the
+    // bucket expression (a dropped assert column would be pruned as dead
+    // code), so it evaluates exactly when the sequence would.
+    val lb = floor(col(loCol) / bucketWidth).cast("long")
+    val ub = floor(col(hiCol) / bucketWidth).cast("long")
+    val guardedUb = when(ub - lb < lit(maxBucketsPerInterval), ub)
+      .otherwise(raise_error(concat(
+        lit(s"range-join interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth: ["),
+        col(loCol), lit(", "), col(hiCol),
+        lit(") — raise bucketWidth or maxBucketsPerInterval")))).cast("long")
     val r = right
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
-      .withColumn("__bucket", explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+      .withColumn("__bucket", explode(sequence(lb, guardedUb)))
     l.join(r, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

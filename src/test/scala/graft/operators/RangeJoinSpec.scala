@@ -38,4 +38,22 @@ class RangeJoinSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 0.0)
   }
+
+  test("null points/bounds drop; negative values bucket correctly") {
+    val p = Seq((1L, Some(-5.0)), (2L, None), (3L, Some(-20.0)))
+      .toDF("pid", "v")
+    val iv = Seq((10L, Some(-10.0), Some(0.0)), (20L, None, Some(5.0)), (30L, Some(0.0), None))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, "v", iv, "lo", "hi", 7.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 10L)) // -5 ∈ [-10, 0); nulls never match
+  }
+
+  test("a pathologically wide interval fails fast with a usable message") {
+    val iv = Seq((1L, 0.0, 1e12)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", iv, "lo", "hi", 0.001).collect()
+    }
+    ex.getMessage should include("buckets of width")
+  }
 }
