@@ -106,6 +106,46 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("bucketized range join equals the naive inequality join") =
+    forAll(
+      Gen.listOfN(12, Gen.choose(-50.0, 50.0)),
+      Gen.listOfN(8, Gen.zip(Gen.choose(-50.0, 40.0), Gen.choose(0.0, 25.0))),
+      Gen.choose(1.0, 15.0)) { (ps, ivsRaw, width) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val ivs = ivsRaw.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      val intervals = ivs.toDF("iid", "lo", "hi")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "v", intervals, "lo", "hi", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (v, pi) <- ps.zipWithIndex
+        (iid, lo, hi) <- ivs
+        if v >= lo && v < hi
+      } yield (pi.toLong, iid)).toSet
+      got == want
+    }
+
+  property("inverted-index jaccard equals the naive all-pairs shingle jaccard") =
+    forAll(Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.dedup.NgramJaccard
+        .invertedIndexPairs(docs, threshold = 0.0, dfCap = 100)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      def shingleSet(t: String) =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ia) <- texts.zipWithIndex; (b, ib) <- texts.zipWithIndex
+        if ia < ib
+        sa = shingleSet(a); sb = shingleSet(b)
+        inter = (sa & sb).size
+        if inter > 0
+      } yield (ia.toLong, ib.toLong) ->
+        inter.toDouble / (sa.size + sb.size - inter)).toMap
+      got == want
+    }
+
   property("qualityScore ∈ [0,1] and langId total for arbitrary strings") =
     forAll(Gen.listOfN(5, Gen.asciiPrintableStr.map(_.take(200)))) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
