@@ -69,6 +69,7 @@ object SparkEntry {
     "q40_sketches" -> (RetailQueries.sketchAggregates _),
     "q41_range_window" -> (RetailQueries.rangeWindow _),
     "q42_range_join" -> (RetailQueries.rangeJoinBands _),
+    "q43_grouping_sets" -> (RetailQueries.groupingSets _),
     "m16_chunking" -> (CorpusQueries.chunkDocuments _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
@@ -279,6 +280,12 @@ object SparkEntry {
       ("SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > 1.5 * (" +
         "SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
         "FROM orders i WHERE i.o_custkey = o.o_custkey)"),
+    "q43_grouping_sets" ->
+      ("SELECT event_type, strftime(event_date, '%Y-%m-%d') AS event_date, n, g_type, g_date FROM (" +
+        "SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n, " +
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
+        "CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_date " +
+        "FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))) t"),
     "q42_range_join" ->
       ("SELECT event_id, band_id, value FROM events CROSS JOIN (" +
         "SELECT i AS band_id, i * 10.0 AS lo, i * 10.0 + 20.0 AS hi " +

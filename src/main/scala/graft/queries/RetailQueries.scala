@@ -336,6 +336,23 @@ object RetailQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
         count(lit(1)).as("n"))
 
+  // Arbitrary GROUPING SETS — the grouping-set form neither ROLLUP (q21)
+  // nor CUBE (q36) covers: two independent single-column groupings in one
+  // pass (one Expand + one hash agg, not two scans + union). Per-column
+  // GROUPING() flags (bit order of grouping_id() differs across engines);
+  // the date renders as a string for NULL-canonicalization parity (q36).
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type, date_format(event_date, 'yyyy-MM-dd') AS event_date, n, g_type, g_date
+        |FROM (
+        |  SELECT event_type, to_date(ts) AS event_date, count(*) AS n,
+        |         CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |         CAST(grouping(to_date(ts)) AS BIGINT) AS g_date
+        |  FROM events_v
+        |  GROUP BY GROUPING SETS ((event_type), (to_date(ts)))) t""".stripMargin)
+  }
+
   // Bucketized range join (RangeJoin operator): events land in overlapping
   // value bands [i·10, i·10+20) — a pure inequality join with no equi-key
   // (every event matches ~2 bands), planned as an equi-join on bucket id.
