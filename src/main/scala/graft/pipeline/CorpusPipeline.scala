@@ -34,7 +34,11 @@ object CorpusPipeline {
     // The deduped set feeds three consumers (pair mining, the canonical
     // anti-join, and chunking) — checkpoint it once instead of re-running
     // the profile UDF + fingerprint semi-join per consumer. Lazy: it
-    // materializes with the first downstream action.
+    // materializes with the first downstream action. Lifetime contract:
+    // the snapshot's blocks live as long as the returned frame is in use;
+    // long-lived sessions must release them once the result is consumed
+    // (Bench/Verify unpersist all snapshots between queries — queries
+    // share no state, so anything still pinned is dead weight).
     val exact = ExactDedup.dedup(gated).localCheckpoint(eager = false)
     val pairs = NgramJaccard
       .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)

@@ -139,6 +139,34 @@ class DedupSpec extends SparkSpec {
     keep shouldBe Array(1L, 7L, 10L)
   }
 
+  test("components frees all intermediate snapshots; bracket frees everything") {
+    val sc = spark.sparkContext
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L),
+      (1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+
+    // Plain components: the chain (diameter 3) forces multiple rounds,
+    // each with its own localCheckpoint — every superseded round and the
+    // edge snapshot must be freed, leaving exactly ONE persisted RDD (the
+    // snapshot backing the returned labels).
+    val before = sc.getPersistentRDDs.keySet
+    val labels = DedupClusters.components(pairs)
+    labels.count() shouldBe 9
+    val afterComponents = sc.getPersistentRDDs.keySet -- before
+    afterComponents.size shouldBe 1
+
+    // Bracket form: zero persisted-RDD delta once it returns.
+    val got = DedupClusters.withComponents(pairs)(
+      _.as[(Long, Long)].collect().toMap)
+    got(40L) shouldBe 10L
+    (sc.getPersistentRDDs.keySet -- before -- afterComponents) shouldBe empty
+
+    // release the plain-call snapshot so this spec leaves the shared
+    // session clean for later suites.
+    sc.getPersistentRDDs.collect {
+      case (id, rdd) if afterComponents.contains(id) => rdd
+    }.foreach(_.unpersist(blocking = true))
+  }
+
   test("bands must divide numHashes (no silent coordinate drop)") {
     an[IllegalArgumentException] should be thrownBy
       MinHashLSH.candidatePairs(docs, numHashes = 64, bands = 12)
