@@ -1,8 +1,8 @@
 package graft.similarity
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
@@ -12,49 +12,91 @@ import org.apache.spark.sql.functions._
   * LSH is data-oblivious.
   *
   * The "model" is `nlist × dim` doubles of driver-side state (like any
-  * fitted quantizer); training is Lloyd's algorithm on DataFrames — assign
-  * via codegen'd dot products, update via per-dimension averages after a
-  * posexplode, collect only the centroid matrix. Initialization is a
-  * deterministic hash-ordered oversample refined by greedy farthest-point
-  * selection (see [[train]]), so runs are reproducible and seeds spread.
+  * fitted quantizer). Training is Lloyd's algorithm over a BOUNDED
+  * deterministic sample (smallest xxhash64(id), one pass over the corpus):
+  * quantizer quality needs a representative sample, not every row — the
+  * standard IVF recipe (FAISS trains on ~max(256·nlist) points for the
+  * same reason). Each iteration is then one small job over `trainCap`
+  * rows: assignment via the shared scoring kernel, update via ONE
+  * vector-sum aggregation returning the centroid matrix as `nlist` rows
+  * (count + elementwise sum), not a per-dimension posexplode of the
+  * corpus. Initialization is the hash-ordered oversample refined by greedy
+  * farthest-point selection (see [[train]]), so runs are reproducible and
+  * seeds spread.
   *
-  * Scale shape: train touches the corpus `iters` times (each one shuffle
-  * of (cell, dim, component)); search is one equi-join on cell id — the
-  * cross product never materializes. Centroid averages are double sums, so
-  * cell boundaries can move by ulps between partitionings — harmless for
-  * ANN (it's approximate by contract), unlike the exact-query paths.
+  * Scoring ships the centroid matrix to executors as a flat primitive
+  * array inside the UDF closure (one copy per task binary, like a
+  * broadcast) and loops over it — NOT as `nlist` inlined literal
+  * expression subtrees, which make the PLAN the bottleneck at production
+  * nlist (a 4096-cell literal form is megabytes of expression tree per
+  * query; the closure form is spec-pinned to a bounded plan). Search is
+  * one equi-join on cell id — the cross product never materializes.
+  * Centroid averages are double sums, so cell boundaries can move by ulps
+  * between partitionings — harmless for ANN (it's approximate by
+  * contract), unlike the exact-query paths.
   */
 object Ivf {
 
   final case class Model(centroids: Seq[Seq[Double]]) {
     def nlist: Int = centroids.size
-  }
 
-  /** Per-centroid (distance-score, idx) structs — the ONE definition of
-    * the quantizer distance, shared by assignment and probing (if these
-    * diverged, corpus cells and query probes would disagree and recall
-    * would silently collapse). d² = |v|² - 2·v·c + |c|²; |v|² is common to
-    * all cells so the score uses (−2·v·c + |c|²) only. */
-  private def scoredCells(vec: Column, model: Model): Seq[Column] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    model.centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.map(lit): _*)
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * GraftFunctions.dot(spark, vec, cArr)).as("d"),
-        lit(i).as("idx"))
+    /** Flattened row-major centroid matrix + per-centroid squared norms,
+      * computed once on the driver and shipped in scoring closures. */
+    @transient private[similarity] lazy val flat: (Array[Double], Array[Double], Int) = {
+      val dim = if (centroids.isEmpty) 0 else centroids.head.length
+      val m = new Array[Double](centroids.length * dim)
+      val n2 = new Array[Double](centroids.length)
+      var i = 0
+      centroids.foreach { c =>
+        var j = 0; var s = 0.0
+        while (j < dim) { val x = c(j); m(i * dim + j) = x; s += x * x; j += 1 }
+        n2(i) = s; i += 1
+      }
+      (m, n2, dim)
     }
   }
 
-  /** Squared-distance argmin cell id for a vector column. array_min over
-    * (score, idx) structs picks the smallest lexicographically →
-    * deterministic tie-break on idx. */
-  def cellId(vec: Column, model: Model): Column =
-    array_min(array(scoredCells(vec, model): _*)).getField("idx")
+  /** The ONE definition of the quantizer distance, shared by corpus
+    * assignment and query probing (if these diverged, corpus cells and
+    * query probes would disagree and recall would silently collapse).
+    * d² = |v|² − 2·v·c + |c|²; |v|² is common to all cells so the score
+    * is (−2·v·c + |c|²) only. Returns per-cell scores. */
+  private def cellScores(v: Seq[Double], m: Array[Double], n2: Array[Double],
+                         dim: Int): Array[Double] = {
+    val vArr = v.toArray
+    val out = new Array[Double](n2.length)
+    var i = 0
+    while (i < n2.length) {
+      var dot = 0.0; var j = 0; val off = i * dim
+      val k = math.min(dim, vArr.length)
+      while (j < k) { dot += vArr(j) * m(off + j); j += 1 }
+      out(i) = n2(i) - 2.0 * dot
+      i += 1
+    }
+    out
+  }
 
-  /** `nprobe` nearest cell ids for a query vector (ascending distance). */
-  def probeCells(vec: Column, model: Model, nprobe: Int): Column =
-    transform(slice(array_sort(array(scoredCells(vec, model): _*)), 1, nprobe),
-      s => s.getField("idx"))
+  /** Squared-distance argmin cell id for a vector column — smallest score,
+    * ties broken on the smaller idx (strict < keeps the first). */
+  def cellId(vec: Column, model: Model): Column = {
+    val (m, n2, dim) = model.flat
+    udf { (v: Seq[Double]) =>
+      val s = cellScores(v, m, n2, dim)
+      var best = 0; var i = 1
+      while (i < s.length) { if (s(i) < s(best)) best = i; i += 1 }
+      best
+    }.apply(vec)
+  }
+
+  /** `nprobe` nearest cell ids for a query vector (ascending distance,
+    * ties on idx — same ordering as a lexicographic (score, idx) sort). */
+  def probeCells(vec: Column, model: Model, nprobe: Int): Column = {
+    val (m, n2, dim) = model.flat
+    udf { (v: Seq[Double]) =>
+      val s = cellScores(v, m, n2, dim)
+      s.indices.sortBy(i => (s(i), i)).take(nprobe)
+    }.apply(vec)
+  }
 
   /** Squared euclidean distance (driver-side, init only). */
   private def dist2(a: Seq[Double], b: Seq[Double]): Double = {
@@ -84,34 +126,77 @@ object Ivf {
     chosen.toSeq
   }
 
-  /** Lloyd's k-means over (id, vec double[]). Initialization: oversample
-    * 4×nlist candidates by smallest xxhash64(id) — ONE TakeOrdered job
-    * (per-partition heap + driver merge), no row count, no dense-id
-    * assumption, fully reproducible — then greedy farthest-point selection
-    * on the driver picks nlist spread seeds from the pool. */
-  def train(vectors: DataFrame, nlist: Int, iters: Int = 3): Model = {
-    val pool = vectors
+  /** Elementwise vector sum — the Lloyd update's aggregation: one shuffle
+    * of nlist partial (count, sum-vector) rows instead of a posexplode of
+    * sample×dim scalar rows. Buffers are mutated in place (dim doubles per
+    * group, bounded by construction). */
+  private object VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] =
+      if (b.isEmpty) v.toArray
+      else { var i = 0; while (i < b.length) { b(i) += v(i); i += 1 }; b }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Lloyd's k-means over (id, vec double[]).
+    *
+    * Sampling: ONE job takes the `max(trainCap, 4·nlist)` rows with the
+    * smallest xxhash64(id) (per-partition heap + driver merge — no row
+    * count, no dense-id assumption, fully reproducible) and snapshots
+    * them, so the `iters` refinement jobs never rescan the corpus. The
+    * snapshot is released before returning. Initialization: the 4·nlist
+    * smallest-hash rows of that same pool, refined by greedy
+    * farthest-point selection on the driver. When the corpus is smaller
+    * than `trainCap` (all spec/test scales) training is exact — identical
+    * to unsampled Lloyd's. */
+  def train(vectors: DataFrame, nlist: Int, iters: Int = 3,
+            trainCap: Int = 16384): Model = {
+    require(nlist > 0, "nlist must be positive")
+    val sc = vectors.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val sample = vectors
       .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(nlist * 4)
-      .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
-    var model = Model(farthestPoints(pool, nlist))
-    for (_ <- 1 to iters) {
-      val assigned = vectors.select(col("vec"), cellId(col("vec"), model).as("cell"))
-      val updated = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg("x").as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      // Empty cells keep their previous centroid.
-      model = Model(model.centroids.zipWithIndex.map { case (c, i) =>
-        updated.getOrElse(i, c)
-      })
+      .limit(math.max(trainCap, nlist * 4))
+      .select(col("id"), col("vec"))
+      .localCheckpoint(eager = true)
+    try {
+      val pool = sample
+        .orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(nlist * 4)
+        .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      var model = Model(farthestPoints(pool, nlist))
+      val vsum = udaf(VectorSum)
+      for (_ <- 1 to iters) {
+        // (cell → count, Σvec) in ONE aggregation; collect is nlist rows
+        // of model-sized state, not corpus data.
+        val updated = sample
+          .select(cellId(col("vec"), model).as("cell"), col("vec"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), vsum(col("vec")).as("s"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
+          .toMap
+        // Empty cells keep their previous centroid.
+        model = Model(model.centroids.zipWithIndex.map { case (c, i) =>
+          updated.get(i).map { case (n, s) => s.map(_ / n) }.getOrElse(c)
+        })
+      }
+      model
+    } finally {
+      // The sample snapshot is training-internal state — free it so train
+      // leaves no persisted blocks behind (same contract as DedupClusters).
+      sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.foreach(_.unpersist(blocking = false))
     }
-    model
   }
 
   /** IVF top-k search: same schema as [[Ann.bruteForceTopK]]; recall is
