@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `binary` media columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration shape —
-  * is real and tested. The codec itself is a clearly-marked deterministic
-  * STUB (`fakeDecode`): this container has no image/audio libraries, so the
-  * "decode" computes reproducible pseudo-features from the raw bytes. A
-  * production deployment swaps `fakeDecode` for a JNI/library call without
-  * touching any of the dataflow.
+  * Two real decode paths (see [[ImageCodec]], both pure-JVM):
+  *  - image bytes (PNG/JPEG/GIF/BMP) get a header parse for
+  *    width/height/channels plus a full `javax.imageio` pixel decode for
+  *    exact luma statistics and a nearest-neighbor thumbnail;
+  *  - any other binary gets honest byte-level features (mean byte value,
+  *    header hash, byte prefix) — the format-agnostic fallback a corpus
+  *    gate applies to blobs it can't identify.
   *
   * Why mapPartitions (Scala's analogue of a pandas-batch UDF): codecs have
   * per-call setup cost (decoder tables, native contexts); amortizing it per
@@ -24,44 +25,78 @@ object Multimodal {
   /** A media row: id + opaque bytes + typed metadata. */
   final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Long)
 
-  /** Extracted features (the "decoded" representation). */
+  /** Extracted features. Byte-level fields are populated for every blob;
+    * image fields are None for non-image binary. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_mean: Double,
-                                 head_hash: Long, thumb: Array[Byte])
+                                 head_hash: Long, thumb: Array[Byte],
+                                 format: String, width: Option[Int],
+                                 height: Option[Int], channels: Option[Int],
+                                 luma_mean: Option[Double])
 
-  /** Pack a text corpus into media rows — stands in for reading real image
-    * bytes; the downstream plumbing is identical. */
+  /** Pack a text corpus into opaque binary rows — the format-agnostic
+    * ingest shape (bytes + mime + size); downstream plumbing is identical
+    * for real media. */
   def pack(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media"),
-      lit("application/x-fake").as("mime"),
+      lit("application/octet-stream").as("mime"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic pseudo-features from raw bytes.
-    * Replace with a real codec (libjpeg/ffmpeg/...) in production. */
-  private def fakeDecode(bytes: Array[Byte]): (Double, Long, Array[Byte]) = {
+  /** Pack a text corpus as REAL PNG bytes: each document's bytes are
+    * rendered into a 16×12 grayscale-in-RGB raster and encoded with the
+    * JDK's PNG writer on the executors. This feeds the image path genuine
+    * lossless image bytes (decode recovers the exact raster) without
+    * shipping binary fixtures — the multimodal analogue of the synthetic
+    * text corpus. */
+  def packImages(docs: DataFrame, width: Int = 16, height: Int = 12): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val src = Option(text).getOrElse("").getBytes("UTF-8")
+      val png = ImageCodec.encodePng(width, height) { (x, y) =>
+        val v = if (src.isEmpty) 0 else src(((y * width + x) % src.length + src.length) % src.length) & 0xFF
+        (v << 16) | (v << 8) | v
+      }
+      MediaRow(id, png, "image/png", png.length.toLong)
+    }
+  }
+
+  /** Byte-level features for opaque binary — real statistics of the raw
+    * bytes (not a codec stand-in): mean byte value, FNV-1a of the header,
+    * and the byte prefix as the "thumb". */
+  private def byteFeatures(bytes: Array[Byte]): (Double, Long, Array[Byte]) = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    // byte-variant FNV-1a over the header (shared helper, see Fnv).
     val h = graft.functions.Fnv.bytes(bytes, limit = 64)
-    (mean, h, bytes.take(16)) // "thumb" = byte prefix, stands in for a resize
+    (mean, h, bytes.take(16))
   }
 
-  /** Batch feature extraction: one decoder "context" per partition. */
+  /** Batch feature extraction: one decoder "context" per partition; image
+    * bytes take the real codec path, everything else the byte path. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // Per-partition setup would init the native codec here (amortized).
+      // Per-partition setup would init a native codec here (amortized);
+      // ImageIO's reader registry is JVM-global, so it already is.
       rows.map { r =>
-        val (mean, hash, thumb) = fakeDecode(r.media)
-        MediaFeatures(r.doc_id, r.n_bytes, mean, hash, thumb)
+        val (mean, hash, prefix) = byteFeatures(r.media)
+        ImageCodec.decode(r.media) match {
+          case Some(d) =>
+            MediaFeatures(r.doc_id, r.n_bytes, mean, hash, d.thumb,
+              d.meta.format, Some(d.meta.width), Some(d.meta.height),
+              Some(d.meta.channels), Some(d.lumaMean))
+          case None =>
+            MediaFeatures(r.doc_id, r.n_bytes, mean, hash, prefix,
+              "binary", None, None, None, None)
+        }
       }
     }
   }
@@ -71,7 +106,7 @@ object Multimodal {
 
   /** Frame sampling — the video-side analogue of text chunking: treat the
     * byte stream as fixed-size frames and emit every `stride`-th one.
-    * The slicer is the stub stand-in for a demuxer (the 1→many generate
+    * The slicer is the stand-in for a demuxer (the 1→many generate
     * shape, output cardinality ≈ bytes / (frameBytes · stride), is what
     * survives to production). A trailing partial frame is dropped, as a
     * demuxer drops a truncated frame. */
@@ -89,8 +124,13 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: pack → batch-decode → feature table. */
-  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame =
-    extractFeatures(pack(docs)).toDF()
-      .select("doc_id", "n_bytes", "byte_mean", "head_hash")
+  /** End-to-end: pack (even ids as real PNGs, odd ids as opaque bytes) →
+    * batch-decode → feature table exercising both codec paths. */
+  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val images = packImages(docs.filter(col("doc_id") % 2 === 0))
+    val opaque = pack(docs.filter(col("doc_id") % 2 =!= 0))
+    extractFeatures(images.unionByName(opaque)).toDF()
+      .select("doc_id", "n_bytes", "byte_mean", "head_hash",
+        "format", "width", "height", "channels", "luma_mean")
+  }
 }
