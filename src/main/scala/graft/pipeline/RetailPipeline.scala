@@ -8,7 +8,13 @@ import org.apache.spark.sql.functions._
 /** The reference's asset DAG (SURVEY §2.11, §3) as an explicit call graph:
   * ingestDay → buildStarSchema → buildMart. Airflow's `@asset(schedule=
   * upstream)` dependency edges become function-call ordering; branch-on-
-  * failure becomes exceptions propagating to the caller.
+  * failure (the reference's `@task.branch` `choose_branch` routing to
+  * `task_complete_notification` / `task_failed_notification` after the
+  * mart upload — logs/dag_id=retail_pipeline/.../task_id=choose_branch)
+  * becomes the `notify` hook: [[runDayNotified]] wraps the day in a `Try`
+  * and routes the outcome to exactly one of the two notification events
+  * before returning it, so a scheduler can subscribe without wrapping
+  * every call site in its own try/catch.
   *
   * Every stage is date-parameterized and idempotent (dynamic partition
   * overwrite), so a scheduler can re-run any day without touching history —
@@ -16,7 +22,9 @@ import org.apache.spark.sql.functions._
   * README.md:55) but its replace-mode `to_sql` calls don't deliver.
   */
 class RetailPipeline(spark: SparkSession, rawRoot: String, martRoot: String,
-                     loadedAt: Column = current_timestamp()) {
+                     loadedAt: Column = current_timestamp(),
+                     notify: RetailPipeline.RunOutcome => Unit = _ => ()) {
+  import RetailPipeline.{RunComplete, RunFailed, RunOutcome}
 
   /** Ingest one day: S3-style CSV scan → empty guard → preprocess
     * (reference retail_pipeline_assets.py:26-53). */
@@ -120,11 +128,35 @@ class RetailPipeline(spark: SparkSession, rawRoot: String, martRoot: String,
     tables
   }
 
-  /** Full day run — the reference's two DAGs chained. */
+  /** Full day run — the reference's two DAGs chained. Exceptions
+    * propagate; use [[runDayNotified]] for the notification-routing
+    * variant. */
   def runDay(date: String): Map[String, DataFrame] = {
     ingestDay(date)
     buildStarSchema(date)
     buildMart(date)
+  }
+
+  /** [[runDay]] with the reference's branch-on-failure semantics: the
+    * outcome is routed to the `notify` hook — [[RetailPipeline.RunComplete]]
+    * on success, [[RetailPipeline.RunFailed]] on any failure — and then
+    * returned as a `Try` so callers still decide whether to rethrow.
+    * A throwing notify hook propagates (as a failed notification task
+    * fails the reference DAG run); it replaces a Failure's own error with
+    * the hook error suppressed-attached for diagnosis. */
+  def runDayNotified(date: String): scala.util.Try[Map[String, DataFrame]] = {
+    val result = scala.util.Try(runDay(date))
+    val outcome: RunOutcome = result match {
+      case scala.util.Success(tables) => RunComplete(date, tables.keySet)
+      case scala.util.Failure(e)      => RunFailed(date, e)
+    }
+    try notify(outcome)
+    catch {
+      case scala.util.control.NonFatal(ne) =>
+        result.failed.foreach(ne.addSuppressed)
+        throw ne
+    }
+    result
   }
 
   /** Multi-day backfill (SURVEY §7.2 M5): sequential day runs, each
@@ -137,7 +169,19 @@ class RetailPipeline(spark: SparkSession, rawRoot: String, martRoot: String,
     val end = java.time.LocalDate.parse(endDate)
     val days = Iterator.iterate(start)(_.plusDays(1))
       .takeWhile(!_.isAfter(end)).map(_.toString).toSeq
-    days.foreach(runDay)
+    // Per-day notification, fail-fast on the first bad day (its failure
+    // event has already fired by the time the Try rethrows).
+    days.foreach(runDayNotified(_).get)
     days
   }
+}
+
+object RetailPipeline {
+  /** Day-run outcome delivered to the notification hook — the engine's
+    * analogue of the reference's complete/failed notification tasks.
+    * Carries table NAMES, not frames: a notification channel gets
+    * identifiers to report, never live plans to re-execute. */
+  sealed trait RunOutcome { def date: String }
+  final case class RunComplete(date: String, tables: Set[String]) extends RunOutcome
+  final case class RunFailed(date: String, error: Throwable) extends RunOutcome
 }

@@ -110,4 +110,35 @@ class RetailPipelineSpec extends SparkSpec {
     val ex = intercept[IllegalStateException](pipeline.ingestDay("2019-10-03"))
     ex.getMessage should include("2019-10-03")
   }
+
+  test("notification hook routes complete and failed branches (choose_branch)") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[RetailPipeline.RunOutcome]
+    val p = new RetailPipeline(spark, root, mart,
+      loadedAt = lit("2019-10-03 00:00:00").cast("timestamp"),
+      notify = events += _)
+    p.runDayNotified("2019-10-01").isSuccess shouldBe true
+    // the empty day from the S2-guard test → ingest guard trips inside the
+    // Try → failure event fires and the Try carries the error
+    val bad = p.runDayNotified("2019-10-03")
+    bad.isFailure shouldBe true
+    bad.failed.get shouldBe an[IllegalStateException]
+    events.toSeq match {
+      case Seq(RetailPipeline.RunComplete(d1, tables), RetailPipeline.RunFailed(d2, err)) =>
+        d1 shouldBe "2019-10-01"
+        tables shouldBe Set("daily_revenue_summary", "daily_funnel_by_brand",
+          "top_brands_by_revenue")
+        d2 shouldBe "2019-10-03"
+        err shouldBe an[IllegalStateException]
+      case other => fail(s"expected exactly [complete, failed], got $other")
+    }
+  }
+
+  test("a throwing notify hook propagates with the run error suppressed") {
+    val p = new RetailPipeline(spark, root, mart,
+      loadedAt = lit("2019-10-03 00:00:00").cast("timestamp"),
+      notify = _ => throw new RuntimeException("pager down"))
+    val ex = intercept[RuntimeException](p.runDayNotified("2019-10-03"))
+    ex.getMessage shouldBe "pager down"
+    ex.getSuppressed.head shouldBe an[IllegalStateException]
+  }
 }
