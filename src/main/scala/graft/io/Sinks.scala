@@ -60,7 +60,15 @@ object Sinks {
     * parquet tree; `recoverPartitions` is the crawler-run analogue that
     * discovers newly-landed days. (A per-day `saveAsTable` overwrite would
     * leave the catalog holding only the last day — observed on the full
-    * 31-day reference backfill.) */
+    * 31-day reference backfill.)
+    *
+    * Schema evolution — the crawler's `UPDATE_IN_DATABASE` policy
+    * (aws-stack.ts:55-61): when the mart frame's schema no longer matches
+    * the registered table (a column added/retyped), the table DEFINITION
+    * is re-created to the new schema over the same location. External
+    * table: dropping it touches metadata only, history stays on disk, and
+    * columns absent from old partitions read as null (evolution-on-read,
+    * exactly how Glue-over-parquet behaves). */
   def registerMartTable(df: DataFrame, martRoot: String, name: String): Unit = {
     val spark = df.sparkSession
     val table = s"agg_$name"
@@ -68,8 +76,18 @@ object Sinks {
     val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // An all-empty history (S6 skipped every write) leaves nothing to crawl.
     if (fs.exists(location)) {
+      // Name+type comparison, case-insensitive, nullability ignored (the
+      // catalog and parquet footers disagree on nullability routinely).
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.toSeq.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
+      val expected = shape(df.schema) :+ ("dt", org.apache.spark.sql.types.StringType)
+      if (spark.catalog.tableExists(table) &&
+          shape(spark.table(table).schema) != expected) {
+        spark.sql(s"DROP TABLE $table")
+      }
       if (!spark.catalog.tableExists(table)) {
-        spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$location'")
+        spark.sql(s"CREATE TABLE $table (${df.schema.toDDL}, dt STRING) " +
+          s"USING parquet PARTITIONED BY (dt) LOCATION '$location'")
       }
       spark.catalog.recoverPartitions(table)
     }

@@ -85,6 +85,30 @@ class SinksSpec extends SparkSpec {
     spark.sql("DROP TABLE agg_sinkspec_probe")
   }
 
+  test("registerMartTable refreshes the catalog schema on mart evolution (UPDATE_IN_DATABASE)") {
+    val mart = Files.createTempDirectory("sinks-evolve").toString
+    val v1 = Seq((1, 2)).toDF("x", "y")
+    Sinks.writeMartParquet(v1, mart, "sinkspec_evolve", "2019-10-01")
+    Sinks.registerMartTable(v1, mart, "sinkspec_evolve")
+    spark.table("agg_sinkspec_evolve").columns.toSeq shouldBe Seq("x", "y", "dt")
+    // the mart grows a column; re-registration re-creates the definition
+    val v2 = Seq((1, 2, 9L)).toDF("x", "y", "z")
+    Sinks.writeMartParquet(v2, mart, "sinkspec_evolve", "2019-10-02")
+    Sinks.registerMartTable(v2, mart, "sinkspec_evolve")
+    val evolved = spark.table("agg_sinkspec_evolve")
+    evolved.columns.toSeq shouldBe Seq("x", "y", "z", "dt")
+    // history stayed on disk; the old partition reads the new column as null
+    evolved.count() shouldBe 2
+    evolved.filter(col("dt") === "2019-10-01")
+      .select("z").collect().head.isNullAt(0) shouldBe true
+    evolved.filter(col("dt") === "2019-10-02")
+      .select("z").as[Long].collect() shouldBe Array(9L)
+    // unchanged schema → no churn, registration stays idempotent
+    Sinks.registerMartTable(v2, mart, "sinkspec_evolve")
+    spark.table("agg_sinkspec_evolve").count() shouldBe 2
+    spark.sql("DROP TABLE agg_sinkspec_evolve")
+  }
+
   test("writeCsvSummary produces a single readable CSV with header (S9)") {
     val out = Files.createTempDirectory("sinks-csv").toString + "/summary"
     Sinks.writeCsvSummary(Seq(("2019-10-01", "view", 3L)).toDF("d", "e", "n"), out)
