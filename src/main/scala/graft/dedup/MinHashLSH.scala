@@ -129,7 +129,13 @@ object MinHashLSH {
         sig
       }
     }
-    docs.select(col("doc_id"), sigUdf(col(textCol)).as("sig"))
+    // asNondeterministic is PURELY an optimizer barrier (the UDF is
+    // pure): a deterministic alias gets substituted into the isNotNull
+    // filter below by predicate pushdown and the 64-hash pass runs twice
+    // per document — the same double-eval trap TextOps.profile guards
+    // against.
+    docs.select(col("doc_id"),
+        sigUdf.asNondeterministic()(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
   }
 

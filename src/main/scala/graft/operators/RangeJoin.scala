@@ -42,16 +42,27 @@ object RangeJoin {
     // mid-job with an opaque executor error. The guard is folded INTO the
     // bucket expression (a dropped assert column would be pruned as dead
     // code), so it evaluates exactly when the sequence would.
-    val lb = floor(col(loCol) / bucketWidth).cast("long")
-    val ub = floor(col(hiCol) / bucketWidth).cast("long")
-    val guardedUb = when(ub - lb < lit(maxBucketsPerInterval), ub)
-      .otherwise(raise_error(concat(
-        lit(s"range-join interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth: ["),
-        col(loCol), lit(", "), col(hiCol),
-        lit(") — raise bucketWidth or maxBucketsPerInterval")))).cast("long")
+    // The span check runs on the raw DOUBLE ratios, BEFORE any floor:
+    // Spark's floor(double) returns a saturating BIGINT (floor(+inf) =
+    // Long.MaxValue, floor(NaN) = 0), so a long-typed `ub - lb` check
+    // ANSI-overflows on hi=+inf with a negative lb — an opaque
+    // ArithmeticException instead of this message. In double arithmetic
+    // hi=+inf / lo=-inf make the span +inf and NaN makes it NaN; both
+    // fail the `<` and raise. The magnitude bound routes huge-but-finite
+    // bounds (whose floor would silently saturate) here too.
+    val lbRatio = col(loCol).cast("double") / bucketWidth
+    val ubRatio = col(hiCol).cast("double") / bucketWidth
+    val spanOk = (ubRatio - lbRatio < lit(maxBucketsPerInterval.toDouble)) &&
+      abs(lbRatio) < lit(4.0e18) && abs(ubRatio) < lit(4.0e18)
+    val raiseExpr = raise_error(concat(
+      lit(s"range-join interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth: ["),
+      col(loCol), lit(", "), col(hiCol),
+      lit(") — raise bucketWidth or maxBucketsPerInterval")))
+    val lb = when(spanOk, floor(lbRatio)).otherwise(raiseExpr).cast("long")
+    val ub = when(spanOk, floor(ubRatio)).otherwise(raiseExpr).cast("long")
     val r = right
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
-      .withColumn("__bucket", explode(sequence(lb, guardedUb)))
+      .withColumn("__bucket", explode(sequence(lb, ub)))
     l.join(r, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

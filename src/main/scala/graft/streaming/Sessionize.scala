@@ -113,6 +113,13 @@ object Sessionize {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
+      // A null timestamp cannot be placed in any session: it sorts at a
+      // NULLS FIRST/LAST boundary (engines disagree — Spark FIRST, the
+      // DuckDB oracle LAST) and its gap math is NULL, so it would both
+      // diverge from the oracle AND corrupt the boundary flags of its
+      // neighbors. Dropped at entry — the same policy AsofJoin applies to
+      // null-key/null-time rows.
+      .filter(col("ts").isNotNull)
       .withColumn("__new", when(lag(tMs, 1).over(w).isNull ||
         tMs - lag(tMs, 1).over(w) > gapSeconds * 1000L, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("__new")).over(run))

@@ -84,10 +84,13 @@ object TextOps {
     * engines and runs, unlike xxhash64 which is Spark-specific. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
-  /** All per-document text features from one compiled pass. */
-  final case class TextProfile(n_words: Long, n_tokens_est: Long,
-                               n_stopwords: Long, n_digits: Long,
-                               n_punct: Long, quality: Double,
+  /** All per-document text features from one compiled pass. Counts and
+    * quality are Options so NULL text yields NULL features — matching the
+    * Column forms, where null propagates through every count but langId's
+    * CASE falls through to its ELSE 'unknown'. */
+  final case class TextProfile(n_words: Option[Long], n_tokens_est: Option[Long],
+                               n_stopwords: Option[Long], n_digits: Option[Long],
+                               n_punct: Option[Long], quality: Option[Double],
                                lang_pred: String)
 
   private val StopwordSet: java.util.HashSet[String] = {
@@ -119,7 +122,16 @@ object TextOps {
 
   private lazy val profileImpl: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { text: String =>
-      if (text == null) null
+      if (text == null)
+        // Same values the Column forms (and the DuckDB oracle) produce on
+        // NULL input: every count is NULL; langId's CASE ... ELSE yields
+        // 'unknown'; and quality is 0.8 — NOT null — because least/
+        // greatest in both engines IGNORE null arguments, so the null
+        // ratios saturate the length/stopword terms to 1.0 (0.4 + 0.4)
+        // and the penalty terms to 0. A null struct here would silently
+        // diverge on both lang_pred and quality — the parity spec pins a
+        // null row.
+        TextProfile(None, None, None, None, None, Some(0.8), "unknown")
       else {
         val lower = text.toLowerCase(java.util.Locale.ROOT)
         // Counts over the original text: chars (code points, like Spark/
@@ -177,7 +189,8 @@ object TextOps {
           if (nw == 0.0) "unknown"
           else if (stopRatio >= 0.03) "en"
           else "unknown"
-        TextProfile(nWords, nTokens, nStop, nDigits, nPunct, quality, lang)
+        TextProfile(Some(nWords), Some(nTokens), Some(nStop), Some(nDigits),
+          Some(nPunct), Some(quality), lang)
       }
     }
 

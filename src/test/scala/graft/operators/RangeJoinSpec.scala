@@ -49,6 +49,23 @@ class RangeJoinSpec extends SparkSpec {
     got shouldBe Set((1L, 10L)) // -5 ∈ [-10, 0); nulls never match
   }
 
+  test("non-finite bounds raise the crafted guard, not an opaque ANSI overflow") {
+    // hi=+inf: double-arithmetic span = +inf fails the guard; the old
+    // long-typed check would ArithmeticException on ub−lb first.
+    val inf = Seq((1L, -5.0, Double.PositiveInfinity)).toDF("iid", "lo", "hi")
+    val ex1 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", inf, "lo", "hi", 7.0).collect()
+    }
+    ex1.getMessage should include("buckets of width")
+    // NaN sorts greatest in Spark, so a NaN hi passes the lo<=hi filter;
+    // the NaN span must still route to the guard.
+    val nan = Seq((1L, 0.0, Double.NaN)).toDF("iid", "lo", "hi")
+    val ex2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", nan, "lo", "hi", 7.0).collect()
+    }
+    ex2.getMessage should include("buckets of width")
+  }
+
   test("a pathologically wide interval fails fast with a usable message") {
     val iv = Seq((1L, 0.0, 1e12)).toDF("iid", "lo", "hi")
     val ex = intercept[Exception] {

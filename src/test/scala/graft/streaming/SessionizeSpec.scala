@@ -75,6 +75,21 @@ class SessionizeSpec extends SparkSpec {
     out shouldBe Array((1L, 2L), (2L, 1L))
   }
 
+  test("batch sessionization drops null-timestamp events at entry") {
+    // A null ts has no place on the session timeline (and Spark/DuckDB
+    // even disagree on where it sorts); it must not perturb its
+    // neighbors' boundary flags either.
+    val events = Seq(
+      (1L, 1L, Some(ts("2019-10-01 10:00:00")), "view"),
+      (2L, 1L, None, "view"), // dropped
+      (3L, 1L, Some(ts("2019-10-01 10:10:00")), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.batchSessions(events, gapSeconds = 1800)
+      .select("session_idx", "n_events", "n_purchases", "duration_ms")
+      .as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array((1L, 2L, 1L, 600000L))
+  }
+
   test("late within-gap event extends the session backwards, never regresses the end") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

@@ -64,7 +64,8 @@ class TextOpsSpec extends SparkSpec {
       "",
       "    ",
       "a1b2c3 mixed alnum-runs... 'quoted' (parens) end-",
-      "0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")
+      "0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9",
+      null) // NULL text: counts null on BOTH paths, lang_pred 'unknown'
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val fast = TextOps.textStats(df).orderBy("doc_id").collect()
     val slow = df.select(
