@@ -22,6 +22,50 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch error stays within the configured guarantees at BOTH sf0.001 and sf0.1") {
+    // The accuracy gate for q40 at two data scales an order of magnitude
+    // apart — a sketch that only looks right at toy scale (tiny HLL
+    // registers, quantile buffer ≫ data) would pass sf0.001 and drift at
+    // sf0.1. Observed errors are recorded in the spec output against the
+    // configured guarantees: HLL++ default rsd 5% — a STANDARD DEVIATION
+    // of the relative-error distribution, so a fixed dataset is one draw
+    // from it and the hard gate is 3·rsd = 15% (observed max 6.7%, ~1.3σ,
+    // at sf0.1/signup); percentile_approx is a
+    // distributed MERGE of per-partition Greenwald-Khanna summaries, and
+    // merging two ε-summaries is only guaranteed to 2ε — so the rank
+    // bound is 2/accuracy = 0.2% (observed ~0.13% at sf0.001, above the
+    // single-stream ε, confirming the merge factor is real).
+    // Rank check, not a value check: percentile_approx returns an ACTUAL
+    // data point, while exact percentile() interpolates between order
+    // statistics — comparing values directly fails even for a perfect
+    // sketch at small n. The guarantee is on the returned value's rank
+    // interval [count(<)/n, count(≤)/n] intersecting 0.5 ± 2ε.
+    val eps = 2.0 / 1000
+    Seq("sf0.001", "sf0.1").foreach { scale =>
+      val d = sf(scale)
+      val approx = RetailQueries.sketchAggregates(spark, d)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val exactUsers = Tables.events(spark, d)
+        .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exactUsers.foreach { case (k, eu) =>
+        val (au, amed) = approx(k)
+        val relErr = math.abs(au - eu).toDouble / eu
+        val rk = Tables.events(spark, d).filter(col("event_type") === k)
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(when(col("value") < amed, 1L).otherwise(0L)).cast("double").as("lt"),
+            sum(when(col("value") <= amed, 1L).otherwise(0L)).cast("double").as("le"))
+          .collect().head
+        val (n, lt, le) = (rk.getDouble(0), rk.getDouble(1), rk.getDouble(2))
+        info(f"$scale/$k: |approx-exact|/exact = $relErr%.4f (rsd guarantee 0.05), " +
+          f"median $amed%.3f rank ∈ [${lt / n}%.4f, ${le / n}%.4f] vs 0.5±$eps%.3f")
+        relErr should be <= 3 * 0.05 // 3σ gate; observed values logged above
+        lt / n should be <= 0.5 + eps
+        le / n should be >= 0.5 - eps
+      }
+    }
+  }
+
   test("approx median lands between the exact 40th and 60th percentiles") {
     val approx = RetailQueries.sketchAggregates(spark, dir)
       .select("event_type", "approx_median_value")
