@@ -46,9 +46,20 @@ object Bench {
     // "warm" so the methodology is explicit.
     // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
     // would run the measured pass in a corrupted JVM.
+    // SPARK_GRAFT_BENCH_SUBSET: comma-separated query names to bench only
+    // those — regression-triage mode, so iterating on one slow query
+    // doesn't pay the full 61-query sweep. The driver's per-round run
+    // leaves it unset and sweeps everything.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach(s => (s -- SparkEntry.queries.keySet).foreach(u =>
+      System.err.println(s"[bench] unknown query in SPARK_GRAFT_BENCH_SUBSET: $u")))
+    val benchQueries = SparkEntry.queries
+      .filter { case (k, _) => subset.forall(_.contains(k)) }
+
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     if (warm) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      benchQueries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try materialize(fn(spark, sfDir))
         catch { case scala.util.control.NonFatal(_) => }
         releaseSnapshots()
@@ -74,7 +85,7 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to passes).map { _ =>
         val r = timeOne(name, fn)
         releaseSnapshots()

@@ -31,6 +31,32 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ssXXX")
       .csv(s"$root/Day_Wise/*/event.csv")
 
+  /** Dev-mode permissive ingest (SURVEY §1.2) — the pandas-`read_csv`
+    * inference experience for exploring a NEW feed whose schema isn't in
+    * [[Schemas]] yet: header + type inference + a quarantine column for
+    * rows that don't parse. Production never calls this: inference costs
+    * an extra full pass over the files, a single malformed file silently
+    * widens a column for the whole load, and PERMISSIVE keeps bad rows
+    * (flagged in `_corrupt_record`) instead of failing the day. The
+    * output's printed schema is exactly what you then freeze into
+    * [[Schemas]] to graduate the feed to [[rawEventsCsv]].
+    *
+    * Two reads by construction: the quarantine column only materializes
+    * when it is part of an EXPLICIT schema, so the first pass infers and
+    * the second re-reads with (inferred + _corrupt_record) — even the
+    * dev path ends in an explicit schema, just a derived one. */
+  def devInferCsv(spark: SparkSession, path: String): DataFrame = {
+    def reader = spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssXXX")
+      .option("mode", "PERMISSIVE")
+    val inferred = reader.option("inferSchema", "true").csv(path).schema
+    reader
+      .schema(inferred.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
   /** S8 — legacy local CSV scan with head-n sample (pyc .281473178407232:
     * `pd.read_csv(path).head(n)`). */
   def legacyEventsCsv(spark: SparkSession, path: String, limit: Option[Int] = None): DataFrame = {
