@@ -88,7 +88,11 @@ object SparkEntry {
     "m09_ann_lsh" -> (CorpusQueries.annLsh _),
     "m12_ann_ivf" -> (CorpusQueries.annIvf _),
     "m10_embed_neardup" -> (CorpusQueries.embeddingNearDups _),
-    "m11_multimodal" -> (CorpusQueries.multimodalFeatures _)
+    "m11_multimodal" -> (CorpusQueries.multimodalFeatures _),
+    "m19_repetition_collapse" -> (CorpusQueries.repetitionCollapse _),
+    "m20_pii_redact" -> (CorpusQueries.piiRedact _),
+    "m21_source_quota" -> (CorpusQueries.sourceQuotaSample _),
+    "m22_top_bigrams" -> (CorpusQueries.topBigrams _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +353,43 @@ object SparkEntry {
         "ORDER BY tf DESC, term LIMIT 100"),
     // M8 oracles. m05/m06/m07/m09/m10/m11 are intentionally omitted:
     // hash-function/LSH internals aren't SQL-expressible → rows-only check.
+    "m19_repetition_collapse" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord, len(t) AS n FROM toks), " +
+        "k AS (SELECT doc_id, w, ord, n FROM (SELECT doc_id, w, ord, n, " +
+        "lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS pw FROM w) z " +
+        "WHERE pw IS NULL OR w <> pw) " +
+        "SELECT doc_id, string_agg(w, ' ' ORDER BY ord) AS text_clean, " +
+        "CAST(max(n) AS BIGINT) AS n_tokens, " +
+        "CAST(max(n) - count(*) AS BIGINT) AS n_collapsed " +
+        "FROM k GROUP BY doc_id"),
+    "m20_pii_redact" ->
+      ("WITH pii AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(text, '\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted " +
+        "FROM pii"),
+    "m21_source_quota" ->
+      ("SELECT doc_id, source, CAST(rn AS BIGINT) AS rk FROM (" +
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) z " +
+        "WHERE rn <= 7"),
+    "m22_top_bigrams" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+        "b AS (SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS gram FROM w) " +
+        "SELECT gram, count(*) AS n FROM b WHERE gram IS NOT NULL " +
+        "GROUP BY 1 ORDER BY n DESC, gram LIMIT 20"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group quota sampling: keep a deterministic cap of rows per group
+  * (e.g. at most N documents per source/domain) — the standard
+  * domain-balancing step when assembling a training mix.
+  *
+  * Determinism: rows are ranked inside each group by `md5(key)` (an
+  * engine-portable uniform hash — identical hex in Spark and DuckDB,
+  * unlike xxhash64) with the raw key as tie-break, so the selected sample
+  * is a pure function of the data — stable across runs, partitionings,
+  * and engines.
+  *
+  * Scale shape: the naive plan is one window (shuffle ALL rows by group,
+  * sort, row_number, filter) — at 100 TB that shuffles the full corpus to
+  * keep a few thousand rows per group. This implementation prunes first:
+  * a per-partition bounded heap keeps at most `cap` candidates per group
+  * per input partition (memory: groups-in-partition × cap keys, no text
+  * carried), so the shuffle moves at most cap × partitions rows per group
+  * instead of the whole group. The exact window then runs over that
+  * skeleton — same answer as the naive plan (the global top-cap of a
+  * group is contained in the union of its per-partition top-caps), with
+  * the full-width payload joined back only for the winners.
+  */
+object QuotaSample {
+
+  /** At most `cap` rows per `groupCol`, deterministically chosen; output is
+    * (keyCol, groupCol, rk) with rk in [1, cap]. `keyCol` must be unique
+    * per row (a document/primary id). */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val narrowed = df
+      .select(col(groupCol).cast("string").as("grp"),
+        col(keyCol).cast("long").as("key"),
+        md5(col(keyCol).cast("string").cast("binary")).as("ord"))
+      .as[(String, Long, String)]
+
+    // Partial prune: per-partition, per-group bounded max-heap on
+    // (ord, key) keeps the cap smallest candidates. Ordering matches the
+    // window's ORDER BY ord, key exactly.
+    val pruned = narrowed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+      val byOrdKey = Ordering.Tuple2(Ordering.String, Ordering.Long)
+      it.foreach { case (grp, key, ord) =>
+        val h = heaps.getOrElseUpdate(grp,
+          scala.collection.mutable.PriorityQueue.empty[(String, Long)](byOrdKey))
+        if (h.size < cap) h.enqueue((ord, key))
+        else if (byOrdKey.lt((ord, key), h.head)) { h.dequeue(); h.enqueue((ord, key)) }
+      }
+      heaps.iterator.flatMap { case (grp, h) =>
+        h.iterator.map { case (ord, key) => (grp, key, ord) }
+      }
+    }
+
+    // Exact final ranking over the pruned skeleton (≤ cap × partitions
+    // rows per group — small by construction).
+    val w = Window.partitionBy("grp").orderBy(col("ord"), col("key"))
+    pruned.toDF("grp", "key", "ord")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("key").as(keyCol), col("grp").as(groupCol), col("rk"))
+  }
+}

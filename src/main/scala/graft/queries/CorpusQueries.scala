@@ -42,6 +42,51 @@ object CorpusQueries {
   def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     TextOps.chunk(Tables.documents(s, dir))
 
+  /** Consecutive-duplicate-token collapse + repetition metrics (m19). */
+  def repetitionCollapse(s: SparkSession, dir: String): DataFrame =
+    graft.text.Repetition.collapseRuns(Tables.documents(s, dir))
+
+  /** Deterministic PII augmentation: every doc gains an email, an IPv4 and
+    * a phone number derived from doc_id, so the redaction query has
+    * guaranteed matches and the oracle can rebuild the identical input. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.1."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+
+  /** PII scrub over the PII-augmented corpus (m20). */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    graft.text.PiiRedact.redact(withSyntheticPii(Tables.documents(s, dir)))
+
+  /** Per-source quota sample, cap 7 (m21) — two-phase pruned sampler. */
+  def sourceQuotaSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QuotaSample.quotaSample(
+      Tables.documents(s, dir), groupCol = "source", keyCol = "doc_id", cap = 7)
+
+  /** Corpus-wide top-k token bigrams — generate → partial-agg →
+    * term exchange → TakeOrderedAndProject; the bigram exchange carries
+    * (gram, partial count) only, never document text. */
+  def topBigramsOver(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = split(lower(trim(col("text"))), " +")
+    docs.filter(col("text").isNotNull)
+      .select(toks.as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Top-20 bigrams over the documents table (m22). */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    topBigramsOver(Tables.documents(s, dir))
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction — regex masking of emails, IPv4 addresses, and phone
+  * numbers, the standard scrubbing pass before corpus text reaches a
+  * training shard.
+  *
+  * Scale shape: pure per-row projection (three codegen'd regexp_replace
+  * passes + three regexp_count), no shuffle — scan-bound at any scale.
+  * The match counts ride along so a downstream audit query can report
+  * redaction volume per source without re-scanning.
+  *
+  * The patterns deliberately stick to syntax with identical semantics in
+  * Java regex (Spark) and RE2 (DuckDB oracle): explicit ASCII classes,
+  * bounded repetition, `\b` ASCII word boundaries — no lookaround, no
+  * backreferences (which RE2 lacks).
+  *
+  * Replacement order matters and is fixed: emails first (so an address is
+  * consumed whole before the IP pass could nibble a dotted-quad-looking
+  * domain), then IPs, then phones (whose character class could otherwise
+  * overlap digits inside an IP).
+  */
+object PiiRedact {
+
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** North-American dial format `+C (AAA) XXX-XXXX` — the deterministic
+    * format the fixtures plant; a production deployment would widen this
+    * list, the operator shape does not change. */
+  val PhoneRe: String = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  private def redacted(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document redaction: masked text plus per-category match counts.
+    * Counts are RAW-text match counts (an email whose host embeds a dotted
+    * quad counts under both n_emails and n_ips) — audit volume, not
+    * replacement count. Null text is excluded up front (corpus contract,
+    * as in Repetition). */
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.filter(t.isNotNull).select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      redacted(t).as("text_redacted"))
+  }
+}
