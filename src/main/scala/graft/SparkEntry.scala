@@ -92,7 +92,9 @@ object SparkEntry {
     "m19_repetition_collapse" -> (CorpusQueries.repetitionCollapse _),
     "m20_pii_redact" -> (CorpusQueries.piiRedact _),
     "m21_source_quota" -> (CorpusQueries.sourceQuotaSample _),
-    "m22_top_bigrams" -> (CorpusQueries.topBigrams _)
+    "m22_top_bigrams" -> (CorpusQueries.topBigrams _),
+    "m23_winnow_fingerprints" -> (CorpusQueries.winnowFingerprints _),
+    "m24_vocab_quality" -> (CorpusQueries.vocabQuality _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -390,6 +392,26 @@ object SparkEntry {
         "b AS (SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS gram FROM w) " +
         "SELECT gram, count(*) AS n FROM b WHERE gram IS NOT NULL " +
         "GROUP BY 1 ORDER BY n DESC, gram LIMIT 20"),
+    "m23_winnow_fingerprints" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "h AS (SELECT doc_id, list_transform(gs, s -> md5(s)) AS hs FROM g), " +
+        "w AS (SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')] " +
+        "ELSE list_transform(generate_series(1, len(hs) - 3), i -> list_aggregate(list_slice(hs, i, i + 3), 'min')) END AS sel FROM h) " +
+        "SELECT DISTINCT doc_id, unnest(sel) AS fp FROM w"),
+    "m24_vocab_quality" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1), " +
+        "vocab AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 25) " +
+        "SELECT t.doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate, " +
+        "avg(ln(v.tf)) AS mean_log_tf " +
+        "FROM terms t LEFT JOIN vocab v USING (term) WHERE t.term <> '' " +
+        "GROUP BY t.doc_id"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

@@ -87,6 +87,43 @@ object CorpusQueries {
   def topBigrams(s: SparkSession, dir: String): DataFrame =
     topBigramsOver(Tables.documents(s, dir))
 
+  /** Winnowing fingerprints over the documents table (m23). */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
+
+  /** Rare-token quality scoring against a corpus vocabulary (m24):
+    * per-doc out-of-vocabulary rate and mean log corpus-frequency of
+    * in-vocab tokens — the cheap perplexity proxy quality gates threshold
+    * on when no language model is on the cluster.
+    *
+    * Scale shape: the vocabulary (top-V terms) is tiny by construction and
+    * BROADCAST, so the token→vocab lookup never shuffles the token stream;
+    * the per-doc aggregation collapses map-side because explode keeps a
+    * document's tokens inside one partition — the doc_id exchange carries
+    * one row per document, not per token. At 100 TB the vocab would come
+    * from a sampled or cached pass rather than a same-query scan; the
+    * lookup/score shape is unchanged. */
+  def vocabQualityOver(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val terms = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " +")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(vocabSize)
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"),
+        (sum(when(col("tf").isNull, 1.0).otherwise(0.0)) / count(lit(1)))
+          .as("oov_rate"),
+        avg(log(col("tf"))).as("mean_log_tf"))
+  }
+
+  /** Vocab-quality scores, top-25 vocab (m24 — the corpus has ~31 distinct
+    * terms, so a 25-term vocab makes the OOV path observable). */
+  def vocabQuality(s: SparkSession, dir: String): DataFrame =
+    vocabQualityOver(Tables.documents(s, dir), vocabSize = 25)
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =
