@@ -31,9 +31,14 @@ object Winnowing {
         i => concat_ws(" ",
           element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
 
-  /** Distinct winnowing fingerprints per document, window `w`. */
-  def fingerprints(docs: DataFrame, textCol: String = "text",
-                   w: Int = 4): DataFrame = {
+  /** Column-expression reference form — readable, and the semantics the
+    * differential spec pins [[fingerprints]] against. NOT the production
+    * path: the window-min stage references the hash array from every
+    * window slice, and array HOF chains re-evaluate the md5 transform per
+    * reference — measured O(n·w) md5 work per doc (~10 s for the corpus
+    * at sf0.1 vs ~0.5 s compiled). */
+  def fingerprintsColumnForm(docs: DataFrame, textCol: String = "text",
+                             w: Int = 4): DataFrame = {
     require(w > 0, "window must be positive")
     val toks = split(lower(trim(col(textCol))), " +")
     docs
@@ -48,6 +53,64 @@ object Winnowing {
       // fingerprint dedup is per-document, so array_distinct does it
       // inside the projection — no DISTINCT exchange.
       .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
+  }
+
+  /** One compiled pass per document: tokenize (exact split/trim parity
+    * with the Column form), shingle, md5, then sliding-window minimum via
+    * a monotonic deque — O(n) per doc instead of the Column form's
+    * O(n·w) re-hashing. Hex compare == SQL binary collation (ASCII). */
+  private def winnowDoc(text: String, w: Int): Array[String] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    // SQL trim strips 0x20 only (not Java whitespace).
+    var s = 0; var e = lower.length
+    while (s < e && lower.charAt(s) == ' ') s += 1
+    while (e > s && lower.charAt(e - 1) == ' ') e -= 1
+    val toks = lower.substring(s, e).split(" +", -1)
+    val grams: Array[String] =
+      if (toks.length < 3) Array(toks.mkString(" "))
+      else Array.tabulate(toks.length - 2)(i =>
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = grams.map { g =>
+      md.reset()
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach { b =>
+        sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(b & 0xf, 16))
+      }
+      sb.toString
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (hs.length <= w) out.add(hs.min)
+    else {
+      // monotonic deque of candidate minima (indices, increasing values)
+      val dq = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < hs.length) {
+        while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst <= i - w) dq.pollFirst()
+        if (i >= w - 1) out.add(hs(dq.peekFirst))
+        i += 1
+      }
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  private lazy val winnowUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, w: Int) => winnowDoc(text, w) }
+
+  /** Distinct winnowing fingerprints per document, window `w` —
+    * production path (compiled single pass; differential spec pins it to
+    * [[fingerprintsColumnForm]]). Still a pure projection: no shuffle. */
+  def fingerprints(docs: DataFrame, textCol: String = "text",
+                   w: Int = 4): DataFrame = {
+    require(w > 0, "window must be positive")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(winnowUdf(col(textCol), lit(w))).as("fp"))
   }
 
   /** Candidate pairs sharing at least `minShared` fingerprints — the

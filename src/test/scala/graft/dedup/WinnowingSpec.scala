@@ -43,6 +43,21 @@ class WinnowingSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("differential: compiled pass == Column reference form") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog and more words here"),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, "  padded   with  runs   of spaces  "),
+      (5L, "exactly three tokens here"), // 2 shingles < w → single min
+      (6L, (1 to 60).map(i => s"tok${i % 7}").mkString(" ")))
+    val fast = Winnowing.fingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val ref = Winnowing.fingerprintsColumnForm(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    fast shouldBe ref
+  }
+
   test("candidatePairs finds the planted near-dup via shared fingerprints") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(
