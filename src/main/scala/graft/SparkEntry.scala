@@ -94,7 +94,9 @@ object SparkEntry {
     "m21_source_quota" -> (CorpusQueries.sourceQuotaSample _),
     "m22_top_bigrams" -> (CorpusQueries.topBigrams _),
     "m23_winnow_fingerprints" -> (CorpusQueries.winnowFingerprints _),
-    "m24_vocab_quality" -> (CorpusQueries.vocabQuality _)
+    "m24_vocab_quality" -> (CorpusQueries.vocabQuality _),
+    "m25_decontaminate" -> (CorpusQueries.decontaminate _),
+    "m26_sequence_pack" -> (CorpusQueries.sequencePack _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -412,6 +414,30 @@ object SparkEntry {
         "avg(ln(v.tf)) AS mean_log_tf " +
         "FROM terms t LEFT JOIN vocab v USING (term) WHERE t.term <> '' " +
         "GROUP BY t.doc_id"),
+    "m25_decontaminate" ->
+      (AugmentedDocs +
+        ", bench AS (SELECT doc_id, text FROM aug WHERE doc_id < 50), " +
+        "corpus AS (SELECT doc_id, text FROM aug WHERE doc_id >= 50), " +
+        "bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM bench), " +
+        "bg AS (SELECT DISTINCT gram FROM (SELECT unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram FROM bt) " +
+        "WHERE gram <> ''), " +
+        "ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM corpus), " +
+        "cg AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram FROM ct) " +
+        "WHERE gram <> '') " +
+        "SELECT doc_id, CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+        "count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_ratio " +
+        "FROM cg c LEFT JOIN bg b USING (gram) GROUP BY doc_id " +
+        "HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5"),
+    "m26_sequence_pack" ->
+      ("WITH n AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM n) " +
+        "SELECT doc_id, n_tokens, start_offset, " +
+        "CAST(floor(start_offset / 2048) AS BIGINT) AS shard FROM o"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

@@ -1,0 +1,44 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag corpus documents whose word-shingle
+  * sets overlap an evaluation/benchmark set, the standard train/test
+  * contamination check before a corpus ships.
+  *
+  * Scale shape: the benchmark side is small by nature (eval suites are
+  * MBs; the corpus is the 100 TB side), so its distinct gram set is
+  * BROADCAST and the corpus is marked by one broadcast left join — the
+  * corpus token stream never shuffles for the lookup, and the per-doc
+  * aggregation collapses map-side (a document's grams stay inside its
+  * input partition), leaving one row per doc on the doc_id exchange.
+  *
+  * Grams are [[NgramJaccard]]'s word w-shingles (ONE shared walk, so the
+  * m25 oracle's string replay and the engine's 64-bit FNV hashes cannot
+  * drift apart; identical up to 2^-64 collisions, the m14 argument).
+  */
+object Decontaminate {
+
+  /** Corpus docs whose distinct-gram hit ratio against the benchmark gram
+    * set reaches `ratioThreshold`: (doc_id, n_hits, n_grams, hit_ratio). */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   textCol: String = "text", w: Int = 3,
+                   ratioThreshold: Double = 0.5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val corpusGrams = corpus
+      .select(col("doc_id"),
+        explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("hit_ratio", col("n_hits").cast("double") / col("n_grams"))
+      .filter(col("hit_ratio") >= ratioThreshold)
+      .select("doc_id", "n_hits", "n_grams", "hit_ratio")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — a running total in a single global
+  * order WITHOUT the single-partition window Spark would otherwise plan
+  * (`Window.orderBy(...)` with no partitionBy funnels every row through
+  * one task — the classic scale cliff).
+  *
+  * Two-pass scheme: range-partition by the order key and sort within
+  * partitions (so partition i holds a contiguous key range), compute each
+  * partition's total (one tiny job — numPartitions rows to the driver),
+  * prefix-sum those totals into per-partition starting offsets, broadcast
+  * them back, and stream each partition once adding its offset. O(n)
+  * work, no global sort, driver state = one long per partition.
+  *
+  * The ranged dataset is localCheckpoint-pinned so both passes read the
+  * SAME partitioning (re-evaluation could legally re-sample range
+  * bounds). Same snapshot policy as DedupClusters: the returned frame's
+  * snapshot stays pinned until the session releases it (Bench/Verify
+  * unpersist between queries).
+  */
+object PrefixSum {
+
+  /** (orderCol, valueCol, running) where `running` is the EXCLUSIVE
+    * prefix total of valueCol in ascending orderCol order. orderCol must
+    * be unique; both columns must be integral (cast to long). */
+  def exclusiveRunningTotals(df: DataFrame, orderCol: String,
+                             valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
+      .repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .as[(Long, Long)]
+      .localCheckpoint(true)
+    val partSums = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach { case (_, v) => s += v }
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // offsets(i) = total of partitions before i (exclusive).
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the index
+    // must be the RANGE partition's, bound at RDD definition. A downstream
+    // coalesce (e.g. a single-file write) fuses many range partitions into
+    // one task, and the task-level id would hand every fused partition
+    // offset 0 — silently wrong running totals.
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { case (k, v) => val start = acc; acc += v; (k, v, start) }
+    }
+    spark.createDataset(out).toDF(orderCol, valueCol, "running")
+  }
+}

@@ -124,6 +124,30 @@ object CorpusQueries {
   def vocabQuality(s: SparkSession, dir: String): DataFrame =
     vocabQualityOver(Tables.documents(s, dir), vocabSize = 25)
 
+  /** Benchmark decontamination (m25): the originals with doc_id < 50 play
+    * the evaluation set; the augmented corpus (their exact and mutated
+    * copies among the rest) is checked against it — every planted copy
+    * must flag, organically-similar docs may. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir))
+    graft.dedup.Decontaminate.contaminated(
+      corpus = aug.filter(col("doc_id") >= 50),
+      benchmark = aug.filter(col("doc_id") < 50))
+  }
+
+  /** Token-offset sequence packing (m26): assign each doc its global
+    * token start offset (distributed prefix sum — no single-partition
+    * window) and the 2048-token training shard that offset lands in. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.exclusiveRunningTotals(n, "doc_id", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        col("running").as("start_offset"),
+        floor(col("running") / 2048).cast("long").as("shard"))
+  }
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =

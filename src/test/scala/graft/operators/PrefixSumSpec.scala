@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("differential: matches the single-partition window cumsum") {
+    val df = (0L until 1000L).map(i => (i, (i * 7) % 13)).toDF("k", "v")
+      .repartition(11) // scrambled input partitioning
+    val got = PrefixSum.exclusiveRunningTotals(df, "k", "v")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = df
+      .withColumn("running",
+        coalesce(sum("v").over(Window.orderBy("k").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
+  test("no single-partition global sort window in the plan") {
+    val df = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    val plan = PrefixSum.exclusiveRunningTotals(df, "k", "v")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
+  test("correct under a downstream coalesce(1) (single-file write path)") {
+    // Regression: a coalesce fuses all range partitions into one task; a
+    // task-id-based offset lookup would hand every partition offset 0.
+    val df = (0L until 1000L).map(i => (i, (i * 7) % 13)).toDF("k", "v")
+      .repartition(11)
+    val got = PrefixSum.exclusiveRunningTotals(df, "k", "v")
+      .coalesce(1).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = df
+      .withColumn("running",
+        coalesce(sum("v").over(Window.orderBy("k").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(Long, Long)].toDF("k", "v")
+    PrefixSum.exclusiveRunningTotals(df, "k", "v").count() shouldBe 0
+  }
+
+  test("first row starts at zero; totals telescope") {
+    val df = Seq((10L, 5L), (20L, 7L), (30L, 11L)).toDF("k", "v")
+    val rows = PrefixSum.exclusiveRunningTotals(df, "k", "v")
+      .orderBy("k").collect()
+    rows.map(_.getLong(2)).toSeq shouldBe Seq(0L, 5L, 12L)
+  }
+}
