@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.text.{PiiRedact, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming front door for the corpus pipeline: the ingest-time subset of
+  * the batch corpus prep (gate → scrub → exact dedup), applied as
+  * documents arrive instead of in a nightly sweep.
+  *
+  * The quality gate and PII scrub are pure projections, so the BATCH
+  * operators run unchanged on a streaming frame — no reimplementation, no
+  * semantic fork (the spec pins streaming output ≡ batch output on the
+  * same rows). Exact dedup is the only stateful stage:
+  * dropDuplicatesWithinWatermark on the content fingerprint keeps state
+  * bounded by the watermark horizon. Near-dup/cluster passes stay batch —
+  * they need corpus-wide joins, the streaming tier only promises that no
+  * EXACT copy lands twice within the horizon.
+  */
+object StreamingCorpus {
+
+  /** Gate (lang = en, quality ≥ minQuality) then redact PII — stateless
+    * (no join, no state store), identical semantics to the batch
+    * operators it delegates to. Emits (doc_id, arrival_ts, lang_pred,
+    * quality, n_emails, n_ips, n_phones, text_redacted). */
+  def gateAndScrub(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val gated = docs
+      .select(col("doc_id"), col("arrival_ts"), col("text"),
+        TextOps.profile(col("text")).as("p"))
+      .select(col("doc_id"), col("arrival_ts"), col("text"),
+        col("p.lang_pred").as("lang_pred"), col("p.quality").as("quality"))
+      .filter(col("lang_pred") === "en" && col("quality") >= minQuality)
+    PiiRedact.withRedaction(gated).drop("text")
+  }
+
+  /** Ingest-time exact dedup: drop any document whose content fingerprint
+    * was already seen within the watermark horizon. */
+  def dedupByContent(docs: DataFrame, horizon: String = "1 day"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      .withWatermark("arrival_ts", horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
+}

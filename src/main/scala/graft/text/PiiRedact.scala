@@ -39,18 +39,24 @@ object PiiRedact {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Per-document redaction: masked text plus per-category match counts.
-    * Counts are RAW-text match counts (an email whose host embeds a dotted
-    * quad counts under both n_emails and n_ips) — audit volume, not
-    * replacement count. Null text is excluded up front (corpus contract,
-    * as in Repetition). */
-  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Append redaction columns to an arbitrary frame (streaming-safe pure
+    * projection — no reshaping, so upstream columns like event time
+    * survive for watermarking). Counts are RAW-text match counts (an
+    * email whose host embeds a dotted quad counts under both n_emails and
+    * n_ips) — audit volume, not replacement count. Null text is excluded
+    * up front (corpus contract, as in Repetition). */
+  def withRedaction(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.filter(t.isNotNull).select(
-      col("doc_id"),
-      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
-      redacted(t).as("text_redacted"))
+    docs.filter(t.isNotNull)
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("text_redacted", redacted(t))
   }
+
+  /** Per-document redaction projection: (doc_id, counts, masked text). */
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withRedaction(docs, textCol).select(
+      col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+      col("text_redacted"))
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+case class StreamDoc(doc_id: Long, arrival_ts: Timestamp, text: String)
+
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private val good =
+    "the quick brown fox jumps over the lazy dog and runs to a barn " +
+      "mail me at a@b.co from 10.0.0.1"
+  private val junk = "zzz qqq www rrr" // fails the lang gate
+
+  test("streaming gate+scrub output equals the batch path on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    input.addData(StreamDoc(1L, ts(0), good), StreamDoc(2L, ts(1), junk))
+    val q = StreamingCorpus.gateAndScrub(input.toDF())
+      .writeStream.format("memory").queryName("gate_scrub").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("gate_scrub")
+      .select("doc_id", "lang_pred", "quality", "n_emails", "n_ips", "text_redacted")
+      .collect().toSeq
+    val batch = StreamingCorpus.gateAndScrub(
+        Seq(StreamDoc(1L, ts(0), good), StreamDoc(2L, ts(1), junk)).toDF())
+      .select("doc_id", "lang_pred", "quality", "n_emails", "n_ips", "text_redacted")
+      .collect().toSeq
+    streamed shouldBe batch
+    streamed.map(_.getLong(0)) shouldBe Seq(1L) // junk doc gated out
+    streamed(0).getAs[String]("text_redacted") should (include("<EMAIL>") and include("<IP>"))
+  }
+
+  test("content dedup drops exact copies across micro-batches within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingCorpus.dedupByContent(input.toDF(), horizon = "1 hour")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("content_dedup").outputMode("append").start()
+    input.addData(StreamDoc(1L, ts(0), "same text"), StreamDoc(2L, ts(1), "other text"))
+    q.processAllAvailable()
+    input.addData(StreamDoc(3L, ts(2), "same text")) // exact copy, later batch
+    q.processAllAvailable()
+    q.stop()
+    spark.table("content_dedup").as[Long].collect().toSet shouldBe Set(1L, 2L)
+  }
+}
