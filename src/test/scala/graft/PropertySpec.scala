@@ -157,4 +157,70 @@ object PropertySpec extends Properties("graft") {
         q >= 0.0 && q <= 1.0 && Set("en", "unknown").contains(r.getString(1))
       }
     }
+
+  // Small-alphabet token docs: adjacent repeats are likely, so the
+  // repetition/redaction/winnowing properties exercise their real paths.
+  private val tokenDocGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(6, Gen.listOfN(25, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  property("repetition collapse: idempotent, no adjacent dups, counts consistent") =
+    forAll(tokenDocGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val once = graft.text.Repetition.collapseRuns(df).collect()
+      val again = graft.text.Repetition.collapseRuns(
+        once.map(r => (r.getLong(0), r.getAs[String]("text_clean"))).toSeq
+          .toDF("doc_id", "text")).collect()
+      once.forall { r =>
+        val clean = r.getAs[String]("text_clean").split(" ", -1)
+        clean.sliding(2).forall(p => p.length < 2 || p(0) != p(1)) &&
+          r.getAs[Long]("n_collapsed") == r.getAs[Long]("n_tokens") - clean.length
+      } && again.forall(_.getAs[Long]("n_collapsed") == 0L)
+    }
+
+  property("PII redaction: idempotent and redacted text has zero residual matches") =
+    forAll(Gen.listOfN(4, Gen.oneOf(
+      "mail x@y.io now", "from 10.0.0.1 and 192.168.1.255", "call +1 (555) 010-1234",
+      "x@y.io 10.0.0.1 +12 (000) 111-2222", "nothing sensitive at all"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = graft.text.PiiRedact.redact(df).collect()
+      val redactedAgain = graft.text.PiiRedact.redact(
+        once.map(r => (r.getLong(0), r.getAs[String]("text_redacted"))).toSeq
+          .toDF("doc_id", "text")).collect()
+      redactedAgain.forall { r =>
+        r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_ips") == 0L &&
+          r.getAs[Long]("n_phones") == 0L
+      } && redactedAgain.map(_.getAs[String]("text_redacted")).toSet ==
+        once.map(_.getAs[String]("text_redacted")).toSet
+    }
+
+  property("quota sample: ≤ cap per group, deterministic, subset of input keys") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 200L), Gen.choose(0, 3))),
+      Gen.choose(1, 6)) { (rows, cap) =>
+      val distinctRows = rows.distinctBy(_._1)
+      val df = distinctRows.map { case (k, g) => (k, s"g$g") }.toDF("doc_id", "source")
+      val a = graft.operators.QuotaSample.quotaSample(df, "source", "doc_id", cap).collect()
+      val b = graft.operators.QuotaSample.quotaSample(df.repartition(7), "source", "doc_id", cap)
+        .collect()
+      val perGroup = a.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+      perGroup.forall(_._2 <= cap) &&
+        a.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+          b.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet &&
+        a.map(_.getLong(0)).toSet.subsetOf(distinctRows.map(_._1).toSet)
+    }
+
+  property("prefix sum: running totals equal the sequential scan") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 50L)))) { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      distinctRows.nonEmpty ==> Prop {
+        val df = distinctRows.toDF("k", "v").repartition(5)
+        val got = graft.operators.PrefixSum.exclusiveRunningTotals(df, "k", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        var acc = 0L
+        val want = distinctRows.sortBy(_._1).map { case (k, v) =>
+          val s = acc; acc += v; (k, s)
+        }.toMap
+        got == want
+      }
+    }
 }
