@@ -96,7 +96,8 @@ object SparkEntry {
     "m23_winnow_fingerprints" -> (CorpusQueries.winnowFingerprints _),
     "m24_vocab_quality" -> (CorpusQueries.vocabQuality _),
     "m25_decontaminate" -> (CorpusQueries.decontaminate _),
-    "m26_sequence_pack" -> (CorpusQueries.sequencePack _)
+    "m26_sequence_pack" -> (CorpusQueries.sequencePack _),
+    "m27_token_budget" -> (CorpusQueries.tokenBudgetSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -438,6 +439,13 @@ object SparkEntry {
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM n) " +
         "SELECT doc_id, n_tokens, start_offset, " +
         "CAST(floor(start_offset / 2048) AS BIGINT) AS shard FROM o"),
+    "m27_token_budget" ->
+      ("WITH n AS (SELECT doc_id, source, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, source, n_tokens, CAST(coalesce(sum(n_tokens) OVER (" +
+        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM n) " +
+        "SELECT doc_id, source, n_tokens, cum_before FROM o WHERE cum_before < 500"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

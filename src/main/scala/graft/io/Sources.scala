@@ -74,6 +74,21 @@ object Sources {
     df
   }
 
+  /** Corpus documents as JSONL — the interchange format external text
+    * corpora usually arrive in. Same schema policy as every production
+    * reader (explicit, from the [[graft.schema.Document]] contract — no
+    * inference pass over 100 TB of JSON), with malformed lines quarantined
+    * into `_corrupt_record` instead of failing the load: at corpus scale
+    * a handful of truncated lines per shipment is normal, and the audit
+    * query over the quarantine column decides whether to fail the batch. */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[graft.schema.Document].schema
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** §2.9 — Structured Streaming file source over the same Day_Wise tree.
     * `maxFilesPerTrigger` bounds micro-batch size; pair with
     * `Trigger.AvailableNow` for catch-up-then-stop semantics (the idiomatic

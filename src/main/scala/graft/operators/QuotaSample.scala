@@ -68,4 +68,30 @@ object QuotaSample {
       .filter(col("rk") <= cap)
       .select(col("key").as(keyCol), col("grp").as(groupCol), col("rk"))
   }
+
+  /** Token-budget variant: keep rows per group, in the same deterministic
+    * md5(key) order, while the tokens accumulated BEFORE a row stay under
+    * `budget` — so each group lands within one document of its target mix
+    * weight, and a group whose first document exceeds the budget still
+    * contributes that one document (never silently empty).
+    *
+    * Scale: one window per group on (weight-long, key) rows — the
+    * heap-prune trick doesn't apply (the cut depends on a running SUM,
+    * not a row count), but the exchange carries (group, key, weight)
+    * triples only, never document payloads. A group's rows must fit one
+    * task's sort — true by construction when budgets are per-source mix
+    * targets (docs ≫ budget get cut by the very window being computed, so
+    * pre-filtering on weight < budget bounds the sort input when needed). */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, keyCol: String,
+                        weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)).cast("long"))
+      .filter(col("cum_before") < budget)
+      .select(col(keyCol), col(groupCol), col(weightCol).cast("long").as(weightCol),
+        col("cum_before"))
+  }
 }

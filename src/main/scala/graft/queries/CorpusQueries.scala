@@ -135,6 +135,18 @@ object CorpusQueries {
       benchmark = aug.filter(col("doc_id") < 50))
   }
 
+  /** Token-budget mix sampling (m27): per-source 500-token budgets in
+    * deterministic md5 order — the mix builder that balances sources by
+    * token mass rather than document count (m21's sibling). */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
+    graft.operators.QuotaSample.tokenBudgetSample(
+      n, groupCol = "source", keyCol = "doc_id",
+      weightCol = "n_tokens", budget = 500L)
+  }
+
   /** Token-offset sequence packing (m26): assign each doc its global
     * token start offset (distributed prefix sum — no single-partition
     * window) and the 2048-token training shard that offset lands in. */

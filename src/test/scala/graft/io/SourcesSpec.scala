@@ -49,4 +49,24 @@ class SourcesSpec extends SparkSpec {
       df.schema("id").dataType shouldBe StringType
     } finally df.unpersist()
   }
+
+  test("documentsJsonl reads the declared schema and quarantines bad lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11}
+        |{"doc_id": 2, "text": "second doc", "lang": "en", "source": "s2", "n_chars": 10}
+        |{"doc_id": 3, "text": "truncated...
+        |""".stripMargin)
+    val df = Sources.documentsJsonl(spark, f.getAbsolutePath).cache()
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      good.count() shouldBe 2
+      good.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+      df.filter(col("_corrupt_record").isNotNull).count() shouldBe 1
+      df.schema("doc_id").dataType shouldBe org.apache.spark.sql.types.LongType
+      // reads straight into the corpus operators:
+      graft.text.TextOps.textStats(good.drop("_corrupt_record")).count() shouldBe 2
+    } finally df.unpersist()
+  }
 }

@@ -49,4 +49,29 @@ class QuotaSampleSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       QuotaSample.quotaSample(corpus(10, 2), "source", "doc_id", 0)
   }
+
+  test("tokenBudgetSample: budget bounds pre-row mass, first doc always kept") {
+    val df = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 300L),
+      (10L, "b", 9000L), // single doc over budget — still kept
+      (20L, "c", 100L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val r = QuotaSample.tokenBudgetSample(df, "source", "doc_id", "n_tokens", 500L)
+      .collect()
+    r.foreach(_.getAs[Long]("cum_before") should be < 500L)
+    val bySource = r.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    bySource("a") shouldBe 2 // 300 kept (0 before), 300 kept (300 before), next cut at 600
+    bySource("b") shouldBe 1
+    bySource("c") shouldBe 1
+  }
+
+  test("tokenBudgetSample: deterministic across partitionings") {
+    val df = (0 until 200).map(i => (i.toLong, s"s${i % 5}", (i % 17 + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val a = QuotaSample.tokenBudgetSample(df.repartition(13), "source", "doc_id", "n_tokens", 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val b = QuotaSample.tokenBudgetSample(df.coalesce(1), "source", "doc_id", "n_tokens", 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    a shouldBe b
+  }
 }
