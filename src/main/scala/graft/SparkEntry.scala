@@ -97,7 +97,8 @@ object SparkEntry {
     "m24_vocab_quality" -> (CorpusQueries.vocabQuality _),
     "m25_decontaminate" -> (CorpusQueries.decontaminate _),
     "m26_sequence_pack" -> (CorpusQueries.sequencePack _),
-    "m27_token_budget" -> (CorpusQueries.tokenBudgetSample _)
+    "m27_token_budget" -> (CorpusQueries.tokenBudgetSample _),
+    "m28_corpus_pipeline_v2" -> (CorpusQueries.corpusPipelineV2 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -333,6 +334,38 @@ object SparkEntry {
         ", clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
         "FROM reach GROUP BY src), " +
         "canon AS (SELECT e.doc_id, e.text FROM exact e WHERE e.doc_id NOT IN (" +
+        "SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)), " +
+        "ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM canon) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "array_to_string(list_slice(t, i*40 + 1, i*40 + 50), ' ') AS chunk_text, " +
+        "CAST(len(list_slice(t, i*40 + 1, i*40 + 50)) AS BIGINT) AS n_tokens " +
+        "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
+        "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM ctoks) x"),
+    "m28_corpus_pipeline_v2" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody +
+        ", augpii AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        textStatsBaseOver("augpii") +
+        ", gated AS (SELECT doc_id, text FROM base WHERE " + LangExpr + " = 'en' " +
+        "AND " + QualityExpr + " >= 0.3), " +
+        "scrub AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text FROM gated), " +
+        "rtoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM scrub), " +
+        "rw AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM rtoks), " +
+        "rk AS (SELECT doc_id, w, ord FROM (SELECT doc_id, w, ord, " +
+        "lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS pw FROM rw) z " +
+        "WHERE pw IS NULL OR w <> pw), " +
+        "clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY ord) AS text FROM rk GROUP BY doc_id), " +
+        "exactv AS (SELECT doc_id, text FROM clean WHERE doc_id IN (" +
+        "SELECT min(doc_id) FROM clean GROUP BY md5(text)))" +
+        gramPairCtes("exactv") + ClusterCtes +
+        ", clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "canon AS (SELECT e.doc_id, e.text FROM exactv e WHERE e.doc_id NOT IN (" +
         "SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)), " +
         "ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM canon) " +
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +

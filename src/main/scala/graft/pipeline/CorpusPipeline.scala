@@ -49,4 +49,44 @@ object CorpusPipeline {
     val canon = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
     TextOps.chunk(canon, size = chunkSize, stride = chunkStride)
   }
+
+  /** [[prepare]] extended with the scrub tier:
+    *
+    *   gate → PII redaction → repetition collapse → exact dedup →
+    *   near-dup cluster → canonical → chunk
+    *
+    * Stage order is load-bearing: scrubbing runs BEFORE exact dedup
+    * because per-document PII (emails, IPs, phone numbers embedded in
+    * otherwise-identical boilerplate) differs doc to doc, so unscrubbed
+    * exact dedup would miss true content duplicates — after redaction the
+    * variance collapses to identical `<EMAIL>`/`<IP>`/`<PHONE>`
+    * placeholders and the copies fingerprint identically (spec-pinned).
+    * Both scrub stages are pure projections, so v2 adds ZERO shuffles
+    * over [[prepare]]. Hash-checked end-to-end as m28.
+    */
+  def prepareV2(docs: DataFrame, lang: String = "en", minQuality: Double = 0.3,
+                jaccardThreshold: Double = 0.6, dfCap: Int = 50,
+                chunkSize: Int = 50, chunkStride: Int = 40): DataFrame = {
+    // Each scrub stage lands in its own projection so the collapse lambda
+    // references an ATTRIBUTE, not the upstream expression tree — see
+    // Repetition.collapseTokens' contract (inlining the chain re-runs the
+    // triple-regex scrub once per token).
+    val gated = docs
+      .select(col("doc_id"), col("text"), TextOps.profile(col("text")).as("p"))
+      .filter(col("p.lang_pred") === lang && col("p.quality") >= minQuality)
+      .select(col("doc_id"),
+        graft.text.PiiRedact.redactedText(col("text")).as("text"))
+      .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("t"))
+      .select(col("doc_id"),
+        graft.text.Repetition.collapseTokens(col("t")).as("text"))
+    val exact = ExactDedup.dedup(gated).localCheckpoint(eager = false)
+    val pairs = NgramJaccard
+      .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
+      .select("doc_a", "doc_b")
+    val nonCanonical = DedupClusters.components(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val canon = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+    TextOps.chunk(canon, size = chunkSize, stride = chunkStride)
+  }
 }

@@ -266,6 +266,15 @@ object CorpusQueries {
     graft.pipeline.CorpusPipeline.prepare(
       withSyntheticDups(Tables.documents(s, dir)))
 
+  /** The v2 composite (m28): gate → PII scrub → repetition collapse →
+    * dedup → cluster → canonical → chunk, over a corpus where every doc
+    * (including the planted copies) carries doc_id-distinct PII — so the
+    * exact copies are NOT byte-identical until the scrub collapses their
+    * PII to placeholders. One hash-checked oracle end-to-end. */
+  def corpusPipelineV2(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.prepareV2(
+      withSyntheticPii(withSyntheticDups(Tables.documents(s, dir))))
+
   // ---- multimodal -----------------------------------------------------
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

@@ -32,7 +32,11 @@ object PiiRedact {
     * list, the operator shape does not change. */
   val PhoneRe: String = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
 
-  private def redacted(t: Column): Column =
+  /** The masked text as a column expression (exposed for pipeline
+    * composition — e.g. scrub BEFORE exact dedup, so per-document PII
+    * variance collapses to identical placeholders and true content
+    * duplicates stay exact duplicates). */
+  def redactedText(t: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(t, EmailRe, "<EMAIL>"),
@@ -51,7 +55,7 @@ object PiiRedact {
       .withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
       .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
       .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
-      .withColumn("text_redacted", redacted(t))
+      .withColumn("text_redacted", redactedText(t))
   }
 
   /** Per-document redaction projection: (doc_id, counts, masked text). */

@@ -26,6 +26,14 @@ object Repetition {
     filter(t, (tok, i) =>
       when(i === 0, lit(true)).otherwise(tok =!= element_at(t, i)))
 
+  /** Run-collapsed text from an ALREADY-PROJECTED token-array attribute.
+    * The token array MUST be aliased in a projection below (`.as("t")`,
+    * then pass `col("t")`) — handing the split/lower expression tree in
+    * directly would embed a copy of it inside the lambda's `element_at`,
+    * re-evaluating the whole upstream chain once per token (measured 8×
+    * on the m28 composite, where upstream is a triple-regex scrub). */
+  def collapseTokens(t: Column): Column = array_join(collapsed(t), " ")
+
   /** Per-document run-collapse: cleaned text plus repetition metrics.
     * Null text is excluded up front (the corpus contract; same policy as
     * Sessionize's null-ts rows) so engines that drop null groups and

@@ -21,4 +21,31 @@ class CorpusPipelineSpec extends SparkSpec {
     out.filter($"doc_id" === 1L).select("chunk_text").as[String].collect()(0) shouldBe base
     out.select("n_tokens").as[Long].collect().foreach(_ should be > 0L)
   }
+
+  test("v2: PII-variant copies dedup only AFTER the scrub (stage order is load-bearing)") {
+    val base = "the quick brown fox jumps over the lazy dog and then it runs to the barn for a rest"
+    // Same content, per-doc PII — NOT byte-identical before redaction.
+    val docs = Seq(
+      (1L, s"$base contact alice@corp.example from 10.0.0.1"),
+      (2L, s"$base contact bob@corp.example from 10.0.0.2"))
+      .toDF("doc_id", "text")
+    // v1 (no scrub): near-dup clustering catches them (shared shingles),
+    // but exact dedup alone does NOT — fingerprints differ.
+    val exactOnly = graft.dedup.ExactDedup.dedup(docs)
+    exactOnly.count() shouldBe 2
+    // v2: scrub collapses the PII to identical placeholders, the copies
+    // fingerprint identically, and one canonical doc survives.
+    val out = CorpusPipeline.prepareV2(docs)
+    out.select("doc_id").distinct().as[Long].collect() shouldBe Array(1L)
+    // placeholders made it into the shipped chunks (lowercased by collapse)
+    out.select("chunk_text").as[String].collect().mkString(" ") should include("<email>")
+  }
+
+  test("v2: repetition runs are collapsed in shipped chunks") {
+    val text = "the the the cat sat on a mat and it is a fine day for the cat " +
+      "to sit on the mat with a dog and the dog sat too"
+    val out = CorpusPipeline.prepareV2(Seq((1L, text)).toDF("doc_id", "text"))
+    val chunk = out.orderBy("chunk_idx").select("chunk_text").as[String].collect().head
+    chunk should startWith("the cat sat") // "the the the" collapsed
+  }
 }
