@@ -430,7 +430,7 @@ object SparkEntry {
         "GROUP BY 1 ORDER BY n DESC, gram LIMIT 20"),
     "m23_winnow_fingerprints" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
-        "FROM documents WHERE text IS NOT NULL), " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
         "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
         "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
         "h AS (SELECT doc_id, list_transform(gs, s -> md5(s)) AS hs FROM g), " +

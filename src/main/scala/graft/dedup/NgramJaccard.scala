@@ -83,7 +83,7 @@ object NgramJaccard {
     * whole text, empty doc → nothing): both gram forms below feed from it,
     * so their tokenization cannot drift apart (or from the m14/m18 oracle
     * SQL that replays it). */
-  private def forEachWordShingle(text: String, w: Int)(f: CharSequence => Unit): Unit = {
+  private[dedup] def forEachWordShingle(text: String, w: Int)(f: CharSequence => Unit): Unit = {
     if (text == null) return
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     var s = 0; var e = lower.length

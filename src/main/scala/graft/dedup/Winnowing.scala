@@ -42,7 +42,9 @@ object Winnowing {
     require(w > 0, "window must be positive")
     val toks = split(lower(trim(col(textCol))), " +")
     docs
-      .filter(col(textCol).isNotNull)
+      // empty/whitespace-only docs yield no fingerprints (shared policy
+      // with NgramJaccard — exact dedup owns the empty-content case).
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col("doc_id"), shingles(toks).as("gs"))
       .select(col("doc_id"),
         transform(col("gs"), s => md5(s.cast("binary"))).as("hs"))
@@ -55,34 +57,31 @@ object Winnowing {
       .select(col("doc_id"), explode(array_distinct(col("sel"))).as("fp"))
   }
 
-  /** One compiled pass per document: tokenize (exact split/trim parity
-    * with the Column form), shingle, md5, then sliding-window minimum via
-    * a monotonic deque — O(n) per doc instead of the Column form's
-    * O(n·w) re-hashing. Hex compare == SQL binary collation (ASCII). */
+  /** One compiled pass per document: shingle via NgramJaccard's ONE shared
+    * tokenize/shingle walk (so tokenization and the empty-doc policy
+    * cannot drift — empty/whitespace-only docs yield NO fingerprints,
+    * same as every other gram operator: a shared md5("") fingerprint
+    * would pair every blank doc with every other), md5, then
+    * sliding-window minimum via a monotonic deque — O(n) per doc instead
+    * of the Column form's O(n·w) re-hashing. Hex compare == SQL binary
+    * collation (ASCII). */
   private def winnowDoc(text: String, w: Int): Array[String] = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    // SQL trim strips 0x20 only (not Java whitespace).
-    var s = 0; var e = lower.length
-    while (s < e && lower.charAt(s) == ' ') s += 1
-    while (e > s && lower.charAt(e - 1) == ' ') e -= 1
-    val toks = lower.substring(s, e).split(" +", -1)
-    val grams: Array[String] =
-      if (toks.length < 3) Array(toks.mkString(" "))
-      else Array.tabulate(toks.length - 2)(i =>
-        toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hs = grams.map { g =>
+    val hsBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    NgramJaccard.forEachWordShingle(text, 3) { g =>
       md.reset()
-      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(g.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val sb = new java.lang.StringBuilder(32)
       d.foreach { b =>
         sb.append(Character.forDigit((b >> 4) & 0xf, 16))
         sb.append(Character.forDigit(b & 0xf, 16))
       }
-      sb.toString
+      hsBuf += sb.toString
     }
+    val hs = hsBuf.toArray
     val out = new java.util.LinkedHashSet[String]()
-    if (hs.length <= w) out.add(hs.min)
+    if (hs.isEmpty) ()
+    else if (hs.length <= w) out.add(hs.min)
     else {
       // monotonic deque of candidate minima (indices, increasing values)
       val dq = new java.util.ArrayDeque[Int]()

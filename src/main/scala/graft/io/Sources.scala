@@ -80,7 +80,12 @@ object Sources {
     * inference pass over 100 TB of JSON), with malformed lines quarantined
     * into `_corrupt_record` instead of failing the load: at corpus scale
     * a handful of truncated lines per shipment is normal, and the audit
-    * query over the quarantine column decides whether to fail the batch. */
+    * query over the quarantine column decides whether to fail the batch.
+    *
+    * Audit contract: Spark DISALLOWS queries whose only referenced column
+    * is the internal corrupt-record column on a raw JSON source — cache
+    * the frame (or land it in a table) before filtering on
+    * `_corrupt_record` alone, as the spec does. */
   def documentsJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(org.apache.spark.sql.Encoders.product[graft.schema.Document].schema

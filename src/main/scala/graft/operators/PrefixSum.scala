@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * bounds). Same snapshot policy as DedupClusters: the returned frame's
   * snapshot stays pinned until the session releases it (Bench/Verify
   * unpersist between queries).
+  *
+  * EAGER, by necessity: the per-partition offsets must exist before the
+  * result RDD can be defined, so calling this runs two jobs over the
+  * input immediately (the same contract as RDD.zipWithIndex and
+  * DedupClusters.components — not the lazy-frame norm). Don't build the
+  * plan speculatively; call it when the result will be consumed, and
+  * release snapshots afterwards in long-lived sessions.
   */
 object PrefixSum {
 

@@ -34,10 +34,21 @@ object StreamingCorpus {
   }
 
   /** Ingest-time exact dedup: drop any document whose content fingerprint
-    * was already seen within the watermark horizon. */
-  def dedupByContent(docs: DataFrame, horizon: String = "1 day"): DataFrame =
+    * was already seen within the watermark horizon. `textCol` names the
+    * content column to fingerprint — [[prepareStream]] passes the
+    * SCRUBBED text, mirroring batch v2's scrub-before-dedup order. */
+  def dedupByContent(docs: DataFrame, horizon: String = "1 day",
+                     textCol: String = "text"): DataFrame =
     docs
-      .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
       .withWatermark("arrival_ts", horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The composed streaming front door: gate → scrub → content dedup on
+    * the REDACTED text, so per-document PII variance collapses before
+    * fingerprinting (the batch prepareV2 ordering, at ingest time). */
+  def prepareStream(docs: DataFrame, minQuality: Double = 0.3,
+                    horizon: String = "1 day"): DataFrame =
+    dedupByContent(gateAndScrub(docs, minQuality), horizon,
+      textCol = "text_redacted")
 }

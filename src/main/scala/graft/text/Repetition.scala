@@ -30,7 +30,7 @@ object Repetition {
     * The token array MUST be aliased in a projection below (`.as("t")`,
     * then pass `col("t")`) — handing the split/lower expression tree in
     * directly would embed a copy of it inside the lambda's `element_at`,
-    * re-evaluating the whole upstream chain once per token (measured 8×
+    * re-evaluating the whole upstream chain once per token (measured 9×
     * on the m28 composite, where upstream is a triple-regex scrub). */
   def collapseTokens(t: Column): Column = array_join(collapsed(t), " ")
 

@@ -36,6 +36,24 @@ class StreamingCorpusSpec extends SparkSpec {
     streamed(0).getAs[String]("text_redacted") should (include("<EMAIL>") and include("<IP>"))
   }
 
+  test("composed chain: PII-variant copies dedup AFTER the scrub (v2 order, streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs to a barn"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingCorpus.prepareStream(input.toDF(), horizon = "1 hour")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("prepared").outputMode("append").start()
+    // Same content, distinct PII — identical only after redaction.
+    input.addData(StreamDoc(1L, ts(0), s"$base mail alice@corp.example"))
+    q.processAllAvailable()
+    input.addData(
+      StreamDoc(2L, ts(1), s"$base mail bob@corp.example"), // dup post-scrub
+      StreamDoc(3L, ts(2), junk))                           // gated out
+    q.processAllAvailable()
+    q.stop()
+    spark.table("prepared").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
   test("content dedup drops exact copies across micro-batches within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
