@@ -98,7 +98,8 @@ object SparkEntry {
     "m25_decontaminate" -> (CorpusQueries.decontaminate _),
     "m26_sequence_pack" -> (CorpusQueries.sequencePack _),
     "m27_token_budget" -> (CorpusQueries.tokenBudgetSample _),
-    "m28_corpus_pipeline_v2" -> (CorpusQueries.corpusPipelineV2 _)
+    "m28_corpus_pipeline_v2" -> (CorpusQueries.corpusPipelineV2 _),
+    "m29_incremental_dedup" -> (CorpusQueries.incrementalDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,9 +342,17 @@ object SparkEntry {
         "CAST(len(list_slice(t, i*40 + 1, i*40 + 50)) AS BIGINT) AS n_tokens " +
         "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
         "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM ctoks) x"),
+    "m29_incremental_dedup" ->
+      ("WITH seen AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 400), " +
+        "delta AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 " +
+        "UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id < 30), " +
+        "dd AS (SELECT doc_id, md5(text) AS fingerprint FROM delta " +
+        "WHERE doc_id IN (SELECT min(doc_id) FROM delta GROUP BY md5(text))) " +
+        "SELECT d.doc_id, d.fingerprint FROM dd d LEFT JOIN seen s USING (fingerprint) " +
+        "WHERE s.fingerprint IS NULL"),
     "m28_corpus_pipeline_v2" ->
       ("WITH RECURSIVE " + AugmentedDocsBody +
-        ", augpii AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        ", augpii AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||" +
         "'@mail.example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || " +
         "'.7 call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text " +
         "FROM aug WHERE text IS NOT NULL), " +

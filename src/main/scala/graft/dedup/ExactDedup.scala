@@ -30,4 +30,20 @@ object ExactDedup {
     val winners = groups(docs, textCol).select(col("doc_id"))
     docs.join(winners, Seq("doc_id"), "left_semi")
   }
+
+  /** Incremental admission — the daily path at 100 TB, where you never
+    * re-dedup the whole corpus: dedup the DELTA internally, then anti-join
+    * its fingerprints against the already-ingested index. `seen` is a
+    * frame with a `fingerprint` column (the running index table; append
+    * the admitted rows' fingerprints to it after each batch).
+    *
+    * Scale shape: only the delta is scanned; the anti-join shuffles
+    * (fingerprint, delta-row) against the index — both sides uniform
+    * 128-bit keys, and with the index table bucketed by fingerprint the
+    * exchange is one-sided. The corpus bodies never move. */
+  def admitNew(delta: DataFrame, seen: DataFrame,
+               textCol: String = "text"): DataFrame =
+    dedup(delta, textCol)
+      .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      .join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti")
 }

@@ -266,6 +266,22 @@ object CorpusQueries {
     graft.pipeline.CorpusPipeline.prepare(
       withSyntheticDups(Tables.documents(s, dir)))
 
+  /** Incremental exact dedup (m29): docs ≥ 400 plus replayed copies of
+    * already-ingested content play today's delta; docs < 400 play the
+    * running fingerprint index. Genuinely-new documents are admitted,
+    * replays are rejected without rescanning the corpus. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val seen = docs.filter(col("doc_id") < 400)
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
+      .distinct()
+    val delta = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    graft.dedup.ExactDedup.admitNew(delta, seen)
+      .select("doc_id", "fingerprint")
+  }
+
   /** The v2 composite (m28): gate → PII scrub → repetition collapse →
     * dedup → cluster → canonical → chunk, over a corpus where every doc
     * (including the planted copies) carries doc_id-distinct PII — so the

@@ -23,6 +23,20 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 3L, 4L, 5L)
   }
 
+  test("ExactDedup.admitNew: delta-internal dedup plus index rejection") {
+    val seen = Seq("already ingested one", "already ingested two")
+      .toDF("text").select(graft.text.TextOps.fingerprint($"text").as("fingerprint"))
+    val delta = Seq(
+      (100L, "brand new content"),
+      (101L, "brand new content"),     // in-delta copy → loses to 100
+      (102L, "already ingested one"),  // replay → rejected by the index
+      (103L, "also new")
+    ).toDF("doc_id", "text")
+    val admitted = ExactDedup.admitNew(delta, seen)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    admitted shouldBe Seq(100L, 103L)
+  }
+
   test("MinHashLSH finds exact and near duplicates, not unrelated docs") {
     val pairs = MinHashLSH.verifiedPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
