@@ -37,13 +37,20 @@ object ExactDedup {
     * frame with a `fingerprint` column (the running index table; append
     * the admitted rows' fingerprints to it after each batch).
     *
-    * Scale shape: only the delta is scanned; the anti-join shuffles
-    * (fingerprint, delta-row) against the index — both sides uniform
-    * 128-bit keys, and with the index table bucketed by fingerprint the
-    * exchange is one-sided. The corpus bodies never move. */
+    * Keys on the FINGERPRINT, not doc_id, so a delta assembled from
+    * shards with colliding doc_id sequences still admits each distinct
+    * content exactly once (a doc_id-keyed semi-join would silently keep
+    * every collision). One md5 pass; the in-delta dedup and the index
+    * anti-join share the fingerprint partitioning, so the delta bodies
+    * shuffle once and the corpus bodies never move. */
   def admitNew(delta: DataFrame, seen: DataFrame,
-               textCol: String = "text"): DataFrame =
-    dedup(delta, textCol)
+               textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fingerprint").orderBy("doc_id")
+    delta
       .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
       .join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti")
+  }
 }

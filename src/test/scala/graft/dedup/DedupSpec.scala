@@ -30,11 +30,13 @@ class DedupSpec extends SparkSpec {
       (100L, "brand new content"),
       (101L, "brand new content"),     // in-delta copy → loses to 100
       (102L, "already ingested one"),  // replay → rejected by the index
-      (103L, "also new")
+      (103L, "also new"),
+      (104L, "colliding id content"),  // shard id collision: same id,
+      (104L, "colliding id content")   // same content → admit ONCE
     ).toDF("doc_id", "text")
     val admitted = ExactDedup.admitNew(delta, seen)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    admitted shouldBe Seq(100L, 103L)
+    admitted shouldBe Seq(100L, 103L, 104L)
   }
 
   test("MinHashLSH finds exact and near duplicates, not unrelated docs") {
