@@ -99,7 +99,8 @@ object SparkEntry {
     "m26_sequence_pack" -> (CorpusQueries.sequencePack _),
     "m27_token_budget" -> (CorpusQueries.tokenBudgetSample _),
     "m28_corpus_pipeline_v2" -> (CorpusQueries.corpusPipelineV2 _),
-    "m29_incremental_dedup" -> (CorpusQueries.incrementalDedup _)
+    "m29_incremental_dedup" -> (CorpusQueries.incrementalDedup _),
+    "m30_cdc_chunking" -> (CorpusQueries.cdcChunkDocuments _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -342,6 +343,16 @@ object SparkEntry {
         "CAST(len(list_slice(t, i*40 + 1, i*40 + 50)) AS BIGINT) AS n_tokens " +
         "FROM (SELECT doc_id, t, unnest(generate_series(0, " +
         "CAST(floor((len(t) - 1) / 40) AS INT))) AS i FROM ctoks) x"),
+    "m30_cdc_chunking" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "w AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+        "f AS (SELECT doc_id, tok, ord, CASE WHEN ord > 1 AND substr(md5(tok), 1, 1) IN ('0','1') " +
+        "THEN 1 ELSE 0 END AS b FROM w), " +
+        "c AS (SELECT doc_id, tok, ord, sum(b) OVER (PARTITION BY doc_id ORDER BY ord) AS chunk_idx FROM f) " +
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+        "string_agg(tok, ' ' ORDER BY ord) AS chunk_text, count(*) AS n_tokens " +
+        "FROM c GROUP BY doc_id, chunk_idx"),
     "m29_incremental_dedup" ->
       ("WITH seen AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 400), " +
         "delta AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 " +

@@ -42,6 +42,11 @@ object CorpusQueries {
   def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     TextOps.chunk(Tables.documents(s, dir))
 
+  /** Content-defined chunking (m30) — edit-robust chunk boundaries from
+    * token hashes; the chunk-dedup companion to m16's fixed windows. */
+  def cdcChunkDocuments(s: SparkSession, dir: String): DataFrame =
+    graft.text.CdcChunk.chunks(Tables.documents(s, dir))
+
   /** Consecutive-duplicate-token collapse + repetition metrics (m19). */
   def repetitionCollapse(s: SparkSession, dir: String): DataFrame =
     graft.text.Repetition.collapseRuns(Tables.documents(s, dir))
