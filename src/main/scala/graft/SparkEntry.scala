@@ -100,7 +100,9 @@ object SparkEntry {
     "m27_token_budget" -> (CorpusQueries.tokenBudgetSample _),
     "m28_corpus_pipeline_v2" -> (CorpusQueries.corpusPipelineV2 _),
     "m29_incremental_dedup" -> (CorpusQueries.incrementalDedup _),
-    "m30_cdc_chunking" -> (CorpusQueries.cdcChunkDocuments _)
+    "m30_cdc_chunking" -> (CorpusQueries.cdcChunkDocuments _),
+    "m31_line_dedup" -> (CorpusQueries.lineDedup _),
+    "m32_bigram_novelty" -> (CorpusQueries.bigramNovelty _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -499,6 +501,36 @@ object SparkEntry {
         "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM n) " +
         "SELECT doc_id, source, n_tokens, cum_before FROM o WHERE cum_before < 500"),
+    "m31_line_dedup" ->
+      ("WITH b AS (SELECT doc_id, (CASE WHEN doc_id % 2 = 0 " +
+        "THEN 'this site uses cookies accept to continue' " +
+        "ELSE 'home products about contact' END) || chr(10) || text || chr(10) || " +
+        "'subscribe to our newsletter for updates' || chr(10) || " +
+        "'ref ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'copyright all rights reserved' AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b), " +
+        "l AS (SELECT doc_id, len(ls) AS n_lines, unnest(ls) AS line, " +
+        "unnest(range(0, len(ls))) AS line_no FROM sp), " +
+        "hv AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df " +
+        "FROM l GROUP BY 1) WHERE df >= 10), " +
+        "k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hv)) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean, " +
+        "CAST(max(n_lines) AS BIGINT) AS n_lines, " +
+        "CAST(max(n_lines) - count(*) AS BIGINT) AS n_dropped " +
+        "FROM k GROUP BY doc_id"),
+    "m32_bigram_novelty" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+        "b AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS gram FROM w), " +
+        "g AS (SELECT doc_id, gram FROM b WHERE gram IS NOT NULL), " +
+        "c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN cnt <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
+        "CAST(sum(CASE WHEN cnt <= 25 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_rate, " +
+        "avg(ln(cnt)) AS mean_log_freq " +
+        "FROM g JOIN c USING (gram) GROUP BY doc_id"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

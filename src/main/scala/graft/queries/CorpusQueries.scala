@@ -92,6 +92,34 @@ object CorpusQueries {
   def topBigrams(s: SparkSession, dir: String): DataFrame =
     topBigramsOver(Tables.documents(s, dir))
 
+  /** Deterministic multi-line augmentation for m31: the corpus text is
+    * single-line, so wrap each document in the boilerplate a web crawl
+    * carries — an alternating header, a newsletter plug, a unique ref
+    * line (guaranteed kept), and a copyright footer. A pure function of
+    * the input, so the oracle rebuilds the identical corpus in SQL. */
+  def withSyntheticLines(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat_ws("\n",
+        when(col("doc_id") % 2 === 0,
+          lit("this site uses cookies accept to continue"))
+          .otherwise(lit("home products about contact")),
+        col("text"),
+        lit("subscribe to our newsletter for updates"),
+        concat(lit("ref "), col("doc_id").cast("string")),
+        lit("copyright all rights reserved")))
+
+  /** Line-level boilerplate dedup (m31) over the line-augmented corpus:
+    * lines shared by ≥ 10 documents are struck, content survives. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.LineDedup.dedupLines(
+      withSyntheticLines(Tables.documents(s, dir)), minDocs = 10)
+
+  /** Bigram-frequency novelty scores (m32) — rareMax 25 puts ~25% of the
+    * sf0.01 corpus's bigram occurrences under the rare line, so both
+    * branches of the gate are exercised. */
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramNovelty.bigramNovelty(Tables.documents(s, dir), rareMax = 25)
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
