@@ -69,6 +69,42 @@ object QuotaSample {
       .select(col("key").as(keyCol), col("grp").as(groupCol), col("rk"))
   }
 
+  /** Temperature-smoothed source rebalance — the mix-building step between
+    * m21's hard cap and no cap at all: instead of truncating every group to
+    * a fixed quota, each group's target interpolates geometrically between
+    * its own size and the smallest group's (`target = ⌈√(n_g · min_n)⌉`,
+    * the T=2 point of the standard `n^(1/T)` temperature-sampling family).
+    * Large sources are downsampled toward the floor, small sources kept
+    * whole — the corpus mix flattens without starving any group.
+    *
+    * Determinism: targets derive from group counts via IEEE sqrt/ceil
+    * (correctly rounded, engine-portable — deliberately NOT pow, whose
+    * libm rounding varies); selection is rank-by-md5 as in [[quotaSample]].
+    *
+    * Scale shape: group counts are one partial-aggregated exchange; the
+    * target table is |groups| rows and broadcast; ranking shuffles
+    * (group, key, md5) triples only — never payloads. The heap prune does
+    * not apply (targets are data-dependent, not a small constant), so the
+    * rank window sorts each group's key skeleton; at warehouse scale the
+    * narrow projection is what keeps that sort cheap. */
+  def temperatureRebalance(df: DataFrame, groupCol: String,
+                           keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    val targets = counts.crossJoin(broadcast(minN))
+      .select(col("grp"),
+        ceil(sqrt((col("n") * col("min_n")).cast("double"))).cast("long").as("target"))
+    val w = Window.partitionBy("grp").orderBy(col("ord"), col("key"))
+    df.select(col(groupCol).cast("string").as("grp"),
+        col(keyCol).cast("long").as("key"),
+        md5(col(keyCol).cast("string").cast("binary")).as("ord"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(targets), Seq("grp"))
+      .filter(col("rk") <= col("target"))
+      .select(col("key").as(keyCol), col("grp").as(groupCol), col("rk"),
+        col("target"))
+  }
+
   /** Token-budget variant: keep rows per group, in the same deterministic
     * md5(key) order, while the tokens accumulated BEFORE a row stay under
     * `budget` — so each group lands within one document of its target mix

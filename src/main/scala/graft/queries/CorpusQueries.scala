@@ -120,6 +120,41 @@ object CorpusQueries {
   def bigramNovelty(s: SparkSession, dir: String): DataFrame =
     graft.text.NgramNovelty.bigramNovelty(Tables.documents(s, dir), rareMax = 25)
 
+  /** Temperature-smoothed mix rebalance (m34) over a deterministically
+    * SKEWED grouping — the corpus's sources are uniform, so the group key
+    * is the decimal-digit count of doc_id (sizes 10/90/400 at 500 docs),
+    * making the downsampling observable: the big group shrinks toward
+    * √(n·min) while the small group is kept whole. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QuotaSample.temperatureRebalance(
+      Tables.documents(s, dir).withColumn("domain",
+        concat(lit("d"), length(col("doc_id").cast("string")))),
+      groupCol = "domain", keyCol = "doc_id")
+
+  /** Per-source corpus composition report (m35): doc/token/char mass and
+    * an exact interpolated median — what a mix dashboard reads. One
+    * partial-aggregated exchange of (source, counters); the median is the
+    * only non-decomposable statistic and rides the same narrow rows. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
+    d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      min("n_tokens").as("min_tokens"),
+      max("n_tokens").as("max_tokens"),
+      (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"),
+      percentile(col("n_tokens"), lit(0.5)).as("median_tokens"),
+      sum("n_chars_c").as("total_chars"))
+  }
+
+  /** Deterministic global shuffle into 8 training shards (m36). */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ShuffleShards.shuffleShards(
+      Tables.documents(s, dir), keyCol = "doc_id", numShards = 8)
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
@@ -253,6 +288,17 @@ object CorpusQueries {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     Ann.lshTopK(all.filter(col("id") < 10), all, k = 5, numPlanes = 4)
+  }
+
+  /** SemDeDup-style semantic dedup (m33): k-means cells over the
+    * perturbed-dup corpus, within-cell cosine ≥ 0.99, drop the non-min id
+    * of each near-dup pair. Rows-only by design (quantizer internals are
+    * not SQL-expressible); SemanticDedupSpec pins planted-dup recall and
+    * precision against the exact brute-force pairs. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = withPerturbedDups(vectors(s, dir))
+    val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.similarity.SemanticDedup.dropNearDups(all, model, threshold = 0.99)
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
