@@ -102,7 +102,12 @@ object SparkEntry {
     "m29_incremental_dedup" -> (CorpusQueries.incrementalDedup _),
     "m30_cdc_chunking" -> (CorpusQueries.cdcChunkDocuments _),
     "m31_line_dedup" -> (CorpusQueries.lineDedup _),
-    "m32_bigram_novelty" -> (CorpusQueries.bigramNovelty _)
+    "m32_bigram_novelty" -> (CorpusQueries.bigramNovelty _),
+    "m33_semantic_dedup" -> (CorpusQueries.semanticDedup _),
+    "m34_temperature_mix" -> (CorpusQueries.temperatureMix _),
+    "m35_corpus_report" -> (CorpusQueries.corpusReport _),
+    "m36_shuffle_shards" -> (CorpusQueries.shuffleShards _),
+    "m37_ann_pq" -> (CorpusQueries.annPq _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,8 +416,48 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m05/m06/m07/m09/m10/m11 are intentionally omitted:
-    // hash-function/LSH internals aren't SQL-expressible → rows-only check.
+    // M8 oracles. m05/m06/m07/m09/m10/m12/m33/m37 are intentionally
+    // omitted: hash-function/LSH/quantizer internals aren't
+    // SQL-expressible → no-oracle (each recall/error-bounded by a spec).
+    "m11_multimodal" ->
+      ("WITH png AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        // 16×12 gray raster from the text bytes: pixel i (0..191) reads byte
+        // i % L; BT.601 integer luma of gray (v,v,v) is exactly v.
+        "lum AS (SELECT doc_id, CAST(sum(ascii(substr(text, CAST(i % L AS INT) + 1, 1))) AS DOUBLE) / 192.0 AS luma_mean " +
+        "FROM png CROSS JOIN range(0, 192) t(i) GROUP BY doc_id), " +
+        "op AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L, " +
+        "CAST(list_aggregate(list_transform(range(1, CAST(length(text) AS INT) + 1), " +
+        "i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum') AS DOUBLE) AS bsum " +
+        "FROM documents WHERE doc_id % 2 <> 0) " +
+        "SELECT doc_id, 'png' AS format, CAST(16 AS INTEGER) AS width, " +
+        "CAST(12 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, luma_mean, " +
+        "CAST(NULL AS BIGINT) AS opaque_bytes, CAST(NULL AS DOUBLE) AS opaque_mean FROM lum " +
+        "UNION ALL SELECT doc_id, 'binary', NULL, NULL, NULL, CAST(NULL AS DOUBLE), " +
+        "L, bsum / L FROM op"),
+    "m34_temperature_mix" ->
+      ("WITH d AS (SELECT doc_id, 'd' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS domain FROM documents), " +
+        "c AS (SELECT domain, count(*) AS n FROM d GROUP BY 1), " +
+        "m AS (SELECT min(n) AS min_n FROM c), " +
+        "t AS (SELECT domain, CAST(ceil(sqrt(CAST(n AS DOUBLE) * CAST(min_n AS DOUBLE))) AS BIGINT) AS target " +
+        "FROM c CROSS JOIN m), " +
+        "r AS (SELECT doc_id, domain, CAST(row_number() OVER (PARTITION BY domain " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM d) " +
+        "SELECT r.doc_id, r.domain, r.rk, t.target FROM r JOIN t USING (domain) " +
+        "WHERE rk <= target"),
+    "m35_corpus_report" ->
+      ("WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS n_chars_c, " +
+        "CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens, " +
+        "CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens, " +
+        "quantile_cont(n_tokens, 0.5) AS median_tokens, " +
+        "CAST(sum(n_chars_c) AS BIGINT) AS total_chars FROM d GROUP BY 1"),
+    "m36_shuffle_shards" ->
+      ("SELECT doc_id, CAST(rn - 1 AS BIGINT) AS pos, CAST((rn - 1) % 8 AS BIGINT) AS shard " +
+        "FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) t"),
     "m19_repetition_collapse" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -9,6 +9,11 @@ object Verify {
     // the driver's 2-arg invocation still sweeps everything).
     val Array(sfDir, outDir) = args.take(2)
     val subset = args.drop(2).toSet
+    // Fail loudly on a typo'd subset name (mirrors Bench's validation) —
+    // a silently-ignored name reads as "query passed" during triage.
+    val unknown = subset -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries in subset: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

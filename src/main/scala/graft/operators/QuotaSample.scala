@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,13 +87,24 @@ object QuotaSample {
     * not apply (targets are data-dependent, not a small constant), so the
     * rank window sorts each group's key skeleton; at warehouse scale the
     * narrow projection is what keeps that sort cheap. */
+  /** `⌈√(n · min_n)⌉` as a long. Each operand is cast to double BEFORE the
+    * multiply: two ~1e10 group counts overflow long×long (>9.2e18) at
+    * exactly the warehouse scale this targets — ANSI mode would kill the
+    * job, non-ANSI would silently produce a garbage target. double×double
+    * just loses ulps that sqrt's rounding ignores anyway. */
+  private[operators] def temperatureTarget(n: Column, minN: Column): Column =
+    ceil(sqrt(n.cast("double") * minN.cast("double"))).cast("long")
+
   def temperatureRebalance(df: DataFrame, groupCol: String,
                            keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n"))
+    // Group key cast to string HERE, identically to the ranking side below
+    // — both join keys must be built the same way, not left to implicit
+    // coercion (a native/string mismatch would ride a silent cast).
+    val counts = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
     val minN = counts.agg(min(col("n")).as("min_n"))
     val targets = counts.crossJoin(broadcast(minN))
-      .select(col("grp"),
-        ceil(sqrt((col("n") * col("min_n")).cast("double"))).cast("long").as("target"))
+      .select(col("grp"), temperatureTarget(col("n"), col("min_n")).as("target"))
     val w = Window.partitionBy("grp").orderBy(col("ord"), col("key"))
     df.select(col(groupCol).cast("string").as("grp"),
         col(keyCol).cast("long").as("key"),

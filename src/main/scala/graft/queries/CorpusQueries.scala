@@ -301,6 +301,18 @@ object CorpusQueries {
     graft.similarity.SemanticDedup.dropNearDups(all, model, threshold = 0.99)
   }
 
+  /** Product-quantized ADC top-k (m37): train codebooks on the corpus,
+    * encode to 8 codes/vector (8 bytes vs 256 raw — the compressed store
+    * that fits a 100 TB embedding set in executor memory), search by
+    * per-query lookup tables. Rows-only by design (codebook internals are
+    * not SQL-expressible); PqSpec pins recall vs the exact baseline. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.Pq.train(all, m = 8, ksub = 16, iters = 4)
+    graft.similarity.Pq.adcTopK(all.filter(col("id") < 10),
+      graft.similarity.Pq.encode(all, model), model, k = 5)
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
@@ -372,6 +384,18 @@ object CorpusQueries {
 
   // ---- multimodal -----------------------------------------------------
 
+  /** Multimodal feature extraction (m11), projected to the columns a SQL
+    * oracle can replay exactly: the PNG path's header metadata and pixel
+    * luma mean (the encoder renders gray rasters from the text bytes, and
+    * integer BT.601 luma of gray (v,v,v) is v, so the mean is a pure
+    * function of the text), and the opaque path's byte count and mean
+    * (the corpus is ASCII, so bytes are character codes). The
+    * encoder-dependent fields (PNG n_bytes, head_hash, thumb) stay
+    * spec-pinned in MultimodalSpec — deflate output is not SQL. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("channels"), col("luma_mean"),
+        when(col("format") === "binary", col("n_bytes")).as("opaque_bytes"),
+        when(col("format") === "binary", col("byte_mean")).as("opaque_mean"))
 }

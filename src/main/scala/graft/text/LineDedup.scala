@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   *  - the frequency pass exchanges (line-hash, doc-count partials) only —
   *    8-byte xxhash64 keys, never line text — after per-doc distinct (a
   *    document repeating its own line must not promote it to boilerplate);
-  *  - the boilerplate set is SMALL BY CONSTRUCTION: every surviving hash
-  *    has ≥ `minDocs` occurrences, so |heavy| ≤ total_lines / minDocs —
-  *    broadcast into a left_anti join, no second full-corpus shuffle;
+  *  - the boilerplate set is bounded (every surviving hash has ≥ `minDocs`
+  *    occurrences, so |heavy| ≤ total_lines / minDocs) but NOT small by
+  *    construction — a boilerplate-heavy crawl at 100 TB can leave
+  *    billions of distinct heavy hashes, so the anti-join hint is left to
+  *    AQE's runtime size statistics: broadcast when the set is actually
+  *    small, shuffled left_anti otherwise (a forced broadcast here is a
+  *    driver OOM waiting for the wrong corpus);
   *  - reassembly groups surviving lines by doc_id — the one text-carrying
   *    exchange, bounded by the already-cleaned output size.
   *
@@ -50,7 +54,7 @@ object LineDedup {
       .select("h")
     lines
       .withColumn("h", xxhash64(col("line")))
-      .join(broadcast(heavy), Seq("h"), "left_anti")
+      .join(heavy, Seq("h"), "left_anti")
       .groupBy("doc_id")
       .agg(
         // Order-preserving reassembly without a window: sort the (line_no,

@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   *    when it is not — never a cross product;
   *  - the per-doc aggregation collapses map-side because explode keeps a
   *    document's grams inside one partition, so the doc_id exchange
-  *    carries one row per document, not per gram.
+  *    carries one row per document, not per gram;
+  *  - the gram subtree IS evaluated twice (once under the count agg, once
+  *    as the join's stream side) — deliberate: the alternative is
+  *    persisting the exploded gram stream, which is ~n_tokens× the corpus
+  *    text and would spill at exactly the scale this targets, while the
+  *    recompute is a whole-stage-codegen projection straight off the
+  *    column-pruned scan. Recompute-over-materialize is the same call
+  *    Spark's own planner makes by not auto-caching shared subtrees.
   */
 object NgramNovelty {
 

@@ -65,6 +65,35 @@ class QuotaSampleSpec extends SparkSpec {
     bySource("c") shouldBe 1
   }
 
+  test("temperatureRebalance: big groups shrink toward sqrt(n*min), small kept whole") {
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 109).map(i => (i.toLong, "small"))).toDF("doc_id", "domain")
+    val r = QuotaSample.temperatureRebalance(df, "domain", "doc_id").collect()
+    val byGroup = r.groupBy(_.getAs[String]("domain")).view.mapValues(_.length).toMap
+    byGroup("big") shouldBe 30 // ceil(sqrt(100*9))
+    byGroup("small") shouldBe 9 // min group survives intact
+    r.foreach(row => row.getAs[Long]("rk") should be <= row.getAs[Long]("target"))
+  }
+
+  test("temperatureRebalance: target arithmetic survives 1e10 group counts") {
+    // long×long of two ~1e10 counts overflows (>9.2e18) — the target must
+    // be computed in double space. ANSI mode turns the overflow into an
+    // error, so a wrong expression FAILS here rather than silently lying.
+    val target = spark.range(1)
+      .select(QuotaSample.temperatureTarget(lit(20000000000L), lit(15000000000L)))
+      .as[Long].collect()(0)
+    target shouldBe math.ceil(math.sqrt(2.0e10 * 1.5e10)).toLong // 17320508076
+  }
+
+  test("temperatureRebalance: numeric group column joins symmetrically") {
+    // Both sides of the targets join must build the string key the same
+    // way — a native-vs-string mismatch would ride implicit coercion.
+    val df = (0 until 60).map(i => (i.toLong, (i % 3).toLong)).toDF("doc_id", "bucket")
+    val r = QuotaSample.temperatureRebalance(df, "bucket", "doc_id").collect()
+    r.length shouldBe 60 // uniform groups: target = n, everything kept
+    r.map(_.getAs[String]("bucket")).toSet shouldBe Set("0", "1", "2")
+  }
+
   test("tokenBudgetSample: deterministic across partitionings") {
     val df = (0 until 200).map(i => (i.toLong, s"s${i % 5}", (i % 17 + 1).toLong))
       .toDF("doc_id", "source", "n_tokens")
