@@ -107,7 +107,8 @@ object SparkEntry {
     "m34_temperature_mix" -> (CorpusQueries.temperatureMix _),
     "m35_corpus_report" -> (CorpusQueries.corpusReport _),
     "m36_shuffle_shards" -> (CorpusQueries.shuffleShards _),
-    "m37_ann_pq" -> (CorpusQueries.annPq _)
+    "m37_ann_pq" -> (CorpusQueries.annPq _),
+    "m38_ann_ivfpq" -> (CorpusQueries.annIvfPq _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -416,7 +417,7 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m05/m06/m07/m09/m10/m12/m33/m37 are intentionally
+    // M8 oracles. m05/m06/m07/m09/m10/m12/m33/m37/m38 are intentionally
     // omitted: hash-function/LSH/quantizer internals aren't
     // SQL-expressible → no-oracle (each recall/error-bounded by a spec).
     "m11_multimodal" ->

@@ -313,6 +313,17 @@ object CorpusQueries {
       graft.similarity.Pq.encode(all, model), model, k = 5)
   }
 
+  /** IVF-PQ top-k (m38): the composed billion-scale index — coarse cells
+    * bound which rows a probe scans, residual PQ codes bound what each row
+    * costs. Rows-only by design; IvfPqSpec pins full-probe recall, the
+    * nprobe cell bound, and residual-vs-raw codebook quality. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.IvfPq.train(all, nlist = 16, m = 8, ksub = 16)
+    graft.similarity.IvfPq.topK(all.filter(col("id") < 10),
+      graft.similarity.IvfPq.encode(all, model), model, k = 5, nprobe = 4)
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)

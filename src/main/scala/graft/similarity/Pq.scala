@@ -59,12 +59,12 @@ object Pq {
     }
   }
 
-  private def sliceOf(v: Array[Double], s: Int, dsub: Int): Array[Double] = {
+  private[similarity] def sliceOf(v: Array[Double], s: Int, dsub: Int): Array[Double] = {
     val from = s * dsub
     java.util.Arrays.copyOfRange(v, from, math.min(from + dsub, v.length))
   }
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+  private[similarity] def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -73,7 +73,7 @@ object Pq {
 
   /** Driver-side Lloyd's with greedy farthest-point init — the per-subspace
     * trainer. Deterministic: init and assignment tie-breaks are ordinal. */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Seq[Seq[Double]] = {
+  private[similarity] def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Seq[Seq[Double]] = {
     if (points.isEmpty) return Seq.empty
     // Farthest-point seeding (same rationale as Ivf.train: random seeding
     // can drop every centroid into one dense cluster).
