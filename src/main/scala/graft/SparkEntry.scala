@@ -108,7 +108,11 @@ object SparkEntry {
     "m35_corpus_report" -> (CorpusQueries.corpusReport _),
     "m36_shuffle_shards" -> (CorpusQueries.shuffleShards _),
     "m37_ann_pq" -> (CorpusQueries.annPq _),
-    "m38_ann_ivfpq" -> (CorpusQueries.annIvfPq _)
+    "m38_ann_ivfpq" -> (CorpusQueries.annIvfPq _),
+    "m39_train_val_test" -> (CorpusQueries.trainValTestSplit _),
+    // m40 has no oracle by design: BPE's iterative merge loop isn't SQL;
+    // BpeSpec pins the textbook merge sequence, round-trip, and bounds.
+    "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -459,6 +463,10 @@ object SparkEntry {
       ("SELECT doc_id, CAST(rn - 1 AS BIGINT) AS pos, CAST((rn - 1) % 8 AS BIGINT) AS shard " +
         "FROM (SELECT doc_id, row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
         "FROM documents) t"),
+    "m39_train_val_test" ->
+      ("SELECT doc_id, source, " +
+        graft.operators.HashSplit.oracleSqlExpr("doc_id", CorpusQueries.SplitFractions) +
+        " AS split FROM documents"),
     "m19_repetition_collapse" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

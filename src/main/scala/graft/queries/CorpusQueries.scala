@@ -155,6 +155,32 @@ object CorpusQueries {
     graft.operators.ShuffleShards.shuffleShards(
       Tables.documents(s, dir), keyCol = "doc_id", numShards = 8)
 
+  /** The split fractions shared by the m39 query and its oracle. */
+  val SplitFractions: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic 80/10/10 train/val/test assignment (m39): per-key hash
+    * thresholds, so growing the corpus never reassigns a surviving doc —
+    * the property that keeps eval sets stable across ingests. */
+  def trainValTestSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HashSplit.assign(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      keyCol = "doc_id", fractions = SplitFractions)
+
+  /** BPE tokenizer-token accounting (m40): train merges on the corpus
+    * sample, then count real tokenizer tokens per document — the number a
+    * token-budget mix builder actually needs (m27's whitespace count is
+    * the estimate). The merge budget is sized BELOW the corpus's ~31-word
+    * vocabulary's full-merge point so the output shows genuine subword
+    * structure (200 merges would collapse every word to one token and
+    * prove nothing). Rows-only by design (iterative merges aren't SQL);
+    * BpeSpec pins the textbook merge sequence and round-trip. */
+  def bpeTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.Bpe.train(docs, nMerges = 40)
+    graft.text.Bpe.tokenStats(docs, model)
+  }
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))

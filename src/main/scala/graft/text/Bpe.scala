@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding — the real tokenizer behind every LLM data budget.
+  * The whitespace and regex token counts (m01/m27) are estimates; training
+  * mixes are specified in TOKENIZER tokens, so a budget operator that
+  * can't count them can't hit its targets. This is the standard
+  * subword-merge algorithm (Sennrich et al. 2016, public): train learns a
+  * ranked merge list from word frequencies; encode greedily applies the
+  * lowest-rank merge until none applies.
+  *
+  * Scale shape:
+  *  - TRAIN is driver-side over a BOUNDED deterministic sample (smallest
+  *    xxhash64(doc_id) — the [[graft.similarity.Ivf.train]] recipe): BPE
+  *    statistics saturate quickly, which is why production tokenizers
+  *    train on a corpus slice, never the corpus;
+  *  - the fitted model is the ranked merge list — a few thousand string
+  *    pairs shipped in the encode closure like any fitted quantizer;
+  *  - ENCODE is embarrassingly parallel: one map over documents, no
+  *    shuffle, with a per-partition word→tokens memo (Zipf's law makes the
+  *    hit rate enormous — the amortization that keeps encode CPU-bound on
+  *    rare words only).
+  *
+  * Determinism: merge selection breaks frequency ties on the
+  * lexicographically smallest pair, so the model is a pure function of the
+  * sample; encode is a pure function of (model, word).
+  */
+object Bpe {
+
+  /** End-of-word marker — a separate symbol, so merges can distinguish
+    * "er" mid-word from "er" at word end (standard BPE). */
+  val Eow = "</w>"
+
+  final case class Model(merges: Seq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  private def toSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ Eow
+
+  /** Greedy encode of one word: repeatedly merge the lowest-rank adjacent
+    * pair. O(len²·merges-applied) worst case, cached per word by callers. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = toSymbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue; var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        // Merge EVERY occurrence of the chosen pair, left to right.
+        val (a, b) = (syms(bestAt), syms(bestAt + 1))
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Learn `nMerges` ranked merges from a bounded deterministic sample of
+    * `docs`. Words are lowercase whitespace tokens (the corpus contract
+    * shared by every text operator here). */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+            sampleDocs: Int = 4096): Model = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val texts = docs.filter(col(textCol).isNotNull)
+      .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
+      .limit(sampleDocs)
+      .select(lower(trim(col(textCol)))).collect().map(_.getString(0))
+    val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach(_.split(" +").foreach { w =>
+      if (w.nonEmpty) wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
+    })
+    var words = wordFreq.iterator.map { case (w, f) => (toSymbols(w), f) }.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // Max count, ties on the lexicographically smallest pair.
+        val best = pairCounts.iterator.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val (a, b) = best
+        words = words.map { case (syms, f) =>
+          if (!syms.indices.init.exists(i => syms(i) == a && syms(i + 1) == b)) (syms, f)
+          else {
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += (a + b); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), f)
+          }
+        }
+        step += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Per-document tokenizer-token accounting: (doc_id, n_words, n_chars,
+    * n_bpe_tokens, bpe_per_word) — what a token-budget mix builder reads.
+    * One shuffle-free map; the merge table rides the closure; a
+    * per-partition word memo amortizes repeated words. */
+  def tokenStats(docs: DataFrame, model: Model,
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = model.ranks
+    val narrowed = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id").cast("long"), lower(trim(col(textCol))))
+      .as[(Long, String)]
+    narrowed.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map { case (id, text) =>
+        val ws = text.split(" +").filter(_.nonEmpty)
+        var bpe = 0L
+        ws.foreach { w =>
+          bpe += memo.getOrElseUpdate(w, encodeWord(w, ranks).length)
+        }
+        val nWords = ws.length.toLong
+        (id, nWords, text.length.toLong, bpe,
+          if (nWords == 0) 0.0 else bpe.toDouble / nWords)
+      }
+    }.toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "bpe_per_word")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The Sennrich et al. worked example: {low:5, lower:2, newest:6, widest:3}.
+  private lazy val classic = Seq(
+    (0L, ("low " * 5).trim),
+    (1L, ("lower " * 2).trim),
+    (2L, ("newest " * 6).trim),
+    (3L, ("widest " * 3).trim)
+  ).toDF("doc_id", "text")
+
+  test("learns the textbook merge sequence on the classic corpus") {
+    val model = Bpe.train(classic, nMerges = 3)
+    // (e,s) ties (s,t) and (t,</w>) at 9 — lexicographic tie-break picks
+    // (e,s); then (es,t) at 9; then (est,</w>) at 9.
+    model.merges shouldBe Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow))
+  }
+
+  test("encode round-trips: concatenated tokens reconstruct the word") {
+    val model = Bpe.train(classic, nMerges = 10)
+    Seq("low", "lower", "newest", "widest", "lowest", "unseen").foreach { w =>
+      val toks = Bpe.encodeWord(w, model.ranks)
+      toks.mkString.stripSuffix(Bpe.Eow) shouldBe w
+    }
+  }
+
+  test("subword generalization: 'lowest' reuses merges from 'low'+'est'") {
+    val model = Bpe.train(classic, nMerges = 10)
+    val toks = Bpe.encodeWord("lowest", model.ranks)
+    // 'est</w>' was learned from newest/widest, 'low' from low/lower —
+    // the unseen word tokenizes into known subwords, not characters.
+    toks should contain("est" + Bpe.Eow)
+    toks.length should be < "lowest".length + 1
+  }
+
+  test("training is deterministic and bounded by available pairs") {
+    Bpe.train(classic, 10) shouldBe Bpe.train(classic, 10)
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    // "ab</w>" exhausts after 2 merges; asking for more must not loop.
+    Bpe.train(tiny, 100).merges.length shouldBe 2
+  }
+
+  test("tokenStats counts tokenizer tokens, not whitespace words") {
+    val model = Bpe.train(classic, nMerges = 10)
+    val stats = Bpe.tokenStats(classic, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    // doc 2 = "newest" ×6: with est</w> + n/e/w merges available the word
+    // is ≤ 4 tokens, and every word tokenizes identically.
+    val (nWords, bpe, perWord) = stats(2L)
+    nWords shouldBe 6
+    bpe % 6 shouldBe 0
+    perWord shouldBe bpe.toDouble / 6
+    // More merges never increase the token count.
+    val coarse = Bpe.tokenStats(classic, Bpe.Model(Seq.empty)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    stats.foreach { case (id, (_, b, _)) => b should be <= coarse(id) }
+  }
+
+  test("zero merges tokenizes to characters + end-of-word") {
+    Bpe.encodeWord("abc", Map.empty) shouldBe Vector("a", "b", "c", Bpe.Eow)
+  }
+
+  test("encode plan is shuffle-free") {
+    val model = Bpe.train(classic, 5)
+    Bpe.tokenStats(classic, model).queryExecution.executedPlan.toString should
+      not include "Exchange"
+  }
+}
