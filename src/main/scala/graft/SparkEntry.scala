@@ -112,7 +112,8 @@ object SparkEntry {
     "m39_train_val_test" -> (CorpusQueries.trainValTestSplit _),
     // m40 has no oracle by design: BPE's iterative merge loop isn't SQL;
     // BpeSpec pins the textbook merge sequence, round-trip, and bounds.
-    "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _)
+    "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _),
+    "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _)
   )
 
   def oracleSql: Map[String, String] = Map(

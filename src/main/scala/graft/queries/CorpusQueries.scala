@@ -350,6 +350,22 @@ object CorpusQueries {
       graft.similarity.IvfPq.encode(all, model), model, k = 5, nprobe = 4)
   }
 
+  /** Cluster-balanced sampling (m41): the diversity-preserving downsample
+    * — quota per EMBEDDING cluster instead of per source label, so no
+    * semantic region of the corpus is wiped out by a count-based cut (the
+    * SemDeDup-era sibling of m21's source quota). Pure composition:
+    * [[graft.similarity.Ivf]] cells feed [[graft.operators.QuotaSample]]'s
+    * pruned sampler; the exchange carries (cell, id, md5) triples only.
+    * Rows-only by design (quantizer); the components are each spec-pinned
+    * and the composition is shape-checked in ClusterQuotaSpec. */
+  def clusterQuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.operators.QuotaSample.quotaSample(
+      all.select(col("id"), graft.similarity.Ivf.cellId(col("vec"), model).as("cell")),
+      groupCol = "cell", keyCol = "id", cap = 10)
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
