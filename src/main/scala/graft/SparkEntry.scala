@@ -113,7 +113,8 @@ object SparkEntry {
     // m40 has no oracle by design: BPE's iterative merge loop isn't SQL;
     // BpeSpec pins the textbook merge sequence, round-trip, and bounds.
     "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _),
-    "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _)
+    "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _),
+    "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -468,6 +469,18 @@ object SparkEntry {
       ("SELECT doc_id, source, " +
         graft.operators.HashSplit.oracleSqlExpr("doc_id", CorpusQueries.SplitFractions) +
         " AS split FROM documents"),
+    "m42_repeated_windows" ->
+      (AugmentedDocs +
+        ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) <= 30 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 30), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 30), ' ')) END AS ws FROM toks), " +
+        "x AS (SELECT doc_id, unnest(ws) AS wtext, unnest(range(0, len(ws))) AS widx FROM w), " +
+        "f AS (SELECT doc_id, CAST(widx AS BIGINT) AS window_idx, md5(wtext) AS fp FROM x), " +
+        "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
+        "WHERE df >= 2) " +
+        "SELECT doc_id, window_idx, fp FROM f JOIN rep USING (fp)"),
     "m19_repetition_collapse" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -181,6 +181,12 @@ object CorpusQueries {
     graft.text.Bpe.tokenStats(docs, model)
   }
 
+  /** Cross-doc repeated 30-token windows (m42) over the augmented corpus
+    * — the exact-substring dedup signal at window granularity. */
+  def repeatedWindows(s: SparkSession, dir: String): DataFrame =
+    graft.text.RepeatedWindows.flag(
+      withSyntheticDups(Tables.documents(s, dir)), w = 30)
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+
+class RepeatedWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a shared run ≥ w tokens is flagged in every document carrying it") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "completely unrelated content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val flagged = RepeatedWindows.flag(docs, w = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // The 9-token shared run yields exactly one 9-token window per doc:
+    // at token offset 2 in doc 1, offset 0 in doc 2.
+    flagged.toSet shouldBe Set((1L, 2L), (2L, 0L))
+  }
+
+  test("within-document repetition does not self-promote") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam eggs"),
+      (2L, "totally different words in this one entirely unrelated")
+    ).toDF("doc_id", "text")
+    // Doc 1 repeats its own 2-token window many times, but no OTHER doc
+    // shares it — nothing flags.
+    RepeatedWindows.flag(docs, w = 2).count() shouldBe 0
+  }
+
+  test("documents shorter than w flag as whole-text duplicates") {
+    val docs = Seq(
+      (1L, "tiny dup"), (2L, "tiny dup"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val flagged = RepeatedWindows.flag(docs, w = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    flagged shouldBe Set((1L, 0L), (2L, 0L))
+  }
+
+  test("minDocs raises the bar") {
+    val docs = Seq(
+      (1L, "common phrase here"), (2L, "common phrase here"),
+      (3L, "common phrase here"), (4L, "a pair only shared line"),
+      (5L, "a pair only shared line")
+    ).toDF("doc_id", "text")
+    val strict = RepeatedWindows.flag(docs, w = 3, minDocs = 3).collect()
+      .map(_.getLong(0)).toSet
+    strict shouldBe Set(1L, 2L, 3L)
+  }
+
+  test("guards") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy RepeatedWindows.flag(docs, 0)
+    an[IllegalArgumentException] should be thrownBy
+      RepeatedWindows.flag(docs, 3, minDocs = 1)
+  }
+}
