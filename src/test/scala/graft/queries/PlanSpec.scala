@@ -87,4 +87,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("BroadcastNestedLoopJoin")
     p should include("Window")
   }
+
+  test("m35: corpus report is ONE partial-aggregated exchange over pruned columns") {
+    val p = plan(CorpusQueries.corpusReport(spark, dir))
+    "Exchange".r.findAllIn(p).size shouldBe 1
+    p.toLowerCase should include("partial") // map-side combine before it
+    p should include("ReadSchema: struct<text:string,source:string>")
+  }
+
+  test("m34: temperature mix scans only doc_id; the targets join broadcasts") {
+    val df = CorpusQueries.temperatureMix(spark, dir)
+    df.collect() // let AQE finalize strategies
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ReadSchema: struct<doc_id:bigint>") // domain derives from it
+    p should include("BroadcastHashJoin")
+  }
+
+  test("m42: repeated-window frequency pass partial-aggregates and never globally sorts") {
+    val p = plan(CorpusQueries.repeatedWindows(spark, dir))
+    p.toLowerCase should include("partial")
+    (p should not).include("rangepartitioning") // no global sort anywhere
+    (p should not).include("CartesianProduct")
+  }
 }
