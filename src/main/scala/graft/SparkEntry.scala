@@ -114,7 +114,8 @@ object SparkEntry {
     // BpeSpec pins the textbook merge sequence, round-trip, and bounds.
     "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _),
     "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _),
-    "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _)
+    "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _),
+    "m43_lm_perplexity" -> (CorpusQueries.lmPerplexity _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -599,6 +600,20 @@ object SparkEntry {
         "CAST(sum(CASE WHEN cnt <= 25 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_rate, " +
         "avg(ln(cnt)) AS mean_log_freq " +
         "FROM g JOIN c USING (gram) GROUP BY doc_id"),
+    "m43_lm_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+        "p AS (SELECT doc_id, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM w), " +
+        "g AS (SELECT doc_id, a, b FROM p WHERE b IS NOT NULL), " +
+        "c AS (SELECT a, b, count(*) AS cab FROM g GROUP BY 1, 2), " +
+        "ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
+        "(SELECT a AS tok FROM c UNION SELECT b FROM c)), " +
+        "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
+        "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

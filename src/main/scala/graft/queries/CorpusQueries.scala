@@ -187,6 +187,13 @@ object CorpusQueries {
     graft.text.RepeatedWindows.flag(
       withSyntheticDups(Tables.documents(s, dir)), w = 30)
 
+  /** Bigram-LM self-perplexity (m43): add-α cross-entropy per document —
+    * the statistic CCNet-style quality gates threshold on. minCount stays
+    * 1 here so the oracle replays exactly; at 100 TB the singleton tail
+    * would be pruned (the α backoff absorbs the pruned mass). */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.selfPerplexity(Tables.documents(s, dir), alpha = 0.5)
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
