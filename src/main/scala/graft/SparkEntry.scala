@@ -115,7 +115,8 @@ object SparkEntry {
     "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _),
     "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _),
     "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _),
-    "m43_lm_perplexity" -> (CorpusQueries.lmPerplexity _)
+    "m43_lm_perplexity" -> (CorpusQueries.lmPerplexity _),
+    "m44_snapshot_diff" -> (CorpusQueries.snapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -614,6 +615,18 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    "m44_snapshot_diff" ->
+      ("WITH newd AS (SELECT doc_id, md5(coalesce(text, '')) AS new_fp FROM documents), " +
+        "old AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 3 " +
+        "THEN 'zz' || substr(text, 3) ELSE text END, '')) AS old_fp " +
+        "FROM documents WHERE doc_id % 10 <> 7 " +
+        "UNION ALL SELECT doc_id + 30000, md5(coalesce(text, '')) " +
+        "FROM documents WHERE doc_id < 25) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp, " +
+        "CASE WHEN o.old_fp IS NULL THEN 'added' " +
+        "WHEN n.new_fp IS NULL THEN 'removed' " +
+        "WHEN o.old_fp = n.new_fp THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM old o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

@@ -187,6 +187,23 @@ object CorpusQueries {
     graft.text.RepeatedWindows.flag(
       withSyntheticDups(Tables.documents(s, dir)), w = 30)
 
+  /** Snapshot diff (m44): the current corpus plays the NEW snapshot; the
+    * OLD one is derived deterministically so every status is exercised —
+    * doc_id%10==7 absent from old ("added"), %10==3 text-mutated in old
+    * ("changed"), and 25 old-only rows at doc_id+30000 ("removed"; the
+    * offset clears every SF's id range). A pure function of the input, so
+    * the oracle rebuilds the identical snapshots in SQL. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val older = docs.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 10 === 3,
+        concat(lit("zz"), substring(col("text"), 3, 1000000)))
+        .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 30000))
+    graft.operators.SnapshotDiff.diff(older, docs, keyCol = "doc_id")
+  }
+
   /** Bigram-LM self-perplexity (m43): add-α cross-entropy per document —
     * the statistic CCNet-style quality gates threshold on. minCount stays
     * 1 here so the oracle replays exactly; at 100 TB the singleton tail
