@@ -116,7 +116,8 @@ object SparkEntry {
     "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _),
     "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _),
     "m43_lm_perplexity" -> (CorpusQueries.lmPerplexity _),
-    "m44_snapshot_diff" -> (CorpusQueries.snapshotDiff _)
+    "m44_snapshot_diff" -> (CorpusQueries.snapshotDiff _),
+    "m45_tfidf_topterms" -> (CorpusQueries.tfidfTopTerms _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -627,6 +628,19 @@ object SparkEntry {
         "WHEN n.new_fp IS NULL THEN 'removed' " +
         "WHEN o.old_fp = n.new_fp THEN 'unchanged' ELSE 'changed' END AS status " +
         "FROM old o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id"),
+    "m45_tfidf_topterms" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf), " +
+        "s AS (SELECT doc_id, term, tf, tf * ln((nd + 1.0) / (df + 1.0)) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tf * ln((nd + 1.0) / (df + 1.0)) DESC, term) AS rank " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score " +
+        "FROM s WHERE rank <= 3"),
     "m01_text_stats" ->
       (TextStatsBase +
         "SELECT doc_id, CAST(n_chars_c AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words, " +

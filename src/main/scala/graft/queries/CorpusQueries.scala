@@ -204,6 +204,10 @@ object CorpusQueries {
     graft.operators.SnapshotDiff.diff(older, docs, keyCol = "doc_id")
   }
 
+  /** Per-doc TF-IDF top-3 terms (m45) — document keyword extraction. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTerms(Tables.documents(s, dir), k = 3)
+
   /** Bigram-LM self-perplexity (m43): add-α cross-entropy per document —
     * the statistic CCNet-style quality gates threshold on. minCount stays
     * 1 here so the oracle replays exactly; at 100 TB the singleton tail

@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document TF-IDF keyword extraction — the top-k most characteristic
+  * terms of each document (m13's corpus-level vocabulary turned per-doc):
+  * what a corpus browser shows as document tags, and the cheap feature a
+  * domain classifier trains on.
+  *
+  * Scale shape (100 TB):
+  *  - the token stream collapses to the (doc_id, term, tf) table map-side
+  *    (explode keeps a document's tokens inside one partition), so the
+  *    first exchange carries distinct terms per doc, not tokens;
+  *  - document frequency and the corpus doc count both DERIVE from that
+  *    tf table (a re-aggregation on term, and a 1-row distinct-count
+  *    cross-joined in) — the text is never re-walked;
+  *  - the df table is vocabulary-sized and BROADCAST into the scoring
+  *    join, so tf rows never shuffle for the lookup;
+  *  - the top-k window partitions by doc_id — rank truncation happens
+  *    inside each partition (Spark's WindowExec filters rank<=k before
+  *    materializing further), and k is a constant, so the output is
+  *    k rows per doc.
+  * Ties break score DESC then term ASC — deterministic across engines.
+  */
+object TfIdf {
+
+  /** (doc_id, rank, term, tf, score) with rank ≤ k per document;
+    * score = tf · ln((N+1)/(df+1)), N = docs with ≥1 token. */
+  def topTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col(textCol))), " +")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    val score = col("tf").cast("double") *
+      log((col("nd") + 1.0) / (col("df").cast("double") + 1.0))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "score")
+  }
+}
