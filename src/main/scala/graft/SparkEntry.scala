@@ -117,7 +117,8 @@ object SparkEntry {
     "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _),
     "m43_lm_perplexity" -> (CorpusQueries.lmPerplexity _),
     "m44_snapshot_diff" -> (CorpusQueries.snapshotDiff _),
-    "m45_tfidf_topterms" -> (CorpusQueries.tfidfTopTerms _)
+    "m45_tfidf_topterms" -> (CorpusQueries.tfidfTopTerms _),
+    "m46_bloom_decontaminate" -> (CorpusQueries.bloomDecontaminate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -541,23 +542,10 @@ object SparkEntry {
         "avg(ln(v.tf)) AS mean_log_tf " +
         "FROM terms t LEFT JOIN vocab v USING (term) WHERE t.term <> '' " +
         "GROUP BY t.doc_id"),
-    "m25_decontaminate" ->
-      (AugmentedDocs +
-        ", bench AS (SELECT doc_id, text FROM aug WHERE doc_id < 50), " +
-        "corpus AS (SELECT doc_id, text FROM aug WHERE doc_id >= 50), " +
-        "bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM bench), " +
-        "bg AS (SELECT DISTINCT gram FROM (SELECT unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram FROM bt) " +
-        "WHERE gram <> ''), " +
-        "ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM corpus), " +
-        "cg AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram FROM ct) " +
-        "WHERE gram <> '') " +
-        "SELECT doc_id, CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
-        "count(*) AS n_grams, " +
-        "CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_ratio " +
-        "FROM cg c LEFT JOIN bg b USING (gram) GROUP BY doc_id " +
-        "HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5"),
+    "m25_decontaminate" -> DecontaminateSql,
+    // m46 is m25's exact semantics behind a Bloom prefilter — one oracle,
+    // two physical plans (broadcast-relation lookup vs bitset + verify).
+    "m46_bloom_decontaminate" -> DecontaminateSql,
     "m26_sequence_pack" ->
       ("WITH n AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
         "FROM documents WHERE text IS NOT NULL), " +
@@ -705,6 +693,26 @@ object SparkEntry {
       "FROM documents WHERE doc_id < 50) "
 
   private val AugmentedDocs: String = "WITH " + AugmentedDocsBody
+
+  /** One oracle for m25 AND m46: the Bloom variant is contractually
+    * byte-identical (the verify join strips the bitset's false positives). */
+  private val DecontaminateSql: String =
+    AugmentedDocs +
+      ", bench AS (SELECT doc_id, text FROM aug WHERE doc_id < 50), " +
+      "corpus AS (SELECT doc_id, text FROM aug WHERE doc_id >= 50), " +
+      "bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM bench), " +
+      "bg AS (SELECT DISTINCT gram FROM (SELECT unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram FROM bt) " +
+      "WHERE gram <> ''), " +
+      "ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM corpus), " +
+      "cg AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram FROM ct) " +
+      "WHERE gram <> '') " +
+      "SELECT doc_id, CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+      "count(*) AS n_grams, " +
+      "CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_ratio " +
+      "FROM cg c LEFT JOIN bg b USING (gram) GROUP BY doc_id " +
+      "HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5"
 
   /** Connected-component closure over `pairs` (m17/m18) — replays
     * graft.dedup.DedupClusters.components as a recursive CTE. */

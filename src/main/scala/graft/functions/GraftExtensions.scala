@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
   }
 }
 
@@ -34,11 +35,31 @@ object GraftFunctions {
       ArrayDotProduct(toDoubles(children(0)), toDoubles(children(1)))
     })
 
+  /** graft_bloom_contains(filterBytes, value): probe a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] with a long value —
+    * Spark's own codegen'd BloomFilterMightContain (the expression its
+    * injected runtime filters use), exposed as a registered function
+    * because it has no public SQL surface. The filter argument must be a
+    * foldable binary (the expression's own contract). */
+  private[functions] val bloomContainsDescriptor
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_contains"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
       registry.registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_bloom_contains"))) {
+      registry.registerFunction(bloomContainsDescriptor._1,
+        bloomContainsDescriptor._2, bloomContainsDescriptor._3)
     }
   }
 
@@ -47,5 +68,12 @@ object GraftFunctions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
+  /** Column-API handle: `bloomContains(filterBytes, value)` — true when
+    * the serialized Bloom filter might contain the long value. */
+  def bloomContains(spark: SparkSession, filter: Column, value: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains", filter, value)
   }
 }

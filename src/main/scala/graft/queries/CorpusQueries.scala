@@ -263,6 +263,16 @@ object CorpusQueries {
       benchmark = aug.filter(col("doc_id") < 50))
   }
 
+  /** Bloom-prefiltered decontamination (m46): m25's exact semantics —
+    * same split, same output, same oracle — through the bitset-prefilter
+    * plan for benchmark sets too large to broadcast as hash relations. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir))
+    graft.dedup.BloomDecontaminate.contaminated(
+      corpus = aug.filter(col("doc_id") >= 50),
+      benchmark = aug.filter(col("doc_id") < 50))
+  }
+
   /** Token-budget mix sampling (m27): per-source 500-token budgets in
     * deterministic md5 order — the mix builder that balances sources by
     * token mass rather than document count (m21's sibling). */
