@@ -118,7 +118,10 @@ object SparkEntry {
     "m43_lm_perplexity" -> (CorpusQueries.lmPerplexity _),
     "m44_snapshot_diff" -> (CorpusQueries.snapshotDiff _),
     "m45_tfidf_topterms" -> (CorpusQueries.tfidfTopTerms _),
-    "m46_bloom_decontaminate" -> (CorpusQueries.bloomDecontaminate _)
+    "m46_bloom_decontaminate" -> (CorpusQueries.bloomDecontaminate _),
+    // m47 has no oracle by design (quantizer internals aren't SQL);
+    // RerankSpec pins stage-2 exactness vs brute force and recall bounds.
+    "m47_ann_rerank" -> (CorpusQueries.annRerank _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -355,6 +355,19 @@ object CorpusQueries {
     Ann.bruteForceTopK(all.filter(col("id") < 10), all, k = 5)
   }
 
+  /** Two-stage retrieval (m47): IVF-PQ candidates re-ranked by exact
+    * cosine — the billion-scale serving shape (compressed index nominates,
+    * raw vectors re-rank). Rows-only by design (quantizer internals);
+    * RerankSpec pins stage-2 exactness and recall ≥ raw ADC. */
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.IvfPq.train(all, nlist = 16, m = 8, ksub = 16)
+    graft.similarity.Rerank.ivfPqRerank(
+      all.filter(col("id") < 10), all,
+      graft.similarity.IvfPq.encode(all, model), model,
+      k = 5, nprobe = 4, candMult = 5)
+  }
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     Ann.lshTopK(all.filter(col("id") < 10), all, k = 5, numPlanes = 4)
