@@ -121,7 +121,8 @@ object SparkEntry {
     "m46_bloom_decontaminate" -> (CorpusQueries.bloomDecontaminate _),
     // m47 has no oracle by design (quantizer internals aren't SQL);
     // RerankSpec pins stage-2 exactness vs brute force and recall bounds.
-    "m47_ann_rerank" -> (CorpusQueries.annRerank _)
+    "m47_ann_rerank" -> (CorpusQueries.annRerank _),
+    "m48_hard_negatives" -> (CorpusQueries.hardNegatives _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -660,6 +661,16 @@ object SparkEntry {
         "FROM v CROSS JOIN q WHERE v.vec_id <> query_id) " +
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (" +
         "SELECT query_id, neighbor_id, sim, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) r " +
+        "WHERE rank <= 5"),
+    "m48_hard_negatives" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, e AS qe, label AS qlabel FROM v WHERE vec_id < 10), " +
+        "scored AS (SELECT query_id, v.vec_id AS neighbor_id, v.label, " +
+        "list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim " +
+        "FROM v CROSS JOIN q WHERE v.vec_id <> query_id AND v.label <> qlabel) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label, sim FROM (" +
+        "SELECT query_id, neighbor_id, label, sim, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) r " +
         "WHERE rank <= 5")
   )

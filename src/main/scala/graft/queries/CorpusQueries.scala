@@ -355,6 +355,19 @@ object CorpusQueries {
     Ann.bruteForceTopK(all.filter(col("id") < 10), all, k = 5)
   }
 
+  /** Labeled vectors for the contrastive-mining queries. */
+  private def labeledVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      Vectors.toDouble(col("embedding")).as("vec"), col("label"))
+
+  /** Hard-negative mining (m48): per query, top-5 nearest vectors with a
+    * different label — contrastive-training data prep. Exact (broadcast
+    * queries, one corpus scan), so the oracle replays it in SQL. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val all = labeledVectors(s, dir)
+    Ann.hardNegatives(all.filter(col("id") < 10), all, k = 5)
+  }
+
   /** Two-stage retrieval (m47): IVF-PQ candidates re-ranked by exact
     * cosine — the billion-scale serving shape (compressed index nominates,
     * raw vectors re-rank). Rows-only by design (quantizer internals);

@@ -105,6 +105,34 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors whose LABEL DIFFERS from the query's —
+    * the near-misses a metric-learning loss needs (easy negatives teach
+    * nothing; same-label neighbors are positives, not negatives).
+    *
+    * `queries`/`corpus`: (id, vec, label). Same broadcast-query stream
+    * shape as [[bruteForceTopK]] — exact, one corpus scan, no shuffle of
+    * vectors; the label test rides the same codegen'd filter as the
+    * self-match exclusion. At 100 TB the candidate stage is an index
+    * ([[IvfPq]] + [[Rerank]]) and this exact form is its verify baseline. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = withNorm(queries)
+      .select(col("id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val scored = withNorm(corpus)
+      .join(broadcast(q))
+      .filter(col("id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("label"),
+        (GraftFunctions.dot(spark, col("qvec"), col("vec")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "label", "sim")
+  }
+
   /** Exact threshold search for a (small, broadcast) probe set: every
     * corpus vector with cosine ≥ threshold against each probe, self-match
     * excluded. The oracle-checkable exact baseline next to [[nearDupPairs]]
