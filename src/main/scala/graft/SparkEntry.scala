@@ -122,7 +122,8 @@ object SparkEntry {
     // m47 has no oracle by design (quantizer internals aren't SQL);
     // RerankSpec pins stage-2 exactness vs brute force and recall bounds.
     "m47_ann_rerank" -> (CorpusQueries.annRerank _),
-    "m48_hard_negatives" -> (CorpusQueries.hardNegatives _)
+    "m48_hard_negatives" -> (CorpusQueries.hardNegatives _),
+    "m49_label_confusions" -> (CorpusQueries.labelConfusions _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,7 +673,21 @@ object SparkEntry {
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label, sim FROM (" +
         "SELECT query_id, neighbor_id, label, sim, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) r " +
-        "WHERE rank <= 5")
+        "WHERE rank <= 5"),
+    "m49_label_confusions" ->
+      ("WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val, " +
+        "unnest(range(0, len(embedding))) AS pos FROM embeddings " +
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL), " +
+        "c AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY 1, 2), " +
+        "n AS (SELECT label, sum(m * m) AS n2 FROM c GROUP BY 1), " +
+        "d AS (SELECT a.label AS label, b.label AS other_label, sum(a.m * b.m) AS dot " +
+        "FROM c a JOIN c b ON a.pos = b.pos AND a.label <> b.label GROUP BY 1, 2), " +
+        "s AS (SELECT d.label, d.other_label, " +
+        "dot / (sqrt(na.n2) * sqrt(nb.n2)) AS sim FROM d " +
+        "JOIN n na ON na.label = d.label JOIN n nb ON nb.label = d.other_label), " +
+        "r AS (SELECT label, other_label, sim, row_number() OVER (" +
+        "PARTITION BY label ORDER BY sim DESC, other_label) AS rk FROM s) " +
+        "SELECT label, other_label AS nearest_label, sim FROM r WHERE rk = 1")
   )
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with

@@ -368,6 +368,11 @@ object CorpusQueries {
     Ann.hardNegatives(all.filter(col("id") < 10), all, k = 5)
   }
 
+  /** Label-centroid confusion map (m49): each label's nearest other
+    * class prototype by centroid cosine — label-noise triage. */
+  def labelConfusions(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.LabelCentroids.confusions(labeledVectors(s, dir))
+
   /** Two-stage retrieval (m47): IVF-PQ candidates re-ranked by exact
     * cosine — the billion-scale serving shape (compressed index nominates,
     * raw vectors re-rank). Rows-only by design (quantizer internals);
