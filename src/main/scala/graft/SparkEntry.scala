@@ -123,7 +123,8 @@ object SparkEntry {
     // RerankSpec pins stage-2 exactness vs brute force and recall bounds.
     "m47_ann_rerank" -> (CorpusQueries.annRerank _),
     "m48_hard_negatives" -> (CorpusQueries.hardNegatives _),
-    "m49_label_confusions" -> (CorpusQueries.labelConfusions _)
+    "m49_label_confusions" -> (CorpusQueries.labelConfusions _),
+    "m50_canonicalize" -> (CorpusQueries.canonicalize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -621,6 +622,14 @@ object SparkEntry {
         "WHEN n.new_fp IS NULL THEN 'removed' " +
         "WHEN o.old_fp = n.new_fp THEN 'unchanged' ELSE 'changed' END AS status " +
         "FROM old o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id"),
+    "m50_canonicalize" ->
+      ("WITH aug AS (SELECT doc_id, text || '  caf' || chr(233) || chr(160) || 'na' || " +
+        "chr(239) || 've' || chr(9) || 'e' || chr(769) || 'cole  zu' || chr(776) || 'rich ' AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, text, trim(regexp_replace(replace(" +
+        "strip_accents(nfc_normalize(text)), chr(160), ' '), '\\s+', ' ', 'g')) AS canonical FROM aug) " +
+        "SELECT doc_id, canonical, CAST(length(text) AS BIGINT) AS n_raw_chars, " +
+        "CAST(length(canonical) AS BIGINT) AS n_canonical_chars FROM c"),
     "m45_tfidf_topterms" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

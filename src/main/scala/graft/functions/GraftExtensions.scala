@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+    ext.injectFunction(GraftFunctions.nfcDescriptor)
+    ext.injectFunction(GraftFunctions.unaccentDescriptor)
   }
 }
 
@@ -51,15 +53,26 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children(0), children(1)))
 
+  private[functions] val nfcDescriptor
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[StringNfc].getName, "graft_nfc"),
+    (children: Seq[Expression]) => StringNfc(children(0)))
+
+  private[functions] val unaccentDescriptor
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unaccent"),
+    new ExpressionInfo(classOf[StringUnaccent].getName, "graft_unaccent"),
+    (children: Seq[Expression]) => StringUnaccent(children(0)))
+
+  private val allDescriptors = Seq(dotDescriptor, bloomContainsDescriptor,
+    nfcDescriptor, unaccentDescriptor)
+
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
-      registry.registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
-    }
-    if (!registry.functionExists(FunctionIdentifier("graft_bloom_contains"))) {
-      registry.registerFunction(bloomContainsDescriptor._1,
-        bloomContainsDescriptor._2, bloomContainsDescriptor._3)
+    allDescriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
 
@@ -75,5 +88,17 @@ object GraftFunctions {
   def bloomContains(spark: SparkSession, filter: Column, value: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function("graft_bloom_contains", filter, value)
+  }
+
+  /** Column-API handle: NFC Unicode normalization. */
+  def nfc(spark: SparkSession, s: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_nfc", s)
+  }
+
+  /** Column-API handle: accent stripping (NFD → drop marks → NFC). */
+  def unaccent(spark: SparkSession, s: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_unaccent", s)
   }
 }

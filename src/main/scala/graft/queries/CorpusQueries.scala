@@ -204,6 +204,22 @@ object CorpusQueries {
     graft.operators.SnapshotDiff.diff(older, docs, keyCol = "doc_id")
   }
 
+  /** Deterministic Unicode augmentation for m50: the corpus is ASCII, so
+    * append a suffix exercising every canonicalization path — precomposed
+    * é, NBSP, ï, a tab, a combining acute (e+U+0301 → NFC é), runs of
+    * spaces, a combining diaeresis, and a trailing space. A pure function
+    * of the input; the oracle rebuilds it with chr() escapes. */
+  def withSyntheticUnicode(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat(col("text"),
+        lit("  caf\u00e9\u00a0na\u00efve\te\u0301cole  zu\u0308rich ")))
+
+  /** Unicode canonicalization (m50): NFC → unaccent → NBSP → whitespace
+    * collapse, as codegen'd expressions over the augmented corpus. */
+  def canonicalize(s: SparkSession, dir: String): DataFrame =
+    graft.text.Canonical.canonicalized(
+      withSyntheticUnicode(Tables.documents(s, dir)))
+
   /** Per-doc TF-IDF top-3 terms (m45) — document keyword extraction. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.topTerms(Tables.documents(s, dir), k = 3)
