@@ -124,7 +124,8 @@ object SparkEntry {
     "m47_ann_rerank" -> (CorpusQueries.annRerank _),
     "m48_hard_negatives" -> (CorpusQueries.hardNegatives _),
     "m49_label_confusions" -> (CorpusQueries.labelConfusions _),
-    "m50_canonicalize" -> (CorpusQueries.canonicalize _)
+    "m50_canonicalize" -> (CorpusQueries.canonicalize _),
+    "m51_markup_strip" -> (CorpusQueries.markupStrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -630,6 +631,28 @@ object SparkEntry {
         "strip_accents(nfc_normalize(text)), chr(160), ' '), '\\s+', ' ', 'g')) AS canonical FROM aug) " +
         "SELECT doc_id, canonical, CAST(length(text) AS BIGINT) AS n_raw_chars, " +
         "CAST(length(canonical) AS BIGINT) AS n_canonical_chars FROM c"),
+    "m51_markup_strip" ->
+      ("WITH aug AS (SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><style>body { color: #000; }</style></head>" +
+        "<body><nav>home | products | about</nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</h1><p>' || text || '</p><p>Tom &amp; Jerry say &quot;hi&quot; &#39;s &lt;3" +
+        " literal &amp;lt; stays</p><script type=\"text/javascript\">var id = ' || " +
+        "CAST(doc_id AS VARCHAR) || '; track(id);</script><!-- rendered ' || " +
+        "CAST(doc_id AS VARCHAR) || ' --><footer>&nbsp;copyright</footer></body></html>' AS html " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "s1 AS (SELECT doc_id, CAST(length(html) AS BIGINT) AS n_markup_chars, " +
+        "regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM aug), " +
+        "s2 AS (SELECT doc_id, n_markup_chars, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g') AS t FROM s1), " +
+        "dec AS (SELECT doc_id, n_markup_chars, " +
+        "replace(replace(replace(replace(replace(replace(t, " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), " +
+        "'&nbsp;', ' '), '&amp;', '&') AS t FROM s2), " +
+        "fin AS (SELECT doc_id, n_markup_chars, " +
+        "trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted FROM dec) " +
+        "SELECT doc_id, extracted, n_markup_chars, " +
+        "CAST(length(extracted) AS BIGINT) AS n_text_chars FROM fin"),
     "m45_tfidf_topterms" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -220,6 +220,34 @@ object CorpusQueries {
     graft.text.Canonical.canonicalized(
       withSyntheticUnicode(Tables.documents(s, dir)))
 
+  /** Deterministic HTML augmentation for m51: the corpus is plain text,
+    * so wrap each document in the markup a crawl page carries — head/title,
+    * a style block, nav boilerplate, the body paragraph, an entity
+    * paragraph exercising every supported entity INCLUDING the
+    * double-decode trap (`&amp;lt;` must come out `&lt;`, not `<`), a
+    * script block, a comment, and a footer. A pure function of the input,
+    * so the oracle rebuilds the identical page in SQL. */
+  def withSyntheticMarkup(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body { color: #000; }</style></head>" +
+          "<body><nav>home | products | about</nav><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Tom &amp; Jerry say &quot;hi&quot; &#39;s &lt;3" +
+          " literal &amp;lt; stays</p><script type=\"text/javascript\">var id = "),
+        col("doc_id").cast("string"),
+        lit("; track(id);</script><!-- rendered "), col("doc_id").cast("string"),
+        lit(" --><footer>&nbsp;copyright</footer></body></html>")))
+
+  /** Markup strip (m51): HTML → plain text over the markup-augmented
+    * corpus — drop script/style/comments, tags become word boundaries,
+    * named entities decode once, whitespace collapses. */
+  def markupStrip(s: SparkSession, dir: String): DataFrame =
+    graft.text.MarkupStrip.stripMarkup(
+      withSyntheticMarkup(Tables.documents(s, dir)))
+
   /** Per-doc TF-IDF top-3 terms (m45) — document keyword extraction. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.topTerms(Tables.documents(s, dir), k = 3)
