@@ -125,7 +125,8 @@ object SparkEntry {
     "m48_hard_negatives" -> (CorpusQueries.hardNegatives _),
     "m49_label_confusions" -> (CorpusQueries.labelConfusions _),
     "m50_canonicalize" -> (CorpusQueries.canonicalize _),
-    "m51_markup_strip" -> (CorpusQueries.markupStrip _)
+    "m51_markup_strip" -> (CorpusQueries.markupStrip _),
+    "m52_curriculum_shards" -> (CorpusQueries.curriculumShards _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -549,6 +550,16 @@ object SparkEntry {
         "avg(ln(v.tf)) AS mean_log_tf " +
         "FROM terms t LEFT JOIN vocab v USING (term) WHERE t.term <> '' " +
         "GROUP BY t.doc_id"),
+    "m52_curriculum_shards" ->
+      (TextStatsBase +
+        ", q AS (SELECT doc_id, " + QualityExpr + " AS quality, " +
+        "CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM base WHERE text IS NOT NULL), " +
+        "t AS (SELECT sum(n_tokens) AS total_tokens FROM q), " +
+        "o AS (SELECT doc_id, quality, n_tokens, CAST(coalesce(sum(n_tokens) OVER (" +
+        "ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM q) " +
+        "SELECT doc_id, quality, n_tokens, cum_before, " +
+        "CAST((cum_before * 8) // total_tokens AS BIGINT) AS shard FROM o CROSS JOIN t"),
     "m25_decontaminate" -> DecontaminateSql,
     // m46 is m25's exact semantics behind a Bloom prefilter — one oracle,
     // two physical plans (broadcast-relation lookup vs bitset + verify).

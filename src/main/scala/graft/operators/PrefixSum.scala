@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed global prefix sum — a running total in a single global
   * order WITHOUT the single-partition window Spark would otherwise plan
@@ -64,5 +65,45 @@ object PrefixSum {
       it.map { case (k, v) => val start = acc; acc += v; (k, v, start) }
     }
     spark.createDataset(out).toDF(orderCol, valueCol, "running")
+  }
+
+  /** Generalized form: EXCLUSIVE prefix total of `valueCol` (must be
+    * integral; cast to long beforehand) in the order given by `orderCols`
+    * — arbitrary sort expressions (e.g. `col("quality").desc,
+    * col("doc_id")`), which must be a total order over the rows (add a
+    * unique tie-break column or offsets within ties are
+    * partition-dependent). Keeps every input column and appends
+    * `running`. Same two-pass scheme, same eager contract, same snapshot
+    * policy as [[exclusiveRunningTotals]].
+    */
+  def exclusiveRunningTotalsBy(df: DataFrame, orderCols: Seq[Column],
+                               valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint(true)
+    val valIdx = ranged.schema.fieldIndex(valueCol)
+    val partSums = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valIdx))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // Range-partition index, not task id — see the comment above.
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val v = r.getLong(valIdx)
+        val start = acc
+        acc += v
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    spark.createDataFrame(out, ranged.schema.add("running", LongType, nullable = false))
   }
 }

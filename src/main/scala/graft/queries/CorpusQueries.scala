@@ -342,6 +342,29 @@ object CorpusQueries {
         floor(col("running") / 2048).cast("long").as("shard"))
   }
 
+  /** Token-mass-balanced curriculum shards (m52): order the corpus by
+    * quality (best first, doc_id tie-break) and cut it into 8 CONTIGUOUS
+    * shards of ~equal token mass — the layout a curriculum-training run
+    * reads (shard 0 = the highest-quality token budget; equal token mass,
+    * not equal doc count, because training cost is tokens). Built on the
+    * generalized distributed prefix sum — no single-partition window —
+    * with the shard cut in exact integer math ((cum*S) div total) so the
+    * oracle replays it without float-rounding hazards. */
+  def curriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val numShards = 8
+    val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
+    val total = d.agg(sum("n_tokens").as("total_tokens"))
+    graft.operators.PrefixSum
+      .exclusiveRunningTotalsBy(d, Seq(col("quality").desc, col("doc_id").asc), "n_tokens")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("running").as("cum_before"),
+        expr(s"CAST((running * $numShards) DIV total_tokens AS BIGINT)").as("shard"))
+  }
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =

@@ -52,4 +52,29 @@ class PrefixSumSpec extends SparkSpec {
       .orderBy("k").collect()
     rows.map(_.getLong(2)).toSeq shouldBe Seq(0L, 5L, 12L)
   }
+
+  test("generalized: desc order + tie-break matches the window cumsum, keeps all columns") {
+    // quality has deliberate ties so the doc_id tie-break is load-bearing
+    val df = (0L until 500L).map(i => (i, (i % 7).toDouble / 7.0, (i * 3) % 11))
+      .toDF("doc_id", "quality", "v").repartition(9)
+    val got = PrefixSum
+      .exclusiveRunningTotalsBy(df, Seq(col("quality").desc, col("doc_id").asc), "v")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(3))).toSeq
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val want = df
+      .withColumn("running", coalesce(sum("v").over(w), lit(0L)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(3))).toSeq
+    got shouldBe want
+  }
+
+  test("generalized: no single-partition window in the plan either") {
+    val df = (0L until 100L).map(i => (i, i.toDouble, i)).toDF("doc_id", "quality", "v")
+    val plan = PrefixSum
+      .exclusiveRunningTotalsBy(df, Seq(col("quality").desc, col("doc_id")), "v")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
 }
