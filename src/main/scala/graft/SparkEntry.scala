@@ -126,7 +126,11 @@ object SparkEntry {
     "m49_label_confusions" -> (CorpusQueries.labelConfusions _),
     "m50_canonicalize" -> (CorpusQueries.canonicalize _),
     "m51_markup_strip" -> (CorpusQueries.markupStrip _),
-    "m52_curriculum_shards" -> (CorpusQueries.curriculumShards _)
+    "m52_curriculum_shards" -> (CorpusQueries.curriculumShards _),
+    // m53 has no oracle by design (MMR's iterative argmax isn't SQL);
+    // MmrSpec pins λ=1 ≡ brute force, the top-1 invariant, and
+    // duplicate demotion on the planted near-dup pairs.
+    "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -453,6 +453,18 @@ object CorpusQueries {
       k = 5, nprobe = 4, candMult = 5)
   }
 
+  /** MMR diversified retrieval (m53) over the perturbed-dup corpus: the
+    * re-rank that stops a near-dup-heavy corpus answering every query
+    * with five copies of one document. λ=0.7 keeps relevance primary;
+    * the planted ≈0.999-cosine copies make the diversity term
+    * observable. Rows-only by design (iterative argmax isn't SQL);
+    * MmrSpec pins λ=1 ≡ brute force and duplicate demotion. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val all = withPerturbedDups(vectors(s, dir))
+    graft.similarity.Mmr.mmrTopK(
+      all.filter(col("id") < 10), all, k = 5, lambda = 0.7)
+  }
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     Ann.lshTopK(all.filter(col("id") < 10), all, k = 5, numPlanes = 4)
