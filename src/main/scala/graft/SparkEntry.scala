@@ -130,7 +130,8 @@ object SparkEntry {
     // m53 has no oracle by design (MMR's iterative argmax isn't SQL);
     // MmrSpec pins λ=1 ≡ brute force, the top-1 invariant, and
     // duplicate demotion on the planted near-dup pairs.
-    "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _)
+    "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _),
+    "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -711,6 +712,17 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, sim, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) r " +
         "WHERE rank <= 5"),
+    "m54_embed_winsorize" ->
+      ("WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "c AS (SELECT id, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos FROM v), " +
+        "b AS (SELECT pos, quantile_cont(x, 0.05) AS lo_v, quantile_cont(x, 0.95) AS hi_v " +
+        "FROM c GROUP BY pos), " +
+        "ba AS (SELECT list(lo_v ORDER BY pos) AS lo_arr, list(hi_v ORDER BY pos) AS hi_arr FROM b), " +
+        "cl AS (SELECT id, e, lo_arr, hi_arr, list_transform(range(1, len(e)+1), " +
+        "i -> least(greatest(e[i], lo_arr[i]), hi_arr[i])) AS ec FROM v CROSS JOIN ba) " +
+        "SELECT id, CAST(len(list_filter(range(1, len(e)+1), i -> e[i] <> ec[i])) AS BIGINT) AS n_clipped, " +
+        "sqrt(list_dot_product(e, e)) AS norm_before, " +
+        "sqrt(list_dot_product(ec, ec)) AS norm_after FROM cl"),
     "m48_hard_negatives" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings), " +
         "q AS (SELECT vec_id AS query_id, e AS qe, label AS qlabel FROM v WHERE vec_id < 10), " +

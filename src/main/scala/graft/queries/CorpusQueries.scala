@@ -465,6 +465,14 @@ object CorpusQueries {
       all.filter(col("id") < 10), all, k = 5, lambda = 0.7)
   }
 
+  /** Per-dimension embedding winsorization stats (m54): clip every
+    * component to its dimension's exact [p05, p95] band — the outlier
+    * control before quantizer training. Exact percentile here ≡ the
+    * oracle's quantile_cont; at 100 TB the same shape runs on
+    * approx_percentile. */
+  def embedWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Winsorize.clipStats(vectors(s, dir), qLo = 0.05, qHi = 0.95)
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     Ann.lshTopK(all.filter(col("id") < 10), all, k = 5, numPlanes = 4)
