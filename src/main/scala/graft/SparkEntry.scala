@@ -131,7 +131,8 @@ object SparkEntry {
     // MmrSpec pins λ=1 ≡ brute force, the top-1 invariant, and
     // duplicate demotion on the planted near-dup pairs.
     "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _),
-    "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _)
+    "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _),
+    "m55_source_divergence" -> (CorpusQueries.sourceDivergence _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -712,6 +713,18 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, sim, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) r " +
         "WHERE rank <= 5"),
+    "m55_source_divergence" ->
+      ("WITH t AS (SELECT source, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st FROM t WHERE term <> '' GROUP BY 1, 2), " +
+        "s AS (SELECT source, sum(n_st) AS n_s FROM tt GROUP BY 1), " +
+        "c AS (SELECT term, sum(n_st) AS n_t FROM tt GROUP BY 1), " +
+        "n AS (SELECT sum(n_st) AS n_all FROM tt), " +
+        "j AS (SELECT source, term, n_st, " +
+        "(CAST(n_st AS DOUBLE) / n_s) * ln((CAST(n_st AS DOUBLE) / n_s) / (CAST(n_t AS DOUBLE) / n_all)) AS contrib " +
+        "FROM tt JOIN s USING (source) JOIN c USING (term) CROSS JOIN n) " +
+        "SELECT source, CAST(sum(n_st) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "list_sum(list(contrib ORDER BY term)) AS kl_vs_corpus FROM j GROUP BY source"),
     "m54_embed_winsorize" ->
       ("WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         "c AS (SELECT id, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos FROM v), " +

@@ -150,6 +150,46 @@ object CorpusQueries {
       sum("n_chars_c").as("total_chars"))
   }
 
+  /** Per-source distribution divergence (m55): KL(source ‖ corpus) over
+    * the token unigram distributions — the mix-drift statistic a corpus
+    * dashboard alarms on (a source whose language suddenly shifts shows
+    * up here before it shows up in eval loss). Counts are exact longs;
+    * the one floating-point reduction (Σ p·ln(p/q)) folds a TERM-SORTED
+    * array inside each source row, so the sum order is deterministic and
+    * the oracle hash-matches — a plain double-sum aggregate would be
+    * partial-aggregation-order-dependent.
+    *
+    * Scale shape: one (source, term) partial-agg exchange (vocab-bounded,
+    * never document text), corpus term mass broadcast back; the
+    * per-source term list is vocab-sized by construction. */
+  def sourceDivergenceOver(docs: DataFrame): DataFrame = {
+    val st = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " +")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+    val sTot = st.groupBy("source").agg(sum("n_st").as("n_s"))
+    val tTot = st.groupBy("term").agg(sum("n_st").as("n_t"))
+    val nAll = st.agg(sum("n_st").as("n_all"))
+    val p = col("n_st").cast("double") / col("n_s")
+    val q = col("n_t").cast("double") / col("n_all")
+    st.join(sTot, Seq("source"))
+      .join(broadcast(tTot), Seq("term"))
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("term"), col("n_st"),
+        (p * log(p / q)).as("contrib"))
+      .groupBy("source")
+      .agg(sum("n_st").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, s) => acc + s.getField("contrib")).as("kl_vs_corpus"))
+  }
+
+  /** KL mix-drift report over the documents table (m55). */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOver(Tables.documents(s, dir))
+
   /** Deterministic global shuffle into 8 training shards (m36). */
   def shuffleShards(s: SparkSession, dir: String): DataFrame =
     graft.operators.ShuffleShards.shuffleShards(

@@ -32,4 +32,34 @@ class CorpusQueriesSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
     plan should not include "GlobalSort"
   }
+
+  test("sourceDivergence: KL is zero when a source matches the corpus, positive otherwise") {
+    // two sources with IDENTICAL token distributions → both KL = 0
+    val same = Seq((1L, "a", "s1"), (2L, "a b", "s1"), (3L, "a", "s2"), (4L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    CorpusQueries.sourceDivergenceOver(same)
+      .select("kl_vs_corpus").as[Double].collect()
+      .foreach(kl => kl shouldBe 0.0 +- 1e-15)
+    // a skewed source diverges; KL is never negative (Gibbs)
+    val skew = Seq((1L, "a a a a", "s1"), (2L, "b b b b", "s2"), (3L, "a b", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusQueries.sourceDivergenceOver(skew)
+      .select("source", "kl_vs_corpus").as[(String, Double)].collect().toMap
+    out("s1") should be > 0.0
+    out("s2") should be > 0.0
+    out.values.foreach(kl => kl should be >= 0.0)
+    // hand check for s1: p(a)=1, q(a)=(4+1)/10 = 0.5 → KL = ln(2)
+    out("s1") shouldBe math.log(1.0 / 0.5) +- 1e-12
+  }
+
+  test("sourceDivergence: token masses are exact longs") {
+    val docs = Seq((1L, "a b c", "s1"), (2L, "d", "s2")).toDF("doc_id", "text", "source")
+    val out = CorpusQueries.sourceDivergenceOver(docs)
+      .select("source", "n_tokens", "n_terms")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.size shouldBe 2
+    out("s1") shouldBe ((3L, 3L))
+    out("s2") shouldBe ((1L, 1L))
+  }
 }
