@@ -132,7 +132,8 @@ object SparkEntry {
     // duplicate demotion on the planted near-dup pairs.
     "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _),
     "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _),
-    "m55_source_divergence" -> (CorpusQueries.sourceDivergence _)
+    "m55_source_divergence" -> (CorpusQueries.sourceDivergence _),
+    "m56_pack_segments" -> (CorpusQueries.packSegments _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -577,6 +578,17 @@ object SparkEntry {
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM n) " +
         "SELECT doc_id, n_tokens, start_offset, " +
         "CAST(floor(start_offset / 2048) AS BIGINT) AS shard FROM o"),
+    "m56_pack_segments" ->
+      ("WITH n AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start FROM n), " +
+        "e AS (SELECT doc_id, n_tokens, start, unnest(range(start // 2048, (start + n_tokens - 1) // 2048 + 1)) AS seq_id FROM o) " +
+        "SELECT doc_id, seq_id, " +
+        "greatest(start, seq_id * 2048) - start AS doc_from, " +
+        "least(start + n_tokens, (seq_id + 1) * 2048) - start AS doc_to, " +
+        "greatest(start, seq_id * 2048) - seq_id * 2048 AS seq_from, " +
+        "least(start + n_tokens, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048) AS n_seg_tokens FROM e"),
     "m27_token_budget" ->
       ("WITH n AS (SELECT doc_id, source, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -405,6 +405,33 @@ object CorpusQueries {
         expr(s"CAST((running * $numShards) DIV total_tokens AS BIGINT)").as("shard"))
   }
 
+  /** Sequence-packing segment map (m56): where m26 assigns each doc its
+    * global token offset, this emits what the dataloader actually reads —
+    * one row per (doc, training sequence) overlap, with the doc-relative
+    * span and the in-sequence position. A doc straddling a 2048-token
+    * boundary yields one row per sequence it touches (`sequence()` +
+    * explode — generated from each row, never a shuffle); every sequence
+    * is exactly full except the last. All integer math on top of the
+    * distributed prefix sum, so the oracle replays it exactly. */
+  def packSegments(s: SparkSession, dir: String): DataFrame = {
+    val L = 2048L
+    val n = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.exclusiveRunningTotals(n, "doc_id", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("running").as("start"),
+        explode(sequence(expr(s"running DIV $L"),
+          expr(s"(running + n_tokens - 1) DIV $L"))).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("start"), col("seq_id") * L) - col("start")).as("doc_from"),
+        (least(col("start") + col("n_tokens"), (col("seq_id") + 1) * L)
+          - col("start")).as("doc_to"),
+        (greatest(col("start"), col("seq_id") * L)
+          - col("seq_id") * L).as("seq_from"),
+        (least(col("start") + col("n_tokens"), (col("seq_id") + 1) * L)
+          - greatest(col("start"), col("seq_id") * L)).as("n_seg_tokens"))
+  }
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =

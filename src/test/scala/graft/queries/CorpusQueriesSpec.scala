@@ -52,6 +52,33 @@ class CorpusQueriesSpec extends SparkSpec {
     out("s1") shouldBe math.log(1.0 / 0.5) +- 1e-12
   }
 
+  test("packSegments: segments tile every sequence exactly and cover every doc exactly") {
+    val segs = CorpusQueries.packSegments(spark, sf("sf0.001"))
+      .select("doc_id", "seq_id", "doc_from", "doc_to", "seq_from", "n_seg_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // per doc: spans are contiguous from 0 and sum to the doc's tokens
+    segs.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.head._3 shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._3 shouldBe a._4
+        case _           =>
+      }
+    }
+    // per sequence: in-sequence spans tile [0, 2048) with no gaps; every
+    // sequence except the last is exactly full
+    val lastSeq = segs.map(_._2).max
+    segs.groupBy(_._2).foreach { case (seqId, rows) =>
+      val sorted = rows.sortBy(_._5)
+      sorted.head._5 shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._5 shouldBe (a._5 + a._6)
+        case _           =>
+      }
+      if (seqId != lastSeq) rows.map(_._6).sum shouldBe 2048L
+    }
+  }
+
   test("sourceDivergence: token masses are exact longs") {
     val docs = Seq((1L, "a b c", "s1"), (2L, "d", "s2")).toDF("doc_id", "text", "source")
     val out = CorpusQueries.sourceDivergenceOver(docs)
