@@ -13,10 +13,9 @@ import org.apache.spark.sql.functions._
   * is covered by at least one flagged window, wherever it starts.
   *
   * Scale shape (100 TB):
-  *  - window texts exist only inside a per-document codegen projection
-  *    (transform over the token array); what leaves the document is the
-  *    md5 fingerprint — the frequency exchange carries (fp, doc) pairs,
-  *    never window text;
+  *  - window texts exist only inside a per-document pass; what leaves the
+  *    document is the md5 fingerprint — the frequency exchange carries
+  *    (fp, doc) pairs, never window text;
   *  - per-doc DISTINCT before the count (a document repeating its own
   *    boilerplate must not self-promote it to "repeated");
   *  - the flagged-fp set joins back by fp — an equi-join AQE broadcasts
@@ -25,22 +24,84 @@ import org.apache.spark.sql.functions._
   *    repetition mass, so downstream span-merging stays proportional to
   *    what will actually be cut.
   *
+  * Two implementations of the window pass, same contract as
+  * [[graft.dedup.Winnowing]]:
+  *  - [[windowFingerprintsColumns]] — the readable Column reference.
+  *    `transform`/`slice`/`array_join` are eval-only higher-order
+  *    functions (no codegen), and each window re-materializes its slice:
+  *    measured ~2.5× slower end-to-end at sf0.1.
+  *  - [[windowFingerprints]] — ONE compiled pass per document (tokenize
+  *    once, windows from index arithmetic, MD5 via a reused digest),
+  *    used by [[flag]]. The differential spec pins it row-identical to
+  *    the Column form.
+  *
   * md5 (not xxhash64) so the DuckDB oracle replays the identical
   * fingerprints — the engine-portability contract every dedup operator
   * here follows.
   */
 object RepeatedWindows {
 
-  /** Windows of `w` tokens (stride 1) whose fingerprint occurs in ≥
-    * `minDocs` distinct documents: (doc_id, window_idx, fp). Documents
-    * shorter than `w` tokens contribute their whole text as one window —
-    * short exact duplicates still flag (same policy as the n-gram ops). */
-  def flag(docs: DataFrame, w: Int, minDocs: Int = 2,
-           textCol: String = "text"): DataFrame = {
-    require(w > 0, "w must be positive")
-    require(minDocs > 1, "minDocs must be > 1 (1 flags every window)")
+  /** Compiled per-document window fingerprints: (doc_id, window_idx, fp).
+    * Tokenization is ASCII trim/lower/split-on-spaces — the exact
+    * semantics of `split(lower(trim(text)), " +")` on this corpus. */
+  def windowFingerprints(docs: DataFrame, w: Int,
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id").cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def fpOf(s: String): String = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hex((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hex(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        // Spark's trim strips ASCII SPACE only — String.trim would also
+        // strip tabs/controls and diverge from the Column form.
+        def sparkTrim(s: String): String = {
+          var a = 0
+          var b = s.length
+          while (a < b && s.charAt(a) == ' ') a += 1
+          while (b > a && s.charAt(b - 1) == ' ') b -= 1
+          s.substring(a, b)
+        }
+        it.flatMap { case (docId, text) =>
+          val toks = sparkTrim(text).toLowerCase(java.util.Locale.ROOT).split(" +")
+          if (toks.length <= w) {
+            Iterator((docId, 0L, fpOf(toks.mkString(" "))))
+          } else {
+            Iterator.range(0, toks.length - w + 1).map { i =>
+              val sb = new java.lang.StringBuilder(w * 8)
+              var j = i
+              while (j < i + w) {
+                if (j > i) sb.append(' ')
+                sb.append(toks(j))
+                j += 1
+              }
+              (docId, i.toLong, fpOf(sb.toString))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "window_idx", "fp")
+  }
+
+  /** The readable Column-expression reference for the window pass —
+    * semantics documentation and the differential-spec baseline. */
+  def windowFingerprintsColumns(docs: DataFrame, w: Int,
+                                textCol: String = "text"): DataFrame = {
     val toks = split(lower(trim(col(textCol))), " +")
-    val windows = docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
         when(size(col("t")) <= w, array(array_join(col("t"), " ")))
@@ -50,6 +111,23 @@ object RepeatedWindows {
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("window_idx", "wtext")))
       .select(col("doc_id"), col("window_idx").cast("long").as("window_idx"),
         md5(col("wtext").cast("binary")).as("fp"))
+  }
+
+  /** Windows of `w` tokens (stride 1) whose fingerprint occurs in ≥
+    * `minDocs` distinct documents: (doc_id, window_idx, fp). Documents
+    * shorter than `w` tokens contribute their whole text as one window —
+    * short exact duplicates still flag (same policy as the n-gram ops).
+    *
+    * The fingerprint set is localCheckpoint-pinned: it feeds both the
+    * frequency pass and the join-back, and recomputing the window pass
+    * twice was the dominant cost of the lazy form. Snapshot release
+    * follows the [[graft.operators.PrefixSum]] policy (Bench/Verify
+    * unpersist between queries). */
+  def flag(docs: DataFrame, w: Int, minDocs: Int = 2,
+           textCol: String = "text"): DataFrame = {
+    require(w > 0, "w must be positive")
+    require(minDocs > 1, "minDocs must be > 1 (1 flags every window)")
+    val windows = windowFingerprints(docs, w, textCol).localCheckpoint(true)
     val repeated = windows
       .select("fp", "doc_id").distinct()
       .groupBy("fp").agg(count(lit(1)).as("df"))

@@ -49,6 +49,25 @@ class RepeatedWindowsSpec extends SparkSpec {
     strict shouldBe Set(1L, 2L, 3L)
   }
 
+  test("differential: compiled window pass ≡ Column form, real corpus + edge cases") {
+    val real = graft.Tables.documents(spark, sf("sf0.001")).limit(200)
+    val edges = Seq(
+      (90001L, "  leading and trailing  "),
+      (90002L, "UPPER Case MiXeD"),
+      (90003L, "a\tb tab inside one token"),
+      (90004L, "short"),
+      (90005L, "exactly five tokens right here")
+    ).toDF("doc_id", "text")
+    val docs = real.select("doc_id", "text").unionByName(edges)
+    for (w <- Seq(3, 30)) {
+      val got = RepeatedWindows.windowFingerprints(docs, w)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val want = RepeatedWindows.windowFingerprintsColumns(docs, w)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      got shouldBe want
+    }
+  }
+
   test("guards") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy RepeatedWindows.flag(docs, 0)
