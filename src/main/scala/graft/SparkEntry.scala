@@ -133,7 +133,8 @@ object SparkEntry {
     "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _),
     "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _),
     "m55_source_divergence" -> (CorpusQueries.sourceDivergence _),
-    "m56_pack_segments" -> (CorpusQueries.packSegments _)
+    "m56_pack_segments" -> (CorpusQueries.packSegments _),
+    "m57_corpus_laws" -> (CorpusQueries.corpusLaws _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -589,6 +590,33 @@ object SparkEntry {
         "least(start + n_tokens, (seq_id + 1) * 2048) - start AS doc_to, " +
         "greatest(start, seq_id * 2048) - seq_id * 2048 AS seq_from, " +
         "least(start + n_tokens, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048) AS n_seg_tokens FROM e"),
+    // m57: OLS in log-log space from moment sums; the arithmetic below is
+    // association-identical to CorpusLaws.lawsReport so both engines run
+    // the same float expression tree (sums agree to ~1e-15, rounded @6dp).
+    "m57_corpus_laws" ->
+      ("WITH tt AS (SELECT source, term FROM (SELECT source, " +
+        "unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
+        "FROM documents WHERE text IS NOT NULL) x WHERE term <> ''), " +
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY 1), " +
+        "rk AS (SELECT tf, CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS DOUBLE) AS rk FROM tf), " +
+        "z AS (SELECT CAST(count(*) AS DOUBLE) AS zn, sum(ln(rk)) AS zsx, " +
+        "sum(ln(CAST(tf AS DOUBLE))) AS zsy, sum(ln(rk)*ln(rk)) AS zsxx, " +
+        "sum(ln(rk)*ln(CAST(tf AS DOUBLE))) AS zsxy, " +
+        "sum(ln(CAST(tf AS DOUBLE))*ln(CAST(tf AS DOUBLE))) AS zsyy, " +
+        "sum(tf) AS total_tokens FROM rk), " +
+        "s AS (SELECT source, CAST(count(*) AS DOUBLE) AS nt, " +
+        "CAST(count(DISTINCT term) AS DOUBLE) AS nv FROM tt GROUP BY 1), " +
+        "h AS (SELECT CAST(count(*) AS DOUBLE) AS hn, sum(ln(nt)) AS hsx, " +
+        "sum(ln(nv)) AS hsy, sum(ln(nt)*ln(nt)) AS hsxx, " +
+        "sum(ln(nt)*ln(nv)) AS hsxy, sum(ln(nv)*ln(nv)) AS hsyy FROM s) " +
+        "SELECT CAST(total_tokens AS BIGINT) AS n_tokens, CAST(zn AS BIGINT) AS n_types, " +
+        "(zn*zsxy - zsx*zsy)/nullif(zn*zsxx - zsx*zsx, 0.0) AS zipf_slope, " +
+        "(zsy - (zn*zsxy - zsx*zsy)/nullif(zn*zsxx - zsx*zsx, 0.0)*zsx)/zn AS zipf_intercept, " +
+        "((zn*zsxy - zsx*zsy)*(zn*zsxy - zsx*zsy))/nullif((zn*zsxx - zsx*zsx)*(zn*zsyy - zsy*zsy), 0.0) AS zipf_r2, " +
+        "(hn*hsxy - hsx*hsy)/nullif(hn*hsxx - hsx*hsx, 0.0) AS heaps_beta, " +
+        "(hsy - (hn*hsxy - hsx*hsy)/nullif(hn*hsxx - hsx*hsx, 0.0)*hsx)/hn AS heaps_logk, " +
+        "((hn*hsxy - hsx*hsy)*(hn*hsxy - hsx*hsy))/nullif((hn*hsxx - hsx*hsx)*(hn*hsyy - hsy*hsy), 0.0) AS heaps_r2 " +
+        "FROM z CROSS JOIN h"),
     "m27_token_budget" ->
       ("WITH n AS (SELECT doc_id, source, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -299,6 +299,12 @@ object CorpusQueries {
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.NgramLm.selfPerplexity(Tables.documents(s, dir), alpha = 0.5)
 
+  /** Corpus-law fit (m57): Zipf slope/intercept/r² over globally-ranked
+    * term frequencies plus the Heaps exponent across per-source
+    * (tokens, distinct-terms) points — one-row corpus health report. */
+  def corpusLaws(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.lawsReport(Tables.documents(s, dir))
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
