@@ -134,7 +134,8 @@ object SparkEntry {
     "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _),
     "m55_source_divergence" -> (CorpusQueries.sourceDivergence _),
     "m56_pack_segments" -> (CorpusQueries.packSegments _),
-    "m57_corpus_laws" -> (CorpusQueries.corpusLaws _)
+    "m57_corpus_laws" -> (CorpusQueries.corpusLaws _),
+    "m58_pmi_collocations" -> (CorpusQueries.pmiCollocations _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -590,6 +591,21 @@ object SparkEntry {
         "least(start + n_tokens, (seq_id + 1) * 2048) - start AS doc_to, " +
         "greatest(start, seq_id * 2048) - seq_id * 2048 AS seq_from, " +
         "least(start + n_tokens, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048) AS n_seg_tokens FROM e"),
+    // m58: PMI arithmetic is association-identical to Collocations.pmiBigrams
+    // (c_xy*N first, marginal product second, one ln over exact integers).
+    "m58_pmi_collocations" ->
+      ("WITH toks AS (SELECT string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "bi0 AS (SELECT list_transform(generate_series(1, len(t)-1), i -> t[i]) AS w1s, " +
+        "list_transform(generate_series(1, len(t)-1), i -> t[i+1]) AS w2s FROM toks), " +
+        "bi AS (SELECT unnest(w1s) AS w1, unnest(w2s) AS w2 FROM bi0), " +
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY 1, 2), " +
+        "uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(t) AS w FROM toks) x GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(greatest(len(t)-1, 0)) AS DOUBLE) AS nb FROM toks) " +
+        "SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y, " +
+        "ln(CAST(c_xy AS DOUBLE) * nb / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi " +
+        "FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN n " +
+        "WHERE c_xy >= 5"),
     // m57: OLS in log-log space from moment sums; the arithmetic below is
     // association-identical to CorpusLaws.lawsReport so both engines run
     // the same float expression tree (sums agree to ~1e-15, rounded @6dp).

@@ -305,6 +305,12 @@ object CorpusQueries {
   def corpusLaws(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusLaws.lawsReport(Tables.documents(s, dir))
 
+  /** PMI collocations (m58): adjacent-bigram pointwise mutual information
+    * with unigram marginals — m22's frequency ranking normalized into an
+    * association score. minCount 5 prunes the singleton tail. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.pmiBigrams(Tables.documents(s, dir), minCount = 5L)
+
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
