@@ -135,7 +135,8 @@ object SparkEntry {
     "m55_source_divergence" -> (CorpusQueries.sourceDivergence _),
     "m56_pack_segments" -> (CorpusQueries.packSegments _),
     "m57_corpus_laws" -> (CorpusQueries.corpusLaws _),
-    "m58_pmi_collocations" -> (CorpusQueries.pmiCollocations _)
+    "m58_pmi_collocations" -> (CorpusQueries.pmiCollocations _),
+    "m59_sq8_quantize" -> (CorpusQueries.sq8Quantize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -591,6 +592,22 @@ object SparkEntry {
         "least(start + n_tokens, (seq_id + 1) * 2048) - start AS doc_to, " +
         "greatest(start, seq_id * 2048) - seq_id * 2048 AS seq_from, " +
         "least(start + n_tokens, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048) AS n_seg_tokens FROM e"),
+    // m59: min/max are exact order-independent aggregates, and the affine
+    // code/decode arithmetic is association-identical to ScalarQuantizer.sq8,
+    // so codes AND errors hash-match bit-for-bit (no summation anywhere).
+    "m59_sq8_quantize" ->
+      ("WITH e0 AS (SELECT vec_id, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(i - 1 AS BIGINT)) AS dims, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE)) AS xs " +
+        "FROM embeddings), " +
+        "c AS (SELECT vec_id, unnest(dims) AS dim, unnest(xs) AS x FROM e0), " +
+        "b AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM c GROUP BY 1), " +
+        "q AS (SELECT vec_id, dim, x, mn, mx, " +
+        "CASE WHEN mx = mn THEN 0 ELSE " +
+        "CAST(greatest(least(floor((x - mn) / (mx - mn) * 255.0 + 0.5), 255.0), 0.0) AS BIGINT) END AS code " +
+        "FROM c JOIN b USING (dim)) " +
+        "SELECT vec_id, dim, code, " +
+        "abs(x - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn))) AS abs_err FROM q"),
     // m58: PMI arithmetic is association-identical to Collocations.pmiBigrams
     // (c_xy*N first, marginal product second, one ln over exact integers).
     "m58_pmi_collocations" ->

@@ -496,6 +496,11 @@ object CorpusQueries {
     Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       Vectors.toDouble(col("embedding")).as("vec"))
 
+  /** SQ8 scalar quantization (m59): per-dimension affine 8-bit codes +
+    * reconstruction error over the embeddings table. */
+  def sq8Quantize(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.ScalarQuantizer.sq8(Tables.embeddings(s, dir))
+
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     Ann.bruteForceTopK(all.filter(col("id") < 10), all, k = 5)
