@@ -136,7 +136,8 @@ object SparkEntry {
     "m56_pack_segments" -> (CorpusQueries.packSegments _),
     "m57_corpus_laws" -> (CorpusQueries.corpusLaws _),
     "m58_pmi_collocations" -> (CorpusQueries.pmiCollocations _),
-    "m59_sq8_quantize" -> (CorpusQueries.sq8Quantize _)
+    "m59_sq8_quantize" -> (CorpusQueries.sq8Quantize _),
+    "m60_source_overlap" -> (CorpusQueries.sourceOverlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -592,6 +593,22 @@ object SparkEntry {
         "least(start + n_tokens, (seq_id + 1) * 2048) - start AS doc_to, " +
         "greatest(start, seq_id * 2048) - seq_id * 2048 AS seq_from, " +
         "least(start + n_tokens, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048) AS n_seg_tokens FROM e"),
+    // m60: the oracle replays the shingle walk as strings; the engine
+    // counts FNV-hashed shingles — identical distinct counts up to 2^-64
+    // collisions (the m14/m25 argument).
+    "m60_source_overlap" ->
+      ("WITH dt AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT DISTINCT source, gram FROM (SELECT source, " +
+        "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
+        "FROM dt) x WHERE gram <> ''), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1), " +
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, ca.n AS grams_a, cb.n AS grams_b, n_shared, " +
+        "CAST(n_shared AS DOUBLE) / CAST(ca.n + cb.n - n_shared AS DOUBLE) AS jaccard " +
+        "FROM p JOIN c ca ON p.source_a = ca.source JOIN c cb ON p.source_b = cb.source"),
     // m59: min/max are exact order-independent aggregates, and the affine
     // code/decode arithmetic is association-identical to ScalarQuantizer.sq8,
     // so codes AND errors hash-match bit-for-bit (no summation anywhere).

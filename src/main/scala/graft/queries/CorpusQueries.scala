@@ -305,6 +305,11 @@ object CorpusQueries {
   def corpusLaws(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusLaws.lawsReport(Tables.documents(s, dir))
 
+  /** Cross-source overlap matrix (m60): pairwise shared-shingle mass
+    * between sources — the mirror-site / double-ingest detector. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SourceOverlap.overlapMatrix(Tables.documents(s, dir))
+
   /** PMI collocations (m58): adjacent-bigram pointwise mutual information
     * with unigram marginals — m22's frequency ranking normalized into an
     * association score. minCount 5 prunes the singleton tail. */
