@@ -137,7 +137,8 @@ object SparkEntry {
     "m57_corpus_laws" -> (CorpusQueries.corpusLaws _),
     "m58_pmi_collocations" -> (CorpusQueries.pmiCollocations _),
     "m59_sq8_quantize" -> (CorpusQueries.sq8Quantize _),
-    "m60_source_overlap" -> (CorpusQueries.sourceOverlap _)
+    "m60_source_overlap" -> (CorpusQueries.sourceOverlap _),
+    "m61_snapshot_merge" -> (CorpusQueries.snapshotMerge _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -718,6 +719,39 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m61: the fold's transition CASEs are mirrored verbatim per step;
+    // fingerprints are never null, so fp-nullness encodes presence.
+    "m61_snapshot_merge" ->
+      ("WITH f1 AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 3 " +
+        "THEN 'zz' || substr(text, 3) ELSE text END, '')) AS fp " +
+        "FROM documents WHERE doc_id % 10 <> 7 " +
+        "UNION ALL SELECT doc_id + 30000, md5(coalesce(text, '')) FROM documents WHERE doc_id < 25), " +
+        "f2 AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents), " +
+        "f3 AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 5 " +
+        "THEN 'qq' || substr(text, 3) ELSE text END, '')) AS fp " +
+        "FROM documents WHERE doc_id % 10 <> 1), " +
+        "s1 AS (SELECT doc_id, fp, CAST(1 AS BIGINT) AS first_seen_version, " +
+        "CAST(1 AS BIGINT) AS last_changed_version, CAST(1 AS BIGINT) AS last_seen_version, " +
+        "'added' AS status FROM f1), " +
+        "s2 AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, coalesce(b.fp, a.fp) AS fp, " +
+        "CASE WHEN a.fp IS NULL THEN CAST(2 AS BIGINT) ELSE a.first_seen_version END AS first_seen_version, " +
+        "CASE WHEN a.fp IS NULL THEN CAST(2 AS BIGINT) WHEN b.fp IS NULL THEN a.last_changed_version " +
+        "WHEN a.status = 'removed' THEN CAST(2 AS BIGINT) WHEN a.fp <> b.fp THEN CAST(2 AS BIGINT) " +
+        "ELSE a.last_changed_version END AS last_changed_version, " +
+        "CASE WHEN b.fp IS NULL THEN a.last_seen_version ELSE CAST(2 AS BIGINT) END AS last_seen_version, " +
+        "CASE WHEN a.fp IS NULL THEN 'added' WHEN b.fp IS NULL THEN 'removed' " +
+        "WHEN a.status = 'removed' THEN 'added' WHEN a.fp <> b.fp THEN 'changed' " +
+        "ELSE 'unchanged' END AS status FROM s1 a FULL OUTER JOIN f2 b ON a.doc_id = b.doc_id), " +
+        "s3 AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, coalesce(b.fp, a.fp) AS fp, " +
+        "CASE WHEN a.fp IS NULL THEN CAST(3 AS BIGINT) ELSE a.first_seen_version END AS first_seen_version, " +
+        "CASE WHEN a.fp IS NULL THEN CAST(3 AS BIGINT) WHEN b.fp IS NULL THEN a.last_changed_version " +
+        "WHEN a.status = 'removed' THEN CAST(3 AS BIGINT) WHEN a.fp <> b.fp THEN CAST(3 AS BIGINT) " +
+        "ELSE a.last_changed_version END AS last_changed_version, " +
+        "CASE WHEN b.fp IS NULL THEN a.last_seen_version ELSE CAST(3 AS BIGINT) END AS last_seen_version, " +
+        "CASE WHEN a.fp IS NULL THEN 'added' WHEN b.fp IS NULL THEN 'removed' " +
+        "WHEN a.status = 'removed' THEN 'added' WHEN a.fp <> b.fp THEN 'changed' " +
+        "ELSE 'unchanged' END AS status FROM s2 a FULL OUTER JOIN f3 b ON a.doc_id = b.doc_id) " +
+        "SELECT doc_id, fp, first_seen_version, last_changed_version, last_seen_version, status FROM s3"),
     "m44_snapshot_diff" ->
       ("WITH newd AS (SELECT doc_id, md5(coalesce(text, '')) AS new_fp FROM documents), " +
         "old AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 3 " +

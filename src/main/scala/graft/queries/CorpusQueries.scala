@@ -244,6 +244,28 @@ object CorpusQueries {
     graft.operators.SnapshotDiff.diff(older, docs, keyCol = "doc_id")
   }
 
+  /** Three-version snapshot merge (m61): v1 = m44's older snapshot
+    * (%10==7 absent, %10==3 mutated, +25 extra rows), v2 = the shipped
+    * corpus, v3 = corpus with %10==5 mutated ("qq" marker) and %10==1
+    * dropped — exercising added / removed / changed / re-add transitions
+    * with first_seen preserved. Pure function of the input, so the
+    * oracle rebuilds all three snapshots in SQL. */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 10 === 3,
+        concat(lit("zz"), substring(col("text"), 3, 1000000)))
+        .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 30000))
+    val v3 = docs.filter(col("doc_id") % 10 =!= 1)
+      .withColumn("text", when(col("doc_id") % 10 === 5,
+        concat(lit("qq"), substring(col("text"), 3, 1000000)))
+        .otherwise(col("text")))
+    graft.operators.SnapshotMerge.mergeAll(
+      Seq((1L, v1), (2L, docs), (3L, v3)), keyCol = "doc_id")
+  }
+
   /** Deterministic Unicode augmentation for m50: the corpus is ASCII, so
     * append a suffix exercising every canonicalization path — precomposed
     * é, NBSP, ï, a tab, a combining acute (e+U+0301 → NFC é), runs of
