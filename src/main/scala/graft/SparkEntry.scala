@@ -138,7 +138,8 @@ object SparkEntry {
     "m58_pmi_collocations" -> (CorpusQueries.pmiCollocations _),
     "m59_sq8_quantize" -> (CorpusQueries.sq8Quantize _),
     "m60_source_overlap" -> (CorpusQueries.sourceOverlap _),
-    "m61_snapshot_merge" -> (CorpusQueries.snapshotMerge _)
+    "m61_snapshot_merge" -> (CorpusQueries.snapshotMerge _),
+    "m62_doc_pagerank" -> (CorpusQueries.docPagerank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -719,6 +720,24 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m62: fixed-iteration damped power iteration replayed as a recursive
+    // CTE with aggregation in the recursive term; the rank update is
+    // association-identical to PageRank.ranks ((1−d)/N first, d·Σ second).
+    "m62_doc_pagerank" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") +
+        ", p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.6), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+        "UNION ALL SELECT doc_b, doc_a FROM p), " +
+        "outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY 1), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "pr AS (SELECT 0 AS iter, node, 1.0 / n AS rank FROM nodes CROSS JOIN nn " +
+        "UNION ALL " +
+        "SELECT pr.iter + 1, e.dst AS node, " +
+        "(1.0 - 0.85) / nn.n + 0.85 * sum(pr.rank / outd.od) AS rank " +
+        "FROM pr JOIN edges e ON pr.node = e.src JOIN outd ON e.src = outd.src " +
+        "CROSS JOIN nn WHERE pr.iter < 10 GROUP BY pr.iter + 1, e.dst, nn.n) " +
+        "SELECT node AS doc_id, rank FROM pr WHERE iter = 10"),
     // m61: the fold's transition CASEs are mirrored verbatim per step;
     // fingerprints are never null, so fp-nullness encodes presence.
     "m61_snapshot_merge" ->

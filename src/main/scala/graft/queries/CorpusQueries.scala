@@ -669,6 +669,18 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Similarity-graph PageRank (m62): damped centrality over the m14
+    * near-dup pair graph (jaccard ≥ 0.6, symmetrized) — high-rank nodes
+    * are the canonical documents of each duplicate family. 10 fixed
+    * iterations, d = 0.85. */
+  def docPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = gramIndexJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.operators.PageRank.ranks(edges, iterations = 10)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
+
   /** Exact cosine near-dup for a probe subset (ids < 100) over the
     * perturbed-augmented corpus — oracle-checkable twin of
     * [[embeddingNearDups]]'s LSH mode. */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  /** Tiny driver-side reference implementation of the same fixed-iteration
+    * scheme, for exact comparison. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        d: Double = 0.85): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = edges.map(_._1).distinct
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contribs = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = contribs.map { case (v, s) => v -> ((1.0 - d) / n + d * s) }
+    }
+    r
+  }
+
+  test("symmetric two-node graph stays uniform") {
+    val ranks = PageRank.ranks(sym(1L -> 2L), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ranks(1L) shouldBe 0.5 +- 1e-12
+    ranks(2L) shouldBe 0.5 +- 1e-12
+  }
+
+  test("star center out-ranks leaves and matches the reference power iteration") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L)
+    val edgesSym = edges ++ edges.map(p => (p._2, p._1))
+    val got = PageRank.ranks(sym(edges: _*), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = reference(edgesSym, 10)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) +- 1e-12 }
+    got(1L) should be > got(2L)
+    got(2L) shouldBe got(3L) +- 1e-12
+  }
+
+  test("rank mass is conserved on a symmetrized graph") {
+    val ranks = PageRank.ranks(sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L),
+      iterations = 10)
+    val total = ranks.collect().map(_.getDouble(1)).sum
+    total shouldBe 1.0 +- 1e-9
+  }
+}
