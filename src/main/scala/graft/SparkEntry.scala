@@ -139,7 +139,12 @@ object SparkEntry {
     "m59_sq8_quantize" -> (CorpusQueries.sq8Quantize _),
     "m60_source_overlap" -> (CorpusQueries.sourceOverlap _),
     "m61_snapshot_merge" -> (CorpusQueries.snapshotMerge _),
-    "m62_doc_pagerank" -> (CorpusQueries.docPagerank _)
+    "m62_doc_pagerank" -> (CorpusQueries.docPagerank _),
+    // m63 has no oracle by design: the normalize-between-iterations power
+    // recursion isn't SQL-replayable bit-for-bit; PcaPowerSpec pins the
+    // planted-direction recovery, the analytic 2-d eigenpair, the sign
+    // convention, and eigenvalue = explained variance.
+    "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -669,6 +669,11 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Top principal component of the embedding corpus (m63): distributed
+    * power iteration, 8 steps — the anisotropy/whitening diagnostic. */
+  def pcaTopComponent(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.PcaPower.topComponent(Tables.embeddings(s, dir))
+
   /** Similarity-graph PageRank (m62): damped centrality over the m14
     * near-dup pair graph (jaccard ≥ 0.6, symmetrized) — high-rank nodes
     * are the canonical documents of each duplicate family. 10 fixed
