@@ -144,7 +144,8 @@ object SparkEntry {
     // recursion isn't SQL-replayable bit-for-bit; PcaPowerSpec pins the
     // planted-direction recovery, the analytic 2-d eigenpair, the sign
     // convention, and eigenvalue = explained variance.
-    "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _)
+    "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _),
+    "m64_systematic_sample" -> (CorpusQueries.systematicSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -725,6 +726,21 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m64: the hit-count arithmetic is association-identical to
+    // SystematicSample.sample (cum sums are exact longs; step and the two
+    // ceils run the same IEEE ops in both engines).
+    "m64_systematic_sample" ->
+      ("WITH n AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS w " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, w, CAST(coalesce(sum(w) OVER (" +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM n), " +
+        "t AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM n), " +
+        "h AS (SELECT doc_id, w, cum_before, " +
+        "CAST(ceil(CAST(cum_before + w AS DOUBLE) / (tw / 200.0) - 0.5) - " +
+        "ceil(CAST(cum_before AS DOUBLE) / (tw / 200.0) - 0.5) AS BIGINT) AS n_hits " +
+        "FROM o CROSS JOIN t) " +
+        "SELECT doc_id, w, cum_before, n_hits FROM h WHERE n_hits > 0"),
     // m62: fixed-iteration damped power iteration replayed as a recursive
     // CTE with aggregation in the recursive term; the rank update is
     // association-identical to PageRank.ranks ((1−d)/N first, d·Σ second).

@@ -669,6 +669,16 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Systematic PPS sample (m64): exactly 200 token-mass-proportional
+    * sample points over the md5-ordered corpus layout. */
+  def systematicSample(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
+    graft.operators.SystematicSample.sample(
+      n, keyCol = "doc_id", weightCol = "n_tokens", k = 200)
+  }
+
   /** Top principal component of the embedding corpus (m63): distributed
     * power iteration, 8 steps — the anisotropy/whitening diagnostic. */
   def pcaTopComponent(s: SparkSession, dir: String): DataFrame =
