@@ -145,7 +145,8 @@ object SparkEntry {
     // planted-direction recovery, the analytic 2-d eigenpair, the sign
     // convention, and eigenvalue = explained variance.
     "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _),
-    "m64_systematic_sample" -> (CorpusQueries.systematicSample _)
+    "m64_systematic_sample" -> (CorpusQueries.systematicSample _),
+    "m65_padding_waste" -> (CorpusQueries.paddingWaste _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -726,6 +727,20 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    "m65_padding_waste" ->
+      ("WITH n AS (SELECT source, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS nt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "k AS (SELECT source, nt, least(nt, 2048) AS kept FROM n), " +
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(nt - kept) AS BIGINT) AS trunc_tokens, " +
+        "CAST(sum(2048 - kept) AS BIGINT) AS pad_tokens, " +
+        "CAST(sum(kept) AS BIGINT) AS kept_tokens FROM k GROUP BY 1) " +
+        "SELECT source, n_docs, total_tokens, trunc_tokens, pad_tokens, kept_tokens, " +
+        "CAST(ceil(CAST(kept_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS packed_seqs, " +
+        "CAST(kept_tokens AS DOUBLE) / CAST(n_docs * 2048 AS DOUBLE) AS padded_util, " +
+        "CAST(kept_tokens AS DOUBLE) / CAST(CAST(ceil(CAST(kept_tokens AS DOUBLE) / 2048.0) AS BIGINT) * 2048 AS DOUBLE) AS packed_util " +
+        "FROM a"),
     // m64: the hit-count arithmetic is association-identical to
     // SystematicSample.sample (cum sums are exact longs; step and the two
     // ceils run the same IEEE ops in both engines).

@@ -669,6 +669,39 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Padding-waste report (m65): per-source accounting of what naive
+    * one-doc-per-sequence batching at seqLen=2048 costs versus packed
+    * sequences (m26/m56's layout) — padded/truncated token mass and the
+    * utilization of both layouts. The number a training-infra owner
+    * reads before deciding the packing pipeline is worth running.
+    * One partial-aggregated exchange on source; the token counting is
+    * the same codegen'd projection as m35. */
+  def paddingWaste(s: SparkSession, dir: String): DataFrame =
+    paddingWasteOver(Tables.documents(s, dir), seqLen = 2048L)
+
+  def paddingWasteOver(docs: DataFrame, seqLen: Long): DataFrame = {
+    val n = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("nt"))
+      .withColumn("kept", least(col("nt"), lit(seqLen)))
+    n.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("total_tokens"),
+      sum(col("nt") - col("kept")).as("trunc_tokens"),
+      sum(lit(seqLen) - col("kept")).as("pad_tokens"),
+      sum(col("kept")).as("kept_tokens"))
+      .withColumn("packed_seqs",
+        ceil(col("kept_tokens").cast("double") / lit(seqLen.toDouble)).cast("long"))
+      .withColumn("padded_util",
+        col("kept_tokens").cast("double") /
+          (col("n_docs") * lit(seqLen)).cast("double"))
+      .withColumn("packed_util",
+        col("kept_tokens").cast("double") /
+          (col("packed_seqs") * lit(seqLen)).cast("double"))
+      .select("source", "n_docs", "total_tokens", "trunc_tokens",
+        "pad_tokens", "kept_tokens", "packed_seqs", "padded_util", "packed_util")
+  }
+
   /** Systematic PPS sample (m64): exactly 200 token-mass-proportional
     * sample points over the md5-ordered corpus layout. */
   def systematicSample(s: SparkSession, dir: String): DataFrame = {

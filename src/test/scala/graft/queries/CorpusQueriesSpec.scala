@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("paddingWasteOver: pad, truncation and both utilizations on a hand-sized corpus") {
+    // seqLen 10: doc a = 4 tokens (pad 6), doc b = 12 tokens (trunc 2).
+    val docs = Seq(
+      (1L, "w w w w", "s1"),
+      (2L, "w w w w w w w w w w w w", "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusQueries.paddingWasteOver(docs, seqLen = 10L).collect()(0)
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[Long]("total_tokens") shouldBe 16L
+    r.getAs[Long]("trunc_tokens") shouldBe 2L
+    r.getAs[Long]("pad_tokens") shouldBe 6L
+    r.getAs[Long]("kept_tokens") shouldBe 14L
+    r.getAs[Long]("packed_seqs") shouldBe 2L       // ceil(14/10)
+    r.getAs[Double]("padded_util") shouldBe 0.7 +- 1e-12   // 14 / 20
+    r.getAs[Double]("packed_util") shouldBe 0.7 +- 1e-12   // 14 / 20
+  }
+
   test("topBigramsOver: adjacent pairs only, count ties broken by gram") {
     val docs = Seq(
       (1L, "a b a b c"), // bigrams: a b, b a, a b, b c
