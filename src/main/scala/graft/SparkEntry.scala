@@ -146,7 +146,8 @@ object SparkEntry {
     // convention, and eigenvalue = explained variance.
     "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _),
     "m64_systematic_sample" -> (CorpusQueries.systematicSample _),
-    "m65_padding_waste" -> (CorpusQueries.paddingWaste _)
+    "m65_padding_waste" -> (CorpusQueries.paddingWaste _),
+    "m66_dedup_keep_best" -> (CorpusQueries.dedupKeepBest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -727,6 +728,25 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m66: cluster closure (m17's recursive CTE) × vocab quality (m24's
+    // OOV rate over the SAME augmented corpus); survivor rank rides exact
+    // integer-ratio doubles, so the float order is engine-identical.
+    "m66_dedup_keep_best" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
+        ", memb AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "tf AS (SELECT term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1), " +
+        "vocab AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 25), " +
+        "q AS (SELECT t.doc_id, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate " +
+        "FROM terms t LEFT JOIN vocab v USING (term) WHERE t.term <> '' GROUP BY 1), " +
+        "j AS (SELECT m.cluster_id, m.doc_id, q.oov_rate, " +
+        "row_number() OVER (PARTITION BY m.cluster_id ORDER BY q.oov_rate ASC, m.doc_id ASC) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS n_members " +
+        "FROM memb m JOIN q USING (doc_id)) " +
+        "SELECT cluster_id, doc_id AS kept_doc_id, n_members, oov_rate AS kept_oov_rate " +
+        "FROM j WHERE rn = 1"),
     "m65_padding_waste" ->
       ("WITH n AS (SELECT source, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS nt " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -729,6 +729,35 @@ object CorpusQueries {
       .select(col("node").as("doc_id"), col("rank"))
   }
 
+  /** Keep-best dedup resolution (m66): the step AFTER clustering — each
+    * duplicate family (m17's connected components) keeps its
+    * highest-quality member (lowest m24 OOV rate, doc_id tie-break) and
+    * drops the rest. This is the policy decision a dedup pipeline
+    * actually ships: "zz"-mutated planted copies carry OOV junk tokens,
+    * so the pristine originals win their clusters.
+    *
+    * Scale shape: membership and quality are both doc-keyed narrow
+    * tables (text stays below); the survivor pick is a window over
+    * cluster_id — partitions are duplicate families, bounded by cluster
+    * size, never corpus-sized. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val members = graft.dedup.DedupClusters.components(
+      gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
+    val quality = vocabQualityOver(aug, vocabSize = 25)
+      .select(col("doc_id"), col("oov_rate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("oov_rate").asc, col("doc_id").asc)
+    members.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("n_members"), col("oov_rate").as("kept_oov_rate"))
+  }
+
   /** Exact cosine near-dup for a probe subset (ids < 100) over the
     * perturbed-augmented corpus — oracle-checkable twin of
     * [[embeddingNearDups]]'s LSH mode. */

@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupKeepBest: every planted cluster keeps exactly one member, always an original") {
+    val out = CorpusQueries.dedupKeepBest(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.length should be > 0
+    // one survivor row per cluster
+    out.map(_._1).distinct.length shouldBe out.length
+    out.foreach { case (_, kept, nMembers, oov) =>
+      nMembers should be >= 2L
+      // planted copies live at +10000/+20000; the pristine original must win
+      kept should be < 10000L
+      oov should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("paddingWasteOver: pad, truncation and both utilizations on a hand-sized corpus") {
     // seqLen 10: doc a = 4 tokens (pad 6), doc b = 12 tokens (trunc 2).
     val docs = Seq(
