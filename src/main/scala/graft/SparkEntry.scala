@@ -147,7 +147,9 @@ object SparkEntry {
     "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _),
     "m64_systematic_sample" -> (CorpusQueries.systematicSample _),
     "m65_padding_waste" -> (CorpusQueries.paddingWaste _),
-    "m66_dedup_keep_best" -> (CorpusQueries.dedupKeepBest _)
+    "m66_dedup_keep_best" -> (CorpusQueries.dedupKeepBest _),
+    "m67_lang_confusion" -> (CorpusQueries.langConfusion _),
+    "m68_quality_calibration" -> (CorpusQueries.qualityCalibration _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -728,6 +730,34 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m68: QualityExpr per doc × the m24 OOV chain; fixed buckets (no
+    // global ntile), means are exact-ratio aggregates rounded @6dp.
+    "m68_quality_calibration" ->
+      (TextStatsBase +
+        ", q AS (SELECT doc_id, " + QualityExpr + " AS quality FROM base), " +
+        "terms AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tf AS (SELECT term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1), " +
+        "vocab AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 25), " +
+        "oov AS (SELECT t.doc_id, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate " +
+        "FROM terms t LEFT JOIN vocab v USING (term) WHERE t.term <> '' GROUP BY 1), " +
+        "j AS (SELECT CAST(least(floor(quality * 10.0), 9.0) AS BIGINT) AS bucket, quality, oov_rate " +
+        "FROM q JOIN oov USING (doc_id)) " +
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, avg(quality) AS mean_quality, " +
+        "avg(oov_rate) AS mean_oov_rate FROM j GROUP BY 1"),
+    // m67: replays the m01/m02 LangExpr over a lang-carrying stats base.
+    "m67_lang_confusion" ->
+      ("WITH base AS (SELECT lang, " +
+        "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +
+        "len(list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t IN (" +
+        "'the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS n_stopwords " +
+        "FROM documents), " +
+        "p AS (SELECT lang, " + LangExpr + " AS lang_pred FROM base), " +
+        "c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2), " +
+        "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM c GROUP BY 1) " +
+        "SELECT c.lang, c.lang_pred, c.n_docs, t.lang_total, " +
+        "CAST(c.n_docs AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS share " +
+        "FROM c JOIN t USING (lang)"),
     // m66: cluster closure (m17's recursive CTE) × vocab quality (m24's
     // OOV rate over the SAME augmented corpus); survivor rank rides exact
     // integer-ratio doubles, so the float order is engine-identical.

@@ -669,6 +669,44 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Quality-gate calibration (m68): fixed quality-score buckets
+    * (floor(q·10), clamped to 9 — per-row arithmetic, deliberately NOT a
+    * global ntile window) crossed with the independent m24 OOV rate —
+    * the check that the cheap heuristic gate actually orders documents
+    * the way a vocabulary-based score does. Two doc-keyed narrow tables,
+    * one equi-join, one partial-agg exchange on bucket. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = TextOps.textStats(docs).select(col("doc_id"), col("quality"))
+    val oov = vocabQualityOver(docs, vocabSize = 25)
+      .select(col("doc_id"), col("oov_rate"))
+    q.join(oov, Seq("doc_id"))
+      .withColumn("bucket",
+        least(floor(col("quality") * 10.0), lit(9.0)).cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("quality")).as("mean_quality"),
+        avg(col("oov_rate")).as("mean_oov_rate"))
+  }
+
+  /** Language-ID confusion crosstab (m67): declared `lang` column vs the
+    * n-gram/stopword heuristic's prediction, with per-language share —
+    * the QA table for the m02 gate itself (how much non-English leaks
+    * through, how much English it drops). One partial-agg exchange on
+    * (lang, lang_pred); the totals join is language-count-sized and
+    * broadcast. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.documents(s, dir)
+      .select(col("lang"), TextOps.profile(col("text")).as("p"))
+      .select(col("lang"), col("p.lang_pred").as("lang_pred"))
+    val counts = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy("lang").agg(sum(col("n_docs")).as("lang_total"))
+    counts.join(broadcast(totals), Seq("lang"))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("lang_total").cast("double"))
+      .select("lang", "lang_pred", "n_docs", "lang_total", "share")
+  }
+
   /** Padding-waste report (m65): per-source accounting of what naive
     * one-doc-per-sequence batching at seqLen=2048 costs versus packed
     * sequences (m26/m56's layout) — padded/truncated token mass and the

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("langConfusion: shares sum to 1 per language and cover every declared lang") {
+    val rows = CorpusQueries.langConfusion(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    val langs = rows.map(_.getString(0)).distinct
+    langs should contain("en")
+    langs.foreach { l =>
+      val ofLang = rows.filter(_.getString(0) == l)
+      ofLang.map(_.getDouble(4)).sum shouldBe 1.0 +- 1e-9
+      ofLang.map(_.getLong(2)).sum shouldBe ofLang.head.getLong(3)
+    }
+    rows.map(_.getString(1)).distinct.toSet.subsetOf(Set("en", "unknown")) shouldBe true
+  }
+
+  test("qualityCalibration: buckets partition the corpus and means stay in range") {
+    val rows = CorpusQueries.qualityCalibration(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(0) should (be >= 0L and be <= 9L)
+      val mq = r.getDouble(2)
+      // mean quality of a bucket lies inside the bucket's [b/10, (b+1)/10)
+      // band (bucket 9 additionally absorbs quality = 1.0)
+      mq should be >= r.getLong(0) / 10.0
+      mq should be <= (r.getLong(0) + 1) / 10.0 + 1e-12
+      r.getDouble(3) should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("dedupKeepBest: every planted cluster keeps exactly one member, always an original") {
     val out = CorpusQueries.dedupKeepBest(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
