@@ -40,20 +40,41 @@ object PageRank {
             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sc = edges.sparkSession.sparkContext
+    // DedupClusters' snapshot hygiene: track each localCheckpoint's
+    // blocks so a superseded iteration frees immediately — at billions
+    // of nodes, 10 retained rank tables is real executor storage.
+    def snapshot(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.toSeq)
+    }
+    // Pin the raw edges FIRST: base and nodes both derive from them, and
+    // without this the upstream edge pipeline (e.g. m14's pair
+    // verification) would execute once per derivation.
+    val (e, eRdds) = snapshot(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
-    val base = e.join(outdeg, Seq("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val (base, baseRdds) = snapshot(e.join(outdeg, Seq("src")))
+    val (nodes, nodesRdds) = snapshot(e.select(col("src").as("node")).distinct())
+    eRdds.foreach(_.unpersist(blocking = false)) // base+nodes now pinned
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranksRdds = nodesRdds
     for (_ <- 1 to iterations) {
-      ranks = base.join(ranks, col("src") === col("node"))
-        .select(col("dst"), (col("rank") / col("od")).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(1.0 - damping) / n + lit(damping) * col("s")).as("rank"))
-        .localCheckpoint(true)
+      val (next, nextRdds) = snapshot(
+        base.join(ranks, col("src") === col("node"))
+          .select(col("dst"), (col("rank") / col("od")).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(1.0 - damping) / n + lit(damping) * col("s")).as("rank")))
+      ranksRdds.foreach(_.unpersist(blocking = false)) // superseded round
+      ranks = next
+      ranksRdds = nextRdds
     }
+    baseRdds.foreach(_.unpersist(blocking = false))
     ranks
   }
 }
