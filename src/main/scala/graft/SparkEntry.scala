@@ -149,7 +149,9 @@ object SparkEntry {
     "m65_padding_waste" -> (CorpusQueries.paddingWaste _),
     "m66_dedup_keep_best" -> (CorpusQueries.dedupKeepBest _),
     "m67_lang_confusion" -> (CorpusQueries.langConfusion _),
-    "m68_quality_calibration" -> (CorpusQueries.qualityCalibration _)
+    "m68_quality_calibration" -> (CorpusQueries.qualityCalibration _),
+    "m69_length_outliers" -> (CorpusQueries.lengthOutliers _),
+    "m70_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -730,6 +732,32 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m69: exact interpolated percentile ≡ quantile_cont (the m35 parity);
+    // the robust-z arithmetic is association-identical.
+    "m69_length_outliers" ->
+      ("WITH d AS (SELECT source, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS nt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "med AS (SELECT source, quantile_cont(nt, 0.5) AS med FROM d GROUP BY 1), " +
+        "wm AS (SELECT d.source, d.nt, med.med FROM d JOIN med USING (source)), " +
+        "mad AS (SELECT source, quantile_cont(abs(nt - med), 0.5) AS mad FROM wm GROUP BY 1), " +
+        "f AS (SELECT wm.source, wm.nt, wm.med, mad.mad, " +
+        "CASE WHEN mad.mad = 0.0 THEN FALSE ELSE abs(0.6745 * (wm.nt - wm.med) / mad.mad) > 3.5 END AS is_outlier " +
+        "FROM wm JOIN mad USING (source)) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, max(med) AS median_tokens, " +
+        "max(mad) AS mad_tokens, CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS outlier_rate " +
+        "FROM f GROUP BY 1"),
+    // m70: cluster closure + the SAME generated split expression as m39,
+    // keyed on the family representative.
+    "m70_leakage_safe_split" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
+        ", memb AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "k AS (SELECT a.doc_id, coalesce(m.cluster_id, a.doc_id) AS group_key " +
+        "FROM aug a LEFT JOIN memb m ON a.doc_id = m.doc_id) " +
+        "SELECT doc_id, group_key, " +
+        graft.operators.HashSplit.oracleSqlExpr("group_key", CorpusQueries.SplitFractions) +
+        " AS split FROM k"),
     // m68: QualityExpr per doc × the m24 OOV chain; fixed buckets (no
     // global ntile), means are exact-ratio aggregates rounded @6dp.
     "m68_quality_calibration" ->

@@ -669,6 +669,54 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Robust per-source length-outlier report (m69): median/MAD robust
+    * z-scores over token counts — the anomaly dial that catches a source
+    * suddenly shipping truncated or concatenated documents, where mean/
+    * stddev would be dragged by the very outliers being hunted. Exact
+    * `percentile` twice (median, then MAD) with the same quantile_cont
+    * parity as m35; at 100 TB swap approx_percentile, same shape. Both
+    * per-source stat tables are source-count-sized and broadcast. */
+  def lengthOutliers(s: SparkSession, dir: String): DataFrame =
+    lengthOutliersOver(Tables.documents(s, dir))
+
+  def lengthOutliersOver(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("nt"))
+    val med = d.groupBy("source").agg(percentile(col("nt"), lit(0.5)).as("med"))
+    val withMed = d.join(broadcast(med), Seq("source"))
+    val mad = withMed.groupBy("source")
+      .agg(percentile(abs(col("nt") - col("med")), lit(0.5)).as("mad"))
+    val z = lit(0.6745) * (col("nt") - col("med")) / col("mad")
+    withMed.join(broadcast(mad), Seq("source"))
+      .withColumn("is_outlier",
+        when(col("mad") === 0.0, lit(false)).otherwise(abs(z) > 3.5))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        max(col("med")).as("median_tokens"),
+        max(col("mad")).as("mad_tokens"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        col("n_outliers").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** Leakage-safe train/val/test split (m70): m39's hash-stable split
+    * keyed by DUPLICATE FAMILY, not document — every member of a near-dup
+    * cluster (m17) lands in the same split, so a test document's mutated
+    * twin can never sit in train. Singletons key on their own id. The
+    * eval-set integrity step a curation pipeline runs between dedup and
+    * packing. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val members = graft.dedup.DedupClusters.components(
+      gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
+    val keyed = aug.select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select("doc_id", "group_key")
+    graft.operators.HashSplit.assign(keyed, "group_key", SplitFractions)
+  }
+
   /** Quality-gate calibration (m68): fixed quality-score buckets
     * (floor(q·10), clamped to 9 — per-row arithmetic, deliberately NOT a
     * global ntile window) crossed with the independent m24 OOV rate —

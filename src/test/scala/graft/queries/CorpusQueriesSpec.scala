@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lengthOutliersOver: a planted length freak flags, uniform sources don't") {
+    // s1: 20 docs of 10 tokens + one of 500 -> med 10, MAD 0... make
+    // lengths vary so MAD > 0: 10/12 alternating plus the freak.
+    val s1 = (0L until 20L).map(i =>
+      (i, Seq.fill(if (i % 2 == 0) 10 else 12)("w").mkString(" "), "s1"))
+    val freak = Seq((99L, Seq.fill(500)("w").mkString(" "), "s1"))
+    val s2 = (100L until 110L).map(i => (i, "a b c d e", "s2"))
+    val rows = CorpusQueries.lengthOutliersOver(
+        (s1 ++ freak ++ s2).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getDouble(5))).toMap
+    rows("s1")._1 shouldBe 21L
+    rows("s1")._2 shouldBe 1L          // exactly the freak
+    rows("s2")._2 shouldBe 0L          // MAD 0 -> no outliers by contract
+    rows("s2")._3 shouldBe 0.0 +- 1e-12
+  }
+
+  test("leakageSafeSplit: every duplicate family lands in one split, fractions roughly hold") {
+    val out = CorpusQueries.leakageSafeSplit(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.length should be > 0
+    // same group_key -> same split
+    out.groupBy(_._2).foreach { case (_, members) =>
+      members.map(_._3).distinct.length shouldBe 1
+    }
+    // clusters exist (planted dups), so some group keys repeat
+    out.groupBy(_._2).count(_._2.length > 1) should be > 0
+    val shares = out.groupBy(_._3).view.mapValues(_.length.toDouble / out.length)
+    shares("train") shouldBe 0.8 +- 0.1
+  }
+
   test("langConfusion: shares sum to 1 per language and cover every declared lang") {
     val rows = CorpusQueries.langConfusion(spark, sf("sf0.001")).collect()
     rows.length should be > 0
