@@ -209,6 +209,37 @@ object PropertySpec extends Properties("graft") {
         a.map(_.getLong(0)).toSet.subsetOf(distinctRows.map(_._1).toSet)
     }
 
+  property("systematic sample: hits always sum to k, zero-weight rows never hit") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(1L, 500L), Gen.choose(0L, 40L))),
+      Gen.choose(1, 15)) { (rows, k) =>
+      val distinctRows = rows.distinctBy(_._1)
+      (distinctRows.map(_._2).sum >= k) ==> Prop {
+        val df = distinctRows.toDF("doc_id", "w")
+        val out = graft.operators.SystematicSample.sample(df, "doc_id", "w", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        val zeroIds = distinctRows.filter(_._2 == 0L).map(_._1).toSet
+        out.map(_._3).sum == k.toLong &&
+          out.forall(r => !zeroIds.contains(r._1)) &&
+          out.forall(r => r._3 >= 1L)
+      }
+    }
+
+  property("snapshot merge of two versions agrees with the pairwise diff") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1L, 15L), Gen.choose(1, 5))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(1L, 15L), Gen.choose(1, 5)))) { (a, b) =>
+      val v1 = a.distinctBy(_._1)
+      val v2 = b.distinctBy(_._1)
+      (v1.nonEmpty && v2.nonEmpty) ==> Prop {
+        val d1 = v1.map { case (k, t) => (k, s"t$t") }.toDF("doc_id", "text")
+        val d2 = v2.map { case (k, t) => (k, s"t$t") }.toDF("doc_id", "text")
+        val merged = graft.operators.SnapshotMerge.mergeAll(Seq((1L, d1), (2L, d2)))
+          .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+        val diff = graft.operators.SnapshotDiff.diff(d1, d2, "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+        merged == diff
+      }
+    }
+
   property("prefix sum: running totals equal the sequential scan") =
     forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 50L)))) { rows =>
       val distinctRows = rows.distinctBy(_._1)
