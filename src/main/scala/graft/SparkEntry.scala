@@ -151,7 +151,11 @@ object SparkEntry {
     "m67_lang_confusion" -> (CorpusQueries.langConfusion _),
     "m68_quality_calibration" -> (CorpusQueries.qualityCalibration _),
     "m69_length_outliers" -> (CorpusQueries.lengthOutliers _),
-    "m70_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _)
+    "m70_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _),
+    // m71 has no oracle by design: DuckDB has no deflate.
+    // CompressionRatioSpec pins the repetitive≪varied ordering, byte
+    // accounting, the empty-doc contract and determinism.
+    "m71_compression_ratio" -> (CorpusQueries.compressionRatios _)
   )
 
   def oracleSql: Map[String, String] = Map(

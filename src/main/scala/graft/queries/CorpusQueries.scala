@@ -669,6 +669,12 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Deflate compression-ratio quality signal (m71): the zero-model
+    * entropy heuristic — repetitive spam compresses too well, junk
+    * barely compresses, prose sits in a band. */
+  def compressionRatios(s: SparkSession, dir: String): DataFrame =
+    graft.text.CompressionRatio.ratios(Tables.documents(s, dir))
+
   /** Robust per-source length-outlier report (m69): median/MAD robust
     * z-scores over token counts — the anomaly dial that catches a source
     * suddenly shipping truncated or concatenated documents, where mean/
