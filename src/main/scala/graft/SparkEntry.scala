@@ -155,7 +155,8 @@ object SparkEntry {
     // m71 has no oracle by design: DuckDB has no deflate.
     // CompressionRatioSpec pins the repetitive≪varied ordering, byte
     // accounting, the empty-doc contract and determinism.
-    "m71_compression_ratio" -> (CorpusQueries.compressionRatios _)
+    "m71_compression_ratio" -> (CorpusQueries.compressionRatios _),
+    "m72_incremental_neardup" -> (CorpusQueries.incrementalNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -736,6 +737,29 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m72: asymmetric replay of the m14 inverted-index chain — df cap and
+    // set size on the INDEX side, batch grams probe; string grams count
+    // like the engine's FNV hashes (the m14/m25 argument).
+    "m72_incremental_neardup" ->
+      (AugmentedDocs +
+        ", bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug WHERE doc_id >= 10000), " +
+        "bg AS (SELECT DISTINCT doc_id AS batch_id, gram FROM (SELECT doc_id, " +
+        "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
+        "FROM bt) x WHERE gram <> ''), " +
+        "it AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug WHERE doc_id < 10000), " +
+        "ig AS (SELECT DISTINCT doc_id AS index_id, gram FROM (SELECT doc_id, " +
+        "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
+        "FROM it) x WHERE gram <> ''), " +
+        "kept AS (SELECT index_id, gram FROM (SELECT index_id, gram, " +
+        "count(*) OVER (PARTITION BY gram) AS df FROM ig) z WHERE df <= 50), " +
+        "nb AS (SELECT batch_id, count(*) AS n_b FROM bg GROUP BY 1), " +
+        "ni AS (SELECT index_id, count(*) AS n_i FROM kept GROUP BY 1), " +
+        "inter AS (SELECT batch_id, index_id, count(*) AS shared FROM bg JOIN kept USING (gram) GROUP BY 1, 2) " +
+        "SELECT batch_id, index_id, CAST(shared AS DOUBLE) / (n_b + n_i - shared) AS jaccard " +
+        "FROM inter JOIN nb USING (batch_id) JOIN ni USING (index_id) " +
+        "WHERE CAST(shared AS DOUBLE) / (n_b + n_i - shared) >= 0.6"),
     // m69: exact interpolated percentile ≡ quantile_cont (the m35 parity);
     // the robust-z arithmetic is association-identical.
     "m69_length_outliers" ->

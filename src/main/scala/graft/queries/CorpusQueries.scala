@@ -669,6 +669,16 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Incremental near-dup admission (m72): the planted copies
+    * (doc_id ≥ 10000) arrive as the "new batch" and probe the original
+    * corpus's inverted shingle index — only (batch, indexed) pairs. */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir))
+    graft.dedup.IncrementalNearDup.probeIndex(
+      batch = aug.filter(col("doc_id") >= 10000),
+      indexed = aug.filter(col("doc_id") < 10000))
+  }
+
   /** Deflate compression-ratio quality signal (m71): the zero-model
     * entropy heuristic — repetitive spam compresses too well, junk
     * barely compresses, prose sits in a band. */
