@@ -156,7 +156,8 @@ object SparkEntry {
     // CompressionRatioSpec pins the repetitive≪varied ordering, byte
     // accounting, the empty-doc contract and determinism.
     "m71_compression_ratio" -> (CorpusQueries.compressionRatios _),
-    "m72_incremental_neardup" -> (CorpusQueries.incrementalNearDup _)
+    "m72_incremental_neardup" -> (CorpusQueries.incrementalNearDup _),
+    "m73_source_interleave" -> (CorpusQueries.sourceInterleave _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -737,6 +738,16 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    "m73_source_interleave" ->
+      ("WITH d AS (SELECT doc_id, source FROM documents), " +
+        "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx " +
+        "FROM (SELECT DISTINCT source FROM d) x), " +
+        "ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM si), " +
+        "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS rk FROM d) " +
+        "SELECT r.doc_id, r.source, r.rk, si.source_idx, " +
+        "r.rk * ns.n_sources + si.source_idx AS pos " +
+        "FROM r JOIN si USING (source) CROSS JOIN ns"),
     // m72: asymmetric replay of the m14 inverted-index chain — df cap and
     // set size on the INDEX side, batch grams probe; string grams count
     // like the engine's FNV hashes (the m14/m25 argument).

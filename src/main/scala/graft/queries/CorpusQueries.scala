@@ -669,6 +669,31 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Round-robin source interleave (m73): a deterministic global
+    * training order where consecutive positions rotate through sources —
+    * the order-construction dual of m34/m27's mix SIZING (those decide
+    * how much of each source; this decides the sequence, so no source
+    * ever forms a long run that skews a training window). pos =
+    * within-source-rank · n_sources + source_index is injective, and
+    * sorting by it interleaves. Per-source md5 rank is a partitioned
+    * window (never global); the source-index table is source-count-sized
+    * and broadcast. */
+  def sourceInterleave(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val srcIdx = d.select("source").distinct()
+      .withColumn("source_idx",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("source")) - 1).cast("long"))
+    val nS = srcIdx.agg(count(lit(1)).as("n_sources"))
+    d.withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nS))
+      .withColumn("pos", col("rk") * col("n_sources") + col("source_idx"))
+      .select("doc_id", "source", "rk", "source_idx", "pos")
+  }
+
   /** Incremental near-dup admission (m72): the planted copies
     * (doc_id ≥ 10000) arrive as the "new batch" and probe the original
     * corpus's inverted shingle index — only (batch, indexed) pairs. */

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sourceInterleave: pos is injective and consecutive occupied positions rotate sources") {
+    val out = CorpusQueries.sourceInterleave(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.length should be > 0
+    out.map(_._5).distinct.length shouldBe out.length        // injective pos
+    val nS = out.map(_._4).max + 1
+    out.foreach { case (_, _, rk, idx, pos) => pos shouldBe rk * nS + idx }
+    // within the first full rotation (all sources still populated), the
+    // ordered positions cycle through distinct sources
+    val firstRound = out.filter(_._3 == 0L).sortBy(_._5)
+    firstRound.map(_._2).distinct.length shouldBe firstRound.length
+  }
+
   test("lengthOutliersOver: a planted length freak flags, uniform sources don't") {
     // s1: 20 docs of 10 tokens + one of 500 -> med 10, MAD 0... make
     // lengths vary so MAD > 0: 10/12 alternating plus the freak.
