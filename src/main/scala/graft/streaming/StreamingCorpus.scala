@@ -51,4 +51,22 @@ object StreamingCorpus {
                     horizon: String = "1 day"): DataFrame =
     dedupByContent(gateAndScrub(docs, minQuality), horizon,
       textCol = "text_redacted")
+
+  /** Streaming near-dup admission — [[graft.dedup.IncrementalNearDup]]
+    * at ingest time: every micro-batch probes the standing inverted
+    * shingle index of the already-admitted corpus, and the flagged
+    * (batch_id, index_id, jaccard) pairs go to `sink`. All near-dup
+    * state lives in the STATIC index (rebuilt by the batch tier per
+    * ingest round) — the stream holds no state store, so cost scales
+    * with micro-batch size, not corpus size; identical semantics to the
+    * batch operator by construction (foreachBatch delegates to it). */
+  def nearDupAdmission(docs: DataFrame, indexed: DataFrame,
+                       threshold: Double = 0.6, dfCap: Int = 50)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.dedup.IncrementalNearDup.probeIndex(
+          batch, indexed, threshold = threshold, dfCap = dfCap), id)
+      }
+      .start()
 }

@@ -54,6 +54,35 @@ class StreamingCorpusSpec extends SparkSpec {
     spark.table("prepared").as[Long].collect().toSet shouldBe Set(1L)
   }
 
+  test("streaming near-dup admission flags exactly what the batch probe flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      StreamDoc(10L, ts(0), "alpha beta gamma delta epsilon zeta"),
+      StreamDoc(11L, ts(1), "totally unrelated content right here"),
+      StreamDoc(12L, ts(2), "one two three four five six"))
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingCorpus.nearDupAdmission(input.toDF(), index, threshold = 0.5) {
+      (pairs, _) =>
+        flagged ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchPairs = graft.dedup.IncrementalNearDup.probeIndex(
+        arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        index, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    flagged.toSet shouldBe batchPairs.toSet
+    flagged.toSet shouldBe Set((10L, 1L), (12L, 2L))
+  }
+
   test("content dedup drops exact copies across micro-batches within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
