@@ -157,7 +157,11 @@ object SparkEntry {
     // accounting, the empty-doc contract and determinism.
     "m71_compression_ratio" -> (CorpusQueries.compressionRatios _),
     "m72_incremental_neardup" -> (CorpusQueries.incrementalNearDup _),
-    "m73_source_interleave" -> (CorpusQueries.sourceInterleave _)
+    "m73_source_interleave" -> (CorpusQueries.sourceInterleave _),
+    // m74 has no oracle by design (IVF k-means internals aren't SQL);
+    // TuningSweepSpec pins monotone recall in nprobe and the full-probe
+    // ≡ exact endpoint (recall 1.0).
+    "m74_ann_tuning_sweep" -> (CorpusQueries.annTuningSweep _)
   )
 
   def oracleSql: Map[String, String] = Map(

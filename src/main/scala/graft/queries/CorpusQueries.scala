@@ -646,6 +646,16 @@ object CorpusQueries {
       k = 5, nprobe = 4)
   }
 
+  /** IVF recall-vs-nprobe tuning sweep (m74): the curve read before
+    * picking a serving nprobe; full probe (nlist) must hit recall 1. */
+  def annTuningSweep(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.similarity.TuningSweep.ivfRecallCurve(
+      all.filter(col("id") < 10), all, model, k = 5,
+      nprobes = Seq(1, 2, 4, 16))
+  }
+
   /** +20 slightly-perturbed copies (id+10000, last component +0.05 — the
     * corpus vectors are unit-norm, so that keeps cosine ≈ 0.999): plants
     * guaranteed near-dup hits ≥ 0.99. */
