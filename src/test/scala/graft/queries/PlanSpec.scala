@@ -109,4 +109,48 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("rangepartitioning") // no global sort anywhere
     (p should not).include("CartesianProduct")
   }
+
+  test("m58: PMI marginals broadcast; the only hash exchange carries grams, not text") {
+    val df = CorpusQueries.pmiCollocations(spark, dir)
+    df.collect() // let AQE finalize strategies
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    // no single-partition window anywhere in the plan
+    (p should not).include("Window [")
+  }
+
+  test("m59: SQ8 bounds join broadcasts; vectors never shuffle to be encoded") {
+    val df = CorpusQueries.sq8Quantize(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    // the only exchange is the 64-row per-dim bounds aggregation
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m64/m57: global rank rides the two-pass prefix sum — no empty-partitionBy window") {
+    for (df <- Seq(CorpusQueries.systematicSample(spark, dir),
+      CorpusQueries.corpusLaws(spark, dir))) {
+      val p = df.queryExecution.executedPlan.toString
+      // An empty partitionBy window would print "Window [..., [], [...]]" —
+      // assert no WindowExec node exists at all.
+      (p should not).include("Window [")
+    }
+  }
+
+  test("m73: interleave ranks partition by source; the index and count joins broadcast") {
+    val df = CorpusQueries.sourceInterleave(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("windowspecdefinition(source")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("m69: outlier stat tables broadcast back; token counting reads only text+source") {
+    val df = CorpusQueries.lengthOutliers(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("ReadSchema: struct<text:string,source:string>")
+  }
 }
