@@ -161,7 +161,8 @@ object SparkEntry {
     // m74 has no oracle by design (IVF k-means internals aren't SQL);
     // TuningSweepSpec pins monotone recall in nprobe and the full-probe
     // ≡ exact endpoint (recall 1.0).
-    "m74_ann_tuning_sweep" -> (CorpusQueries.annTuningSweep _)
+    "m74_ann_tuning_sweep" -> (CorpusQueries.annTuningSweep _),
+    "m75_pipeline_yield" -> (CorpusQueries.pipelineYield _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -742,6 +743,28 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m75: the m02 gate (LangExpr/QualityExpr) over a source-carrying
+    // base, then the m03/m04 keep-first fingerprint convention.
+    "m75_pipeline_yield" ->
+      (AugmentedDocs +
+        ", b AS (SELECT doc_id, source, text, length(text) AS n_chars_c, " +
+        "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +
+        "len(list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t IN (" +
+        "'the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS n_stopwords, " +
+        "len(regexp_extract_all(text, '[0-9]')) AS n_digits, " +
+        "len(regexp_extract_all(text, '[.,;:!?''\"()-]')) AS n_punct FROM aug), " +
+        "g AS (SELECT doc_id, source, text FROM (SELECT doc_id, source, text, " +
+        LangExpr + " AS lang_pred, " + QualityExpr + " AS quality FROM b) t " +
+        "WHERE lang_pred = 'en' AND quality >= 0.3), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM g) z GROUP BY fp), " +
+        "r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM aug GROUP BY 1), " +
+        "ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gated FROM g GROUP BY 1), " +
+        "nu AS (SELECT g.source, CAST(count(*) AS BIGINT) AS n_unique FROM g JOIN k USING (doc_id) GROUP BY 1) " +
+        "SELECT r.source, r.n_raw, coalesce(ng.n_gated, 0) AS n_gated, " +
+        "coalesce(nu.n_unique, 0) AS n_unique, " +
+        "CAST(coalesce(ng.n_gated, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE) AS gate_yield, " +
+        "CAST(coalesce(nu.n_unique, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE) AS final_yield " +
+        "FROM r LEFT JOIN ng ON r.source = ng.source LEFT JOIN nu ON r.source = nu.source"),
     "m73_source_interleave" ->
       ("WITH d AS (SELECT doc_id, source FROM documents), " +
         "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx " +

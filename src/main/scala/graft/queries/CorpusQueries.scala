@@ -679,6 +679,39 @@ object CorpusQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Per-source pipeline yield funnel (m75): how many documents each
+    * source delivers INTO training after the gate and exact dedup —
+    * raw → gate-pass → dedup-survivor counts with yield rates, over the
+    * dup-augmented corpus so the dedup stage visibly bites. This is the
+    * accounting table a curation run publishes ("source X ships 40% of
+    * what it ingests"); the stages reuse the m02 gate and the m03/m04
+    * keep-first convention (min doc_id per content fingerprint), so the
+    * funnel can never drift from the operators it reports on. Three
+    * partial-agg exchanges on source; stat joins are source-sized. */
+  def pipelineYield(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val gated = aug.join(
+      TextOps.langQualityGate(aug).select("doc_id"), Seq("doc_id"))
+    val keepers = gated
+      .withColumn("fp", md5(coalesce(col("text"), lit(""))))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val raw = aug.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val ng = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+    val nu = gated.join(keepers, Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+    raw
+      .join(ng, Seq("source"), "left")
+      .join(nu, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("gate_yield",
+        col("n_gated").cast("double") / col("n_raw").cast("double"))
+      .withColumn("final_yield",
+        col("n_unique").cast("double") / col("n_raw").cast("double"))
+  }
+
   /** Round-robin source interleave (m73): a deterministic global
     * training order where consecutive positions rotate through sources —
     * the order-construction dual of m34/m27's mix SIZING (those decide

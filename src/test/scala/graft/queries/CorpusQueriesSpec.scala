@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pipelineYield: funnel is monotone and the dedup stage visibly bites on planted copies") {
+    val rows = CorpusQueries.pipelineYield(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (raw, gated, uniq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      raw should be >= gated
+      gated should be >= uniq
+      r.getDouble(4) shouldBe gated.toDouble / raw +- 1e-12
+      r.getDouble(5) shouldBe uniq.toDouble / raw +- 1e-12
+    }
+    // the augmented corpus plants exact copies -> dedup must drop SOMETHING
+    rows.map(r => r.getLong(2) - r.getLong(3)).sum should be > 0L
+  }
+
   test("sourceInterleave: pos is injective and consecutive occupied positions rotate sources") {
     val out = CorpusQueries.sourceInterleave(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
