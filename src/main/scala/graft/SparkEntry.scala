@@ -162,7 +162,8 @@ object SparkEntry {
     // TuningSweepSpec pins monotone recall in nprobe and the full-probe
     // ≡ exact endpoint (recall 1.0).
     "m74_ann_tuning_sweep" -> (CorpusQueries.annTuningSweep _),
-    "m75_pipeline_yield" -> (CorpusQueries.pipelineYield _)
+    "m75_pipeline_yield" -> (CorpusQueries.pipelineYield _),
+    "m76_char_entropy" -> (CorpusQueries.charEntropy _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -743,6 +744,17 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m76: the engine folds -Σ p·ln p in char order inside the row; the
+    // oracle sums the same per-char terms relationally — agreement to
+    // ~1e-15, rounded @6dp (ASCII corpus: code units ≡ characters).
+    "m76_char_entropy" ->
+      ("WITH c AS (SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS ch " +
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 0), " +
+        "f AS (SELECT doc_id, n, ch, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted, " +
+        "CAST(count(*) AS BIGINT) AS char_types, " +
+        "-sum(CAST(cnt AS DOUBLE) / n * ln(CAST(cnt AS DOUBLE) / n)) AS char_entropy " +
+        "FROM f GROUP BY doc_id, n"),
     // m75: the m02 gate (LangExpr/QualityExpr) over a source-carrying
     // base, then the m03/m04 keep-first fingerprint convention.
     "m75_pipeline_yield" ->

@@ -747,6 +747,11 @@ object CorpusQueries {
       indexed = aug.filter(col("doc_id") < 10000))
   }
 
+  /** Per-doc character Shannon entropy (m76): the exactly-replayable
+    * information-density feature next to m71's deflate proxy. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.text.CharEntropy.entropy(Tables.documents(s, dir))
+
   /** Deflate compression-ratio quality signal (m71): the zero-model
     * entropy heuristic — repetitive spam compresses too well, junk
     * barely compresses, prose sits in a band. */
