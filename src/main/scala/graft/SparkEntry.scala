@@ -163,7 +163,8 @@ object SparkEntry {
     // ≡ exact endpoint (recall 1.0).
     "m74_ann_tuning_sweep" -> (CorpusQueries.annTuningSweep _),
     "m75_pipeline_yield" -> (CorpusQueries.pipelineYield _),
-    "m76_char_entropy" -> (CorpusQueries.charEntropy _)
+    "m76_char_entropy" -> (CorpusQueries.charEntropy _),
+    "m77_pack_split_leaks" -> (CorpusQueries.packSplitLeaks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -744,6 +745,23 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m77: the m56 segment chain + the m39 split expression, grouped per
+    // packed sequence; the splits list canonicalizes (distinct, sorted,
+    // comma-joined) identically in both engines.
+    "m77_pack_split_leaks" ->
+      ("WITH n AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start FROM n), " +
+        "e AS (SELECT doc_id, unnest(range(start // 2048, (start + n_tokens - 1) // 2048 + 1)) AS seq_id FROM o), " +
+        "sp AS (SELECT doc_id, " +
+        graft.operators.HashSplit.oracleSqlExpr("doc_id", CorpusQueries.SplitFractions) +
+        " AS split FROM (SELECT DISTINCT doc_id FROM e) x) " +
+        "SELECT CAST(e.seq_id AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT split) AS BIGINT) AS n_splits, " +
+        "array_to_string(list_sort(list_distinct(list(split))), ',') AS splits, " +
+        "count(DISTINCT split) > 1 AS mixed " +
+        "FROM e JOIN sp USING (doc_id) GROUP BY e.seq_id"),
     // m76: the engine folds -Σ p·ln p in char order inside the row; the
     // oracle sums the same per-char terms relationally — agreement to
     // ~1e-15, rounded @6dp (ASCII corpus: code units ≡ characters).

@@ -471,6 +471,26 @@ object CorpusQueries {
           - greatest(col("start"), col("seq_id") * L)).as("n_seg_tokens"))
   }
 
+  /** Packed-sequence split-leak audit (m77): join m56's doc→sequence
+    * segment map with m39's hash split and flag every packed training
+    * sequence that spans MORE THAN ONE split — the quiet leak of naive
+    * packing (a val document's tokens riding inside a train sequence).
+    * This is why production packing runs per split; the audit proves the
+    * naive layout leaks. One groupBy on seq_id over the segment map;
+    * the split column is m39's shuffle-free codegen'd CASE. */
+  def packSplitLeaks(s: SparkSession, dir: String): DataFrame = {
+    val segs = packSegments(s, dir).select("doc_id", "seq_id")
+    val split = graft.operators.HashSplit.assign(
+      segs.select("doc_id").distinct(), keyCol = "doc_id",
+      fractions = SplitFractions)
+    segs.join(split, Seq("doc_id"))
+      .groupBy("seq_id").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .withColumn("mixed", col("n_splits") > 1)
+  }
+
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =

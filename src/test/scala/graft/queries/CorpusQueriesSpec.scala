@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("packSplitLeaks: naive packing demonstrably mixes splits; counts are consistent") {
+    val rows = CorpusQueries.packSplitLeaks(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val nSplits = r.getLong(2)
+      nSplits should be >= 1L
+      nSplits should be <= 3L
+      r.getString(3).split(",").length.toLong shouldBe nSplits
+      r.getBoolean(4) shouldBe (nSplits > 1)
+    }
+    // with 80/10/10 hashing and multi-doc sequences, SOME sequence leaks
+    rows.count(_.getBoolean(4)) should be > 0
+  }
+
   test("pipelineYield: funnel is monotone and the dedup stage visibly bites on planted copies") {
     val rows = CorpusQueries.pipelineYield(spark, sf("sf0.001")).collect()
     rows.length should be > 0
