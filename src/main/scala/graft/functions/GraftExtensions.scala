@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.nfcDescriptor)
     ext.injectFunction(GraftFunctions.unaccentDescriptor)
+    ext.injectFunction(GraftFunctions.charProfileDescriptor)
   }
 }
 
@@ -65,8 +66,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[StringUnaccent].getName, "graft_unaccent"),
     (children: Seq[Expression]) => StringUnaccent(children(0)))
 
+  private[functions] val charProfileDescriptor
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_char_profile"),
+    new ExpressionInfo(classOf[CharProfile].getName, "graft_char_profile"),
+    (children: Seq[Expression]) => CharProfile(children(0)))
+
   private val allDescriptors = Seq(dotDescriptor, bloomContainsDescriptor,
-    nfcDescriptor, unaccentDescriptor)
+    nfcDescriptor, unaccentDescriptor, charProfileDescriptor)
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -100,5 +107,12 @@ object GraftFunctions {
   def unaccent(spark: SparkSession, s: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function("graft_unaccent", s)
+  }
+
+  /** Column-API handle: single-pass char profile struct
+    * (n_chars_counted, char_types, char_entropy). */
+  def charProfile(spark: SparkSession, s: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_char_profile", s)
   }
 }

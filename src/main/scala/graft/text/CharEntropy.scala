@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * for English). Unlike deflate it is exactly SQL-replayable, so this
   * one carries a hash oracle.
   *
-  * One compiled pass per row (the [[TextOps.profile]] UDF pattern):
-  * counts in a per-call map, entropy folded in ascending char order so
+  * One compiled pass per row via the NATIVE Catalyst expression
+  * [[graft.functions.CharProfile]] (doGenCode, no UDF fence): run-length
+  * over the sorted char array, entropy folded in ascending char order so
   * the float summation is deterministic within the engine. Chars are
   * UTF-16 code units — identical to per-character for the BMP text this
   * corpus ships; a surrogate-aware variant would walk code points.
@@ -22,32 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object CharEntropy {
 
-  private val entropyUdf = udf { (text: String) =>
-    if (text == null || text.isEmpty) None
-    else {
-      val counts = new java.util.TreeMap[Char, Long]()
-      var i = 0
-      while (i < text.length) {
-        counts.merge(text.charAt(i), 1L, (a, b) => a + b)
-        i += 1
-      }
-      val n = text.length.toDouble
-      var ent = 0.0
-      counts.forEach { (_, c) =>
-        val p = c / n
-        ent -= p * math.log(p)
-      }
-      Some((text.length.toLong, counts.size.toLong, ent))
-    }
-  }
-
   /** (doc_id, n_chars_counted, char_types, char_entropy) for non-empty
-    * documents; entropy in nats over the character distribution. */
-  def entropy(docs: DataFrame, textCol: String = "text"): DataFrame =
+    * documents; entropy in nats over the character distribution. Runs on
+    * the codegen'd [[graft.functions.CharProfile]] expression — the scan,
+    * profile and projection fuse into one whole-stage pipeline. */
+  def entropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
     docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col("doc_id"), entropyUdf(col(textCol)).as("e"))
       .select(col("doc_id"),
-        col("e._1").as("n_chars_counted"),
-        col("e._2").as("char_types"),
-        col("e._3").as("char_entropy"))
+        graft.functions.GraftFunctions.charProfile(spark, col(textCol)).as("e"))
+      .select(col("doc_id"), col("e.n_chars_counted"), col("e.char_types"),
+        col("e.char_entropy"))
+  }
 }

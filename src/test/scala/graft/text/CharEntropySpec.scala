@@ -22,6 +22,16 @@ class CharEntropySpec extends SparkSpec {
     out(3L)._3 shouldBe -(p1 * math.log(p1) + p2 * math.log(p2)) +- 1e-12
   }
 
+  test("the profile runs inside whole-stage codegen, not behind a UDF fence") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val p = CharEntropy.entropy(docs).queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators; the profile
+    // projection must carry one (a UDF would split the pipeline).
+    p should include("*(1) Project")
+    p should include("graft_char_profile")
+    (p should not).include("UDF")
+  }
+
   test("spam sits below prose; corpus entropies live in a sane band") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val rows = CharEntropy.entropy(docs).collect()
