@@ -164,7 +164,8 @@ object SparkEntry {
     "m74_ann_tuning_sweep" -> (CorpusQueries.annTuningSweep _),
     "m75_pipeline_yield" -> (CorpusQueries.pipelineYield _),
     "m76_char_entropy" -> (CorpusQueries.charEntropy _),
-    "m77_pack_split_leaks" -> (CorpusQueries.packSplitLeaks _)
+    "m77_pack_split_leaks" -> (CorpusQueries.packSplitLeaks _),
+    "m78_embed_outliers" -> (CorpusQueries.embedOutliers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -745,6 +746,24 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m78: centroid means and the per-vec distance fold agree with the
+    // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
+    // quantile_cont parity; the z arithmetic is association-identical.
+    "m78_embed_outliers" ->
+      ("WITH e0 AS (SELECT vec_id, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(i - 1 AS BIGINT)) AS dims, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE)) AS xs " +
+        "FROM embeddings), " +
+        "c AS (SELECT vec_id, unnest(dims) AS dim, unnest(xs) AS x FROM e0), " +
+        "cent AS (SELECT dim, avg(x) AS m FROM c GROUP BY 1), " +
+        "d AS (SELECT vec_id, sqrt(sum((x - m) * (x - m))) AS dist " +
+        "FROM c JOIN cent USING (dim) GROUP BY 1), " +
+        "st AS (SELECT quantile_cont(dist, 0.5) AS med FROM d), " +
+        "md AS (SELECT quantile_cont(abs(dist - med), 0.5) AS mad FROM d CROSS JOIN st) " +
+        "SELECT vec_id, dist, " +
+        "CASE WHEN mad = 0.0 THEN NULL ELSE 0.6745 * (dist - med) / mad END AS robust_z, " +
+        "CASE WHEN mad = 0.0 THEN FALSE ELSE abs(0.6745 * (dist - med) / mad) > 3.5 END AS is_outlier " +
+        "FROM d CROSS JOIN st CROSS JOIN md"),
     // m77: the m56 segment chain + the m39 split expression, grouped per
     // packed sequence; the splits list canonicalizes (distinct, sorted,
     // comma-joined) identically in both engines.

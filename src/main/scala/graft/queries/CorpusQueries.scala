@@ -676,6 +676,11 @@ object CorpusQueries {
       nprobes = Seq(1, 2, 4, 16))
   }
 
+  /** Embedding outlier report (m78): distance-to-centroid + robust MAD
+    * z — flags whole vectors off the cloud (m54's per-dim clip sibling). */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbedOutliers.report(Tables.embeddings(s, dir))
+
   /** +20 slightly-perturbed copies (id+10000, last component +0.05 — the
     * corpus vectors are unit-norm, so that keeps cosine ≈ 0.999): plants
     * guaranteed near-dup hits ≥ 0.99. */
