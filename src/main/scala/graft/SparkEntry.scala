@@ -165,7 +165,11 @@ object SparkEntry {
     "m75_pipeline_yield" -> (CorpusQueries.pipelineYield _),
     "m76_char_entropy" -> (CorpusQueries.charEntropy _),
     "m77_pack_split_leaks" -> (CorpusQueries.packSplitLeaks _),
-    "m78_embed_outliers" -> (CorpusQueries.embedOutliers _)
+    "m78_embed_outliers" -> (CorpusQueries.embedOutliers _),
+    // m79 has no oracle by design (BPE's merge loop isn't SQL, the m40
+    // argument); the spec pins fertility ≥ 1, merge-count monotonicity
+    // and the aggregation arithmetic.
+    "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -221,6 +221,27 @@ object CorpusQueries {
     graft.text.Bpe.tokenStats(docs, model)
   }
 
+  /** Tokenizer fertility report (m79): per-source tokens-per-word and
+    * chars-per-token under the trained BPE (m40's model) — the tokenizer
+    * QA table. A source whose fertility spikes is misspelled, foreign to
+    * the vocabulary, or noise — it will silently cost that many more
+    * training FLOPs per word. One partial-agg exchange on source; the
+    * encode pass is m40's memoized per-partition map. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.Bpe.train(docs, nMerges = 40)
+    graft.text.Bpe.tokenStats(docs, model)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+        (sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")).cast("double")).as("fertility"),
+        (sum(col("n_chars")).cast("double") /
+          sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
+  }
+
   /** Cross-doc repeated 30-token windows (m42) over the augmented corpus
     * — the exact-substring dedup signal at window granularity. */
   def repeatedWindows(s: SparkSession, dir: String): DataFrame =

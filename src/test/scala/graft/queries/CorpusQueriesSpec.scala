@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tokenizerFertility: fertility >= 1, arithmetic consistent, more merges never raise it") {
+    val rows = CorpusQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (words, bpe) = (r.getLong(2), r.getLong(3))
+      bpe should be >= words                   // BPE never merges across words
+      r.getDouble(4) shouldBe bpe.toDouble / words +- 1e-12
+      r.getDouble(5) should be > 0.0
+    }
+    // a tokenizer with MORE merges tokenizes at most as many pieces
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val few = graft.text.Bpe.tokenStats(docs, graft.text.Bpe.train(docs, nMerges = 10))
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val many = graft.text.Bpe.tokenStats(docs, graft.text.Bpe.train(docs, nMerges = 40))
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0).getLong(0)
+    many should be <= few
+  }
+
   test("packSplitLeaks: naive packing demonstrably mixes splits; counts are consistent") {
     val rows = CorpusQueries.packSplitLeaks(spark, sf("sf0.001")).collect()
     rows.length should be > 0
