@@ -169,7 +169,8 @@ object SparkEntry {
     // m79 has no oracle by design (BPE's merge loop isn't SQL, the m40
     // argument); the spec pins fertility ≥ 1, merge-count monotonicity
     // and the aggregation arithmetic.
-    "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _)
+    "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
+    "m80_salted_join" -> (CorpusQueries.saltedEventJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -750,6 +751,13 @@ object SparkEntry {
         "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m80: a PLAIN join — the whole point: the engine's salted plan must
+    // hash-match the unsalted semantics exactly.
+    "m80_salted_join" ->
+      ("WITH d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_count " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, d.type_count " +
+        "FROM events e JOIN d ON e.event_type = d.event_type"),
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.

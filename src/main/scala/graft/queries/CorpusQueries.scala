@@ -221,6 +221,18 @@ object CorpusQueries {
     graft.text.Bpe.tokenStats(docs, model)
   }
 
+  /** Salted skew join (m80): the events table joined to a per-type stats
+    * dim THROUGH [[graft.operators.SkewJoin.saltedJoin]] — event_type
+    * has 4 values over millions of rows, the textbook viral key. The
+    * driver hash-compare against a PLAIN SQL join proves the salting is
+    * semantically invisible (its whole contract): the hot key's rows
+    * spread over n tasks, the result is byte-identical. */
+  def saltedEventJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val dim = e.groupBy("event_type").agg(count(lit(1)).as("type_count"))
+    graft.operators.SkewJoin.saltedJoin(e, dim, Seq("event_type"), n = 8)
+  }
+
   /** Tokenizer fertility report (m79): per-source tokens-per-word and
     * chars-per-token under the trained BPE (m40's model) — the tokenizer
     * QA table. A source whose fertility spikes is misspelled, foreign to
