@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    token array — no posexplode self-join), and counts partial-agg
   *    map-side, so the only big exchange carries (w1, w2, partial count),
   *    never text;
-  *  - the unigram table is vocabulary-sized and BROADCAST twice (w1, w2
-  *    marginals) — bigram rows never shuffle for the lookup;
+  *  - the unigram marginal joins are left to AQE: vocabulary-sized is
+  *    small for a curated corpus (broadcast) but NOT for a raw crawl
+  *    (misspellings/URLs/ids) — no forced hint either way;
   *  - the bigram-mass total N is a 1-row broadcast cross join;
   *  - `minCount` prunes the long singleton tail BEFORE the marginal
   *    joins, which is what bounds the output at corpus scale.
@@ -48,9 +49,14 @@ object Collocations {
     val nBigrams = toks
       .select((greatest(size(col("t")) - 1, lit(0))).cast("long").as("nb"))
       .agg(sum(col("nb")).cast("double").as("nb"))
+    // No forced broadcast on the marginals: the unigram table is
+    // vocabulary-sized, and a 100 TB crawl's vocabulary (misspellings,
+    // URLs, ids) is NOT small — AQE broadcasts when runtime stats allow
+    // and falls back to a shuffled join when they don't (the LineDedup
+    // lesson: a forced hint here would OOM the driver).
     bigrams
-      .join(broadcast(unigrams.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
-      .join(broadcast(unigrams.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
       .crossJoin(broadcast(nBigrams))
       .withColumn("pmi",
         log(col("c_xy").cast("double") * col("nb") /

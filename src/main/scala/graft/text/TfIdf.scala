@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *  - document frequency and the corpus doc count both DERIVE from that
   *    tf table (a re-aggregation on term, and a 1-row distinct-count
   *    cross-joined in) — the text is never re-walked;
-  *  - the df table is vocabulary-sized and BROADCAST into the scoring
-  *    join, so tf rows never shuffle for the lookup;
+  *  - the df-table join strategy is left to AQE: vocabulary-sized is
+  *    broadcastable for curated corpora but not for raw crawls — no
+  *    forced hint (the LineDedup lesson);
   *  - the top-k window partitions by doc_id — rank truncation happens
   *    inside each partition (Spark's WindowExec filters rank<=k before
   *    materializing further), and k is a constant, so the output is
@@ -41,7 +42,9 @@ object TfIdf {
       log((col("nd") + 1.0) / (col("df").cast("double") + 1.0))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), Seq("term"))
+    // df is vocabulary-sized — not safely broadcastable at crawl scale
+    // (the LineDedup lesson); AQE picks broadcast when stats allow.
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("long"))
