@@ -174,7 +174,7 @@ object CorpusQueries {
     val p = col("n_st").cast("double") / col("n_s")
     val q = col("n_t").cast("double") / col("n_all")
     st.join(sTot, Seq("source"))
-      .join(broadcast(tTot), Seq("term"))
+      .join(tTot, Seq("term"))  // term marginals: vocab-sized, AQE decides
       .crossJoin(broadcast(nAll))
       .select(col("source"), col("term"), col("n_st"),
         (p * log(p / q)).as("contrib"))

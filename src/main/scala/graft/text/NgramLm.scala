@@ -70,9 +70,12 @@ object NgramLm {
       .agg(countDistinct(col("tok")).cast("double").as("v"))
     val p = (coalesce(col("cab"), lit(0L)).cast("double") + lit(alpha)) /
       (coalesce(col("ca"), lit(0L)).cast("double") + lit(alpha) * col("v"))
+    // The LM tables are gram-vocabulary-sized — broadcastable for the
+    // minCount-pruned models a quality gate ships, NOT for a raw crawl's
+    // full bigram table; AQE decides per run (the LineDedup lesson).
     gramsOf(docs, textCol)
-      .join(broadcast(counts), Seq("a", "b"), "left")
-      .join(broadcast(ctx), Seq("a"), "left")
+      .join(counts, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
