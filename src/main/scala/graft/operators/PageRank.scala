@@ -16,17 +16,24 @@ import org.apache.spark.sql.functions._
   * count (deterministic — no convergence test racing float noise).
   *
   * Precondition: `edges` must cover every node as a source (symmetrize an
-  * undirected graph first) — no dangling-mass redistribution is applied,
-  * so rank mass is conserved exactly and Σr = 1 stays an invariant.
+  * undirected graph first) — the node universe is the source set, so a
+  * dangling node (outdeg 0) cannot exist and no dangling-mass
+  * redistribution is needed. Under that precondition Σr = 1 is an exact
+  * invariant on DIRECTED inputs too: every iteration re-joins the full
+  * node set, so an in-degree-0 node keeps its (1−d)/N floor instead of
+  * dropping out of the rank table (the floors sum to (1−d), and the
+  * damped contributions sum to d·Σr_t because each node's rank/outdeg
+  * is counted once per out-edge).
   *
   * Scale shape (100 TB):
   *  - the contribution base (edge ⋈ outdeg) is computed ONCE and
   *    localCheckpoint-pinned — iterations re-read a materialized edge
   *    partition, not the corpus lineage;
   *  - each iteration is one equi-join of the node-sized rank table
-  *    against the pinned edges plus one partial-agg exchange on dst —
-  *    the standard distributed power-iteration step; nothing ever
-  *    collects except N (one long);
+  *    against the pinned edges, one partial-agg exchange on dst, plus
+  *    one node-sized outer join for the floor — the standard
+  *    distributed power-iteration step; nothing ever collects except N
+  *    (one long);
   *  - each iteration's rank table is localCheckpoint-pinned
   *    ([[DedupClusters]]'s hygiene) so the plan stays flat across
   *    iterations instead of nesting 10 joins deep. Snapshots release
@@ -62,19 +69,25 @@ object PageRank {
     eRdds.foreach(_.unpersist(blocking = false)) // base+nodes now pinned
     val n = nodes.count().toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var ranksRdds = nodesRdds
+    var ranksRdds: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     for (_ <- 1 to iterations) {
+      val contribs = base.join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("od")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      // Re-join the FULL node set so in-degree-0 nodes keep the
+      // (1−d)/N floor instead of silently dropping out (mass leak on
+      // directed inputs otherwise).
       val (next, nextRdds) = snapshot(
-        base.join(ranks, col("src") === col("node"))
-          .select(col("dst"), (col("rank") / col("od")).as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("s"))
-          .select(col("dst").as("node"),
-            (lit(1.0 - damping) / n + lit(damping) * col("s")).as("rank")))
+        nodes.join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) / n +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
       ranksRdds.foreach(_.unpersist(blocking = false)) // superseded round
       ranks = next
       ranksRdds = nextRdds
     }
     baseRdds.foreach(_.unpersist(blocking = false))
+    nodesRdds.foreach(_.unpersist(blocking = false))
     ranks
   }
 }

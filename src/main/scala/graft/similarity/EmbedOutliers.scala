@@ -37,9 +37,18 @@ object EmbedOutliers {
       .groupBy("dim").agg(avg(col("v")).as("m"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(transform(col("dm"), e => e.getField("m")).as("c"))
-    val dist = sqrt(aggregate(
-      zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, t) => acc + t))
+    // Fail loudly on ragged input: zip_with null-pads a length mismatch,
+    // which would silently turn dist (and the flag) into null and drop
+    // the row from the median/MAD percentiles. The check rides the dist
+    // expression itself so column pruning can't elide it.
+    val dist = when(size(col("x")) === size(col("c")),
+      sqrt(aggregate(
+        zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t)))
+      .otherwise(raise_error(concat(
+        lit("EmbedOutliers: ragged embedding (dim "), size(col("x")),
+        lit(" != corpus dim "), size(col("c")),
+        lit(") at "), col(idCol).cast("string"))))
     val dists = xs.crossJoin(broadcast(centroid))
       .withColumn("dist", dist)
       .select(col(idCol), col("dist"))

@@ -39,7 +39,7 @@ object CompressionRatio {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level, false)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
+        val mapped = it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
@@ -48,6 +48,18 @@ object CompressionRatio {
           while (!deflater.finished()) n += deflater.deflate(buf)
           val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
           (id, raw.length.toLong, n, ratio)
+        }
+        // end() the deflater when the partition is exhausted — its native
+        // zlib buffers are off-heap and otherwise live until finalization,
+        // which accumulates on long-lived executors.
+        new Iterator[(Long, Long, Long, Double)] {
+          private var ended = false
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !ended) { deflater.end(); ended = true }
+            h
+          }
+          def next(): (Long, Long, Long, Double) = mapped.next()
         }
       }
       .toDF("doc_id", "n_raw_bytes", "n_deflated_bytes", "compression_ratio")

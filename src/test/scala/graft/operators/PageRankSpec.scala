@@ -19,7 +19,8 @@ class PageRankSpec extends SparkSpec {
     for (_ <- 1 to iters) {
       val contribs = edges.groupBy(_._2).view.mapValues(
         _.map { case (u, _) => r(u) / out(u) }.sum).toMap
-      r = contribs.map { case (v, s) => v -> ((1.0 - d) / n + d * s) }
+      // full node set each round: in-degree-0 nodes keep the floor
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * contribs.getOrElse(v, 0.0))).toMap
     }
     r
   }
@@ -48,5 +49,19 @@ class PageRankSpec extends SparkSpec {
       iterations = 10)
     val total = ranks.collect().map(_.getDouble(1)).sum
     total shouldBe 1.0 +- 1e-9
+  }
+
+  test("directed graph: in-degree-0 node keeps the floor and mass is conserved") {
+    // node 4 has out-edges only — before the full-node re-join it dropped
+    // out of the rank table after round 1 and its mass leaked.
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L)
+    val got = PageRank.ranks(edges.toDF("src", "dst"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = reference(edges, 10)
+    got.keySet shouldBe want.keySet
+    got.keySet should contain(4L)
+    got.foreach { case (k, v) => v shouldBe want(k) +- 1e-12 }
+    got(4L) shouldBe (1.0 - 0.85) / 4.0 +- 1e-12
+    got.values.sum shouldBe 1.0 +- 1e-9
   }
 }

@@ -29,6 +29,15 @@ class EmbedOutliersSpec extends SparkSpec {
     }
   }
 
+  test("ragged vector dimensions fail loudly instead of null-flagging") {
+    val vecs = ((0 until 5).map(i => (i.toLong, Array(1.0f * i, 2.0f))) :+
+      (99L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      EmbedOutliers.report(vecs).collect()
+    }
+    ex.getMessage should include("ragged embedding")
+  }
+
   test("runs on sf0.001 embeddings with sane flag rate") {
     val vecs = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val out = EmbedOutliers.report(vecs)
