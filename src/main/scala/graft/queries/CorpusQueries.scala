@@ -733,9 +733,13 @@ object CorpusQueries {
 
   /** Connected components over the verified inverted-index pairs —
     * (doc_id, cluster_id = min reachable doc_id) for every doc in any
-    * near-dup pair. Oracle replays the closure with a recursive CTE. */
+    * near-dup pair. Oracle replays the closure with a recursive CTE.
+    * Consumes the stored pair asset (the production topology: pair
+    * verification runs once, [[graft.pipeline.DedupAssets]]); the CC
+    * iteration itself runs here for real. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.DedupClusters.components(gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
+    graft.dedup.DedupClusters.components(
+      graft.pipeline.DedupAssets.pairs(s, dir).select("doc_a", "doc_b"))
 
   /** Per-source pipeline yield funnel (m75): how many documents each
     * source delivers INTO training after the gate and exact dedup —
@@ -855,8 +859,7 @@ object CorpusQueries {
     * packing. */
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val aug = withSyntheticDups(Tables.documents(s, dir))
-    val members = graft.dedup.DedupClusters.components(
-      gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
+    val members = graft.pipeline.DedupAssets.clusters(s, dir)
     val keyed = aug.select(col("doc_id"))
       .join(members, Seq("doc_id"), "left")
       .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
@@ -955,7 +958,7 @@ object CorpusQueries {
     * are the canonical documents of each duplicate family. 10 fixed
     * iterations, d = 0.85. */
   def docPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = gramIndexJaccard(s, dir).select("doc_a", "doc_b")
+    val pairs = graft.pipeline.DedupAssets.pairs(s, dir).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     graft.operators.PageRank.ranks(edges, iterations = 10)
@@ -975,8 +978,7 @@ object CorpusQueries {
     * size, never corpus-sized. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val aug = withSyntheticDups(Tables.documents(s, dir))
-    val members = graft.dedup.DedupClusters.components(
-      gramIndexJaccard(s, dir).select("doc_a", "doc_b"))
+    val members = graft.pipeline.DedupAssets.clusters(s, dir)
     val quality = vocabQualityOver(aug, vocabSize = 25)
       .select(col("doc_id"), col("oov_rate"))
     val w = org.apache.spark.sql.expressions.Window
