@@ -392,6 +392,28 @@ object SparkEntry {
     "m14_gram_index_jaccard" ->
       (AugmentedDocs + gramPairCtes("aug") +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
+    "m05_minhash_pairs" ->
+      (AugmentedDocs + MinhashCandCtes +
+        ", nsz AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS shared FROM cand c " +
+        "JOIN shx a ON a.doc_id = c.doc_a " +
+        "JOIN shx b ON b.doc_id = c.doc_b AND a.x = b.x GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard " +
+        "FROM inter JOIN nsz na ON na.doc_id = doc_a JOIN nsz nb ON nb.doc_id = doc_b " +
+        "WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5"),
+    "m07_ngram_jaccard" ->
+      (AugmentedDocs + MinhashCandCtes +
+        ", lt AS (SELECT doc_id, lower(text) AS s FROM aug WHERE text IS NOT NULL), " +
+        "cg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(" +
+        "CASE WHEN length(s) <= 3 THEN [s] " +
+        "ELSE list_transform(generate_series(1, length(s) - 2), i -> substr(s, i, 3)) END) AS g FROM lt)), " +
+        "cgn AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY 1), " +
+        "cinter AS (SELECT c.doc_a, c.doc_b, count(*) AS shared FROM cand c " +
+        "JOIN cg a ON a.doc_id = c.doc_a " +
+        "JOIN cg b ON b.doc_id = c.doc_b AND a.g = b.g GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard " +
+        "FROM cinter JOIN cgn na ON na.doc_id = doc_a JOIN cgn nb ON nb.doc_id = doc_b " +
+        "WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.6"),
     "m17_dedup_clusters" ->
       ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
         "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
@@ -1207,6 +1229,45 @@ object SparkEntry {
       "UNION SELECT doc_b, doc_a FROM p), " +
       "reach AS (SELECT src, dst FROM edges " +
       "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+
+  /** MinHash+LSH candidate generation (m05/m07) replayed in DuckDB:
+    * FNV-1a 64 over word 3-shingles (HUGEINT wraparound arithmetic, exact
+    * Java semantics including the signed pmod into [0, 2^31-1)), the 64
+    * seeded (a,b) permutations inlined as LITERALS from
+    * [[graft.dedup.MinHashLSH.hashParams]] (DuckDB never replicates the
+    * RNG), per-band signature-slice bucket keys (bucket equality ⟺ slice
+    * equality, which is what the engine's xxhash64 bucket key encodes up
+    * to ~2^-64 collisions), and the bucketCap drop. Leaves CTEs `cand`
+    * (candidate doc_a < doc_b) and `shx` (distinct reduced shingle hashes
+    * per doc) for the verify stage of each query. */
+  private val MinhashCandCtes: String = {
+    val p = "2147483647"
+    val sigCols = graft.dedup.MinHashLSH.hashParams().zipWithIndex.map {
+      case ((a, b), j) => s"min(($a*x+$b) % $p) AS s$j"
+    }.mkString(", ")
+    val caseArms = (0 until 16).map(b =>
+      s"WHEN $b THEN concat_ws(',', s${4 * b}, s${4 * b + 1}, s${4 * b + 2}, s${4 * b + 3})")
+      .mkString(" ")
+    val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      "list_transform(generate_series(1, length(g)), i -> CAST(unicode(substr(g, i, 1)) AS HUGEINT))), " +
+      "(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)"
+    val pmod = "CAST(((CASE WHEN fh >= 9223372036854775808 " +
+      s"THEN fh - 18446744073709551616 ELSE fh END) % $p + $p) % $p AS BIGINT)"
+    ", toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t " +
+      "FROM aug WHERE text IS NOT NULL), " +
+      "shl AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs " +
+      "FROM toks WHERE len(t) > 0), " +
+      s"shx AS (SELECT DISTINCT doc_id, $pmod AS x FROM " +
+      s"(SELECT doc_id, $fnv AS fh FROM (SELECT doc_id, unnest(gs) AS g FROM shl))), " +
+      s"sig AS (SELECT doc_id, $sigCols FROM shx GROUP BY doc_id), " +
+      s"banded AS (SELECT doc_id, band, CASE band $caseArms END AS bkey " +
+      "FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)), " +
+      "bsz AS (SELECT band, bkey, count(*) AS c FROM banded GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+      "JOIN bsz z ON z.band = a.band AND z.bkey = a.bkey WHERE z.c <= 1000) "
+  }
 
   /** The inverted-index Jaccard chain (m14/m17/m18) as CTEs over `src` —
     * replays graft.dedup.NgramJaccard.invertedIndexPairs verbatim. */

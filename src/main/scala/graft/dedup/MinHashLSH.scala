@@ -26,6 +26,12 @@ object MinHashLSH {
 
   private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
 
+  /** The (a,b) pairs exposed for the SQL-replay oracle: SparkEntry inlines
+    * them as literals so DuckDB replays the exact signature permutations
+    * without replicating the seeded RNG. */
+  private[graft] def hashParams(k: Int = 64, seed: Long = 42L): Seq[(Long, Long)] =
+    params(k, seed)
+
   /** Deterministic (a,b) parameter pairs for the k hash functions,
     * a ∈ [1, p), b ∈ [0, p). */
   private def params(k: Int, seed: Long): Seq[(Long, Long)] = {
