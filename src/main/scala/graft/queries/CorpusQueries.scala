@@ -217,9 +217,20 @@ object CorpusQueries {
     * BpeSpec pins the textbook merge sequence and round-trip. */
   def bpeTokenStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val model = graft.text.Bpe.train(docs, nMerges = 40)
-    graft.text.Bpe.tokenStats(docs, model)
+    graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
   }
+
+  /** One trained BPE model per corpus per JVM: m40 and m79 share the same
+    * tokenizer (the production contract — fertility is a property OF a
+    * tokenizer, so retraining per report would both double the bounded
+    * driver train and risk auditing a different model than the one that
+    * tokenized the corpus). */
+  private val bpeModels = scala.collection.mutable.Map.empty[String, graft.text.Bpe.Model]
+  private def bpeModel(s: SparkSession, dir: String, nMerges: Int = 40): graft.text.Bpe.Model =
+    bpeModels.synchronized {
+      bpeModels.getOrElseUpdate(s"$dir::$nMerges",
+        graft.text.Bpe.train(Tables.documents(s, dir), nMerges))
+    }
 
   /** Salted skew join (m80): the events table joined to a per-type stats
     * dim THROUGH [[graft.operators.SkewJoin.saltedJoin]] — event_type
@@ -241,8 +252,7 @@ object CorpusQueries {
     * encode pass is m40's memoized per-partition map. */
   def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val model = graft.text.Bpe.train(docs, nMerges = 40)
-    graft.text.Bpe.tokenStats(docs, model)
+    graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
