@@ -153,4 +153,71 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("BroadcastHashJoin")
     p should include("ReadSchema: struct<text:string,source:string>")
   }
+
+  // ---- m74-m80 (round 8) ----------------------------------------------
+
+  test("m74: the sweep report is a bounded driver-side table, no distributed tail") {
+    // Each sweep point runs a full IVF search (TuningSweepSpec pins those);
+    // the REPORT itself must stay sweep-sized: a LocalTableScan with no
+    // exchange hanging off the result.
+    val p = plan(CorpusQueries.annTuningSweep(spark, dir))
+    p should include("LocalTableScan")
+    (p should not).include("Exchange")
+  }
+
+  test("m75: yield funnel source-stat joins broadcast; counts partial-aggregate") {
+    val df = CorpusQueries.pipelineYield(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("partial_count")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m76: char entropy is one codegen'd projection — zero exchanges") {
+    val p = plan(CorpusQueries.charEntropy(spark, dir))
+    (p should not).include("Exchange")
+    p should include("graft_char_profile")
+    p should include("*(1)") // the custom expression stays inside codegen
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("m77: split-leak audit joins doc-keyed narrow tables — no window, no cartesian") {
+    val df = CorpusQueries.packSplitLeaks(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    (p should not).include("CartesianProduct")
+    (p should not).include("Window [") // prefix sums, not global windows
+    p should include("partial_count")
+  }
+
+  test("m78: outlier centroid computes once (reused broadcast); vectors never shuffle") {
+    val df = CorpusQueries.embedOutliers(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // All three stat frames ride 1-row broadcast nested loops; the corpus
+    // scan itself must never hash-exchange or sort-merge.
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+    p should include("ReusedExchange") // the centroid broadcast, not a rebuild
+    p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+  }
+
+  test("m79: fertility joins the source dim broadcast and partial-aggregates") {
+    val df = CorpusQueries.tokenizerFertility(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("partial_sum")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m80: salted join actually joins on the salt column") {
+    val df = CorpusQueries.saltedEventJoin(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("__salt") // the spreading key is in the join, not cosmetic
+    p should include("Generate explode") // dim replicated across salts
+    (p should not).include("CartesianProduct")
+  }
 }
