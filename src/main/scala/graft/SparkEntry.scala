@@ -392,6 +392,7 @@ object SparkEntry {
     "m14_gram_index_jaccard" ->
       (AugmentedDocs + gramPairCtes("aug") +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
+    "m06_simhash_pairs" -> SimhashSql,
     "m05_minhash_pairs" ->
       (AugmentedDocs + MinhashCandCtes +
         ", nsz AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1), " +
@@ -1267,6 +1268,45 @@ object SparkEntry {
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id " +
       "JOIN bsz z ON z.band = a.band AND z.bkey = a.bkey WHERE z.c <= 1000) "
+  }
+
+  /** SimHash near-dup (m06) replayed in DuckDB: per-token FNV-1a 64 (same
+    * HUGEINT arithmetic as [[MinhashCandCtes]]), the 64 term-frequency-
+    * weighted bit majorities folded into four 16-bit chunks, pigeonhole
+    * chunk-equality candidates with the bucketCap drop, and codegen-free
+    * Hamming verification as summed per-chunk popcounts. Docs with null/
+    * whitespace-only text carry the all-zero signature, exactly like the
+    * engine's UDF. */
+  private val SimhashSql: String = {
+    val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      "list_transform(generate_series(1, length(g)), i -> CAST(unicode(substr(g, i, 1)) AS HUGEINT))), " +
+      "(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)"
+    // BigInt shift: 1L << 63 would overflow to Long.MIN_VALUE and flip the
+    // sign of the b=63 divisor (observed as 3 off-by-one hamming rows).
+    val bitSums = (0 until 64).map(b =>
+      s"coalesce(sum(CAST((h // ${BigInt(1) << b}) % 2 AS INT)), 0) AS o$b").mkString(", ")
+    val chunkCols = (0 until 4).map { i =>
+      val terms = (0 until 16).map(b =>
+        s"(CASE WHEN 2*o${16 * i + b} > n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS c$i"
+    }.mkString(", ")
+    val ham = "bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) " +
+      "+ bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))"
+    AugmentedDocs +
+      ", tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS g " +
+      "FROM aug WHERE text IS NOT NULL), " +
+      s"th AS (SELECT doc_id, $fnv AS h FROM tok), " +
+      s"bs AS (SELECT doc_id, count(*) AS n, $bitSums FROM th GROUP BY doc_id), " +
+      s"sigb AS (SELECT a.doc_id, $chunkCols FROM aug a LEFT JOIN bs ON a.doc_id = bs.doc_id), " +
+      "chunked AS (SELECT doc_id, i AS chunk_idx, CASE i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS chunk_val " +
+      "FROM sigb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)), " +
+      "bsz AS (SELECT chunk_idx, chunk_val, count(*) AS c FROM chunked GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM chunked a JOIN chunked b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id " +
+      "JOIN bsz z ON z.chunk_idx = a.chunk_idx AND z.chunk_val = a.chunk_val WHERE z.c <= 1000) " +
+      s"SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming " +
+      "FROM cand JOIN sigb sa ON sa.doc_id = doc_a JOIN sigb sb ON sb.doc_id = doc_b " +
+      s"WHERE $ham <= 3"
   }
 
   /** The inverted-index Jaccard chain (m14/m17/m18) as CTEs over `src` —

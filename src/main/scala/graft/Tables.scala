@@ -31,8 +31,17 @@ object Tables {
     * (inferTimestampNTZ) and avoids tz-adjustment on rewrite. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // Driver corpus: TIMESTAMP(NANOS) read as nanos long under the
+      // legacy conf — floor-divide to micros.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // Standard µs parquet timestamps (e.g. tools/GenData output): the
+      // legacy conf leaves them untouched; normalize to the same NTZ type.
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

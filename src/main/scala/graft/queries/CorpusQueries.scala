@@ -134,9 +134,27 @@ object CorpusQueries {
   /** Per-source corpus composition report (m35): doc/token/char mass and
     * an exact interpolated median — what a mix dashboard reads. One
     * partial-aggregated exchange of (source, counters); the median is the
-    * only non-decomposable statistic and rides the same narrow rows. */
-  def corpusReport(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+    * only non-decomposable statistic and rides the same narrow rows.
+    *
+    * The 100 TB swap is a CONFIG, not a rewrite:
+    * `spark.graft.approxPercentiles=true` switches every median/MAD in
+    * m35/m69 to `percentile_approx` (bounded-memory t-digest sketch,
+    * mergeable in partial aggregation) with the identical plan shape —
+    * ApproxSwapSpec pins exact≈approx at test scale. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    corpusReportOver(Tables.documents(s, dir), approxPercentiles(s))
+
+  /** Session flag for the exact→approx percentile swap (default exact:
+    * the driver oracle replays interpolated quantile_cont semantics). */
+  def approxPercentiles(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.approxPercentiles").exists(_.toBoolean)
+
+  private def median(c: org.apache.spark.sql.Column, approx: Boolean) =
+    if (approx) percentile_approx(c, lit(0.5), lit(10000))
+    else percentile(c, lit(0.5))
+
+  def corpusReportOver(docs: DataFrame, approx: Boolean = false): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars_c"),
         size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
@@ -146,7 +164,7 @@ object CorpusQueries {
       min("n_tokens").as("min_tokens"),
       max("n_tokens").as("max_tokens"),
       (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"),
-      percentile(col("n_tokens"), lit(0.5)).as("median_tokens"),
+      median(col("n_tokens"), approx).cast("double").as("median_tokens"),
       sum("n_chars_c").as("total_chars"))
   }
 
@@ -835,19 +853,22 @@ object CorpusQueries {
     * suddenly shipping truncated or concatenated documents, where mean/
     * stddev would be dragged by the very outliers being hunted. Exact
     * `percentile` twice (median, then MAD) with the same quantile_cont
-    * parity as m35; at 100 TB swap approx_percentile, same shape. Both
-    * per-source stat tables are source-count-sized and broadcast. */
+    * parity as m35; the 100 TB swap to `percentile_approx` is the same
+    * `spark.graft.approxPercentiles` config as m35 (identical plan shape,
+    * ApproxSwapSpec-pinned). Both per-source stat tables are
+    * source-count-sized and broadcast. */
   def lengthOutliers(s: SparkSession, dir: String): DataFrame =
-    lengthOutliersOver(Tables.documents(s, dir))
+    lengthOutliersOver(Tables.documents(s, dir), approxPercentiles(s))
 
-  def lengthOutliersOver(docs: DataFrame): DataFrame = {
+  def lengthOutliersOver(docs: DataFrame, approx: Boolean = false): DataFrame = {
     val d = docs.filter(col("text").isNotNull)
       .select(col("source"),
         size(split(lower(trim(col("text"))), " +")).cast("long").as("nt"))
-    val med = d.groupBy("source").agg(percentile(col("nt"), lit(0.5)).as("med"))
+    val med = d.groupBy("source")
+      .agg(median(col("nt"), approx).cast("double").as("med"))
     val withMed = d.join(broadcast(med), Seq("source"))
     val mad = withMed.groupBy("source")
-      .agg(percentile(abs(col("nt") - col("med")), lit(0.5)).as("mad"))
+      .agg(median(abs(col("nt") - col("med")), approx).cast("double").as("mad"))
     val z = lit(0.6745) * (col("nt") - col("med")) / col("mad")
     withMed.join(broadcast(mad), Seq("source"))
       .withColumn("is_outlier",
