@@ -392,6 +392,8 @@ object SparkEntry {
     "m14_gram_index_jaccard" ->
       (AugmentedDocs + gramPairCtes("aug") +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
+    "m09_ann_lsh" -> AnnLshSql,
+    "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,
     "m05_minhash_pairs" ->
       (AugmentedDocs + MinhashCandCtes +
@@ -1268,6 +1270,52 @@ object SparkEntry {
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id " +
       "JOIN bsz z ON z.band = a.band AND z.bkey = a.bkey WHERE z.c <= 1000) "
+  }
+
+  /** Hyperplane-LSH ANN (m09/m10) replayed in DuckDB: the seeded gaussian
+    * hyperplanes are inlined as double literals from
+    * [[graft.similarity.Ann.hyperplanes]] (shortest-round-trip printing,
+    * so DuckDB parses the identical doubles), sign-bit buckets via
+    * list_dot_product (same left-to-right summation order as the
+    * codegen'd graft_dot, so the doubles agree bitwise), bucket
+    * equi-joins, and the same cosine scoring + tie-broken top-k /
+    * threshold filter as the engine. */
+  private def annSqlArr(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+  private def annBucketExpr(planes: Seq[Seq[Double]], vec: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vec, ${annSqlArr(p)}) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val AnnLshSql: String = {
+    val ps = graft.similarity.Ann.hyperplanes(4, 64, 42L)
+    "WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+      "b AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm, " +
+      s"${annBucketExpr(ps, "vec")} AS bucket FROM v), " +
+      "q AS (SELECT bucket, id AS query_id, vec AS qvec, nrm AS qnrm FROM b WHERE id < 10), " +
+      "scored AS (SELECT query_id, c.id AS neighbor_id, " +
+      "list_dot_product(qvec, c.vec) / (qnrm * c.nrm) AS sim " +
+      "FROM b c JOIN q USING (bucket) WHERE c.id <> query_id), " +
+      "r AS (SELECT query_id, neighbor_id, sim, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"
+  }
+
+  private val EmbedNearDupSql: String = {
+    val pls = (0 until 3).map(t => graft.similarity.Ann.hyperplanes(8, 64, 42L + t))
+    val tblBuckets = (0 until 3).map(t =>
+      s"${annBucketExpr(pls(t), "vec")} AS b$t").mkString(", ")
+    "WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+      "v AS (SELECT * FROM v0 UNION ALL " +
+      "SELECT id + 10000, list_transform(generate_series(1, 64), " +
+      "i -> CASE WHEN i = 64 THEN vec[i] + 0.05 ELSE vec[i] END) " +
+      "FROM v0 WHERE id < 20), " +
+      s"b AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm, $tblBuckets FROM v), " +
+      "bk AS (SELECT id, vec, nrm, t, CASE t WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END AS bucket " +
+      "FROM b CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS t)), " +
+      "pairs AS (SELECT DISTINCT a.id AS doc_a, c.id AS doc_b, " +
+      "list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) AS sim " +
+      "FROM bk a JOIN bk c ON a.t = c.t AND a.bucket = c.bucket AND a.id < c.id) " +
+      "SELECT doc_a, doc_b, sim FROM pairs WHERE sim >= 0.99"
   }
 
   /** SimHash near-dup (m06) replayed in DuckDB: per-token FNV-1a 64 (same

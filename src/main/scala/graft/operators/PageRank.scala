@@ -68,6 +68,18 @@ object PageRank {
     val (nodes, nodesRdds) = snapshot(e.select(col("src").as("node")).distinct())
     eRdds.foreach(_.unpersist(blocking = false)) // base+nodes now pinned
     val n = nodes.count().toDouble
+    // Empty graph (e.g. a near-dup pass whose stop-gram pruning dropped
+    // every pair at a larger corpus): rank nobody, don't divide by N=0
+    // (ANSI makes (1−d)/0 a runtime error — observed at sf1).
+    if (n == 0) {
+      baseRdds.foreach(_.unpersist(blocking = false))
+      nodesRdds.foreach(_.unpersist(blocking = false))
+      val spark = edges.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(nodes.schema.fields)
+          .add("rank", org.apache.spark.sql.types.DoubleType))
+    }
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var ranksRdds: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     for (_ <- 1 to iterations) {

@@ -51,6 +51,15 @@ class PageRankSpec extends SparkSpec {
     total shouldBe 1.0 +- 1e-9
   }
 
+  test("empty edge list returns an empty rank table, not a divide-by-zero") {
+    // scale-revealed (sf1): a corpus where stop-gram pruning drops every
+    // near-dup pair hands PageRank an empty graph.
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = PageRank.ranks(empty, iterations = 10)
+    out.columns.toSeq shouldBe Seq("node", "rank")
+    out.count() shouldBe 0L
+  }
+
   test("directed graph: in-degree-0 node keeps the floor and mass is conserved") {
     // node 4 has out-edges only — before the full-node re-join it dropped
     // out of the rank table after round 1 and its mass leaked.
