@@ -1,0 +1,222 @@
+package graft
+
+import graft.similarity.{Ivf, IvfPq, Pq}
+
+/** Per-run capture of trained ANN models (IVF centroids, PQ codebooks) so
+  * [[SparkEntry.oracleSql]] can hand the driver a DuckDB replay of the
+  * SEARCH path of quantizer-backed queries. Training itself stays
+  * spec-pinned (Lloyd's isn't SQL); but once a query has trained its
+  * model, the model is just numbers — inlining them as SQL literals makes
+  * the assignment/probe/ADC/rank chain fully hash-checkable, the same
+  * recipe that flipped m09/m10 (seeded hyperplanes as literals).
+  *
+  * [[Verify]] dumps `oracle_sql.json` AFTER running every query and
+  * `oracleSql` is a def, so each query deposits the exact model instance
+  * its output was computed with; the replay can never race a retrain
+  * (queries that train separately — m12 vs m41 vs m74 — capture under
+  * their own key, because double summation order across partitions can
+  * move centroids by ulps between `Ivf.train` calls).
+  */
+object OracleCapture {
+  private val store = scala.collection.concurrent.TrieMap.empty[String, Any]
+  def put(name: String, model: Any): Unit = store.put(name, model)
+  def get[T](name: String): Option[T] = store.get(name).map(_.asInstanceOf[T])
+}
+
+/** DuckDB SQL builders that replay ANN search over an inlined model.
+  *
+  * Bitwise discipline (selection steps — argmin cell, PQ code assignment,
+  * top-k ranks — only agree if the scores agree exactly):
+  *  - dot products are `list_dot_product`, which sums left-to-right like
+  *    the codegen'd graft_dot and the scoring closures' `while` loops;
+  *  - IVF cell scores replay `Ivf.cellScores`'s exact form
+  *    |c|² − 2·v·c with |c|² precomputed on the driver (same loop) and
+  *    inlined, so the subtraction order matches;
+  *  - PQ/IVF-PQ distances replay the closures' `((v−cent)−cb)²` with the
+  *    same left association and j-ascending summation
+  *    (`list_sum(list_transform(...))` folds in list order);
+  *  - ADC totals sum the m per-subspace lookups in subspace order via
+  *    `list_sum(list(d ORDER BY s))` — a bare SUM() would re-associate;
+  *  - ties break exactly like the closures: strict `<` keeps the first
+  *    (smallest) index → `row_number() ... ORDER BY d, c` rank 1.
+  *
+  * The literal model is bounded driver-side state by construction
+  * (nlist×dim + m×ksub×dsub doubles — the same arrays the engine ships in
+  * closures), so the generated SQL stays tens of KB, not plan-breaking.
+  */
+object OracleModelSql {
+
+  /** Scala's shortest-round-trip Double printing; DuckDB parses back the
+    * identical bits. */
+  private def lit(x: Double): String = x.toString
+  private def arr(xs: Seq[Double]): String = xs.map(lit).mkString("[", ", ", "]")
+
+  /** |c|² with the same left-to-right summation as Ivf.Model.flat. */
+  private def sqNorm(c: Seq[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < c.length) { val x = c(j); s += x * x; j += 1 }
+    s
+  }
+
+  private val vCte =
+    "WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)"
+
+  /** Score list literal replaying [[Ivf]]'s cellScores: element i is
+    * |c_i|² − 2·v·c_i (the |v|²-dropped squared distance). */
+  private def cellScoreList(m: Ivf.Model, vec: String): String =
+    m.centroids.map(c => s"${lit(sqNorm(c))} - 2.0 * list_dot_product($vec, ${arr(c)})")
+      .mkString("[", ", ", "]")
+
+  /** Literal (cell, centroid) table for the IVF-PQ coarse quantizer. */
+  private def cellsTable(m: Ivf.Model): String =
+    "(VALUES " + m.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${arr(c)})" }.mkString(", ") + ") cells(cell, cv)"
+
+  /** Literal (s, c, codebook-centroid) table for PQ codebooks. */
+  private def cbTable(pq: Pq.Model, vecCol: String): String =
+    "(VALUES " + (for (s <- 0 until pq.m; c <- 0 until pq.ksub)
+      yield s"($s, $c, ${arr(pq.codebooks(s)(c))})").mkString(", ") +
+      s") cb(s, c, $vecCol)"
+
+  /** m12: Ivf.topK — argmin cell assignment, nprobe probe cells, cosine
+    * top-k within probed cells. */
+  def ivfTopK(m: Ivf.Model, k: Int, nprobe: Int): String = {
+    val n = m.nlist
+    vCte +
+      s", cs AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm, ${cellScoreList(m, "vec")} AS sc FROM v)" +
+      // strict-< argmin = first occurrence of the min → list_position
+      ", b AS (SELECT id, vec, nrm, CAST(list_position(sc, list_aggregate(sc, 'min')) - 1 AS BIGINT) AS cell FROM cs)" +
+      ", pr AS (SELECT id AS query_id, vec AS qvec, nrm AS qnrm, CAST(ci AS BIGINT) AS cell, " +
+      "row_number() OVER (PARTITION BY id ORDER BY sc[ci + 1], ci) AS pk " +
+      s"FROM cs CROSS JOIN range(0, $n) t(ci) WHERE id < 10)" +
+      s", q AS (SELECT query_id, qvec, qnrm, cell FROM pr WHERE pk <= $nprobe)" +
+      ", scored AS (SELECT query_id, c.id AS neighbor_id, " +
+      "list_dot_product(qvec, c.vec) / (qnrm * c.nrm) AS sim " +
+      "FROM b c JOIN q USING (cell) WHERE c.id <> query_id)" +
+      ", r AS (SELECT query_id, neighbor_id, sim, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
+      s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r WHERE rank <= $k"
+  }
+
+  /** m41: Ivf cell assignment feeding QuotaSample's md5-ranked cap. */
+  def ivfClusterQuota(m: Ivf.Model, cap: Int): String =
+    vCte +
+      s", cs AS (SELECT id, ${cellScoreList(m, "vec")} AS sc FROM v)" +
+      ", b AS (SELECT id, list_position(sc, list_aggregate(sc, 'min')) - 1 AS cell FROM cs)" +
+      ", r AS (SELECT id, CAST(cell AS VARCHAR) AS cell_s, " +
+      "row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk FROM b) " +
+      s"SELECT id, cell_s AS cell, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= $cap"
+
+  /** m74: recall@k vs the exact top-k, one row per nprobe setting. */
+  def ivfSweep(m: Ivf.Model, k: Int, nprobes: Seq[Int]): String = {
+    val n = m.nlist
+    val npList = nprobes.sorted.mkString("[", ", ", "]")
+    vCte +
+      s", cs AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm, ${cellScoreList(m, "vec")} AS sc FROM v)" +
+      ", b AS (SELECT id, vec, nrm, CAST(list_position(sc, list_aggregate(sc, 'min')) - 1 AS BIGINT) AS cell FROM cs)" +
+      ", qv AS (SELECT id AS query_id, vec AS qvec, nrm AS qnrm FROM cs WHERE id < 10)" +
+      // exact baseline — Ann.bruteForceTopK's formula and tie-break
+      ", ex AS (SELECT query_id, neighbor_id FROM (SELECT query_id, c.id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY " +
+      "list_dot_product(qvec, c.vec) / (qnrm * c.nrm) DESC, c.id) AS rk " +
+      s"FROM cs c CROSS JOIN qv WHERE c.id <> query_id) WHERE rk <= $k)" +
+      ", pr AS (SELECT id AS query_id, CAST(ci AS BIGINT) AS cell, " +
+      "row_number() OVER (PARTITION BY id ORDER BY sc[ci + 1], ci) AS pk " +
+      s"FROM cs CROSS JOIN range(0, $n) t(ci) WHERE id < 10)" +
+      s", nps AS (SELECT unnest($npList) AS np)" +
+      ", qq AS (SELECT np, query_id, cell FROM pr CROSS JOIN nps WHERE pk <= np)" +
+      ", ap AS (SELECT np, query_id, neighbor_id FROM (SELECT qq.np, qq.query_id, c.id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY qq.np, qq.query_id ORDER BY " +
+      "list_dot_product(q.qvec, c.vec) / (q.qnrm * c.nrm) DESC, c.id) AS rk " +
+      "FROM b c JOIN qq ON c.cell = qq.cell JOIN qv q ON q.query_id = qq.query_id " +
+      s"WHERE c.id <> qq.query_id) WHERE rk <= $k)" +
+      ", rec AS (SELECT nps.np AS np, e.query_id, " +
+      "CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) AS recall " +
+      "FROM ex e CROSS JOIN nps LEFT JOIN ap a ON a.np = nps.np " +
+      "AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id GROUP BY 1, 2) " +
+      s"SELECT CAST(np AS BIGINT) AS nprobe, CAST($k AS BIGINT) AS k, " +
+      "(SELECT count(*) FROM qv) AS n_queries, " +
+      "sum(recall) / (SELECT count(*) FROM qv) AS mean_recall FROM rec GROUP BY 1"
+  }
+
+  /** m37: PQ code assignment + ADC top-k. The `sub` CTE is BOTH the
+    * encoder's per-(vector, subspace, code) distance and the query-side
+    * ADC lookup table — they are the same formula in the engine too. */
+  def pqAdc(pq: Pq.Model, k: Int): String = {
+    val dsub = pq.dsub
+    vCte +
+      s", sub AS (SELECT id, s, c, list_sum(list_transform(range(1, ${dsub + 1}), " +
+      s"j -> (vec[s * $dsub + j] - cv[j]) * (vec[s * $dsub + j] - cv[j]))) AS d " +
+      s"FROM v CROSS JOIN ${cbTable(pq, "cv")})" +
+      ", codes AS (SELECT id, s, c AS code FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rk FROM sub) WHERE rk = 1)" +
+      ", pairs AS (SELECT q.id AS query_id, x.id AS neighbor_id, " +
+      "list_sum(list(q.d ORDER BY q.s)) AS adist " +
+      "FROM sub q JOIN codes x ON q.s = x.s AND q.c = x.code AND x.id <> q.id " +
+      "WHERE q.id < 10 GROUP BY 1, 2)" +
+      ", r AS (SELECT query_id, neighbor_id, adist, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM pairs) " +
+      s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM r WHERE rank <= $k"
+  }
+
+  /** CTE chain ending in `pairs(query_id, neighbor_id, adist)` — the
+    * IVF-PQ candidate generator shared by m38 (ranked directly) and m47
+    * (re-ranked by exact cosine). Replays IvfPq.encode/topK: full-dim
+    * argmin coarse cell, residual = vec − centroid, residual PQ codes,
+    * per-(query, probed-cell) residual LUTs. */
+  private def ivfPqPairsCtes(model: IvfPq.Model, nprobe: Int): String = {
+    val dim = model.coarse.centroids.head.length
+    val dsub = model.pq.dsub
+    vCte +
+      ", cd AS (SELECT id, vec, cell, cv, row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rk FROM " +
+      s"(SELECT id, vec, cell, cv, list_sum(list_transform(range(1, ${dim + 1}), " +
+      "j -> (vec[j] - cv[j]) * (vec[j] - cv[j]))) AS d " +
+      s"FROM v CROSS JOIN ${cellsTable(model.coarse)}))" +
+      s", rv AS (SELECT id, cell, list_transform(range(1, ${dim + 1}), j -> vec[j] - cv[j]) AS r FROM cd WHERE rk = 1)" +
+      s", sub AS (SELECT id, cell, s, c, list_sum(list_transform(range(1, ${dsub + 1}), " +
+      s"j -> (r[s * $dsub + j] - cv2[j]) * (r[s * $dsub + j] - cv2[j]))) AS d " +
+      s"FROM rv CROSS JOIN ${cbTable(model.pq, "cv2")})" +
+      ", codes AS (SELECT id, cell, s, c AS code FROM (SELECT id, cell, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rk FROM sub) WHERE rk = 1)" +
+      s", qr AS (SELECT id AS query_id, cell, list_transform(range(1, ${dim + 1}), j -> vec[j] - cv[j]) AS r " +
+      s"FROM cd WHERE id < 10 AND rk <= $nprobe)" +
+      s", qsub AS (SELECT query_id, cell, s, c, list_sum(list_transform(range(1, ${dsub + 1}), " +
+      s"j -> (r[s * $dsub + j] - cv2[j]) * (r[s * $dsub + j] - cv2[j]))) AS d " +
+      s"FROM qr CROSS JOIN ${cbTable(model.pq, "cv2")})" +
+      ", pairs AS (SELECT query_id, x.id AS neighbor_id, list_sum(list(q.d ORDER BY q.s)) AS adist " +
+      "FROM qsub q JOIN codes x ON q.cell = x.cell AND q.s = x.s AND q.c = x.code " +
+      "AND x.id <> q.query_id GROUP BY 1, 2)"
+  }
+
+  /** m38: IVF-PQ ADC top-k ranked by approximate distance. */
+  def ivfPqTopK(model: IvfPq.Model, k: Int, nprobe: Int): String =
+    ivfPqPairsCtes(model, nprobe) +
+      ", r AS (SELECT query_id, neighbor_id, adist, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM pairs) " +
+      s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM r WHERE rank <= $k"
+
+  /** m47: IVF-PQ nominates k·candMult candidates, exact cosine re-ranks. */
+  def ivfPqRerank(model: IvfPq.Model, k: Int, nprobe: Int, candMult: Int): String =
+    ivfPqPairsCtes(model, nprobe) +
+      ", cand AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM pairs) " +
+      s"WHERE rk <= ${k * candMult})" +
+      ", nv AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v)" +
+      ", scored AS (SELECT c.query_id, c.neighbor_id, " +
+      "list_dot_product(q.vec, x.vec) / (q.nrm * x.nrm) AS sim " +
+      "FROM cand c JOIN nv x ON x.id = c.neighbor_id JOIN nv q ON q.id = c.query_id)" +
+      ", r2 AS (SELECT query_id, neighbor_id, sim, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
+      s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r2 WHERE rank <= $k"
+
+  /** Oracle entries for every model a query run has deposited — merged
+    * into [[SparkEntry.oracleSql]]. Parameters (k, nprobe, cap, sweep
+    * points, candMult) mirror the CorpusQueries call sites. */
+  def captured: Map[String, String] =
+    OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
+      OracleCapture.get[Ivf.Model]("m41_cluster_quota").map(m => "m41_cluster_quota" -> ivfClusterQuota(m, 10)).toMap ++
+      OracleCapture.get[Ivf.Model]("m74_ann_tuning_sweep").map(m => "m74_ann_tuning_sweep" -> ivfSweep(m, 5, Seq(1, 2, 4, 16))).toMap ++
+      OracleCapture.get[Pq.Model]("m37_ann_pq").map(m => "m37_ann_pq" -> pqAdc(m, 5)).toMap ++
+      OracleCapture.get[IvfPq.Model]("m38_ann_ivfpq").map(m => "m38_ann_ivfpq" -> ivfPqTopK(m, 5, 4)).toMap ++
+      OracleCapture.get[IvfPq.Model]("m47_ann_rerank").map(m => "m47_ann_rerank" -> ivfPqRerank(m, 5, 4, 5)).toMap
+}

@@ -504,9 +504,11 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m05/m06/m07/m09/m10/m12/m33/m37/m38 are intentionally
-    // omitted: hash-function/LSH/quantizer internals aren't
-    // SQL-expressible → no-oracle (each recall/error-bounded by a spec).
+    // M8 oracles. m33/m40/m53/m63/m71/m79 (and q40) are intentionally
+    // omitted: k-means/BPE/deflate/power-iteration/greedy-MMR internals
+    // aren't SQL-expressible → no-oracle (each recall/error-bounded by a
+    // spec). All other m-queries — including the seeded-model ones — are
+    // replayed in DuckDB by inlining the trained/seeded model as literals.
     "m11_multimodal" ->
       ("WITH png AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L " +
         "FROM documents WHERE doc_id % 2 = 0), " +
@@ -1169,7 +1171,12 @@ object SparkEntry {
         "r AS (SELECT label, other_label, sim, row_number() OVER (" +
         "PARTITION BY label ORDER BY sim DESC, other_label) AS rk FROM s) " +
         "SELECT label, other_label AS nearest_label, sim FROM r WHERE rk = 1")
-  )
+  ) ++
+    // Quantizer-backed ANN search paths (m12/m37/m38/m41/m47/m74): their
+    // oracle SQL inlines the trained model the query run captured, so the
+    // entries exist only after the query has run — Verify dumps
+    // oracle_sql.json last, so the driver always sees them.
+    OracleModelSql.captured
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
   // graft.text.TextOps (same regexes, same double-arithmetic order).

@@ -639,6 +639,7 @@ object CorpusQueries {
   def annRerank(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.IvfPq.train(all, nlist = 16, m = 8, ksub = 16)
+    graft.OracleCapture.put("m47_ann_rerank", model)
     graft.similarity.Rerank.ivfPqRerank(
       all.filter(col("id") < 10), all,
       graft.similarity.IvfPq.encode(all, model), model,
@@ -689,6 +690,7 @@ object CorpusQueries {
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Pq.train(all, m = 8, ksub = 16, iters = 4)
+    graft.OracleCapture.put("m37_ann_pq", model)
     graft.similarity.Pq.adcTopK(all.filter(col("id") < 10),
       graft.similarity.Pq.encode(all, model), model, k = 5)
   }
@@ -700,6 +702,7 @@ object CorpusQueries {
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.IvfPq.train(all, nlist = 16, m = 8, ksub = 16)
+    graft.OracleCapture.put("m38_ann_ivfpq", model)
     graft.similarity.IvfPq.topK(all.filter(col("id") < 10),
       graft.similarity.IvfPq.encode(all, model), model, k = 5, nprobe = 4)
   }
@@ -715,6 +718,7 @@ object CorpusQueries {
   def clusterQuotaSample(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.OracleCapture.put("m41_cluster_quota", model)
     graft.operators.QuotaSample.quotaSample(
       all.select(col("id"), graft.similarity.Ivf.cellId(col("vec"), model).as("cell")),
       groupCol = "cell", keyCol = "id", cap = 10)
@@ -723,6 +727,7 @@ object CorpusQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.OracleCapture.put("m12_ann_ivf", model)
     graft.similarity.Ivf.topK(all.filter(col("id") < 10), all, model,
       k = 5, nprobe = 4)
   }
@@ -732,6 +737,7 @@ object CorpusQueries {
   def annTuningSweep(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.OracleCapture.put("m74_ann_tuning_sweep", model)
     graft.similarity.TuningSweep.ivfRecallCurve(
       all.filter(col("id") < 10), all, model, k = 5,
       nprobes = Seq(1, 2, 4, 16))
