@@ -1,9 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+import org.apache.spark.sql.types.{DataType, StructType}
 
-import scala.collection.mutable
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 
 /** Materialized dedup assets — the production topology for the near-dup
   * pair graph and its cluster labels.
@@ -26,33 +28,105 @@ import scala.collection.mutable
   * the pair-table bytes (pairs are two longs + a double per row, orders of
   * magnitude smaller than the corpus).
   *
-  * The memo is per-JVM on purpose: re-runs of the process rebuild the
-  * asset from source (no cross-run staleness when operator semantics
-  * change); within a run — one Bench/Verify sweep, one test suite — the
-  * build cost is paid once. Reads use the schema captured at write time,
-  * so an empty asset (no near-dup pairs at all) round-trips instead of
-  * failing parquet schema inference.
+  * Concurrency: builds coordinate on a PER-KEY latch, not an object-wide
+  * lock — a caller building the pairs asset for corpus A never blocks a
+  * caller building clusters, or corpus B (the Spark job runs outside any
+  * global mutex; only same-key callers wait, and exactly one of them
+  * builds).
+  *
+  * Reuse across JVMs is opt-in: with `graft.dedup.assetRoot` (system
+  * property, or GRAFT_DEDUP_ASSET_ROOT env) pointing at a stable
+  * directory, the asset path carries a STALENESS KEY — a corpus
+  * fingerprint (count + order-insensitive bit_xor of xxhash64(doc_id,
+  * text), one cheap column scan, memoized per JVM) plus a semantics
+  * version bumped when the pair-chain operators change — so a production
+  * run reuses yesterday's asset iff the corpus and the semantics are
+  * unchanged, and anything else rebuilds into a fresh path. A `_GRAFT_OK`
+  * marker (written last, with the schema) gates reads, so a crashed
+  * half-written asset is rebuilt, and an empty asset (no near-dup pairs)
+  * round-trips through its stored schema instead of failing parquet
+  * schema inference. Without the property, assets live in a per-JVM temp
+  * dir exactly as before — re-runs rebuild from source.
   */
 object DedupAssets {
 
-  private case class Asset(path: String, schema: StructType)
-  private val cache = mutable.Map.empty[String, Asset]
-  private lazy val root =
-    java.nio.file.Files.createTempDirectory("graft-dedup-assets").toString
+  /** Bump when the semantics of any materialized asset chain change —
+    * stored assets from older versions are then never reused. */
+  private val SemanticsVersion = "v1"
 
-  /** Materialize `build` once per (asset, key) per JVM as sorted-shard
-    * parquet; always return a reader over the stored copy. */
+  private case class Asset(path: String, schema: StructType)
+  private val cache = new ConcurrentHashMap[String, Asset]
+  private val keyLocks = new ConcurrentHashMap[String, Object]
+  private val fingerprints = new ConcurrentHashMap[String, String]
+  private lazy val tempRoot =
+    Files.createTempDirectory("graft-dedup-assets").toString
+
+  private def stableRoot: Option[String] =
+    sys.props.get("graft.dedup.assetRoot")
+      .orElse(sys.env.get("GRAFT_DEDUP_ASSET_ROOT"))
+      .filter(_.nonEmpty)
+
+  /** Order-insensitive corpus fingerprint: row count + bit_xor of
+    * xxhash64(doc_id, text) over `$dir/documents.parquet`, hex-joined.
+    * One narrow scan, memoized per (dir) per JVM. Keys that are not a
+    * corpus dir hash textually (generic materialized callers). */
+  private def fingerprint(s: SparkSession, key: String): String =
+    fingerprints.computeIfAbsent(key, { _ =>
+      val docs = Paths.get(key, "documents.parquet")
+      if (Files.exists(docs)) {
+        val r = s.read.parquet(docs.toString)
+          .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text"))))
+          .head()
+        val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+        f"${r.getLong(0)}%x-$x%016x"
+      } else f"k${key.hashCode}%08x"
+    })
+
+  /** Materialize `build` once per (asset, key) per JVM — or once per
+    * (asset, corpus-fingerprint, semantics version) across JVMs when a
+    * stable asset root is configured; always return a reader over the
+    * stored copy. */
   def materialized(s: SparkSession, asset: String, key: String,
                    sortCols: Seq[String])(build: => DataFrame): DataFrame = {
-    val a = synchronized {
-      cache.getOrElseUpdate(s"$asset::$key", {
-        val df = build
-        val path = s"$root/$asset-${java.lang.Integer.toHexString(key.hashCode)}"
-        graft.io.Sinks.writeSortedShards(df, path, numShards = 8, sortCols)
-        Asset(path, df.schema)
-      })
+    val ck = s"$asset::$key"
+    val a = Option(cache.get(ck)).getOrElse {
+      val lock = keyLocks.computeIfAbsent(ck, _ => new Object)
+      lock.synchronized {
+        Option(cache.get(ck)).getOrElse {
+          val built = stableRoot match {
+            case Some(root) =>
+              val path = s"$root/$asset-${fingerprint(s, key)}-$SemanticsVersion"
+              loadStored(path).getOrElse(writeAsset(path, build, sortCols))
+            case None =>
+              val path =
+                s"$tempRoot/$asset-${java.lang.Integer.toHexString(key.hashCode)}"
+              writeAsset(path, build, sortCols)
+          }
+          cache.put(ck, built)
+          built
+        }
+      }
     }
     s.read.schema(a.schema).parquet(a.path)
+  }
+
+  /** A stored asset is reusable iff its completion marker exists; the
+    * marker carries the write-time schema JSON. */
+  private def loadStored(path: String): Option[Asset] = {
+    val marker = Paths.get(path, "_GRAFT_OK")
+    if (Files.exists(marker))
+      Some(Asset(path, DataType.fromJson(Files.readString(marker))
+        .asInstanceOf[StructType]))
+    else None
+  }
+
+  private def writeAsset(path: String, build: => DataFrame,
+                         sortCols: Seq[String]): Asset = {
+    val df = build
+    graft.io.Sinks.writeSortedShards(df, path, numShards = 8, sortCols)
+    // marker last: a crash before this line leaves no marker → rebuild
+    Files.writeString(Paths.get(path, "_GRAFT_OK"), df.schema.json)
+    Asset(path, df.schema)
   }
 
   /** Verified near-dup pairs (doc_a, doc_b, jaccard) over the augmented
@@ -69,7 +143,8 @@ object DedupAssets {
       graft.dedup.DedupClusters.components(
         pairs(s, dir).select("doc_a", "doc_b")))
 
-  /** Test hook: drop the memo so a spec can observe a fresh build. The
-    * written files stay on disk (temp dir); only the mapping is dropped. */
-  def reset(): Unit = synchronized { cache.clear() }
+  /** Test hook: drop the per-JVM memo (and fingerprint memo) so a spec can
+    * observe a fresh build. Stored files stay on disk; with a stable root
+    * the next call reuses them via the marker. */
+  def reset(): Unit = { cache.clear(); fingerprints.clear() }
 }

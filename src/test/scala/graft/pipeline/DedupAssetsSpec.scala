@@ -50,6 +50,82 @@ class DedupAssetsSpec extends SparkSpec {
     out.count() shouldBe 0
   }
 
+  test("builds of different keys overlap — no object-wide lock") {
+    // Thread A's build parks on a latch while holding only ITS key's
+    // latch; a different key must still build to completion. Under the
+    // old object-lock this times out (B waits on A's Spark job).
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val ta = new Thread(() => {
+      DedupAssets.materialized(spark, "spec-conc-a", "ka", Seq("doc_id")) {
+        aEntered.countDown()
+        aRelease.await()
+        Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+      }.count()
+      ()
+    })
+    ta.start()
+    assert(aEntered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "build A never started")
+    val tb = new Thread(() => {
+      DedupAssets.materialized(spark, "spec-conc-b", "kb", Seq("doc_id")) {
+        Seq((2L, 2L)).toDF("doc_id", "cluster_id")
+      }.count() shouldBe 1
+      bDone.countDown()
+    })
+    tb.start()
+    val overlapped = bDone.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    aRelease.countDown()
+    ta.join(60000); tb.join(60000)
+    assert(overlapped, "different-key build blocked behind an in-flight build")
+  }
+
+  test("same-key concurrent callers build exactly once") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        DedupAssets.materialized(spark, "spec-race", "kr", Seq("doc_id")) {
+          builds.incrementAndGet()
+          Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+        }.count() shouldBe 1
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    builds.get() shouldBe 1
+  }
+
+  test("stable asset root: reuse across sessions, rebuild on corpus change") {
+    val root = java.nio.file.Files.createTempDirectory("graft-asset-root")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-asset-corpus")
+    spark.read.parquet(s"$dir/documents.parquet").limit(50)
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    sys.props("graft.dedup.assetRoot") = root.toString
+    try {
+      var builds = 0
+      def asset() = DedupAssets.materialized(
+        spark, "spec-stable", corpus.toString, Seq("doc_id")) {
+        builds += 1
+        Seq((1L, 2L)).toDF("doc_id", "cluster_id")
+      }
+      asset().count() shouldBe 1
+      builds shouldBe 1
+      // "new JVM": the memo is gone, the stored asset + marker remain
+      DedupAssets.reset()
+      asset().count() shouldBe 1
+      builds shouldBe 1 // reused via marker, not rebuilt
+      // corpus changes → fingerprint changes → fresh path, rebuild
+      spark.read.parquet(s"$dir/documents.parquet").limit(40)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+      DedupAssets.reset()
+      asset().count() shouldBe 1
+      builds shouldBe 2
+    } finally {
+      sys.props.remove("graft.dedup.assetRoot")
+      DedupAssets.reset()
+    }
+  }
+
   test("asset consumers match their pre-asset direct computations") {
     // m62/m66/m70 read the stored asset; their results must be what the
     // direct pair-graph rebuild produced (the round-7 hash-green shape).
