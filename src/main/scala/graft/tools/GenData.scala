@@ -150,12 +150,45 @@ object GenData {
       transform(sequence(lit(1), (pmod(xxhash64(col("id"), lit(32)), lit(96)) + 8).cast("int")),
         i => element_at(vocabCol, (pmod(xxhash64(col("id"), i), lit(31)) + 1).cast("int"))),
       " ")
-    write("documents", spark.range(n(5000)).select(
+    // Planted near-dup FAMILIES, proportional to corpus size (~1% of the
+    // corpus in families of 4). Each family speaks its own 40-token
+    // vocabulary ("f<fam>w<k>"), so its 3-gram shingles have df = family
+    // size << the dfCap=50 stop-gram cap NO MATTER how large the organic
+    // corpus grows — the sf1-dilution fix: with the shared 31-word vocab
+    // every organic gram's df crosses the cap as the corpus grows, and the
+    // round-8 sf1 run's pair graph came out empty, leaving the dedup tier
+    // unexercised at scale. Family-private vocab is also the realistic
+    // shape: real near-dup shingles are rare precisely because real
+    // vocabularies are huge. Member 0 is the base; members 1..3 perturb
+    // one distinct word slot each → base-member Jaccard (L−5)/(L+1) ≈
+    // 0.85, member-member (L−8)/(L+4) ≈ 0.73, all above the 0.6 pair
+    // threshold → 6 pairs + one 4-clique cluster per family, linear in
+    // the multiplier.
+    val nDocs = n(5000)
+    val famSize = 4
+    val nFams = math.max(1L, nDocs / 100 / famSize)
+    val famWords = 40
+    val famDocs = spark.range(nFams * famSize).select(
+      (col("id") + nDocs).as("doc_id"),
+      expr(s"id div $famSize").as("fam"),
+      (col("id") % famSize).cast("int").as("member"))
+      .select(
+        col("doc_id"),
+        array_join(transform(sequence(lit(1), lit(famWords)), i =>
+          when(col("member") > 0 && i === (col("member") * 7) % famWords + 1,
+            concat(lit("member"), col("member")))
+            .otherwise(concat(lit("f"), col("fam"), lit("w"),
+              pmod(xxhash64(col("fam"), i), lit(famWords))))), " ").as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(33)), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+    write("documents", spark.range(nDocs).select(
       col("id").as("doc_id"),
       textCol.as("text"),
       langCol.as("lang"),
       concat(lit("src"), pmod(xxhash64(col("id"), lit(33)), lit(20))).as("source"))
-      .withColumn("n_chars", length(col("text"))))
+      .withColumn("n_chars", length(col("text")))
+      .unionByName(famDocs))
 
     // -- embeddings: 64-dim, 10 label clusters (centroid + noise) ----------
     // Matched to the observed structure: near-isotropic gaussian noise
