@@ -12,6 +12,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * suite scales with the machine.
   */
 object Bench {
+
+  /** Per-query executor-level stats (SPARK_GRAFT_STAGE_STATS=1): bytes
+    * read/shuffled/spilled and the largest single-task shuffle read (the
+    * max-partition proxy), accumulated from task-end events. The scale
+    * report reads these to grade the 100 TB design with numbers — a row
+    * whose shuffle bytes grow super-linearly with the multiplier is a
+    * redesign candidate even when its wall-clock hides behind fixed
+    * overhead. Listener events are async, so [[quiesce]] waits until
+    * every started job's end event has drained (task events precede the
+    * job-end event on the FIFO bus) before a snapshot is read. */
+  private final class QueryStatsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val started = new java.util.concurrent.atomic.AtomicLong
+    private val ended = new java.util.concurrent.atomic.AtomicLong
+    private var in, sr, sw, ms, ds, peak, maxTaskSr = 0L
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      started.incrementAndGet(); ()
+    }
+    override def onJobEnd(
+        j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      ended.incrementAndGet(); ()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.totalBytesRead
+          in += m.inputMetrics.bytesRead
+          sr += r; sw += m.shuffleWriteMetrics.bytesWritten
+          ms += m.memoryBytesSpilled; ds += m.diskBytesSpilled
+          peak = math.max(peak, m.peakExecutionMemory)
+          maxTaskSr = math.max(maxTaskSr, r)
+        }
+      }
+    def reset(): Unit = synchronized {
+      in = 0; sr = 0; sw = 0; ms = 0; ds = 0; peak = 0; maxTaskSr = 0
+    }
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime + 2000000000L
+      while (started.get != ended.get && System.nanoTime < deadline)
+        Thread.sleep(10)
+      Thread.sleep(50) // drain the tail of the event queue
+    }
+    def snapshot: String = synchronized {
+      s"""{"input":$in,"shuffle_read":$sr,"shuffle_write":$sw,""" +
+        s""""mem_spill":$ms,"disk_spill":$ds,"peak_exec_mem":$peak,""" +
+        s""""max_task_shuffle_read":$maxTaskSr}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,9 +137,25 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // SPARK_GRAFT_STAGE_STATS=1: per-query executor stats from the LAST
+    // measured pass, reported as a "stats" key (absent otherwise — the
+    // driver's parse of the one-line contract is unaffected).
+    val statsListener =
+      if (sys.env.get("SPARK_GRAFT_STAGE_STATS").contains("1")) {
+        val l = new QueryStatsListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
+    val statsOut = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to passes).map { _ =>
+      val runs = (1 to passes).map { i =>
+        statsListener.filter(_ => i == passes).foreach { l =>
+          l.quiesce(); l.reset()
+        }
         val r = timeOne(name, fn)
+        statsListener.filter(_ => i == passes).foreach { l =>
+          l.quiesce(); statsOut(name) = l.snapshot
+        }
         releaseSnapshots()
         r
       }
@@ -104,7 +172,11 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warm":$warm,"passes":$passes,"sf":"$sfDir"}"""
+    val statsJson =
+      if (statsOut.isEmpty) ""
+      else statsOut.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","stats":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warm":$warm,"passes":$passes,"sf":"$sfDir"$statsJson}"""
     println(line)
     // Also persist the full line to a file: the driver's log capture keeps
     // only the last ~4 KB of stdout, which truncates the per-query map at
