@@ -159,6 +159,30 @@ object OracleModelSql {
       s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM r WHERE rank <= $k"
   }
 
+  /** m33: SemDeDup drop list — multi-probe cell membership (top
+    * `nprobeAssign` cells per vector over the perturbed-dup corpus),
+    * within-cell cosine ≥ threshold, min-id keeper / max sim per dropped
+    * vector. Pairs sharing several cells are generated multiply and
+    * absorbed by the aggregation, exactly like the engine. */
+  def semanticDedup(m: Ivf.Model, threshold: Double, nprobeAssign: Int): String = {
+    val n = m.nlist
+    val dim = m.centroids.head.length
+    vCte +
+      s", va AS (SELECT id, vec FROM v UNION ALL SELECT id + 10000, " +
+      s"list_transform(generate_series(1, $dim), i -> CASE WHEN i = $dim THEN vec[i] + 0.05 ELSE vec[i] END) " +
+      "FROM v WHERE id < 20)" +
+      s", cs AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm, ${cellScoreList(m, "vec")} AS sc FROM va)" +
+      ", pc AS (SELECT id, vec, nrm, CAST(ci AS BIGINT) AS cell, " +
+      "row_number() OVER (PARTITION BY id ORDER BY sc[ci + 1], ci) AS pk " +
+      s"FROM cs CROSS JOIN range(0, $n) t(ci))" +
+      s", wc AS (SELECT cell, id, vec, nrm FROM pc WHERE pk <= $nprobeAssign)" +
+      ", pr AS (SELECT a.id AS id_a, b.id AS id_b, " +
+      "list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim " +
+      "FROM wc a JOIN wc b ON a.cell = b.cell AND a.id < b.id) " +
+      "SELECT id_b AS vec_id, min(id_a) AS keeper_id, max(sim) AS sim " +
+      s"FROM pr WHERE sim >= $threshold GROUP BY 1"
+  }
+
   /** CTE chain ending in `pairs(query_id, neighbor_id, adist)` — the
     * IVF-PQ candidate generator shared by m38 (ranked directly) and m47
     * (re-ranked by exact cosine). Replays IvfPq.encode/topK: full-dim
@@ -214,6 +238,7 @@ object OracleModelSql {
     * points, candMult) mirror the CorpusQueries call sites. */
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
+      OracleCapture.get[Ivf.Model]("m33_semantic_dedup").map(m => "m33_semantic_dedup" -> semanticDedup(m, 0.99, 2)).toMap ++
       OracleCapture.get[Ivf.Model]("m41_cluster_quota").map(m => "m41_cluster_quota" -> ivfClusterQuota(m, 10)).toMap ++
       OracleCapture.get[Ivf.Model]("m74_ann_tuning_sweep").map(m => "m74_ann_tuning_sweep" -> ivfSweep(m, 5, Seq(1, 2, 4, 16))).toMap ++
       OracleCapture.get[Pq.Model]("m37_ann_pq").map(m => "m37_ann_pq" -> pqAdc(m, 5)).toMap ++

@@ -504,11 +504,13 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m33/m40/m53/m63/m71/m79 (and q40) are intentionally
-    // omitted: k-means/BPE/deflate/power-iteration/greedy-MMR internals
+    // M8 oracles. m40/m53/m63/m71/m79 (and q40) are intentionally
+    // omitted: BPE/deflate/power-iteration/greedy-MMR/sketch internals
     // aren't SQL-expressible → no-oracle (each recall/error-bounded by a
-    // spec). All other m-queries — including the seeded-model ones — are
-    // replayed in DuckDB by inlining the trained/seeded model as literals.
+    // spec). All other m-queries — including the trained/seeded-model
+    // ones — are replayed in DuckDB by inlining the model as literals
+    // (OracleModelSql for the captured quantizers, the hyperplane/
+    // permutation CTEs below for the seeded hashes).
     "m11_multimodal" ->
       ("WITH png AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L " +
         "FROM documents WHERE doc_id % 2 = 0), " +

@@ -49,35 +49,40 @@ object SimHash {
   /** Pairs (doc_a < doc_b) with Hamming distance ≤ maxDist (≤ 3 for full
     * recall with 4 chunks; larger maxDist trades recall as usual).
     * Buckets larger than `bucketCap` are dropped (recall trade, see class
-    * doc), and the cap also bounds the aggregation BUFFER: only doc_ids
-    * are collected (cappedIds stops at cap+1), so the all-empty-texts
-    * bucket at chunk value 0 never materializes. The 64-bit signatures
-    * rejoin by doc_id for the Hamming verify — only candidate docs pay
-    * that join. */
+    * doc), and the cap also bounds the aggregation BUFFER (cappedIdSigs
+    * stops at cap+1), so the all-empty-texts bucket at chunk value 0
+    * never materializes.
+    *
+    * The bucket list carries (doc_id, signature) pairs, so Hamming
+    * verification runs INSIDE the bucket expansion and only verified
+    * survivors are deduplicated. The earlier shape distinct()ed the full
+    * candidate set and re-joined signatures twice — on a chunk-saturated
+    * corpus (small vocabulary → every 16-bit chunk bucket near the cap)
+    * that exchanged the O(bucket²) candidate volume three times; the
+    * sf1 scale run measured it at 57× the base shuffle for 10× the rows.
+    * Now the only exchanges are the bucket build (16 B/entry) and the
+    * tiny survivor distinct; a pair sharing several chunks is verified
+    * up to 4× redundantly, which is a bit_count each — CPU traded for
+    * the candidate shuffle. */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    // Three consumers (the chunk pass + both verify joins) — checkpoint
-    // the 16 B/doc signature table once instead of re-running the
-    // per-token UDF over the corpus per consumer.
-    val sigs = signatures(docs, textCol).localCheckpoint(false)
+    val sigs = signatures(docs, textCol)
     val chunked = sigs.select(
-      col("doc_id"),
+      col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i => chunk(col("simhash"), i)): _*))
         .as(Seq("chunk_idx", "chunk_val")))
     val capped = chunked
       .groupBy("chunk_idx", "chunk_val")
-      .agg(graft.functions.CappedCollect.cappedIds(bucketCap)(col("doc_id")).as("ids"))
-      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-    val pairs = capped
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-    pairs
-      .join(sigs.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a")), Seq("doc_a"))
-      .join(sigs.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .agg(graft.functions.CappedCollect
+        .cappedIdSigs(bucketCap)(col("doc_id"), col("simhash")).as("ms"))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
+    capped
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -679,6 +679,7 @@ object CorpusQueries {
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val all = withPerturbedDups(vectors(s, dir))
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    graft.OracleCapture.put("m33_semantic_dedup", model)
     graft.similarity.SemanticDedup.dropNearDups(all, model, threshold = 0.99)
   }
 
