@@ -19,13 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
-  /** +50 exact copies (doc_id+20000) and +50 mutated copies (doc_id+10000,
-    * first word replaced) of the lowest-id documents. */
-  def withSyntheticDups(docs: DataFrame): DataFrame = {
+  /** Synthetic-id offset for planted fixtures: the smallest power of ten
+    * clearing the table's real id range, floored at 10000 — so every
+    * driver SF (≤ 5000 docs / 2000 vectors) keeps the historical
+    * 10000/20000/30000 boundaries the SQL oracles encode byte-for-byte,
+    * while GENERATED larger corpora (tools/GenData) never leak organic
+    * ids into the synthetic ranges. The round-9 sf1 stats sweep caught
+    * m72 treating 40k organic docs as the "new batch" (6 GB of spill)
+    * because 10000 was hardcoded against a 50k-id corpus. Cached per
+    * (dir, table): one narrow max() scan per JVM — fixture plumbing, not
+    * a production operator. */
+  private val offsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def synthOffset(df: DataFrame, key: String, idCol: String): Long =
+    offsetCache.computeIfAbsent(key, { _ =>
+      val mx = Option(df.agg(max(col(idCol))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      var off = 10000L
+      while (off <= mx) off *= 10
+      off
+    })
+  private[graft] def docOff(s: SparkSession, dir: String): Long =
+    synthOffset(Tables.documents(s, dir), s"$dir::documents", "doc_id")
+  private[graft] def vecOff(s: SparkSession, dir: String): Long =
+    synthOffset(Tables.embeddings(s, dir), s"$dir::embeddings", "vec_id")
+
+  /** +50 exact copies (doc_id + 2·off) and +50 mutated copies
+    * (doc_id + off, first word replaced) of the lowest-id documents. */
+  def withSyntheticDups(docs: DataFrame, off: Long = 10000L): DataFrame = {
     val exact = docs.filter(col("doc_id") < 50)
-      .withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("doc_id", col("doc_id") + (2 * off))
     val mutated = docs.filter(col("doc_id") < 50)
-      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("doc_id", col("doc_id") + off)
       .withColumn("text", concat(lit("zz"), substring(col("text"), 3, 1000000)))
     docs.unionByName(exact).unionByName(mutated)
   }
@@ -286,7 +311,7 @@ object CorpusQueries {
     * — the exact-substring dedup signal at window granularity. */
   def repeatedWindows(s: SparkSession, dir: String): DataFrame =
     graft.text.RepeatedWindows.flag(
-      withSyntheticDups(Tables.documents(s, dir)), w = 30)
+      withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
 
   /** Snapshot diff (m44): the current corpus plays the NEW snapshot; the
     * OLD one is derived deterministically so every status is exercised —
@@ -301,7 +326,7 @@ object CorpusQueries {
         concat(lit("zz"), substring(col("text"), 3, 1000000)))
         .otherwise(col("text")))
       .unionByName(docs.filter(col("doc_id") < 25)
-        .withColumn("doc_id", col("doc_id") + 30000))
+        .withColumn("doc_id", col("doc_id") + (3 * docOff(s, dir))))
     graft.operators.SnapshotDiff.diff(older, docs, keyCol = "doc_id")
   }
 
@@ -318,7 +343,7 @@ object CorpusQueries {
         concat(lit("zz"), substring(col("text"), 3, 1000000)))
         .otherwise(col("text")))
       .unionByName(docs.filter(col("doc_id") < 25)
-        .withColumn("doc_id", col("doc_id") + 30000))
+        .withColumn("doc_id", col("doc_id") + (3 * docOff(s, dir))))
     val v3 = docs.filter(col("doc_id") % 10 =!= 1)
       .withColumn("text", when(col("doc_id") % 10 === 5,
         concat(lit("qq"), substring(col("text"), 3, 1000000)))
@@ -441,7 +466,7 @@ object CorpusQueries {
     * copies among the rest) is checked against it — every planted copy
     * must flag, organically-similar docs may. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
     graft.dedup.Decontaminate.contaminated(
       corpus = aug.filter(col("doc_id") >= 50),
       benchmark = aug.filter(col("doc_id") < 50))
@@ -451,7 +476,7 @@ object CorpusQueries {
     * same split, same output, same oracle — through the bitset-prefilter
     * plan for benchmark sets too large to broadcast as hash relations. */
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
     graft.dedup.BloomDecontaminate.contaminated(
       corpus = aug.filter(col("doc_id") >= 50),
       benchmark = aug.filter(col("doc_id") < 50))
@@ -555,28 +580,28 @@ object CorpusQueries {
   // ---- dedup ----------------------------------------------------------
 
   def exactDedupGroups(s: SparkSession, dir: String): DataFrame =
-    ExactDedup.groups(withSyntheticDups(Tables.documents(s, dir)))
+    ExactDedup.groups(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)))
 
   def exactDedup(s: SparkSession, dir: String): DataFrame =
-    ExactDedup.dedup(withSyntheticDups(Tables.documents(s, dir)))
+    ExactDedup.dedup(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)))
       .select("doc_id", "lang", "source", "n_chars")
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    MinHashLSH.verifiedPairs(withSyntheticDups(Tables.documents(s, dir)),
+    MinHashLSH.verifiedPairs(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
       threshold = 0.5)
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearDuplicates(withSyntheticDups(Tables.documents(s, dir)), maxDist = 3)
+    SimHash.nearDuplicates(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), maxDist = 3)
 
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    NgramJaccard.nearDuplicates(withSyntheticDups(Tables.documents(s, dir)),
+    NgramJaccard.nearDuplicates(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
       threshold = 0.6)
 
   /** Inverted-index word-shingle Jaccard — the SQL-exact near-dup path
     * (string grams, relational pruning), hash-checked against a DuckDB
     * oracle that replays the identical algorithm. */
   def gramIndexJaccard(s: SparkSession, dir: String): DataFrame =
-    NgramJaccard.invertedIndexPairs(withSyntheticDups(Tables.documents(s, dir)),
+    NgramJaccard.invertedIndexPairs(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
       threshold = 0.6, dfCap = 50)
 
   /** Corpus vocabulary with TF/DF/IDF — the classic explode-shuffle-topk
@@ -653,7 +678,7 @@ object CorpusQueries {
     * observable. Rows-only by design (iterative argmax isn't SQL);
     * MmrSpec pins λ=1 ≡ brute force and duplicate demotion. */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
-    val all = withPerturbedDups(vectors(s, dir))
+    val all = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
     graft.similarity.Mmr.mmrTopK(
       all.filter(col("id") < 10), all, k = 5, lambda = 0.7)
   }
@@ -677,7 +702,7 @@ object CorpusQueries {
     * not SQL-expressible); SemanticDedupSpec pins planted-dup recall and
     * precision against the exact brute-force pairs. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val all = withPerturbedDups(vectors(s, dir))
+    val all = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
     graft.OracleCapture.put("m33_semantic_dedup", model)
     graft.similarity.SemanticDedup.dropNearDups(all, model, threshold = 0.99)
@@ -752,9 +777,9 @@ object CorpusQueries {
   /** +20 slightly-perturbed copies (id+10000, last component +0.05 — the
     * corpus vectors are unit-norm, so that keeps cosine ≈ 0.999): plants
     * guaranteed near-dup hits ≥ 0.99. */
-  def withPerturbedDups(all: DataFrame): DataFrame = {
+  def withPerturbedDups(all: DataFrame, off: Long = 10000L): DataFrame = {
     val perturbed = all.filter(col("id") < 20)
-      .select((col("id") + 10000).as("id"),
+      .select((col("id") + off).as("id"),
         transform(col("vec"), (x, i) => when(i === 63, x + 0.05).otherwise(x)).as("vec"))
     all.unionByName(perturbed)
   }
@@ -763,7 +788,7 @@ object CorpusQueries {
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     // LSH mode — the scale path: only same-bucket pairs are scored.
     // 8 planes × 3 OR-amplified tables ≈ 0.998 recall at cosine 0.999.
-    Ann.nearDupPairs(withPerturbedDups(vectors(s, dir)), threshold = 0.99,
+    Ann.nearDupPairs(withPerturbedDups(vectors(s, dir), vecOff(s, dir)), threshold = 0.99,
       numPlanes = 8, tables = 3)
 
   /** Connected components over the verified inverted-index pairs —
@@ -786,7 +811,7 @@ object CorpusQueries {
     * funnel can never drift from the operators it reports on. Three
     * partial-agg exchanges on source; stat joins are source-sized. */
   def pipelineYield(s: SparkSession, dir: String): DataFrame = {
-    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
     val gated = aug.join(
       TextOps.langQualityGate(aug).select("doc_id"), Seq("doc_id"))
     val keepers = gated
@@ -838,10 +863,11 @@ object CorpusQueries {
     * (doc_id ≥ 10000) arrive as the "new batch" and probe the original
     * corpus's inverted shingle index — only (batch, indexed) pairs. */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
+    val off = docOff(s, dir)
     graft.dedup.IncrementalNearDup.probeIndex(
-      batch = aug.filter(col("doc_id") >= 10000),
-      indexed = aug.filter(col("doc_id") < 10000))
+      batch = aug.filter(col("doc_id") >= off),
+      indexed = aug.filter(col("doc_id") < off))
   }
 
   /** Per-doc character Shannon entropy (m76): the exactly-replayable
@@ -896,7 +922,7 @@ object CorpusQueries {
     * eval-set integrity step a curation pipeline runs between dedup and
     * packing. */
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
     val members = graft.pipeline.DedupAssets.clusters(s, dir)
     val keyed = aug.select(col("doc_id"))
       .join(members, Seq("doc_id"), "left")
@@ -1015,7 +1041,7 @@ object CorpusQueries {
     * cluster_id — partitions are duplicate families, bounded by cluster
     * size, never corpus-sized. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val aug = withSyntheticDups(Tables.documents(s, dir))
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
     val members = graft.pipeline.DedupAssets.clusters(s, dir)
     val quality = vocabQualityOver(aug, vocabSize = 25)
       .select(col("doc_id"), col("oov_rate"))
@@ -1035,7 +1061,7 @@ object CorpusQueries {
     * perturbed-augmented corpus — oracle-checkable twin of
     * [[embeddingNearDups]]'s LSH mode. */
   def embedNearDupExact(s: SparkSession, dir: String): DataFrame = {
-    val corpus = withPerturbedDups(vectors(s, dir))
+    val corpus = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
     Ann.bruteForceNearDups(corpus.filter(col("id") < 100), corpus, threshold = 0.99)
   }
 
@@ -1043,7 +1069,7 @@ object CorpusQueries {
     * over the augmented corpus — one hash-checked composite (m18). */
   def corpusPipeline(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.CorpusPipeline.prepare(
-      withSyntheticDups(Tables.documents(s, dir)))
+      withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)))
 
   /** Incremental exact dedup (m29): docs ≥ 400 plus replayed copies of
     * already-ingested content play today's delta; docs < 400 play the
@@ -1056,7 +1082,7 @@ object CorpusQueries {
       .distinct()
     val delta = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
       .unionByName(docs.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        .select((col("doc_id") + (3 * docOff(s, dir))).as("doc_id"), col("text")))
     graft.dedup.ExactDedup.admitNew(delta, seen)
       .select("doc_id", "fingerprint")
   }
@@ -1068,7 +1094,7 @@ object CorpusQueries {
     * PII to placeholders. One hash-checked oracle end-to-end. */
   def corpusPipelineV2(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.CorpusPipeline.prepareV2(
-      withSyntheticPii(withSyntheticDups(Tables.documents(s, dir))))
+      withSyntheticPii(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))))
 
   // ---- multimodal -----------------------------------------------------
 
