@@ -1,6 +1,6 @@
 package graft
 
-import graft.similarity.{Ivf, IvfPq, Pq}
+import graft.similarity.{Ivf, IvfPq, PcaPower, Pq}
 
 /** Per-run capture of trained ANN models (IVF centroids, PQ codebooks) so
   * [[SparkEntry.oracleSql]] can hand the driver a DuckDB replay of the
@@ -233,6 +233,33 @@ object OracleModelSql {
       "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
       s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM r2 WHERE rank <= $k"
 
+  /** m63: the FINAL power iteration replayed over the full corpus with
+    * the captured driver state (μ, v₇) inlined — one pass of
+    * center → project → per-dim sum → normalize → sign-fix → Rayleigh
+    * eigenvalue, all plain arithmetic once the recursion's state is a
+    * literal. The 7 training iterations stay spec-pinned (PcaPowerSpec);
+    * this checks the corpus-wide pass that produces the reported rows.
+    * Per-dim sums/norm/eigen re-associate across rows vs the engine's
+    * partial aggs — absorbed by the gate's 6-dp rounding like every
+    * other float-sum oracle. */
+  def pcaTopComponent(st: PcaPower.IterState): String = {
+    val d = st.v.length
+    val mu = arr(st.mu)
+    val vl = arr(st.v)
+    s"WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE embedding IS NOT NULL)" +
+      s", c AS (SELECT list_transform(range(1, ${d + 1}), j -> vec[j] - ($mu)[j]) AS xc FROM x)" +
+      s", p AS (SELECT xc, list_dot_product(xc, $vl) AS dp FROM c)" +
+      s", s AS (SELECT j, sum(xc[j] * dp) AS sd FROM p CROSS JOIN range(1, ${d + 1}) t(j) GROUP BY j)" +
+      ", nrm AS (SELECT sqrt(sum(sd * sd)) AS norm FROM s)" +
+      // Rayleigh quotient of the PREVIOUS unit iterate: λ = v·sums / n
+      s", ev AS (SELECT sum(sd * ($vl)[j]) / (SELECT count(*) FROM x) AS eigen FROM s)" +
+      // first |loading| > 1e-12 made positive; sign(sd) = sign(sd/norm)
+      ", sg AS (SELECT coalesce((SELECT CASE WHEN sd < 0 THEN -1.0 ELSE 1.0 END " +
+      "FROM s CROSS JOIN nrm WHERE abs(sd / norm) > 1e-12 ORDER BY j LIMIT 1), 1.0) AS sgn) " +
+      "SELECT CAST(j - 1 AS BIGINT) AS dim, sgn * sd / norm AS loading, eigen AS eigenvalue " +
+      "FROM s, nrm, ev, sg"
+  }
+
   /** Oracle entries for every model a query run has deposited — merged
     * into [[SparkEntry.oracleSql]]. Parameters (k, nprobe, cap, sweep
     * points, candMult) mirror the CorpusQueries call sites. */
@@ -243,5 +270,6 @@ object OracleModelSql {
       OracleCapture.get[Ivf.Model]("m74_ann_tuning_sweep").map(m => "m74_ann_tuning_sweep" -> ivfSweep(m, 5, Seq(1, 2, 4, 16))).toMap ++
       OracleCapture.get[Pq.Model]("m37_ann_pq").map(m => "m37_ann_pq" -> pqAdc(m, 5)).toMap ++
       OracleCapture.get[IvfPq.Model]("m38_ann_ivfpq").map(m => "m38_ann_ivfpq" -> ivfPqTopK(m, 5, 4)).toMap ++
-      OracleCapture.get[IvfPq.Model]("m47_ann_rerank").map(m => "m47_ann_rerank" -> ivfPqRerank(m, 5, 4, 5)).toMap
+      OracleCapture.get[IvfPq.Model]("m47_ann_rerank").map(m => "m47_ann_rerank" -> ivfPqRerank(m, 5, 4, 5)).toMap ++
+      OracleCapture.get[PcaPower.IterState]("m63_pca_top_component").map(st => "m63_pca_top_component" -> pcaTopComponent(st)).toMap
 }

@@ -140,10 +140,9 @@ object SparkEntry {
     "m60_source_overlap" -> (CorpusQueries.sourceOverlap _),
     "m61_snapshot_merge" -> (CorpusQueries.snapshotMerge _),
     "m62_doc_pagerank" -> (CorpusQueries.docPagerank _),
-    // m63 has no oracle by design: the normalize-between-iterations power
-    // recursion isn't SQL-replayable bit-for-bit; PcaPowerSpec pins the
-    // planted-direction recovery, the analytic 2-d eigenpair, the sign
-    // convention, and eigenvalue = explained variance.
+    // m63's 7 training iterations are spec-pinned (PcaPowerSpec); the
+    // final corpus pass is oracle-replayed with the captured (μ, v₇)
+    // inlined as literals (OracleModelSql.pcaTopComponent).
     "m63_pca_top_component" -> (CorpusQueries.pcaTopComponent _),
     "m64_systematic_sample" -> (CorpusQueries.systematicSample _),
     "m65_padding_waste" -> (CorpusQueries.paddingWaste _),
@@ -504,12 +503,12 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m40/m53/m63/m71/m79 (and q40) are intentionally
-    // omitted: BPE/deflate/power-iteration/greedy-MMR/sketch internals
-    // aren't SQL-expressible → no-oracle (each recall/error-bounded by a
-    // spec). All other m-queries — including the trained/seeded-model
-    // ones — are replayed in DuckDB by inlining the model as literals
-    // (OracleModelSql for the captured quantizers, the hyperplane/
+    // M8 oracles. m40/m53/m71/m79 (and q40) are intentionally omitted:
+    // BPE/deflate/greedy-MMR/sketch internals aren't SQL-expressible →
+    // no-oracle (each recall/error-bounded by a spec). All other
+    // m-queries — including the trained/seeded-model ones — are replayed
+    // in DuckDB by inlining the model as literals (OracleModelSql for
+    // the captured quantizers and the PCA final pass, the hyperplane/
     // permutation CTEs below for the seeded hashes).
     "m11_multimodal" ->
       ("WITH png AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L " +

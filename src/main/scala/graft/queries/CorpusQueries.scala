@@ -1013,9 +1013,11 @@ object CorpusQueries {
   }
 
   /** Top principal component of the embedding corpus (m63): distributed
-    * power iteration, 8 steps — the anisotropy/whitening diagnostic. */
+    * power iteration, 8 steps — the anisotropy/whitening diagnostic.
+    * Captures (μ, v₇) so the final corpus pass is oracle-replayed. */
   def pcaTopComponent(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.PcaPower.topComponent(Tables.embeddings(s, dir))
+    graft.similarity.PcaPower.topComponent(Tables.embeddings(s, dir),
+      captureKey = Some("m63_pca_top_component"))
 
   /** Similarity-graph PageRank (m62): damped centrality over the m14
     * near-dup pair graph (jaccard ≥ 0.6, symmetrized) — high-rank nodes

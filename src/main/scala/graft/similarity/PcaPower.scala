@@ -28,19 +28,30 @@ import org.apache.spark.sql.functions._
   *  - at 100 TB you would subsample the training pass like [[Pq]] does;
   *    the full-corpus pass here is the exact flavor, same shape.
   *
-  * No oracle by design: the normalize-between-iterations recursion is
-  * not SQL-replayable bit-for-bit; PcaPowerSpec pins recovery of a
-  * planted dominant direction, the analytic 2-d eigenpair, sign
-  * convention, and eigenvalue = explained variance.
+  * Oracle: the first `iterations − 1` normalize-between-iterations
+  * steps are driver-state recursion (spec-pinned by PcaPowerSpec:
+  * planted-direction recovery, the analytic 2-d eigenpair, sign
+  * convention, eigenvalue = explained variance) — but the FINAL
+  * iteration is one corpus-wide pass of plain arithmetic. Capturing
+  * (μ, v_{k−1}) at the top of the last step lets
+  * [[graft.OracleModelSql.pcaTopComponent]] replay that pass in DuckDB
+  * with the state inlined as literals — the same captured-model recipe
+  * as the IVF/PQ search paths (training spec-pinned, the full-data pass
+  * hash-checked).
   */
 object PcaPower {
+
+  /** Driver state entering the final power iteration: the per-dimension
+    * mean and the unit iterate v_{k−1} — everything the last pass needs. */
+  final case class IterState(mu: Seq[Double], v: Seq[Double])
 
   /** (dim, loading, eigenvalue): the unit top component (sign fixed so
     * the first nonzero loading is positive) and its eigenvalue (the
     * variance explained along it, computed in a final pass). */
   def topComponent(vecs: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   iterations: Int = 8): DataFrame = {
+                   iterations: Int = 8,
+                   captureKey: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -68,7 +79,10 @@ object PcaPower {
     // Power iterations: v <- sum_i xc * (xc . v), normalized on the driver.
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var eigen = 0.0
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
+      if (it == iterations)
+        captureKey.foreach(k =>
+          graft.OracleCapture.put(k, IterState(mu.toSeq, v.toSeq)))
       val vCol = array(v.map(lit(_)).toIndexedSeq: _*)
       val sums = xc
         .withColumn("dp", aggregate(zip_with(col("xc"), vCol, (a, b) => a * b),

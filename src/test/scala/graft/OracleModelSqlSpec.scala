@@ -43,6 +43,19 @@ class OracleModelSqlSpec extends SparkSpec {
     OracleCapture.get[Ivf.Model]("spec_never_put") shouldBe None
   }
 
+  test("pca run deposits (mu, v7) and the final-pass replay inlines it") {
+    graft.queries.CorpusQueries.pcaTopComponent(spark, sf("sf0.001")).count() should be > 0L
+    val st = OracleCapture.get[graft.similarity.PcaPower.IterState]("m63_pca_top_component")
+    st should not be empty
+    st.get.mu.length shouldBe st.get.v.length
+    val sql = OracleModelSql.captured("m63_pca_top_component")
+    sql should include("FROM embeddings")
+    // the captured iterate appears as a round-trip literal
+    sql should include(st.get.v.head.toString)
+    sql should include("AS eigenvalue")
+    SparkEntry.oracleSql.keySet should contain("m63_pca_top_component")
+  }
+
   test("running the query deposits its model and oracleSql gains the entry") {
     graft.queries.CorpusQueries.annIvf(spark, sf("sf0.001")).count() should be > 0L
     val entries = OracleModelSql.captured
