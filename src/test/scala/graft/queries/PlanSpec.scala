@@ -156,13 +156,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   // ---- m74-m80 (round 8) ----------------------------------------------
 
-  test("m74: the sweep report is a bounded driver-side table, no distributed tail") {
-    // Each sweep point runs a full IVF search (TuningSweepSpec pins those);
-    // the REPORT itself must stay sweep-sized: a LocalTableScan with no
-    // exchange hanging off the result.
-    val p = plan(CorpusQueries.annTuningSweep(spark, dir))
-    p should include("LocalTableScan")
-    (p should not).include("Exchange")
+  test("m74: one-pass sweep — a single corpus scan serves every nprobe setting") {
+    // The round-9 rework: probe cells are ranked once to max(nprobes) and
+    // broadcast against the corpus, so the whole recall curve comes out of
+    // ONE cell-equi-join scan — not one scan per sweep point. Pin that:
+    // exactly one parquet read of the embeddings (the exact baseline is a
+    // pinned checkpoint → ExistingRDD), the corpus-sized join is a
+    // broadcast hash join, no cartesian product anywhere, and the report
+    // aggregations combine map-side. The report tail (an exchange over
+    // |settings| rows) is sweep-sized, not corpus-sized.
+    val df = CorpusQueries.annTuningSweep(spark, dir)
+    df.collect() // materialize so AQE finalizes join strategies
+    // the executed-plan string appends the pre-AQE "Initial Plan" — count
+    // scans in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // two parquet reads total: the corpus ONCE, plus the bounded query-probe
+    // scan with its vec_id < 10 filter pushed to the file scan
+    "Scan parquet".r.findAllIn(p).size shouldBe 2
+    "LessThan\\(vec_id,10\\)".r.findAllIn(p).size shouldBe 1
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    p should include("partial_sum")
   }
 
   test("m75: yield funnel source-stat joins broadcast; counts partial-aggregate") {
