@@ -19,10 +19,13 @@ object Bench {
     * report reads these to grade the 100 TB design with numbers — a row
     * whose shuffle bytes grow super-linearly with the multiplier is a
     * redesign candidate even when its wall-clock hides behind fixed
-    * overhead. Listener events are async, so [[quiesce]] waits until
-    * every started job's end event has drained (task events precede the
-    * job-end event on the FIFO bus) before a snapshot is read. */
-  private final class QueryStatsListener
+    * overhead. Listener events are async, so [[quiesce]] first drains the
+    * bus (`LiveListenerBus.waitUntilEmpty` via
+    * [[org.apache.spark.graft.BenchListenerBus]] — counters compared
+    * BEFORE the drain can be equal at stale values if the final job's
+    * start event hasn't dispatched), then requires started == ended on
+    * the freshly-dispatched counters, looping until both hold. */
+  private final class QueryStatsListener(sc: org.apache.spark.SparkContext)
       extends org.apache.spark.scheduler.SparkListener {
     private val started = new java.util.concurrent.atomic.AtomicLong
     private val ended = new java.util.concurrent.atomic.AtomicLong
@@ -52,10 +55,15 @@ object Bench {
       in = 0; sr = 0; sw = 0; ms = 0; ds = 0; peak = 0; maxTaskSr = 0
     }
     def quiesce(): Unit = {
-      val deadline = System.nanoTime + 2000000000L
-      while (started.get != ended.get && System.nanoTime < deadline)
-        Thread.sleep(10)
-      Thread.sleep(50) // drain the tail of the event queue
+      val deadline = System.nanoTime + 10000000000L
+      var settled = false
+      while (!settled && System.nanoTime < deadline) {
+        val drained = org.apache.spark.graft.BenchListenerBus.drain(sc, 2000)
+        settled = drained && started.get == ended.get
+        if (!settled) Thread.sleep(10)
+      }
+      if (!settled)
+        System.err.println("[bench] stats listener did not quiesce in 10 s")
     }
     def snapshot: String = synchronized {
       s"""{"input":$in,"shuffle_read":$sr,"shuffle_write":$sw,""" +
@@ -142,7 +150,7 @@ object Bench {
     // driver's parse of the one-line contract is unaffected).
     val statsListener =
       if (sys.env.get("SPARK_GRAFT_STAGE_STATS").contains("1")) {
-        val l = new QueryStatsListener
+        val l = new QueryStatsListener(spark.sparkContext)
         spark.sparkContext.addSparkListener(l)
         Some(l)
       } else None

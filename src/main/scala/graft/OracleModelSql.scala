@@ -163,12 +163,20 @@ object OracleModelSql {
     * `nprobeAssign` cells per vector over the perturbed-dup corpus),
     * within-cell cosine ≥ threshold, min-id keeper / max sim per dropped
     * vector. Pairs sharing several cells are generated multiply and
-    * absorbed by the aggregation, exactly like the engine. */
-  def semanticDedup(m: Ivf.Model, threshold: Double, nprobeAssign: Int): String = {
+    * absorbed by the aggregation, exactly like the engine.
+    *
+    * The perturbed-dup fixture is rebuilt from CAPTURED values — the id
+    * offset the engine derived via `vecOff` travels with the model
+    * (engine and replay can never disagree on it, whatever the corpus's
+    * id range), and the perturbed position is the last dimension on both
+    * sides (the engine perturbs `size(vec) − 1`; `dim` here comes from
+    * the captured centroids, which were trained on that same corpus). */
+  def semanticDedup(m: Ivf.Model, off: Long, threshold: Double,
+                    nprobeAssign: Int): String = {
     val n = m.nlist
     val dim = m.centroids.head.length
     vCte +
-      s", va AS (SELECT id, vec FROM v UNION ALL SELECT id + 10000, " +
+      s", va AS (SELECT id, vec FROM v UNION ALL SELECT id + $off, " +
       s"list_transform(generate_series(1, $dim), i -> CASE WHEN i = $dim THEN vec[i] + 0.05 ELSE vec[i] END) " +
       "FROM v WHERE id < 20)" +
       s", cs AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm, ${cellScoreList(m, "vec")} AS sc FROM va)" +
@@ -184,11 +192,13 @@ object OracleModelSql {
   }
 
   /** CTE chain ending in `pairs(query_id, neighbor_id, adist)` — the
-    * IVF-PQ candidate generator shared by m38 (ranked directly) and m47
-    * (re-ranked by exact cosine). Replays IvfPq.encode/topK: full-dim
-    * argmin coarse cell, residual = vec − centroid, residual PQ codes,
+    * IVF-PQ candidate generator shared by m38 (ranked directly), m47
+    * (re-ranked by exact cosine) and m81 (whole-corpus probe set,
+    * `probeWhere = TRUE`). Replays IvfPq.encode/topK: full-dim argmin
+    * coarse cell, residual = vec − centroid, residual PQ codes,
     * per-(query, probed-cell) residual LUTs. */
-  private def ivfPqPairsCtes(model: IvfPq.Model, nprobe: Int): String = {
+  private def ivfPqPairsCtes(model: IvfPq.Model, nprobe: Int,
+                             probeWhere: String = "id < 10"): String = {
     val dim = model.coarse.centroids.head.length
     val dsub = model.pq.dsub
     vCte +
@@ -203,7 +213,7 @@ object OracleModelSql {
       ", codes AS (SELECT id, cell, s, c AS code FROM (SELECT id, cell, s, c, " +
       "row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rk FROM sub) WHERE rk = 1)" +
       s", qr AS (SELECT id AS query_id, cell, list_transform(range(1, ${dim + 1}), j -> vec[j] - cv[j]) AS r " +
-      s"FROM cd WHERE id < 10 AND rk <= $nprobe)" +
+      s"FROM cd WHERE ($probeWhere) AND rk <= $nprobe)" +
       s", qsub AS (SELECT query_id, cell, s, c, list_sum(list_transform(range(1, ${dsub + 1}), " +
       s"j -> (r[s * $dsub + j] - cv2[j]) * (r[s * $dsub + j] - cv2[j]))) AS d " +
       s"FROM qr CROSS JOIN ${cbTable(model.pq, "cv2")})" +
@@ -212,9 +222,13 @@ object OracleModelSql {
       "AND x.id <> q.query_id GROUP BY 1, 2)"
   }
 
-  /** m38: IVF-PQ ADC top-k ranked by approximate distance. */
-  def ivfPqTopK(model: IvfPq.Model, k: Int, nprobe: Int): String =
-    ivfPqPairsCtes(model, nprobe) +
+  /** m38 (serving probes) / m81 (`probeWhere = TRUE`, the batch path's
+    * whole-corpus k-NN graph): IVF-PQ ADC top-k ranked by approximate
+    * distance. One replay covers both engine paths because topK and
+    * topKBatch are bit-identical in arithmetic by contract. */
+  def ivfPqTopK(model: IvfPq.Model, k: Int, nprobe: Int,
+                probeWhere: String = "id < 10"): String =
+    ivfPqPairsCtes(model, nprobe, probeWhere) +
       ", r AS (SELECT query_id, neighbor_id, adist, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM pairs) " +
       s"SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist FROM r WHERE rank <= $k"
@@ -241,11 +255,19 @@ object OracleModelSql {
     * this checks the corpus-wide pass that produces the reported rows.
     * Per-dim sums/norm/eigen re-associate across rows vs the engine's
     * partial aggs — absorbed by the gate's 6-dp rounding like every
-    * other float-sum oracle. */
+    * other float-sum oracle.
+    *
+    * Degenerate corpus (all per-dim sums zero → norm = 0): the engine
+    * keeps the previous iterate and sign-fixes IT, so the replay emits
+    * the captured v with its sign precomputed here on the driver instead
+    * of dividing by the zero norm. */
   def pcaTopComponent(st: PcaPower.IterState): String = {
     val d = st.v.length
     val mu = arr(st.mu)
     val vl = arr(st.v)
+    // sign the engine's `lead` rule assigns to the kept iterate
+    val sgn0 = st.v.find(math.abs(_) > 1e-12)
+      .map(x => if (x < 0) -1.0 else 1.0).getOrElse(1.0)
     s"WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE embedding IS NOT NULL)" +
       s", c AS (SELECT list_transform(range(1, ${d + 1}), j -> vec[j] - ($mu)[j]) AS xc FROM x)" +
       s", p AS (SELECT xc, list_dot_product(xc, $vl) AS dp FROM c)" +
@@ -256,8 +278,9 @@ object OracleModelSql {
       // first |loading| > 1e-12 made positive; sign(sd) = sign(sd/norm)
       ", sg AS (SELECT coalesce((SELECT CASE WHEN sd < 0 THEN -1.0 ELSE 1.0 END " +
       "FROM s CROSS JOIN nrm WHERE abs(sd / norm) > 1e-12 ORDER BY j LIMIT 1), 1.0) AS sgn) " +
-      "SELECT CAST(j - 1 AS BIGINT) AS dim, sgn * sd / norm AS loading, eigen AS eigenvalue " +
-      "FROM s, nrm, ev, sg"
+      "SELECT CAST(j - 1 AS BIGINT) AS dim, " +
+      s"CASE WHEN norm = 0 THEN $sgn0 * ($vl)[j] ELSE sgn * sd / norm END AS loading, " +
+      "eigen AS eigenvalue FROM s, nrm, ev, sg"
   }
 
   /** Oracle entries for every model a query run has deposited — merged
@@ -265,11 +288,14 @@ object OracleModelSql {
     * points, candMult) mirror the CorpusQueries call sites. */
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
-      OracleCapture.get[Ivf.Model]("m33_semantic_dedup").map(m => "m33_semantic_dedup" -> semanticDedup(m, 0.99, 2)).toMap ++
+      OracleCapture.get[(Ivf.Model, Long)]("m33_semantic_dedup").map { case (m, off) =>
+        "m33_semantic_dedup" -> semanticDedup(m, off, 0.99, 2) }.toMap ++
       OracleCapture.get[Ivf.Model]("m41_cluster_quota").map(m => "m41_cluster_quota" -> ivfClusterQuota(m, 10)).toMap ++
       OracleCapture.get[Ivf.Model]("m74_ann_tuning_sweep").map(m => "m74_ann_tuning_sweep" -> ivfSweep(m, 5, Seq(1, 2, 4, 16))).toMap ++
       OracleCapture.get[Pq.Model]("m37_ann_pq").map(m => "m37_ann_pq" -> pqAdc(m, 5)).toMap ++
       OracleCapture.get[IvfPq.Model]("m38_ann_ivfpq").map(m => "m38_ann_ivfpq" -> ivfPqTopK(m, 5, 4)).toMap ++
+      OracleCapture.get[IvfPq.Model]("m81_ann_ivfpq_batch").map(m =>
+        "m81_ann_ivfpq_batch" -> ivfPqTopK(m, 3, 2, probeWhere = "TRUE")).toMap ++
       OracleCapture.get[IvfPq.Model]("m47_ann_rerank").map(m => "m47_ann_rerank" -> ivfPqRerank(m, 5, 4, 5)).toMap ++
       OracleCapture.get[PcaPower.IterState]("m63_pca_top_component").map(st => "m63_pca_top_component" -> pcaTopComponent(st)).toMap
 }

@@ -109,6 +109,7 @@ object SparkEntry {
     "m36_shuffle_shards" -> (CorpusQueries.shuffleShards _),
     "m37_ann_pq" -> (CorpusQueries.annPq _),
     "m38_ann_ivfpq" -> (CorpusQueries.annIvfPq _),
+    "m81_ann_ivfpq_batch" -> (CorpusQueries.annIvfPqBatch _),
     "m39_train_val_test" -> (CorpusQueries.trainValTestSplit _),
     // m40 has no oracle by design: BPE's iterative merge loop isn't SQL;
     // BpeSpec pins the textbook merge sequence, round-trip, and bounds.

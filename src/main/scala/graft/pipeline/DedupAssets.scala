@@ -41,12 +41,16 @@ import java.util.concurrent.ConcurrentHashMap
   * text), one cheap column scan, memoized per JVM) plus a semantics
   * version bumped when the pair-chain operators change — so a production
   * run reuses yesterday's asset iff the corpus and the semantics are
-  * unchanged, and anything else rebuilds into a fresh path. A `_GRAFT_OK`
-  * marker (written last, with the schema) gates reads, so a crashed
-  * half-written asset is rebuilt, and an empty asset (no near-dup pairs)
-  * round-trips through its stored schema instead of failing parquet
-  * schema inference. Without the property, assets live in a per-JVM temp
-  * dir exactly as before — re-runs rebuild from source.
+  * unchanged, and anything else rebuilds into a fresh path. Publication
+  * is crash- and race-safe: the asset is built into a temp directory with
+  * a `_GRAFT_OK` marker (carrying the schema) inside, then atomically
+  * renamed into the fingerprint path — the final path never exists
+  * half-written, a crashed build leaves only an orphan temp dir, two
+  * processes racing on the same fingerprint resolve to whoever renames
+  * first, and an empty asset (no near-dup pairs) round-trips through its
+  * stored schema instead of failing parquet schema inference. Without the
+  * property, assets live in a per-JVM temp dir exactly as before —
+  * re-runs rebuild from source.
   */
 object DedupAssets {
 
@@ -85,23 +89,37 @@ object DedupAssets {
   /** Materialize `build` once per (asset, key) per JVM — or once per
     * (asset, corpus-fingerprint, semantics version) across JVMs when a
     * stable asset root is configured; always return a reader over the
-    * stored copy. */
+    * stored copy.
+    *
+    * The in-JVM lock is keyed by the FINAL PATH, not the (asset, key)
+    * pair: two keys that fingerprint to the same stored path (same corpus
+    * reached via two dir spellings) must serialize on one latch, or both
+    * would build into the shared path concurrently. */
   def materialized(s: SparkSession, asset: String, key: String,
                    sortCols: Seq[String])(build: => DataFrame): DataFrame = {
     val ck = s"$asset::$key"
     val a = Option(cache.get(ck)).getOrElse {
-      val lock = keyLocks.computeIfAbsent(ck, _ => new Object)
+      // Fingerprinting runs a (memoized) Spark job — outside any lock, so
+      // concurrent different-key callers still overlap.
+      val (path, stable) = stableRoot match {
+        case Some(root) =>
+          (s"$root/$asset-${fingerprint(s, key)}-$SemanticsVersion", true)
+        case None =>
+          (s"$tempRoot/$asset-${java.lang.Integer.toHexString(key.hashCode)}",
+            false)
+      }
+      val lock = keyLocks.computeIfAbsent(path, _ => new Object)
       lock.synchronized {
         Option(cache.get(ck)).getOrElse {
-          val built = stableRoot match {
-            case Some(root) =>
-              val path = s"$root/$asset-${fingerprint(s, key)}-$SemanticsVersion"
-              loadStored(path).getOrElse(writeAsset(path, build, sortCols))
-            case None =>
-              val path =
-                s"$tempRoot/$asset-${java.lang.Integer.toHexString(key.hashCode)}"
-              writeAsset(path, build, sortCols)
-          }
+          val built =
+            if (stable)
+              loadStored(path).getOrElse(
+                writeAsset(path, build, sortCols, overwrite = false))
+            else
+              // Per-JVM temp root: reset() demands a fresh build, so a
+              // leftover path from before the reset is replaced, not
+              // reused. No cross-process concern — the root is private.
+              writeAsset(path, build, sortCols, overwrite = true)
           cache.put(ck, built)
           built
         }
@@ -120,14 +138,44 @@ object DedupAssets {
     else None
   }
 
+  /** Build into a private temp directory beside the target (same
+    * filesystem, so rename is atomic), write the `_GRAFT_OK` marker INSIDE
+    * the temp copy, then publish with a single atomic rename. The final
+    * path therefore never exists half-written: a reader that resolved it
+    * through [[loadStored]] sees either nothing or a complete asset, even
+    * with two JVMs racing on the same fingerprint path. Losing the rename
+    * race means another process published the identical asset first (the
+    * path embeds the corpus fingerprint + semantics version, so contents
+    * are interchangeable) — discard ours and reuse theirs. */
   private def writeAsset(path: String, build: => DataFrame,
-                         sortCols: Seq[String]): Asset = {
+                         sortCols: Seq[String], overwrite: Boolean): Asset = {
+    val target = Paths.get(path)
+    Files.createDirectories(target.getParent)
     val df = build
-    graft.io.Sinks.writeSortedShards(df, path, numShards = 8, sortCols)
-    // marker last: a crash before this line leaves no marker → rebuild
-    Files.writeString(Paths.get(path, "_GRAFT_OK"), df.schema.json)
-    Asset(path, df.schema)
+    val tmp = Files.createTempDirectory(
+      target.getParent, s".${target.getFileName}.tmp-")
+    graft.io.Sinks.writeSortedShards(df, tmp.toString, numShards = 8, sortCols)
+    Files.writeString(tmp.resolve("_GRAFT_OK"), df.schema.json)
+    if (overwrite) deleteRecursively(target)
+    try {
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Asset(path, df.schema)
+    } catch {
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp)
+        // Rename can only fail here because the target appeared (another
+        // process won) — anything else is a real IO fault: rethrow.
+        loadStored(path).getOrElse(throw e)
+    }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally s.close()
+    }
 
   /** Verified near-dup pairs (doc_a, doc_b, jaccard) over the augmented
     * `documents` corpus of `dir` — m14's inverted-index verification, run

@@ -702,9 +702,12 @@ object CorpusQueries {
     * not SQL-expressible); SemanticDedupSpec pins planted-dup recall and
     * precision against the exact brute-force pairs. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val all = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
+    val off = vecOff(s, dir)
+    val all = withPerturbedDups(vectors(s, dir), off)
     val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
-    graft.OracleCapture.put("m33_semantic_dedup", model)
+    // the fixture offset travels with the model so the SQL replay rebuilds
+    // the exact corpus the engine ran on, whatever the organic id range
+    graft.OracleCapture.put("m33_semantic_dedup", (model, off))
     graft.similarity.SemanticDedup.dropNearDups(all, model, threshold = 0.99)
   }
 
@@ -731,6 +734,20 @@ object CorpusQueries {
     graft.OracleCapture.put("m38_ann_ivfpq", model)
     graft.similarity.IvfPq.topK(all.filter(col("id") < 10),
       graft.similarity.IvfPq.encode(all, model), model, k = 5, nprobe = 4)
+  }
+
+  /** Whole-corpus k-NN graph (m81): EVERY vector retrieves its top-3
+    * approximate neighbors through [[graft.similarity.IvfPq.topKBatch]] —
+    * the batch-retrieval shape (near-dup graphs, diversity clustering)
+    * the serving path's driver-built LUTs are bounded against. No probe
+    * state touches the driver: probes expand to (cell, qvec) rows
+    * executor-side and cogroup with the encoded corpus by cell. */
+  def annIvfPqBatch(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val model = graft.similarity.IvfPq.train(all, nlist = 16, m = 8, ksub = 16)
+    graft.OracleCapture.put("m81_ann_ivfpq_batch", model)
+    graft.similarity.IvfPq.topKBatch(
+      all, graft.similarity.IvfPq.encode(all, model), model, k = 3, nprobe = 2)
   }
 
   /** Cluster-balanced sampling (m41): the diversity-preserving downsample
@@ -780,7 +797,9 @@ object CorpusQueries {
   def withPerturbedDups(all: DataFrame, off: Long = 10000L): DataFrame = {
     val perturbed = all.filter(col("id") < 20)
       .select((col("id") + off).as("id"),
-        transform(col("vec"), (x, i) => when(i === 63, x + 0.05).otherwise(x)).as("vec"))
+        transform(col("vec"),
+          (x, i) => when(i === size(col("vec")) - 1, x + 0.05).otherwise(x))
+          .as("vec"))
     all.unionByName(perturbed)
   }
 

@@ -120,10 +120,20 @@ object IvfPq {
       .select(col("id"), col("e._1").as("cell"), col("e._2").as("codes"))
   }
 
-  /** IVF-PQ top-k: each probe (collected — bounded by contract) ADC-scans
-    * only its `nprobe` nearest cells. Output (query_id, rank, neighbor_id,
-    * adist); self-matches excluded. Recall is bounded by nprobe coverage ×
-    * PQ resolution — IvfPqSpec pins both. */
+  /** Serving-path probe bound: [[topK]] (like [[Pq.adcTopK]]) collects
+    * the query set and closure-ships probes × nprobe × m × ksub doubles
+    * of ADC tables — the right trade for a bounded online probe set, and
+    * a DRIVER BOTTLENECK for batch retrieval. The require makes the
+    * contract loud instead of letting a million-query table OOM the
+    * driver; batch jobs use [[topKBatch]], which never collects. */
+  val MaxServingProbes = 4096
+
+  /** IVF-PQ top-k: each probe (collected — bounded by
+    * [[MaxServingProbes]]) ADC-scans only its `nprobe` nearest cells.
+    * Output (query_id, rank, neighbor_id, adist); self-matches excluded.
+    * Recall is bounded by nprobe coverage × PQ resolution — IvfPqSpec
+    * pins both. For probe sets beyond the serving bound (k-NN graph
+    * construction, corpus-vs-corpus retrieval) use [[topKBatch]]. */
   def topK(queries: DataFrame, encoded: DataFrame, model: Model, k: Int,
            nprobe: Int): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
@@ -135,6 +145,10 @@ object IvfPq {
       (model.pq.flat, model.pq.m, model.pq.ksub, model.pq.dsub)
     val probes = queries.select(col("id"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(probes.length <= MaxServingProbes,
+      s"topK collected ${probes.length} probes (> $MaxServingProbes): " +
+        "this serving path driver-builds per-probe ADC tables; use " +
+        "topKBatch for batch retrieval")
     // Per-(query, probed cell) LUT over the query's RESIDUAL in that cell:
     // probes × nprobe × m × ksub doubles, driver-built, closure-shipped.
     val np = math.min(nprobe, nlist)
@@ -186,6 +200,113 @@ object IvfPq {
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
           h.iterator.map { case (d, vid) => (ids(q), vid, d) }
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    candidates.toDF("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
+  /** Distributed batch retrieval — [[topK]] semantics with NO driver-side
+    * probe state: same (query_id, rank, neighbor_id, adist) rows, built
+    * for query TABLES (k-NN graph construction, corpus-vs-corpus
+    * retrieval) instead of a bounded online probe set.
+    *
+    * Shape: only the MODEL is broadcast (nlist × dim + m × ksub × dsub
+    * doubles). Queries expand executor-side to (query_id, probed cell,
+    * qvec) — nprobe narrow rows per query, never collected — and cogroup
+    * with the encoded corpus on `cell`: per (cell, probe) the residual
+    * ADC table is built ONCE inside the group (the same amortization the
+    * serving path gets from the driver tables, relocated to executors)
+    * and the cell's codes stream through bounded per-probe heaps. The
+    * corpus side arrives pre-grouped by cell at scale (bucketed index
+    * layout → no exchange); the probe side shuffles |Q| × nprobe rows of
+    * dim doubles — the small side by construction. Final exact rank is
+    * the same one-window merge over ≤ |Q| × nprobe × k candidates.
+    *
+    * Arithmetic is bit-identical to [[topK]] (same LUT loops, same
+    * accumulation order, same (adist, neighbor_id) tie-break), so both
+    * paths return the SAME rows — IvfPqBatchSpec pins the equality and
+    * the captured-model SQL replay covers it at full-corpus probe count.
+    * Skew note: per-cell work is |cell| × |probes probing it| × m; a
+    * pathologically hot cell skews its task, which AQE's skew-join
+    * handling does not see inside cogroup — at production scale cap cell
+    * occupancy at train time (balanced k-means) before reaching for
+    * salting here. */
+  def topKBatch(queries: DataFrame, encoded: DataFrame, model: Model,
+                k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val np = math.min(nprobe, model.coarse.nlist)
+    val bc = spark.sparkContext.broadcast(model)
+    val probesByCell = queries.select(col("id"), col("vec"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val mod = bc.value
+        val (cents, cdim) = mod.coarseFlat
+        it.flatMap { case (qid, v) =>
+          val q = v.toArray
+          nearestCells(q, cents, cdim, mod.coarse.nlist, np)
+            .iterator.map(cell => (cell, qid, q))
+        }
+      }
+    val codes = encoded.select(col("id"), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])]
+    val candidates = codes.groupByKey(_._2)
+      .cogroup(probesByCell.groupByKey(_._1)) { (cell, codeIt, probeIt) =>
+        // probe side materialized (the bounded-per-cell side); code side
+        // streamed — sort-based cogroup never holds the corpus group.
+        val ps = probeIt.toArray
+        if (ps.isEmpty) Iterator.empty
+        else {
+          val mod = bc.value
+          val (cents, cdim) = mod.coarseFlat
+          val (flat, m, ksub, dsub) =
+            (mod.pq.flat, mod.pq.m, mod.pq.ksub, mod.pq.dsub)
+          // one residual LUT per probe for THIS cell — topK's exact loops
+          val tabs = ps.map { case (_, _, q) =>
+            val t = new Array[Double](m * ksub)
+            var s = 0
+            while (s < m) {
+              var c = 0
+              while (c < ksub) {
+                var d = 0.0; var j = 0
+                val voff = s * dsub; val coff = (s * ksub + c) * dsub
+                while (j < dsub) {
+                  val x = q(voff + j) - cents(cell * cdim + voff + j) - flat(coff + j)
+                  d += x * x; j += 1
+                }
+                t(s * ksub + c) = d
+                c += 1
+              }
+              s += 1
+            }
+            t
+          }
+          val ord = Ordering.by[(Double, Long), (Double, Long)](identity)
+          val heaps = Array.fill(ps.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+          codeIt.foreach { case (vid, _, cs) =>
+            val codesArr = cs.toArray
+            var q = 0
+            while (q < ps.length) {
+              if (ps(q)._2 != vid) {
+                val t = tabs(q)
+                var d = 0.0; var s = 0
+                while (s < m) { d += t(s * ksub + codesArr(s)); s += 1 }
+                val h = heaps(q)
+                if (h.size < k) h.enqueue((d, vid))
+                else if (ord.lt((d, vid), h.head)) { h.dequeue(); h.enqueue((d, vid)) }
+              }
+              q += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+            h.iterator.map { case (d, vid) => (ps(q)._2, vid, d) }
+          }
         }
       }
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)

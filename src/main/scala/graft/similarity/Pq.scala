@@ -150,11 +150,17 @@ object Pq {
     vectors.select(col("id"), enc(col("vec")).as("codes"))
   }
 
-  /** ADC top-k: for each probe (collected — bounded by contract), the k
-    * corpus codes with the smallest reconstructed squared L2 distance.
-    * Output (query_id, rank, neighbor_id, adist); self-matches excluded.
-    * For unit-norm embeddings the L2 ranking equals the cosine ranking
-    * (‖q−x‖² = 2 − 2·q·x). */
+  /** ADC top-k: for each probe (collected — bounded by
+    * [[IvfPq.MaxServingProbes]]), the k corpus codes with the smallest
+    * reconstructed squared L2 distance. Output (query_id, rank,
+    * neighbor_id, adist); self-matches excluded. For unit-norm embeddings
+    * the L2 ranking equals the cosine ranking (‖q−x‖² = 2 − 2·q·x).
+    *
+    * This is the SERVING path: per-probe LUTs are driver-built and
+    * closure-shipped, which bounds the probe set. Batch retrieval (a
+    * query TABLE) wants cells to bound the scan anyway — that path is
+    * [[IvfPq.topKBatch]], which builds LUTs executor-side and collects
+    * nothing. */
   def adcTopK(queries: DataFrame, codes: DataFrame, model: Model, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = codes.sparkSession
@@ -162,6 +168,10 @@ object Pq {
     val (flat, m, ksub, dsub) = (model.flat, model.m, model.ksub, model.dsub)
     val probes = queries.select(col("id"), col("vec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(probes.length <= IvfPq.MaxServingProbes,
+      s"adcTopK collected ${probes.length} probes (> ${IvfPq.MaxServingProbes}): " +
+        "driver-built ADC tables bound the serving probe set; use " +
+        "IvfPq.topKBatch for batch retrieval")
     // One LUT per probe: tables(q)(s*ksub + c) = ‖q_s − centroid_{s,c}‖².
     // Computed ONCE on the driver (probes × m × ksub doubles) and shipped
     // in the scan closure — the amortization that makes ADC beat per-pair
