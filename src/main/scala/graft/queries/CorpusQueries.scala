@@ -879,14 +879,19 @@ object CorpusQueries {
   }
 
   /** Incremental near-dup admission (m72): the planted copies
-    * (doc_id ≥ 10000) arrive as the "new batch" and probe the original
-    * corpus's inverted shingle index — only (batch, indexed) pairs. */
+    * (doc_id ≥ off) arrive as the "new batch" and probe the original
+    * corpus's inverted shingle index — only (batch, indexed) pairs. The
+    * index is a STORED asset (the admitted corpus below `off` is exactly
+    * `documents`, the fingerprinted table), so repeat ingests — later
+    * queries this JVM, or any JVM sharing a stable asset root — pay only
+    * the batch-sized probe, never the corpus postings exchange. */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
     val off = docOff(s, dir)
-    graft.dedup.IncrementalNearDup.probeIndex(
+    graft.dedup.IncrementalNearDup.probeStoredIndex(s,
       batch = aug.filter(col("doc_id") >= off),
-      indexed = aug.filter(col("doc_id") < off))
+      indexed = aug.filter(col("doc_id") < off),
+      indexKey = dir)
   }
 
   /** Per-doc character Shannon entropy (m76): the exactly-replayable

@@ -32,6 +32,33 @@ class IncrementalNearDupSpec extends SparkSpec {
       .collect().length shouldBe 0
   }
 
+  test("stored-index admission matches the direct probe and builds once") {
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (12L, "unrelated words entirely here now")
+    ).toDF("doc_id", "text")
+    val direct = IncrementalNearDup.probeIndex(batch, index, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    var builds = 0
+    def stored() = IncrementalNearDup.probeStoredIndex(
+      spark, batch, { builds += 1; index },
+      indexKey = "spec-incr-neardup", threshold = 0.5)
+    val first = stored()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    first shouldBe direct
+    first should not be empty
+    // second ingest: the standing index is read from the stored asset —
+    // the corpus side is never re-evaluated, only the batch probes
+    val second = stored()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    second shouldBe direct
+    builds shouldBe 1
+  }
+
   test("viral index grams are capped out instead of exploding the pair space") {
     // 60 index docs all sharing one boilerplate shingle (> dfCap 50).
     val index = (1L to 60L).map(i => (i, s"common boiler plate only u$i"))
