@@ -64,8 +64,10 @@ object SparkEntry {
     "q37_asof_join" -> (RetailQueries.asofLastOrder _),
     "q38_sessionize" -> (RetailQueries.sessionizeBatch _),
     "q39_corr_subquery" -> (RetailQueries.correlatedAboveAvg _),
-    // q40 has no oracle by design: HLL/quantile sketch internals are
-    // engine-specific; SketchSpec bounds the error against exact answers.
+    // q40 is the CERTIFIED sketch query: exact n/users hash-checked, the
+    // engine-specific estimates folded into error certificates the oracle
+    // asserts TRUE. The raw estimates stay spec-pinned (SketchSpec over
+    // RetailQueries.sketchEstimates).
     "q40_sketches" -> (RetailQueries.sketchAggregates _),
     "q41_range_window" -> (RetailQueries.rangeWindow _),
     "q42_range_join" -> (RetailQueries.rangeJoinBands _),
@@ -362,6 +364,17 @@ object SparkEntry {
       ("SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > 1.5 * (" +
         "SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) " +
         "FROM orders i WHERE i.o_custkey = o.o_custkey)"),
+    // q40: exact columns replayed independently; the sketch estimates are
+    // engine-specific, so what the hash checks is the engine's error
+    // CERTIFICATES (HLL within 3·rsd of the verified exact distinct;
+    // quantile estimate's rank interval within 0.5 ± 2/accuracy) — the
+    // oracle asserts them TRUE. A certificate that failed in the engine
+    // would hash-mismatch here.
+    "q40_sketches" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+        "TRUE AS users_ok, TRUE AS median_ok " +
+        "FROM events GROUP BY 1"),
     "q43_grouping_sets" ->
       ("SELECT event_type, strftime(event_date, '%Y-%m-%d') AS event_date, n, g_type, g_date FROM (" +
         "SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n, " +
@@ -504,8 +517,8 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m40/m53/m71/m79 (and q40) are intentionally omitted:
-    // BPE/deflate/greedy-MMR/sketch internals aren't SQL-expressible →
+    // M8 oracles. m40/m53/m71/m79 are intentionally omitted:
+    // BPE/deflate/greedy-MMR internals aren't SQL-expressible →
     // no-oracle (each recall/error-bounded by a spec). All other
     // m-queries — including the trained/seeded-model ones — are replayed
     // in DuckDB by inlining the model as literals (OracleModelSql for

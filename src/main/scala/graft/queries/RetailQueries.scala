@@ -321,20 +321,62 @@ object RetailQueries {
     graft.streaming.Sessionize.batchSessions(
       Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type"))
 
-  // Sketch aggregates — the approximate tier the exact queries (q07/q32)
-  // deliberately avoid for oracle parity: HyperLogLog++ distinct counts
-  // and a quantile sketch. No SQL oracle by design (sketch internals are
-  // engine-specific); the spec bounds their error against the exact
-  // answers. At 100 TB these replace exact distinct/median where a few %
-  // error buys an order of magnitude less shuffle (the HLL buffer is KBs
-  // per group vs the exact distinct's two-phase row expansion).
-  def sketchAggregates(s: SparkSession, dir: String): DataFrame =
+  // Raw sketch tier — the approximate aggregates the exact queries
+  // (q07/q32) deliberately avoid for oracle parity: HyperLogLog++
+  // distinct counts and a quantile sketch. The ESTIMATES are
+  // engine-specific by design (no SQL replay possible), so this
+  // production shape is spec-pinned (SketchSpec error bounds at two
+  // scales); q40's driver-checked form is [[sketchAggregates]]. At
+  // 100 TB these replace exact distinct/median where a few % error buys
+  // an order of magnitude less shuffle (the HLL buffer is KBs per group
+  // vs the exact distinct's two-phase row expansion).
+  def sketchEstimates(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
         count(lit(1)).as("n"))
+
+  // q40 — CERTIFIED sketch aggregates, the hash-checkable form: exact
+  // n / exact_users are independently replayed by the DuckDB oracle,
+  // and the sketch estimates are folded into error CERTIFICATES the
+  // oracle asserts TRUE —
+  //  - users_ok: |HLL − exact| / exact ≤ 3·rsd (= 0.15, the SketchSpec
+  //    3σ gate) against the SAME exact_users column the oracle verifies;
+  //  - median_ok: the quantile sketch's returned data point has rank
+  //    interval [count(<)/n, count(≤)/n] intersecting 0.5 ± 2/accuracy
+  //    (the merged Greenwald-Khanna guarantee — a RANK check, because
+  //    value-comparing an actual data point against interpolated exact
+  //    percentiles fails even for a perfect sketch).
+  // The estimates themselves stay engine-specific (see
+  // [[sketchEstimates]]); what the driver now hash-checks is that the
+  // sketches honor their error contracts against independently-verified
+  // exact values. Two scans of events (the certificate needs the
+  // estimate before it can rank it) — the certification query, not the
+  // production one.
+  def sketchAggregates(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val agg = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"))
+    val ranks = e.select(col("event_type"), col("value"))
+      .join(broadcast(agg.select(col("event_type"), col("am"))), Seq("event_type"))
+      .groupBy("event_type").agg(
+        count(col("value")).as("nv"),
+        sum(when(col("value") < col("am"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("value") <= col("am"), 1L).otherwise(0L)).as("le"))
+    val eps = 2.0 / 1000 // merged GK summaries guarantee 2ε = 2/accuracy
+    agg.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          greatest(col("exact_users"), lit(1L)) <= 0.15).as("users_ok"),
+        when(col("am").isNull, lit(true))
+          .otherwise(col("lt").cast("double") / col("nv") <= 0.5 + eps &&
+            col("le").cast("double") / col("nv") >= 0.5 - eps).as("median_ok"))
+  }
 
   // Arbitrary GROUPING SETS — the grouping-set form neither ROLLUP (q21)
   // nor CUBE (q36) covers: two independent single-column groupings in one

@@ -3,15 +3,17 @@ package graft.queries
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** q40 has no DuckDB oracle by design (HLL++/quantile-sketch internals are
-  * engine-specific): instead, the sketches are bounded here against the
-  * exact answers on the same data. */
+/** The raw sketch ESTIMATES (RetailQueries.sketchEstimates) are
+  * engine-specific, so their error is bounded here against exact answers
+  * on the same data; q40's driver-checked form (sketchAggregates) folds
+  * these same bounds into hash-checkable certificates, pinned in the
+  * last test. */
 class SketchSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
 
   test("approx_count_distinct lands within the default 5% rsd of exact") {
-    val approx = RetailQueries.sketchAggregates(spark, dir)
+    val approx = RetailQueries.sketchEstimates(spark, dir)
       .select("event_type", "approx_users")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, dir)
@@ -43,7 +45,7 @@ class SketchSpec extends SparkSpec {
     val eps = 2.0 / 1000
     Seq("sf0.001", "sf0.1").foreach { scale =>
       val d = sf(scale)
-      val approx = RetailQueries.sketchAggregates(spark, d)
+      val approx = RetailQueries.sketchEstimates(spark, d)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
       val exactUsers = Tables.events(spark, d)
         .groupBy("event_type").agg(countDistinct("user_id").as("u"))
@@ -67,7 +69,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("approx median lands between the exact 40th and 60th percentiles") {
-    val approx = RetailQueries.sketchAggregates(spark, dir)
+    val approx = RetailQueries.sketchEstimates(spark, dir)
       .select("event_type", "approx_median_value")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bounds = Tables.events(spark, dir)
@@ -77,6 +79,25 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     bounds.foreach { case (k, (lo, hi)) =>
       approx(k) should (be >= lo and be <= hi)
+    }
+  }
+
+  test("q40's certified form: exact columns match a direct computation, certificates hold") {
+    Seq("sf0.001", "sf0.1").foreach { scale =>
+      val d = sf(scale)
+      val rows = RetailQueries.sketchAggregates(spark, d).collect()
+      rows should not be empty
+      val exact = Tables.events(spark, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      rows.foreach { r =>
+        val (n, u) = exact(r.getString(0))
+        r.getLong(1) shouldBe n
+        r.getLong(2) shouldBe u
+        withClue(s"$scale/${r.getString(0)} users_ok") { r.getBoolean(3) shouldBe true }
+        withClue(s"$scale/${r.getString(0)} median_ok") { r.getBoolean(4) shouldBe true }
+      }
     }
   }
 }
