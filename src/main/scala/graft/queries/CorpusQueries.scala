@@ -629,6 +629,18 @@ object CorpusQueries {
     Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       Vectors.toDouble(col("embedding")).as("vec"))
 
+  /** nlist ≈ corpus / target cell size — the FAISS/SemDeDup sizing knob.
+    * Quantizer-cell occupancy must stay BOUNDED as the corpus grows:
+    * corpus×corpus consumers (within-cell pair verification, batch k-NN)
+    * do O(|cell|) work per row, so a fixed nlist turns linear data growth
+    * into quadratic total work — the gen-3.0 sweep measured m33 at 5.7×
+    * time for 3× rows before this derived nlist. Floored at 16 so every
+    * driver-SF corpus (≤ ~8k vectors) trains the exact nlist the captured
+    * oracles replay; capped so the driver-side Lloyd's state stays a few
+    * MB of centroids. */
+  private def scaledNlist(n: Long, targetCell: Int = 512): Int =
+    math.max(16, math.min(8192, (n / targetCell).toInt))
+
   /** SQ8 scalar quantization (m59): per-dimension affine 8-bit codes +
     * reconstruction error over the embeddings table. */
   def sq8Quantize(s: SparkSession, dir: String): DataFrame =
@@ -704,7 +716,8 @@ object CorpusQueries {
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val off = vecOff(s, dir)
     val all = withPerturbedDups(vectors(s, dir), off)
-    val model = graft.similarity.Ivf.train(all, nlist = 16, iters = 2)
+    val model = graft.similarity.Ivf.train(
+      all, nlist = scaledNlist(all.count()), iters = 2)
     // the fixture offset travels with the model so the SQL replay rebuilds
     // the exact corpus the engine ran on, whatever the organic id range
     graft.OracleCapture.put("m33_semantic_dedup", (model, off))
@@ -744,7 +757,8 @@ object CorpusQueries {
     * executor-side and cogroup with the encoded corpus by cell. */
   def annIvfPqBatch(s: SparkSession, dir: String): DataFrame = {
     val all = vectors(s, dir)
-    val model = graft.similarity.IvfPq.train(all, nlist = 16, m = 8, ksub = 16)
+    val model = graft.similarity.IvfPq.train(
+      all, nlist = scaledNlist(all.count()), m = 8, ksub = 16)
     graft.OracleCapture.put("m81_ann_ivfpq_batch", model)
     graft.similarity.IvfPq.topKBatch(
       all, graft.similarity.IvfPq.encode(all, model), model, k = 3, nprobe = 2)
