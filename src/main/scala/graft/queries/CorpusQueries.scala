@@ -818,11 +818,21 @@ object CorpusQueries {
   }
 
   /** Embedding near-dups over the perturbed-augmented set. */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     // LSH mode — the scale path: only same-bucket pairs are scored.
     // 8 planes × 3 OR-amplified tables ≈ 0.998 recall at cosine 0.999.
-    Ann.nearDupPairs(withPerturbedDups(vectors(s, dir), vecOff(s, dir)), threshold = 0.99,
-      numPlanes = 8, tables = 3)
+    // The bucket space scales with the corpus (same argument as
+    // scaledNlist: 2^planes buckets at FIXED planes means bucket
+    // occupancy — and the in-bucket pairwise scoring — grows linearly
+    // with n). planes = log2(n/512) targets ~512 vectors/bucket, floored
+    // at 8 = the value m10's seeded-hyperplane oracle inlines for every
+    // driver SF (first change at n > 128k vectors; recall at cosine
+    // 0.999 stays ≥ 0.999 through p = 24 with 3 OR tables).
+    val all = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
+    val planes = math.max(8,
+      math.ceil(math.log(all.count() / 512.0) / math.log(2.0)).toInt)
+    Ann.nearDupPairs(all, threshold = 0.99, numPlanes = planes, tables = 3)
+  }
 
   /** Connected components over the verified inverted-index pairs —
     * (doc_id, cluster_id = min reachable doc_id) for every doc in any
