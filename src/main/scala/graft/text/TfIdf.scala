@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   *  - the token stream collapses to the (doc_id, term, tf) table map-side
   *    (explode keeps a document's tokens inside one partition), so the
   *    first exchange carries distinct terms per doc, not tokens;
-  *  - document frequency and the corpus doc count both DERIVE from that
-  *    tf table (a re-aggregation on term, and a 1-row distinct-count
-  *    cross-joined in) — the text is never re-walked;
+  *  - the tokenize pass runs ONCE: df re-aggregates tf through the SAME
+  *    exchange (its aggregate reads the tf column — `count(tf)` ≡
+  *    `count(1)` since tf is never null — so column pruning can't
+  *    specialize the subtree and ReuseExchange dedups it; with
+  *    `count(1)` the plan re-scanned and re-exploded the corpus), and
+  *    the corpus doc count comes from the RAW docs scan without any
+  *    explode (a doc has ≥1 token iff its trimmed text is non-empty);
   *  - the df-table join strategy is left to AQE: vocabulary-sized is
   *    broadcastable for curated corpora but not for raw crawls — no
   *    forced hint (the LineDedup lesson);
@@ -36,8 +40,10 @@ object TfIdf {
         explode(split(lower(trim(col(textCol))), " +")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    val df = tf.groupBy("term").agg(count(col("tf")).as("df"))
+    val nDocs = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .agg(countDistinct(col("doc_id")).cast("double").as("nd"))
     val score = col("tf").cast("double") *
       log((col("nd") + 1.0) / (col("df").cast("double") + 1.0))
     val w = Window.partitionBy("doc_id")
