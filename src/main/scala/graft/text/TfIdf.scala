@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   *    (explode keeps a document's tokens inside one partition), so the
   *    first exchange carries distinct terms per doc, not tokens;
   *  - the tokenize pass runs ONCE: df re-aggregates tf through the SAME
-  *    exchange (its aggregate reads the tf column — `count(tf)` ≡
-  *    `count(1)` since tf is never null — so column pruning can't
-  *    specialize the subtree and ReuseExchange dedups it; with
-  *    `count(1)` the plan re-scanned and re-exploded the corpus), and
-  *    the corpus doc count comes from the RAW docs scan without any
-  *    explode (a doc has ≥1 token iff its trimmed text is non-empty);
+  *    exchange — its aggregate is `sum(least(tf, 1))` ≡ the doc count
+  *    (tf ≥ 1 per group), written so the optimizer cannot remove the tf
+  *    dependency (`count(tf)` gets rewritten to `count(1)` for the
+  *    non-null tf, and then column pruning specializes the subtree to a
+  *    distinct, splitting the exchange); with the dependency kept, the
+  *    df subtree's shuffle canonicalizes equal to the join branch's and
+  *    AQE's stage cache computes it once. The corpus doc count comes
+  *    from the RAW docs scan with no explode (a doc has ≥1 token iff
+  *    its trimmed text is non-empty);
   *  - the df-table join strategy is left to AQE: vocabulary-sized is
   *    broadcastable for curated corpora but not for raw crawls — no
   *    forced hint (the LineDedup lesson);
@@ -40,7 +43,7 @@ object TfIdf {
         explode(split(lower(trim(col(textCol))), " +")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(col("tf")).as("df"))
+    val df = tf.groupBy("term").agg(sum(least(col("tf"), lit(1L))).as("df"))
     val nDocs = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .agg(countDistinct(col("doc_id")).cast("double").as("nd"))

@@ -58,4 +58,15 @@ class TfIdfSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("one tokenize pass: the df branch reuses the tf shuffle at runtime") {
+    // The df aggregate must keep a genuine dependency on the tf column
+    // (sum(least(tf,1))): with count(1) the optimizer prunes the subtree
+    // to a distinct, the exchanges stop canonicalizing equal, and the
+    // corpus is re-scanned and re-exploded. Reuse only shows in the
+    // POST-execution adaptive plan.
+    val q = TfIdf.topTerms(corpus, k = 3)
+    q.collect()
+    q.queryExecution.executedPlan.toString should include("ReusedExchange")
+  }
 }
