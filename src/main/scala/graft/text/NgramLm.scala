@@ -44,6 +44,14 @@ object NgramLm {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("a"), b.as("b")))).as("g"))
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      // a/b can never be null (zip_with over two equal-length slices),
+      // so this filter drops nothing — but stating it here means every
+      // consumer branch carries the SAME predicate instead of each
+      // join inferring a different IsNotNull subset, which split the
+      // bigram-count shuffle into three canonically-distinct stages
+      // (counts / context-mass / vocab each re-exploded the corpus).
+      // With it, AQE's stage cache computes the count exchange once.
+      .filter(col("a").isNotNull && col("b").isNotNull)
   }
 
   /** Bigram count table (a, b, cab) — the trained LM. `minCount` prunes

@@ -80,4 +80,14 @@ class NgramLmSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("one gram pass: counts / context-mass / vocab reuse the bigram shuffle at runtime") {
+    // gramsOf carries an explicit (a, b) not-null filter so the three
+    // consumer subtrees canonicalize equal — without it each join infers a
+    // different IsNotNull subset and the corpus is re-exploded per branch.
+    // Reuse only shows in the POST-execution adaptive plan.
+    val q = NgramLm.selfPerplexity(docs((1L, "a b a"), (2L, "a b c")))
+    q.collect()
+    q.queryExecution.executedPlan.toString should include("ReusedExchange")
+  }
 }
