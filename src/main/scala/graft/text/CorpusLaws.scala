@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   * is a partial-aggregable reduction — no point materializes anywhere.
   *
   * Scale shape (100 TB):
-  *  - the token stream collapses map-side to the vocabulary-sized
-  *    (term, tf) table before anything global happens; text never
-  *    shuffles;
+  *  - the token stream is exploded ONCE: both laws derive from the same
+  *    (source, term, c) table — global tf is `sum(c)` over term, the
+  *    Heaps points are `sum(c)` / `count(1)` over source. That table is
+  *    checkpoint-pinned rather than left to AQE stage reuse, because the
+  *    Zipf branch consumes it through PrefixSum's eager side jobs while
+  *    the Heaps branch runs in the final query — separate executions,
+  *    which a stage cache cannot span (the groupBy-term / groupBy-source
+  *    pair used to re-scan and re-explode the corpus once each);
+  *  - the token stream collapses map-side to that table before anything
+  *    global happens; text never shuffles;
   *  - the global frequency rank uses [[PrefixSum.exclusiveRunningTotalsBy]]
   *    (range-partition by (tf DESC, term), per-partition counts to the
   *    driver, broadcast offsets) — NOT `row_number() OVER (ORDER BY ...)`,
@@ -44,10 +51,21 @@ object CorpusLaws {
       .select(col("source"),
         explode(split(lower(trim(col("text"))), " +")).as("term"))
       .filter(col("term") =!= "")
+    // The single corpus-wide pass both laws re-aggregate. Checkpoint-pinned
+    // because the Zipf branch consumes it through PrefixSum's EAGER side
+    // jobs while the Heaps branch runs in the final query — two separate
+    // executions, so AQE's stage cache can never share the exchange between
+    // them; only a materialized snapshot can. The operator is already eager
+    // (PrefixSum's contract), and the snapshot is vocabulary-sized
+    // ((source, term, c) — the text itself never leaves the map side), so
+    // this pins the small table, not the corpus. Same release policy as
+    // PrefixSum: Bench/Verify unpersist snapshots between queries.
+    val st = terms.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
 
     // Zipf: y = ln(tf) against x = ln(rank), rank = global position in
     // (tf DESC, term ASC) order — unique, hence deterministic.
-    val tf = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    val tf = st.groupBy("term").agg(sum(col("c")).as("tf"))
       .withColumn("one", lit(1L))
     val ranked = PrefixSum
       .exclusiveRunningTotalsBy(tf, Seq(col("tf").desc, col("term").asc), "one")
@@ -63,9 +81,9 @@ object CorpusLaws {
 
     // Heaps: y = ln(distinct terms) against x = ln(tokens), one point per
     // source (V = K·N^beta  ⇒  ln V = ln K + beta·ln N).
-    val perSource = terms.groupBy("source").agg(
-      count(lit(1)).cast("double").as("nt"),
-      countDistinct(col("term")).cast("double").as("nv"))
+    val perSource = st.groupBy("source").agg(
+      sum(col("c")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("nv"))
     val hx = log(col("nt"))
     val hy = log(col("nv"))
     val heaps = perSource.agg(

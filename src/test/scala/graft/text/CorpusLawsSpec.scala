@@ -59,6 +59,18 @@ class CorpusLawsSpec extends SparkSpec {
     r.getAs[Double]("zipf_slope") shouldBe slope +- 1e-9
   }
 
+  test("the corpus is exploded once: the final query reads pinned snapshots only") {
+    // The (source, term, c) table is checkpoint-pinned (PrefixSum's eager
+    // side jobs and the final query are separate executions, so AQE stage
+    // reuse can't span them). If the pin is lost, the Heaps branch re-scans
+    // and re-explodes the corpus inside the final query — which is exactly
+    // a Generate node in this plan.
+    val docs = Seq((0L, "x x y", "s1"), (1L, "y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val plan = CorpusLaws.lawsReport(docs).queryExecution.executedPlan.toString
+    plan should not include "Generate"
+  }
+
   test("runs on the sf0.001 documents table with finite fits") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = CorpusLaws.lawsReport(docs).collect()(0)
