@@ -354,7 +354,12 @@ object RetailQueries {
   // sketches honor their error contracts against independently-verified
   // exact values. Two scans of events (the certificate needs the
   // estimate before it can rank it) — the certification query, not the
-  // production one.
+  // production one. The per-type aggregate is checkpoint-pinned: it
+  // feeds both the ranks broadcast and the final join, and the
+  // broadcast branch gets column-pruned to a percentile-only subtree
+  // that no longer canonicalizes equal to the full one — without the
+  // pin the plan scans events a THIRD time and runs the quantile
+  // sketch twice. The pinned table is one row per event_type.
   def sketchAggregates(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val agg = e.groupBy(col("event_type")).agg(
@@ -362,6 +367,7 @@ object RetailQueries {
       count_distinct(col("user_id")).as("exact_users"),
       approx_count_distinct(col("user_id")).as("approx_users"),
       percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"))
+      .localCheckpoint(true)
     val ranks = e.select(col("event_type"), col("value"))
       .join(broadcast(agg.select(col("event_type"), col("am"))), Seq("event_type"))
       .groupBy("event_type").agg(
