@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * argument.
   *
   * Scale shape (100 TB):
-  *  - per-source distinct gram sets come from one map-side shingle walk
-  *    + a (source, gram) distinct — the only corpus-sized exchange, and
-  *    it carries 8-byte hashes, never text;
-  *  - the pair counts are a self-equi-join ON GRAM (co-partitioned by the
-  *    same exchange — no broadcast of anything corpus-sized); a gram seen
-  *    by k sources yields C(k,2) ≤ C(n_sources,2) pairs, so the join
-  *    output is bounded by sources², not documents²;
+  *  - the corpus is scanned ONCE: the shingle walk feeds a single
+  *    groupBy(gram) whose partial collect_set dedups (source, gram)
+  *    map-side, so the only corpus-sized exchange carries 8-byte hashes
+  *    with the per-partition source sets already collapsed (a gram's set
+  *    is bounded by n_sources, not by its occurrence count);
+  *  - everything downstream of that exchange is gram-sized, not
+  *    corpus-sized: per-source totals fall out of exploding the source
+  *    sets (map-side partial count → n_sources rows), and pair counts
+  *    come from expanding each set's C(k,2) ≤ C(n_sources,2)
+  *    combinations — the join-free replacement for the earlier self-join
+  *    on gram, which paid the shingle walk and the gram exchange for
+  *    BOTH join sides plus the count pass (three corpus reads; this
+  *    shape pays one);
   *  - the per-source totals table is source-sized and BROADCAST into the
   *    final enrich joins.
   */
@@ -34,15 +40,26 @@ object SourceOverlap {
     * jaccard = |A∩B| / |A∪B| over the distinct-shingle sets. */
   def overlapMatrix(docs: DataFrame, w: Int = 3,
                     textCol: String = "text"): DataFrame = {
-    val grams = docs
+    // One corpus pass: gram → sorted distinct source set. Pinned so the
+    // totals and pair expansions below don't re-run the shingle walk.
+    val bySources = docs
       .select(col("source"),
         explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
-      .distinct()
-    val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select("ss")
+      .localCheckpoint(true)
+    val counts = bySources
+      .select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    // Each gram contributes one hit to every ordered source pair in its
+    // set: explode the C(k,2) combinations (k ≤ n_sources) and count.
+    val pairs = bySources
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(broadcast(counts.select(col("source").as("source_a"),
