@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions._
   *    `transform`/`slice`/`array_join` are eval-only higher-order
   *    functions (no codegen), and each window re-materializes its slice:
   *    measured ~2.5× slower end-to-end at sf0.1.
-  *  - [[windowFingerprints]] — ONE compiled pass per document (tokenize
-  *    once, windows from index arithmetic, MD5 via a reused digest),
-  *    used by [[flag]]. The differential spec pins it row-identical to
-  *    the Column form.
+  *  - [[windowFingerprintsRaw]] — ONE compiled pass per document
+  *    (tokenize once, windows from index arithmetic, MD5 via a reused
+  *    digest), emitting the raw 16-byte digest; [[flag]] builds on it
+  *    and hexes only the flagged output. [[windowFingerprints]] is its
+  *    hex view, differential-spec-pinned row-identical to the Column
+  *    form.
   *
   * md5 (not xxhash64) so the DuckDB oracle replays the identical
   * fingerprints — the engine-portability contract every dedup operator
@@ -41,11 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object RepeatedWindows {
 
-  /** Compiled per-document window fingerprints: (doc_id, window_idx, fp).
-    * Tokenization is ASCII trim/lower/split-on-spaces — the exact
-    * semantics of `split(lower(trim(text)), " +")` on this corpus. */
-  def windowFingerprints(docs: DataFrame, w: Int,
-                         textCol: String = "text"): DataFrame = {
+  /** Compiled per-document window fingerprints as RAW 16-byte MD5:
+    * (doc_id, window_idx, fp BINARY). Tokenization is ASCII
+    * trim/lower/split-on-spaces — the exact semantics of
+    * `split(lower(trim(text)), " +")` on this corpus. Binary (not hex)
+    * because this relation is what [[flag]] checkpoints and shuffles
+    * twice — half the fingerprint bytes in the pinned snapshot and in
+    * both exchanges; `lower(hex(fp))` restores the oracle's hex form on
+    * the (repetition-mass-bounded) output. */
+  def windowFingerprintsRaw(docs: DataFrame, w: Int,
+                            textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col(textCol).isNotNull)
@@ -53,18 +60,9 @@ object RepeatedWindows {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = "0123456789abcdef".toCharArray
-        def fpOf(s: String): String = {
+        def fpOf(s: String): Array[Byte] = {
           md.reset()
-          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = hex((d(i) >> 4) & 0xf)
-            out(2 * i + 1) = hex(d(i) & 0xf)
-            i += 1
-          }
-          new String(out)
+          md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         // Spark's trim strips ASCII SPACE only — String.trim would also
         // strip tabs/controls and diverge from the Column form.
@@ -95,6 +93,14 @@ object RepeatedWindows {
       }
       .toDF("doc_id", "window_idx", "fp")
   }
+
+  /** Hex-fingerprint view of [[windowFingerprintsRaw]] — the public
+    * (doc_id, window_idx, fp STRING) contract, row-identical to
+    * [[windowFingerprintsColumns]] (differential-spec pinned). */
+  def windowFingerprints(docs: DataFrame, w: Int,
+                         textCol: String = "text"): DataFrame =
+    windowFingerprintsRaw(docs, w, textCol)
+      .withColumn("fp", lower(hex(col("fp"))))
 
   /** The readable Column-expression reference for the window pass —
     * semantics documentation and the differential-spec baseline. */
@@ -127,13 +133,13 @@ object RepeatedWindows {
            textCol: String = "text"): DataFrame = {
     require(w > 0, "w must be positive")
     require(minDocs > 1, "minDocs must be > 1 (1 flags every window)")
-    val windows = windowFingerprints(docs, w, textCol).localCheckpoint(true)
+    val windows = windowFingerprintsRaw(docs, w, textCol).localCheckpoint(true)
     val repeated = windows
       .select("fp", "doc_id").distinct()
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("fp")
     windows.join(repeated, Seq("fp"))
-      .select("doc_id", "window_idx", "fp")
+      .select(col("doc_id"), col("window_idx"), lower(hex(col("fp"))).as("fp"))
   }
 }
