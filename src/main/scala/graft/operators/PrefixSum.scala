@@ -33,18 +33,30 @@ object PrefixSum {
 
   /** (orderCol, valueCol, running) where `running` is the EXCLUSIVE
     * prefix total of valueCol in ascending orderCol order. orderCol must
-    * be unique; both columns must be integral (cast to long). */
+    * be unique; both columns must be integral (cast to long).
+    *
+    * `pinInput` (default true): repartitionByRange first runs a
+    * range-bounds sketch job that evaluates the whole child plan, then
+    * evaluates it AGAIN for the real exchange — so an expensive upstream
+    * (tokenize/profile over document text) would run twice. The pin
+    * materializes the narrow (order, value) projection once and feeds
+    * both. Pass false when the input is already a snapshot or a trivial
+    * derivation of one (the extra materialization would be the only
+    * cost). */
   def exclusiveRunningTotals(df: DataFrame, orderCol: String,
-                             valueCol: String): DataFrame = {
+                             valueCol: String,
+                             pinInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
+    val proj = df.select(col(orderCol).cast("long"), col(valueCol).cast("long"))
+    val input = if (pinInput) proj.localCheckpoint(true) else proj
+    val ranged = input
       .repartitionByRange(p, col(orderCol))
       .sortWithinPartitions(orderCol)
       .as[(Long, Long)]
       .localCheckpoint(true)
+    if (pinInput) input.unpersist()
     val partSums = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
@@ -77,13 +89,18 @@ object PrefixSum {
     * policy as [[exclusiveRunningTotals]].
     */
   def exclusiveRunningTotalsBy(df: DataFrame, orderCols: Seq[Column],
-                               valueCol: String): DataFrame = {
+                               valueCol: String,
+                               pinInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    // Same input pin as [[exclusiveRunningTotals]]: the range-bounds
+    // sketch would otherwise evaluate the upstream plan a second time.
+    val input = if (pinInput) df.localCheckpoint(true) else df
+    val ranged = input
       .repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .localCheckpoint(true)
+    if (pinInput) input.unpersist()
     val valIdx = ranged.schema.fieldIndex(valueCol)
     val partSums = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>

@@ -521,9 +521,13 @@ object CorpusQueries {
       .select(col("doc_id"),
         graft.text.TextOps.qualityScore(col("text")).as("quality"),
         size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens"))
-    val total = d.agg(sum("n_tokens").as("total_tokens"))
-    graft.operators.PrefixSum
+    val ranked = graft.operators.PrefixSum
       .exclusiveRunningTotalsBy(d, Seq(col("quality").desc, col("doc_id").asc), "n_tokens")
+    // Total token mass = the last row's exclusive prefix + its own mass —
+    // aggregated over the prefix sum's pinned snapshot, NOT a separate
+    // corpus scan re-running the quality profile.
+    val total = ranked.agg(max(col("running") + col("n_tokens")).as("total_tokens"))
+    ranked
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("quality"), col("n_tokens"),
         col("running").as("cum_before"),

@@ -68,7 +68,11 @@ object CorpusLaws {
     val tf = st.groupBy("term").agg(sum(col("c")).as("tf"))
       .withColumn("one", lit(1L))
     val ranked = PrefixSum
-      .exclusiveRunningTotalsBy(tf, Seq(col("tf").desc, col("term").asc), "one")
+      // pinInput = false: tf is one cheap aggregation over the pinned st
+      // snapshot, so re-evaluating it for the range sketch is cheaper
+      // than materializing a second vocabulary-sized snapshot.
+      .exclusiveRunningTotalsBy(tf, Seq(col("tf").desc, col("term").asc), "one",
+        pinInput = false)
       .withColumn("rk", (col("running") + lit(1L)).cast("double"))
     val zx = log(col("rk"))
     val zy = log(col("tf").cast("double"))
