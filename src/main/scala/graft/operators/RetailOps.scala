@@ -114,6 +114,29 @@ object RetailOps {
       .drop("__rn")
   }
 
+  /** [[dedupKeepFirst]] as a hash AGGREGATE — min over a struct whose
+    * leading fields are the order columns, so the per-key winner is
+    * picked by partial aggregation map-side and the exchange carries one
+    * row per key instead of every row into a sort-window. This is the
+    * keep-first plan that survives 100 TB: no per-partition sort, no
+    * full-key-partition materialization, skew-tolerant via partial aggs.
+    *
+    * Contract (narrower than the window form — use it when it fits, which
+    * is the common case): every order column ASCENDING and NON-NULL
+    * (struct comparison is NULLS FIRST, so a nullable nulls-last ordering
+    * like dim_product's brand must stay on the window path); remaining
+    * columns join the struct tail as tie-breaks, so for bit-exact pandas
+    * parity the ordering should already be total (same requirement as the
+    * window form). KeepFirstAggSpec pins agg ≡ window on real data. */
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
+                        orderCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c) || orderCols.contains(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct((orderCols ++ others).map(col): _*)).as("__first"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
+  }
+
   // ------------------------------------------------------------------- T1
   /** Top-k by measure (retail_pipeline.py:73): ORDER BY measure DESC LIMIT k.
     * Plans as TakeOrderedAndProject — a true distributed top-k (per-partition

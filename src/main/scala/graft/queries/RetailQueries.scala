@@ -74,12 +74,16 @@ object RetailQueries {
   def distinctUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select("user_id", "event_type").distinct()
 
-  // D1 — deterministic keep-first dedup via window rank.
+  // D1 — deterministic keep-first dedup. Hash-agg form: the order key
+  // (l_shipdate, l_orderkey, l_linenumber) is non-null ascending and
+  // unique, so min-of-struct picks the same row the window rank would,
+  // with a one-row-per-key exchange instead of a sort-window.
   def dedupFirstPerPart(s: SparkSession, dir: String): DataFrame =
-    RetailOps.dedupKeepFirst(
-      Tables.lineitem(s, dir),
+    RetailOps.dedupKeepFirstAgg(
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate"),
       Seq("l_partkey"),
-      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+      Seq("l_shipdate", "l_orderkey", "l_linenumber"))
       .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
 
   // T1 — top-k by measure with deterministic tie-break → TakeOrderedAndProject.

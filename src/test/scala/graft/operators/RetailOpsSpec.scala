@@ -52,6 +52,20 @@ class RetailOpsSpec extends SparkSpec {
     out shouldBe Seq((1L, "2019-01-01", 100.0), (2L, "2019-01-03", 300.0))
   }
 
+  test("dedupKeepFirstAgg ≡ dedupKeepFirst on real lineitem data (KeepFirstAggSpec)") {
+    val li = graft.Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    val orderCols = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    val win = RetailOps.dedupKeepFirst(li, Seq("l_partkey"), orderCols.map(col(_).asc))
+      .orderBy("l_partkey").collect().toSeq
+    val agg = RetailOps.dedupKeepFirstAgg(li, Seq("l_partkey"), orderCols)
+      .orderBy("l_partkey").collect().toSeq
+    agg shouldBe win
+    // Column order and names survive the struct round-trip.
+    RetailOps.dedupKeepFirstAgg(li, Seq("l_partkey"), orderCols).columns.toSeq shouldBe
+      li.columns.toSeq
+  }
+
   test("topK takes exactly k with deterministic tie-break (T1)") {
     val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("id", "rev")
     val out = RetailOps.topK(df, 2, Seq($"rev".desc, $"id".asc))
