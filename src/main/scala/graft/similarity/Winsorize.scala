@@ -34,10 +34,15 @@ object Winsorize {
     * bounds arrays are positional). */
   def clipStats(vecs: DataFrame, qLo: Double, qHi: Double): DataFrame = {
     val spark = vecs.sparkSession
-    val comps = vecs.select(col("id"), posexplode(col("vec")).as(Seq("pos", "x")))
-    val bounds = comps.groupBy("pos").agg(
-      percentile(col("x"), lit(qLo)).as("lo_v"),
-      percentile(col("x"), lit(qHi)).as("hi_v"))
+    // (pos, x) only — id never rides the bounds exchange. BOTH quantiles
+    // from ONE percentile(array(...)) aggregate: exact percentile buffers
+    // the full per-dimension value list, so two separate aggregates would
+    // build and merge that list twice.
+    val comps = vecs.select(posexplode(col("vec")).as(Seq("pos", "x")))
+    val bounds = comps.groupBy("pos")
+      .agg(percentile(col("x"), array(lit(qLo), lit(qHi))).as("q"))
+      .select(col("pos"), col("q").getItem(0).as("lo_v"),
+        col("q").getItem(1).as("hi_v"))
     val boundsRow = bounds.agg(
       transform(array_sort(collect_list(struct(col("pos"), col("lo_v")))),
         s => s.getField("lo_v")).as("lo_arr"),
