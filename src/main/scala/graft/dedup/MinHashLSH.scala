@@ -188,16 +188,26 @@ object MinHashLSH {
   }
 
   /** Exact Jaccard over shingle-hash sets for the candidate pairs — the
-    * verify stage. Joining back costs two hash joins keyed on doc_id; only
-    * candidate docs' shingle sets are rehydrated, and the sets are 31-bit
-    * hashes (set-identical to string shingles up to 2^-31 collisions). */
+    * verify stage. The pair table is tiny (bucketCap-bounded), so AQE
+    * broadcasts it into each join — which means a bare full-corpus
+    * shingle projection would STREAM through both joins, paying the
+    * shingle UDF over every document twice. Instead the candidate id set
+    * (derived from the pinned pairs) semi-joins the corpus first, the
+    * shingle sets are computed for candidate docs only and pinned once,
+    * and both joins probe that snapshot. Sets are 31-bit hashes
+    * (set-identical to string shingles up to 2^-31 collisions). */
   def verifiedPairs(docs: DataFrame, textCol: String = "text",
                     threshold: Double = 0.7, numHashes: Int = 64,
                     bands: Int = 16, bucketCap: Int = 1000,
                     seed: Long = 42L): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingleHashes(col(textCol), lit(3))).as("sh"))
     val pairs = candidatePairs(docs, textCol, numHashes, bands, bucketCap, seed)
+      .localCheckpoint(true)
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingleHashes(col(textCol), lit(3))).as("sh"))
+      .localCheckpoint(true)
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))

@@ -51,12 +51,22 @@ object NgramJaccard {
     }
 
   /** Score (doc_a, doc_b) pairs with exact n-gram Jaccard by joining the
-    * n-gram sets back on. Two hash joins on doc id; gram sets are built in
-    * the projection, so only candidate documents pay the cost. */
+    * n-gram sets back on. The pair table is small, so AQE broadcasts it
+    * into each join — a bare full-corpus gram projection would then
+    * STREAM through both joins, paying the gram UDF over every document
+    * twice. The candidate id set (from the pinned pairs) semi-joins the
+    * corpus first, gram sets are computed for candidate docs only and
+    * pinned once, and both joins probe that snapshot (the
+    * [[graft.dedup.MinHashLSH.verifiedPairs]] shape). */
   def scorePairs(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                  n: Int = 3): DataFrame = {
-    val grams = docs.select(col("doc_id"), charNgramHashes(col(textCol), lit(n)).as("g"))
-    pairs
+    val p = pairs.localCheckpoint(true)
+    val ids = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    val grams = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), charNgramHashes(col(textCol), lit(n)).as("g"))
+      .localCheckpoint(true)
+    p
       .join(grams.withColumnsRenamed(Map("doc_id" -> "doc_a", "g" -> "g_a")), Seq("doc_a"))
       .join(grams.withColumnsRenamed(Map("doc_id" -> "doc_b", "g" -> "g_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
