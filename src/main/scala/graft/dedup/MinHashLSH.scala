@@ -195,7 +195,13 @@ object MinHashLSH {
     * (derived from the pinned pairs) semi-joins the corpus first, the
     * shingle sets are computed for candidate docs only and pinned once,
     * and both joins probe that snapshot. Sets are 31-bit hashes
-    * (set-identical to string shingles up to 2^-31 collisions). */
+    * (set-identical to string shingles up to 2^-31 collisions).
+    *
+    * EAGER, like [[graft.operators.PrefixSum]]: the localCheckpoint pins
+    * run candidate generation and the shingle walk AT CALL TIME — this is
+    * not a lazy plan. Don't build it speculatively; call when the result
+    * will be consumed, and release snapshots afterwards in long-lived
+    * sessions. */
   def verifiedPairs(docs: DataFrame, textCol: String = "text",
                     threshold: Double = 0.7, numHashes: Int = 64,
                     bands: Int = 16, bucketCap: Int = 1000,

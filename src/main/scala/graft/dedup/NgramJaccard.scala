@@ -57,7 +57,13 @@ object NgramJaccard {
     * twice. The candidate id set (from the pinned pairs) semi-joins the
     * corpus first, gram sets are computed for candidate docs only and
     * pinned once, and both joins probe that snapshot (the
-    * [[graft.dedup.MinHashLSH.verifiedPairs]] shape). */
+    * [[graft.dedup.MinHashLSH.verifiedPairs]] shape).
+    *
+    * EAGER, like [[graft.operators.PrefixSum]]: the localCheckpoint pins
+    * run jobs over `pairs` and the candidate docs AT CALL TIME — this is
+    * not a lazy plan. Don't build it speculatively; call when the result
+    * will be consumed, and release snapshots afterwards in long-lived
+    * sessions. */
   def scorePairs(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                  n: Int = 3): DataFrame = {
     val p = pairs.localCheckpoint(true)

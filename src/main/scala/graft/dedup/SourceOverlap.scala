@@ -42,7 +42,13 @@ object SourceOverlap {
                     textCol: String = "text"): DataFrame = {
     // One corpus pass: gram → sorted distinct source set. Pinned so the
     // totals and pair expansions below don't re-run the shingle walk.
+    // Null sources are excluded EXPLICITLY: collect_set would silently
+    // drop them from the gram sets anyway (so they could never appear in
+    // a pair), but without this filter the per-source totals would also
+    // silently lose the null slice — make the exclusion a stated
+    // contract, not a side effect of collect_set's null handling.
     val bySources = docs
+      .filter(col("source").isNotNull)
       .select(col("source"),
         explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
       .groupBy("gram")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -31,6 +32,25 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixSum {
 
+  /** localCheckpoint `df` eagerly and return the frame plus the RDDs the
+    * checkpoint pinned (diffed via sc.getPersistentRDDs — the only handle
+    * Spark exposes; `Dataset.unpersist` does NOT release a localCheckpoint's
+    * internal RDD, so freeing requires these captured handles). Same
+    * pattern as DedupClusters.snapshot; single-threaded per session by
+    * contract. */
+  private def snapshot(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = true)
+    val added = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before.contains(id) => rdd
+    }.toSeq
+    (out, added)
+  }
+
+  private def free(rdds: Seq[RDD[_]]): Unit =
+    rdds.foreach(_.unpersist(blocking = false))
+
   /** (orderCol, valueCol, running) where `running` is the EXCLUSIVE
     * prefix total of valueCol in ascending orderCol order. orderCol must
     * be unique; both columns must be integral (cast to long).
@@ -50,13 +70,20 @@ object PrefixSum {
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
     val proj = df.select(col(orderCol).cast("long"), col(valueCol).cast("long"))
-    val input = if (pinInput) proj.localCheckpoint(true) else proj
+    // Snapshot/free, not Dataset.unpersist: the input pin is dead the
+    // moment `ranged` materializes, and at 100 TB holding a second
+    // corpus-row-sized snapshot for the query's lifetime is the exact
+    // snapshot-accumulation pressure round 3 measured as 2.6-8x
+    // regressions. Dataset.unpersist would be a no-op here (it clears
+    // cacheManager entries, not the checkpoint-pinned internal RDD).
+    val (input, inputPins) =
+      if (pinInput) snapshot(proj) else (proj, Seq.empty[RDD[_]])
     val ranged = input
       .repartitionByRange(p, col(orderCol))
       .sortWithinPartitions(orderCol)
       .as[(Long, Long)]
       .localCheckpoint(true)
-    if (pinInput) input.unpersist()
+    free(inputPins)
     val partSums = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
@@ -93,14 +120,17 @@ object PrefixSum {
                                pinInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    // Same input pin as [[exclusiveRunningTotals]]: the range-bounds
-    // sketch would otherwise evaluate the upstream plan a second time.
-    val input = if (pinInput) df.localCheckpoint(true) else df
+    // Same input pin + snapshot/free as [[exclusiveRunningTotals]]: the
+    // range-bounds sketch would otherwise evaluate the upstream plan a
+    // second time, and the pin must be freed via captured RDD handles
+    // (Dataset.unpersist cannot reach a localCheckpoint's internal RDD).
+    val (input, inputPins) =
+      if (pinInput) snapshot(df) else (df, Seq.empty[RDD[_]])
     val ranged = input
       .repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .localCheckpoint(true)
-    if (pinInput) input.unpersist()
+    free(inputPins)
     val valIdx = ranged.schema.fieldIndex(valueCol)
     val partSums = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>

@@ -70,6 +70,22 @@ class PrefixSumSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("input pin is freed once ranged materializes (one snapshot survives)") {
+    // Regression (r10 advice): Dataset.unpersist after localCheckpoint is
+    // a no-op — the input pin must be freed via captured RDD handles, or
+    // both corpus-sized snapshots stay pinned for the query's lifetime.
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val df = (0L until 500L).map(i => (i, i % 5)).toDF("k", "v")
+    val before = sc.getPersistentRDDs.keySet
+    PrefixSum.exclusiveRunningTotals(df, "k", "v").count() shouldBe 500
+    (sc.getPersistentRDDs.keySet -- before).size shouldBe 1 // ranged only
+    val before2 = sc.getPersistentRDDs.keySet
+    PrefixSum.exclusiveRunningTotalsBy(df, Seq(col("k").desc), "v").count() shouldBe 500
+    (sc.getPersistentRDDs.keySet -- before2).size shouldBe 1
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("generalized: no single-partition window in the plan either") {
     val df = (0L until 100L).map(i => (i, i.toDouble, i)).toDF("doc_id", "quality", "v")
     val plan = PrefixSum
