@@ -889,7 +889,14 @@ object CorpusQueries {
     * within-source-rank · n_sources + source_index is injective, and
     * sorting by it interleaves. Per-source md5 rank is a partitioned
     * window (never global); the source-index table is source-count-sized
-    * and broadcast. */
+    * and broadcast.
+    *
+    * The corpus is scanned exactly TWICE: once for the distinct source
+    * list (map-side partial distinct — the exchange carries n_sources
+    * rows) and once for the ranking window. The tiny index is snapshot
+    * once and BOTH the idx join and the n_sources count derive from that
+    * snapshot — deriving n_sources lazily from the distinct plan would
+    * silently re-run the corpus scan a third time. */
   def sourceInterleave(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
@@ -898,6 +905,7 @@ object CorpusQueries {
       .withColumn("source_idx",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("source")) - 1).cast("long"))
+      .localCheckpoint(true) // n_sources rows; freed by the session sweep
     val nS = srcIdx.agg(count(lit(1)).as("n_sources"))
     d.withColumn("rk", (row_number().over(w) - 1).cast("long"))
       .join(broadcast(srcIdx), Seq("source"))
