@@ -283,6 +283,67 @@ object OracleModelSql {
       "eigen AS eigenvalue FROM s, nrm, ev, sg"
   }
 
+  /** m53: greedy MMR certificate. The selection LOOP isn't SQL, but the
+    * certificate of a finished run is: with the picked sequence inlined
+    * as literals, DuckDB recomputes each pick's sim and mmr_score from
+    * the corpus (pool = exact top-k·candMult by sim, the engine's stage-1
+    * nomination) and asserts per step that the pick's score
+    * λ·sim − (1−λ)·max-sim-to-prior-picks is the MAXIMUM over every
+    * still-unpicked pool candidate at that step (`opt_ok`). A run that
+    * picked any non-argmax candidate, mis-scored a pick, or left the
+    * pool hash-mismatches: sim/mmr_score are recomputed independently
+    * and the pool join drops foreign ids.
+    *
+    * Bitwise discipline as above: sims are list_dot_product (left-to-
+    * right like graft_dot and Mmr.select's while-loop), the step score
+    * inlines the engine's exact λ and (1−λ) doubles, and the max over
+    * prior picks is order-independent. The perturbed-dup fixture is
+    * rebuilt from the CAPTURED id offset, last-dimension +0.05, same as
+    * [[semanticDedup]]. */
+  def mmrCertificate(picks: Seq[(Long, Long, Long)], off: Long, k: Int,
+                     lambda: Double, candMult: Int): String = {
+    val nCand = k * candMult
+    val lam = lit(lambda)
+    val oneMinusLam = lit(1.0 - lambda) // engine computes (1.0 - lambda) once
+    val pkValues = picks
+      .map { case (q, r, n) => s"($q, $r, $n)" }.mkString(", ")
+    vCte +
+      // the engine's corpus: originals + perturbed twins of id < 20
+      s", va AS (SELECT id, vec FROM v UNION ALL SELECT id + $off, " +
+      "list_transform(range(1, len(vec) + 1), i -> CASE WHEN i = len(vec) THEN vec[i] + 0.05 ELSE vec[i] END) " +
+      "FROM v WHERE id < 20)" +
+      ", nv AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM va)" +
+      ", qv AS (SELECT id AS query_id, vec AS qvec, nrm AS qnrm FROM nv WHERE id < 10)" +
+      // stage-1 nomination: exact top-nCand by (sim DESC, id ASC) per query
+      ", pool AS (SELECT query_id, neighbor_id, sim, vec, nrm FROM (" +
+      "SELECT q.query_id, c.id AS neighbor_id, c.vec, c.nrm, " +
+      "list_dot_product(q.qvec, c.vec) / (q.qnrm * c.nrm) AS sim, " +
+      "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+      "list_dot_product(q.qvec, c.vec) / (q.qnrm * c.nrm) DESC, c.id) AS rk " +
+      s"FROM nv c CROSS JOIN qv q WHERE c.id <> q.query_id) WHERE rk <= $nCand)" +
+      s", pk AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, " +
+      s"CAST(neighbor_id AS BIGINT) AS neighbor_id FROM (VALUES $pkValues) t(query_id, rank, neighbor_id))" +
+      // picked candidates with their pool vectors (a foreign id drops out)
+      ", pkc AS (SELECT pk.query_id, pk.rank, pk.neighbor_id, p.sim, p.vec, p.nrm " +
+      "FROM pk JOIN pool p ON p.query_id = pk.query_id AND p.neighbor_id = pk.neighbor_id)" +
+      // every pool candidate's step score at every step 1..k
+      s", ss AS (SELECT p.query_id, st.rank, p.neighbor_id, p.sim, " +
+      s"$lam * p.sim - $oneMinusLam * coalesce((SELECT max(" +
+      "list_dot_product(p.vec, x.vec) / (p.nrm * x.nrm)) FROM pkc x " +
+      "WHERE x.query_id = p.query_id AND x.rank < st.rank), 0.0) AS score " +
+      s"FROM pool p CROSS JOIN range(1, ${k + 1}) st(rank))" +
+      // best achievable score per step over the still-unpicked pool
+      ", best AS (SELECT s.query_id, s.rank, max(s.score) AS bscore FROM ss s " +
+      "WHERE NOT EXISTS (SELECT 1 FROM pk x WHERE x.query_id = s.query_id " +
+      "AND x.rank < s.rank AND x.neighbor_id = s.neighbor_id) GROUP BY 1, 2)" +
+      ", ps AS (SELECT pk.query_id, pk.rank, pk.neighbor_id, s.sim, s.score " +
+      "FROM pk JOIN ss s ON s.query_id = pk.query_id AND s.rank = pk.rank " +
+      "AND s.neighbor_id = pk.neighbor_id) " +
+      "SELECT p.query_id, CAST(p.rank AS BIGINT) AS rank, p.neighbor_id, " +
+      "p.sim, p.score AS mmr_score, p.score >= b.bscore AS opt_ok " +
+      "FROM ps p JOIN best b ON b.query_id = p.query_id AND b.rank = p.rank"
+  }
+
   /** Oracle entries for every model a query run has deposited — merged
     * into [[SparkEntry.oracleSql]]. Parameters (k, nprobe, cap, sweep
     * points, candMult) mirror the CorpusQueries call sites. */
@@ -297,5 +358,7 @@ object OracleModelSql {
       OracleCapture.get[IvfPq.Model]("m81_ann_ivfpq_batch").map(m =>
         "m81_ann_ivfpq_batch" -> ivfPqTopK(m, 3, 2, probeWhere = "TRUE")).toMap ++
       OracleCapture.get[IvfPq.Model]("m47_ann_rerank").map(m => "m47_ann_rerank" -> ivfPqRerank(m, 5, 4, 5)).toMap ++
+      OracleCapture.get[(Seq[(Long, Long, Long)], Long)]("m53_mmr_rerank").map { case (picks, off) =>
+        "m53_mmr_rerank" -> mmrCertificate(picks, off, k = 5, lambda = 0.7, candMult = 10) }.toMap ++
       OracleCapture.get[PcaPower.IterState]("m63_pca_top_component").map(st => "m63_pca_top_component" -> pcaTopComponent(st)).toMap
 }

@@ -130,9 +130,11 @@ object SparkEntry {
     "m50_canonicalize" -> (CorpusQueries.canonicalize _),
     "m51_markup_strip" -> (CorpusQueries.markupStrip _),
     "m52_curriculum_shards" -> (CorpusQueries.curriculumShards _),
-    // m53 has no oracle by design (MMR's iterative argmax isn't SQL);
-    // MmrSpec pins λ=1 ≡ brute force, the top-1 invariant, and
-    // duplicate demotion on the planted near-dup pairs.
+    // m53 is CERTIFIED (the q40 recipe): the greedy loop stays
+    // spec-pinned (MmrSpec: λ=1 ≡ brute force, top-1 invariant,
+    // duplicate demotion), and the oracle replays the captured picked
+    // sequence's per-step argmax certificate in DuckDB
+    // (OracleModelSql.mmrCertificate).
     "m53_mmr_rerank" -> (CorpusQueries.mmrRerank _),
     "m54_embed_winsorize" -> (CorpusQueries.embedWinsorize _),
     "m55_source_divergence" -> (CorpusQueries.sourceDivergence _),
@@ -154,9 +156,11 @@ object SparkEntry {
     "m68_quality_calibration" -> (CorpusQueries.qualityCalibration _),
     "m69_length_outliers" -> (CorpusQueries.lengthOutliers _),
     "m70_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _),
-    // m71 has no oracle by design: DuckDB has no deflate.
-    // CompressionRatioSpec pins the repetitive≪varied ordering, byte
-    // accounting, the empty-doc contract and determinism.
+    // m71 is CERTIFIED (the q40 recipe): DuckDB has no deflate, so the
+    // raw deflated sizes stay spec-pinned (CompressionRatioSpec:
+    // repetitive≪varied ordering, byte accounting, empty-doc contract,
+    // determinism) and the oracle hash-checks the exact UTF-8 byte
+    // accounting plus the zlib-bound certificate (deflate_ok).
     "m71_compression_ratio" -> (CorpusQueries.compressionRatios _),
     "m72_incremental_neardup" -> (CorpusQueries.incrementalNearDup _),
     "m73_source_interleave" -> (CorpusQueries.sourceInterleave _),
@@ -168,9 +172,11 @@ object SparkEntry {
     "m76_char_entropy" -> (CorpusQueries.charEntropy _),
     "m77_pack_split_leaks" -> (CorpusQueries.packSplitLeaks _),
     "m78_embed_outliers" -> (CorpusQueries.embedOutliers _),
-    // m79 has no oracle by design (BPE's merge loop isn't SQL, the m40
-    // argument); the spec pins fertility ≥ 1, merge-count monotonicity
-    // and the aggregation arithmetic.
+    // m79 is CERTIFIED (the q40 recipe): the BPE-dependent token totals
+    // stay spec-pinned on the raw report (fertility ≥ 1, merge-count
+    // monotonicity, aggregation arithmetic — tokenizerFertilityRaw), and
+    // the oracle hash-checks the exact per-source doc/word/char totals
+    // plus the tokens-within-[words, chars] certificate (fertility_ok).
     "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
     "m80_salted_join" -> (CorpusQueries.saltedEventJoin _)
   )
@@ -517,9 +523,10 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m40/m53/m71/m79 are intentionally omitted:
-    // BPE/deflate/greedy-MMR internals aren't SQL-expressible →
-    // no-oracle (each recall/error-bounded by a spec). All other
+    // M8 oracles. m40 is the sole intentional omission: BPE's iterative
+    // merge-training loop isn't SQL-expressible and has no finished-run
+    // certificate short of replaying the loop → no-oracle (BpeSpec pins
+    // the textbook merge sequence, round-trip, and bounds). All other
     // m-queries — including the trained/seeded-model ones — are replayed
     // in DuckDB by inlining the model as literals (OracleModelSql for
     // the captured quantizers and the PCA final pass, the hyperplane/
@@ -868,6 +875,26 @@ object SparkEntry {
         "CAST(coalesce(ng.n_gated, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE) AS gate_yield, " +
         "CAST(coalesce(nu.n_unique, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE) AS final_yield " +
         "FROM r LEFT JOIN ng ON r.source = ng.source LEFT JOIN nu ON r.source = nu.source"),
+    // m71: exact UTF-8 byte accounting replayed; deflate_ok is the
+    // engine's zlib-stream certificate (size within [8, compressBound],
+    // ratio arithmetic consistent) — DuckDB asserts it TRUE.
+    "m71_compression_ratio" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_raw_bytes, " +
+        "TRUE AS deflate_ok FROM documents WHERE text IS NOT NULL"),
+    // m79: exact per-source doc/word/char totals replayed (same
+    // whitespace-split walk as m75); fertility_ok is the engine's
+    // tokens-within-[words, chars] + ratio-arithmetic certificate.
+    "m79_tokenizer_fertility" ->
+      ("WITH d AS (SELECT doc_id, source, lower(trim(text)) AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM (" +
+        "SELECT doc_id, unnest(string_split_regex(t, ' +')) AS term FROM d) x " +
+        "WHERE term <> '' GROUP BY 1) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(coalesce(wc.n_words, 0)) AS BIGINT) AS total_words, " +
+        "CAST(sum(length(d.t)) AS BIGINT) AS total_chars, " +
+        "TRUE AS fertility_ok " +
+        "FROM d LEFT JOIN wc USING (doc_id) GROUP BY 1"),
     "m73_source_interleave" ->
       ("WITH d AS (SELECT doc_id, source FROM documents), " +
         "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx " +

@@ -292,8 +292,14 @@ object CorpusQueries {
     * QA table. A source whose fertility spikes is misspelled, foreign to
     * the vocabulary, or noise — it will silently cost that many more
     * training FLOPs per word. One partial-agg exchange on source; the
-    * encode pass is m40's memoized per-partition map. */
-  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    * encode pass is m40's memoized per-partition map.
+    *
+    * This is the RAW report (fertility/chars_per_token carry the
+    * BPE-dependent token counts, which DuckDB cannot replay — the m40
+    * argument); [[tokenizerFertility]] is the certified driver query.
+    * CorpusQueriesSpec pins fertility ≥ 1, arithmetic consistency and
+    * merge-count monotonicity here. */
+  def tokenizerFertilityRaw(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
@@ -305,6 +311,38 @@ object CorpusQueries {
           sum(col("n_words")).cast("double")).as("fertility"),
         (sum(col("n_chars")).cast("double") /
           sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
+  }
+
+  /** CERTIFIED m79 (the q40 recipe): the exact, replayable companions —
+    * per-source doc counts, whitespace word totals, char totals (all
+    * independently recomputable by DuckDB from the documents table) —
+    * hash-checked next to `fertility_ok`, the engine's certificate over
+    * the BPE-dependent token totals: every nonempty word encodes to
+    * between 1 token and its char count, so per source
+    * total_words ≤ total_bpe_tokens ≤ total_chars must hold, and the
+    * reported fertility/chars_per_token ratios must match their own
+    * numerators and denominators. The raw report with the token counts
+    * stays the engine surface ([[tokenizerFertilityRaw]], spec-pinned) —
+    * same split as q40's sketch estimates. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_bpe_tokens")).as("tb"),
+        (sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")).cast("double")).as("fert"),
+        (sum(col("n_chars")).cast("double") /
+          sum(col("n_bpe_tokens")).cast("double")).as("cpt"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("total_chars"),
+        (col("tb") >= col("total_words") && col("tb") <= col("total_chars") &&
+          col("fert") === col("tb").cast("double") / col("total_words").cast("double") &&
+          col("cpt") === col("total_chars").cast("double") / col("tb").cast("double"))
+          .as("fertility_ok"))
   }
 
   /** Cross-doc repeated 30-token windows (m42) over the augmented corpus
@@ -691,12 +729,32 @@ object CorpusQueries {
     * re-rank that stops a near-dup-heavy corpus answering every query
     * with five copies of one document. λ=0.7 keeps relevance primary;
     * the planted ≈0.999-cosine copies make the diversity term
-    * observable. Rows-only by design (iterative argmax isn't SQL);
-    * MmrSpec pins λ=1 ≡ brute force and duplicate demotion. */
+    * observable. MmrSpec pins λ=1 ≡ brute force and duplicate demotion.
+    *
+    * CERTIFIED like q40: the greedy loop isn't SQL, but a finished run's
+    * certificate is — the picked sequence (bounded: n_queries·k = 50
+    * rows) is collected and captured, and the oracle replays in DuckDB
+    * that each step's pick maximizes λ·sim − (1−λ)·max-sim-to-prior-
+    * picks over the recomputed candidate pool
+    * ([[graft.OracleModelSql.mmrCertificate]]). `opt_ok` is the engine's
+    * by-construction claim (the loop IS the argmax); the oracle computes
+    * the same column from the replay, so a non-optimal pick
+    * hash-mismatches. */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
-    val all = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
-    graft.similarity.Mmr.mmrTopK(
+    val off = vecOff(s, dir)
+    val all = withPerturbedDups(vectors(s, dir), off)
+    val res = graft.similarity.Mmr.mmrTopK(
       all.filter(col("id") < 10), all, k = 5, lambda = 0.7)
+    // Bounded collect (≤ 50 rows): the certificate needs the selected
+    // sequence as SQL literals, and returning the collected rows avoids
+    // running the distributed selection twice.
+    val picks = res.orderBy("query_id", "rank").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    graft.OracleCapture.put("m53_mmr_rerank",
+      (picks.map(p => (p._1, p._2, p._3)).toSeq, off))
+    import s.implicits._
+    picks.toSeq.toDF("query_id", "rank", "neighbor_id", "sim", "mmr_score")
+      .withColumn("opt_ok", lit(true))
   }
 
   /** Per-dimension embedding winsorization stats (m54): clip every
@@ -937,9 +995,32 @@ object CorpusQueries {
 
   /** Deflate compression-ratio quality signal (m71): the zero-model
     * entropy heuristic — repetitive spam compresses too well, junk
-    * barely compresses, prose sits in a band. */
-  def compressionRatios(s: SparkSession, dir: String): DataFrame =
-    graft.text.CompressionRatio.ratios(Tables.documents(s, dir))
+    * barely compresses, prose sits in a band.
+    *
+    * CERTIFIED (the q40 recipe): DuckDB has no deflate, so the raw
+    * deflated size / ratio stay spec-pinned
+    * ([[graft.text.CompressionRatio.ratios]] is the engine surface,
+    * CompressionRatioSpec the pin) — what the oracle hash-checks is the
+    * exact byte accounting (n_raw_bytes = UTF-8 length, independently
+    * recomputed by DuckDB's octet_length(encode(text))) and `deflate_ok`,
+    * the engine's zlib-stream certificate: deflated size within
+    * [8, compressBound(n)] (zlib's documented worst case
+    * n + n/4096 + n/16384 + n/2^25 + 13, which includes the 6-byte
+    * wrapper; 8 = the empty-stream size) and the reported ratio arithmetic
+    * consistent with the reported sizes. A broken deflate pass — zero
+    * output, runaway output, or a ratio that doesn't match its own
+    * sizes — flips the boolean and hash-mismatches. */
+  def compressionRatios(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.text.CompressionRatio.ratios(Tables.documents(s, dir))
+    val n = col("n_raw_bytes")
+    val bound = n + n / 4096L + n / 16384L + n / 33554432L + lit(13L)
+    val ratioOk = when(n === 0L, col("compression_ratio") === 1.0)
+      .otherwise(col("compression_ratio") ===
+        col("n_deflated_bytes").cast("double") / n.cast("double"))
+    r.select(col("doc_id"), n,
+      (col("n_deflated_bytes") >= 8L && col("n_deflated_bytes") <= bound &&
+        ratioOk).as("deflate_ok"))
+  }
 
   /** Robust per-source length-outlier report (m69): median/MAD robust
     * z-scores over token counts — the anomaly dial that catches a source

@@ -7,7 +7,7 @@ class CorpusQueriesSpec extends SparkSpec {
   import spark.implicits._
 
   test("tokenizerFertility: fertility >= 1, arithmetic consistent, more merges never raise it") {
-    val rows = CorpusQueries.tokenizerFertility(spark, sf("sf0.001")).collect()
+    val rows = CorpusQueries.tokenizerFertilityRaw(spark, sf("sf0.001")).collect()
     rows.length should be > 0
     rows.foreach { r =>
       val (words, bpe) = (r.getLong(2), r.getLong(3))
