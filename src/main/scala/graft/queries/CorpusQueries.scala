@@ -680,8 +680,18 @@ object CorpusQueries {
     * driver-SF corpus (≤ ~8k vectors) trains the exact nlist the captured
     * oracles replay; capped so the driver-side Lloyd's state stays a few
     * MB of centroids. */
-  private def scaledNlist(n: Long, targetCell: Int = 512): Int =
+  private[graft] def scaledNlist(n: Long, targetCell: Int = 512): Int =
     math.max(16, math.min(8192, (n / targetCell).toInt))
+
+  /** Sign-LSH plane count targeting ~`targetBucket` vectors per bucket:
+    * 2^planes buckets at FIXED planes means bucket occupancy — and the
+    * in-bucket pairwise scoring — grows linearly with n, turning linear
+    * data growth into quadratic total work (the scaledNlist argument).
+    * Floored at 8 = the value the seeded-hyperplane oracles inline for
+    * every driver SF (first change at n > 128k vectors).
+    * ScaledKnobsSpec exercises the above-floor regime. */
+  private[graft] def scaledPlanes(n: Long, targetBucket: Int = 512): Int =
+    math.max(8, math.ceil(math.log(n / targetBucket.toDouble) / math.log(2.0)).toInt)
 
   /** SQ8 scalar quantization (m59): per-dimension affine 8-bit codes +
     * reconstruction error over the embeddings table. */
@@ -883,17 +893,11 @@ object CorpusQueries {
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     // LSH mode — the scale path: only same-bucket pairs are scored.
     // 8 planes × 3 OR-amplified tables ≈ 0.998 recall at cosine 0.999.
-    // The bucket space scales with the corpus (same argument as
-    // scaledNlist: 2^planes buckets at FIXED planes means bucket
-    // occupancy — and the in-bucket pairwise scoring — grows linearly
-    // with n). planes = log2(n/512) targets ~512 vectors/bucket, floored
-    // at 8 = the value m10's seeded-hyperplane oracle inlines for every
-    // driver SF (first change at n > 128k vectors; recall at cosine
-    // 0.999 stays ≥ 0.999 through p = 24 with 3 OR tables).
+    // The bucket space scales with the corpus ([[scaledPlanes]]; recall
+    // at cosine 0.999 stays ≥ 0.999 through p = 24 with 3 OR tables).
     val all = withPerturbedDups(vectors(s, dir), vecOff(s, dir))
-    val planes = math.max(8,
-      math.ceil(math.log(all.count() / 512.0) / math.log(2.0)).toInt)
-    Ann.nearDupPairs(all, threshold = 0.99, numPlanes = planes, tables = 3)
+    Ann.nearDupPairs(all, threshold = 0.99,
+      numPlanes = scaledPlanes(all.count()), tables = 3)
   }
 
   /** Connected components over the verified inverted-index pairs —

@@ -28,6 +28,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("l_orderkey") // pruned
   }
 
+  test("q29: lineitem pre-aggregates below the join; exactly two shuffles; dims broadcast") {
+    val p = plan(Analytics.regionRevenue(spark, dir))
+    // The 100×-scale contract: the ONLY lineitem-derived exchange is the
+    // per-orderkey partial aggregate's (orders-cardinality rows move, not
+    // lineitem-cardinality), plus the final (r_name, n_name) group-by.
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+    "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size shouldBe 1
+    // pre-agg sits BELOW its exchange (partial on the scan side)
+    val ex = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    p.indexOf("partial_sum(cast((l_extendedprice", ex) should be > ex
+    // every dim joins broadcast; nothing degrades to SMJ or cartesian
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+    // lineitem scan reads only the 3 needed columns
+    p should include(
+      "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>")
+  }
+
+  test("q32: stats agg is one exchange with partial object-hash aggregation on a 2-column scan") {
+    val p = plan(RetailQueries.statsAgg(spark, dir))
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    // map-side partials for every aggregate, including the percentile
+    // buffer — the exchange carries group-count rows, not the table
+    p should include("partial_sum")
+    p should include("partial_percentile")
+    p should include("ReadSchema: struct<o_totalprice:double,o_orderpriority:string>")
+  }
+
   test("q28: dim side broadcasts; top-k plans as TakeOrderedAndProject, not a global sort") {
     val df = Analytics.topOrdersByRevenue(spark, dir)
     df.collect() // materialize so AQE finalizes join strategies
