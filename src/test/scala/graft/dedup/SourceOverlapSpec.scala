@@ -23,6 +23,22 @@ class SourceOverlapSpec extends SparkSpec {
     r.getDouble(5) shouldBe 1.0 / 3.0 +- 1e-12  // 1 / (2+2-1)
   }
 
+  test("null-source docs are excluded by contract, not by collect_set accident") {
+    // Pins the r10-advice fix: a null source must neither form pairs nor
+    // leak into the per-source gram totals of the named sources.
+    val docs = Seq(
+      (0L, "x y z a", "s1"),
+      (1L, "x y z b", "s2"),
+      (2L, "x y z c", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val rows = SourceOverlap.overlapMatrix(docs).collect()
+    rows.length shouldBe 1 // only (s1, s2); nothing involving the null slice
+    rows(0).getString(0) shouldBe "s1"
+    rows(0).getString(1) shouldBe "s2"
+    rows(0).getLong(2) shouldBe 2L // s1's total unaffected by the null doc
+    rows(0).getLong(3) shouldBe 2L
+  }
+
   test("identical sources have jaccard 1; duplicate docs inside a source don't inflate counts") {
     val docs = Seq(
       (0L, "a b c d", "s1"),
