@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** DESIGN.md §5's contract made executable: results must not depend on
+  * partition count or scheduling order. The oracle gate only ever runs
+  * one partitioning, so without this spec a partition-sensitive
+  * accumulation (double sums re-associating, a tie-break missing from a
+  * top-k, keep-first depending on task order, a prefix-sum offset keyed
+  * by task id) would pass every hash check and still return different
+  * bytes on a 1000-executor cluster. Each query here runs under two
+  * deliberately different parallelism regimes and must produce
+  * BIT-IDENTICAL rows — doubles compared exactly, no tolerance.
+  *
+  * The queries chosen are the ones whose determinism is engineered, not
+  * free: decimal-sum statistics (q32), two-phase exact distinct (q07),
+  * keep-first dedup (q10), tie-broken top-k (q11), the range-partitioned
+  * prefix sum (m77's core via m52's ordering), and the md5-ranked
+  * interleave (m73).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** Collect rows as comparable seqs, sorted by their full string form —
+    * exact values (Double bits included via toString round-trip), stable
+    * total order. */
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  /** Run `q` under (shuffle partitions = 2) and (= 13) and demand
+    * identical output. 13 is coprime to every natural key cardinality in
+    * the testdata; 2 forces multi-row partitions and heavy partial
+    * aggregation. */
+  private def assertInvariant(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Unit = {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "2")
+      val a = rows(q(spark, dir))
+      conf.set("spark.sql.shuffle.partitions", "13")
+      val b = rows(q(spark, dir))
+      a shouldBe b
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
+  test("q32 statsAgg: decimal-sum variance/stddev identical across partitionings") {
+    assertInvariant(RetailQueries.statsAgg)
+  }
+
+  test("q07 dailyRevenue: two-phase exact distinct identical across partitionings") {
+    assertInvariant(RetailQueries.dailyRevenue)
+  }
+
+  test("q10 keep-first dedup: kept rows identical across partitionings") {
+    assertInvariant(RetailQueries.dedupFirstPerPart)
+  }
+
+  test("q11 top-k users: tie-broken top-k identical across partitionings") {
+    assertInvariant(RetailQueries.topUsersByRevenue)
+  }
+
+  test("m73 source interleave: md5-ranked positions identical across partitionings") {
+    assertInvariant(CorpusQueries.sourceInterleave)
+  }
+
+  test("m52 curriculum shards: prefix-sum shard bounds identical across partitionings") {
+    assertInvariant(CorpusQueries.curriculumShards)
+  }
+}
