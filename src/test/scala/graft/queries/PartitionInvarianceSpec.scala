@@ -68,4 +68,20 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m52 curriculum shards: prefix-sum shard bounds identical across partitionings") {
     assertInvariant(CorpusQueries.curriculumShards)
   }
+
+  // The dedup tier's capped collections (CappedCollect, bucketCap) keep
+  // MEMBERSHIP deterministic while their internal order is partition-
+  // dependent — these three assert that no consumer ever leaks that
+  // internal order into results.
+  test("m05 minhash candidate pairs identical across partitionings") {
+    assertInvariant(CorpusQueries.minhashPairs)
+  }
+
+  test("m14 inverted-index jaccard pairs identical across partitionings") {
+    assertInvariant(CorpusQueries.gramIndexJaccard)
+  }
+
+  test("m17 dedup cluster labels identical across partitionings") {
+    assertInvariant(CorpusQueries.dedupClusters)
+  }
 }
