@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Empty-input robustness: at 100 TB a daily partition with zero rows is
+  * routine (S2 pins the source-level guard; this pins the OPERATOR
+  * level). Every query here must return an EMPTY result on an empty
+  * corpus — not throw. The fixture replicates the driver tables'
+  * schemas exactly, with zero rows. */
+class EmptyCorpusSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = s"/tmp/graft-empty-fixture-${ProcessHandle.current().pid()}"
+    val s = spark
+    def writeEmpty(name: String, ddl: String): Unit =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    writeEmpty("documents",
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    writeEmpty("embeddings",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    dir
+  }
+
+  private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "m01_text_stats" -> (CorpusQueries.textStats _),
+    "m03_exact_dedup_groups" -> (CorpusQueries.exactDedupGroups _),
+    "m05_minhash_pairs" -> (CorpusQueries.minhashPairs _),
+    "m14_gram_index_jaccard" -> (CorpusQueries.gramIndexJaccard _),
+    "m17_dedup_clusters" -> (CorpusQueries.dedupClusters _),
+    "m52_curriculum_shards" -> (CorpusQueries.curriculumShards _),
+    "m71_compression_ratio" -> (CorpusQueries.compressionRatios _),
+    "m73_source_interleave" -> (CorpusQueries.sourceInterleave _),
+    "m76_char_entropy" -> (CorpusQueries.charEntropy _),
+    "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
+    // ANN tier: quantizer training must degrade to an empty model, not
+    // require a non-empty sample
+    "m08_ann_brute" -> (CorpusQueries.annBruteForce _),
+    "m12_ann_ivf" -> (CorpusQueries.annIvf _),
+    "m33_semantic_dedup" -> (CorpusQueries.semanticDedup _)
+  )
+
+  queries.foreach { case (name, fn) =>
+    test(s"$name returns empty, not an error, on an empty corpus") {
+      fn(spark, emptyDir).count() shouldBe 0L
+    }
+  }
+}
