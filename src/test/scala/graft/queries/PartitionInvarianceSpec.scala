@@ -84,4 +84,26 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m17 dedup cluster labels identical across partitionings") {
     assertInvariant(CorpusQueries.dedupClusters)
   }
+
+  // Order-sensitive joins and windows: a missing tie-break here would
+  // flip WHICH row wins between partitionings, not just row order.
+  test("q37 as-of join: latest-order pick identical across partitionings") {
+    assertInvariant(RetailQueries.asofLastOrder)
+  }
+
+  test("q38 sessionize: session ids and bounds identical across partitionings") {
+    assertInvariant(RetailQueries.sessionizeBatch)
+  }
+
+  test("q41 range window: frame aggregates identical across partitionings") {
+    assertInvariant(RetailQueries.rangeWindow)
+  }
+
+  test("q42 range join: band assignment identical across partitionings") {
+    assertInvariant(RetailQueries.rangeJoinBands)
+  }
+
+  test("m80 salted join: salting invisible across partitionings") {
+    assertInvariant(CorpusQueries.saltedEventJoin)
+  }
 }
