@@ -29,20 +29,26 @@ class PartitionInvarianceSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
 
-  /** Run `q` under (shuffle partitions = 2) and (= 13) and demand
-    * identical output. 13 is coprime to every natural key cardinality in
-    * the testdata; 2 forces multi-row partitions and heavy partial
-    * aggregation. */
+  /** Run `q` under (shuffle partitions = 2, default input splits) and
+    * (= 13, 64 KB input splits — many more scan tasks, different file-
+    * split boundaries) and demand identical output. 13 is coprime to
+    * every natural key cardinality in the testdata; 2 forces multi-row
+    * partitions and heavy partial aggregation. */
   private def assertInvariant(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Unit = {
     val conf = spark.conf
-    val orig = conf.get("spark.sql.shuffle.partitions")
+    val origShuffle = conf.get("spark.sql.shuffle.partitions")
+    val origSplit = conf.get("spark.sql.files.maxPartitionBytes")
     try {
       conf.set("spark.sql.shuffle.partitions", "2")
       val a = rows(q(spark, dir))
       conf.set("spark.sql.shuffle.partitions", "13")
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
       val b = rows(q(spark, dir))
       a shouldBe b
-    } finally conf.set("spark.sql.shuffle.partitions", orig)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", origShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", origSplit)
+    }
   }
 
   test("q32 statsAgg: decimal-sum variance/stddev identical across partitionings") {
