@@ -30,7 +30,7 @@ object Sinks {
       // the partition column to the end of the table schema — realign the
       // frame to the table's column order or every later insert writes
       // values into the wrong columns.
-      val ordered = df.select(spark.table(table).columns.map(df.col): _*)
+      val ordered = df.select(spark.table(table).columns.toIndexedSeq.map(df.col): _*)
       // The session conf, not the write option: the option is not honored
       // on the catalog-table insertInto path and silently degrades to a
       // STATIC overwrite (wiping every other partition).

@@ -51,10 +51,10 @@ object AsofJoin {
         lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__pay"))
     val payType = r0.schema("__pay").dataType
     val lAligned = left.select(
-      left.columns.map(col) ++ Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
+      left.columns.toIndexedSeq.map(col) ++ Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
         lit(1).as("__side"), lit(null).cast(payType).as("__pay")): _*)
     val rAligned = r0.select(
-      left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+      left.schema.fields.toIndexedSeq.map(f => lit(null).cast(f.dataType).as(f.name)) ++
         Seq(col("__k"), col("__t"), col("__side"), col("__pay")): _*)
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc)
@@ -62,7 +62,7 @@ object AsofJoin {
     lAligned.unionByName(rAligned)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

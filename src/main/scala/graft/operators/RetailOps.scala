@@ -133,7 +133,7 @@ object RetailOps {
     val others = df.columns.filterNot(c => keys.contains(c) || orderCols.contains(c))
     df.groupBy(keys.map(col): _*)
       .agg(min(struct((orderCols ++ others).map(col): _*)).as("__first"))
-      .select(df.columns.map(c =>
+      .select(df.columns.toIndexedSeq.map(c =>
         if (keys.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
   }
 

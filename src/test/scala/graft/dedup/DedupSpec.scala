@@ -167,14 +167,14 @@ class DedupSpec extends SparkSpec {
     val before = sc.getPersistentRDDs.keySet
     val labels = DedupClusters.components(pairs)
     labels.count() shouldBe 9
-    val afterComponents = sc.getPersistentRDDs.keySet -- before
+    val afterComponents = sc.getPersistentRDDs.keySet.toSet -- before
     afterComponents.size shouldBe 1
 
     // Bracket form: zero persisted-RDD delta once it returns.
     val got = DedupClusters.withComponents(pairs)(
       _.as[(Long, Long)].collect().toMap)
     got(40L) shouldBe 10L
-    (sc.getPersistentRDDs.keySet -- before -- afterComponents) shouldBe empty
+    (sc.getPersistentRDDs.keySet.toSet -- before -- afterComponents) shouldBe empty
 
     // release the plain-call snapshot so this spec leaves the shared
     // session clean for later suites.

@@ -79,10 +79,10 @@ class PrefixSumSpec extends SparkSpec {
     val df = (0L until 500L).map(i => (i, i % 5)).toDF("k", "v")
     val before = sc.getPersistentRDDs.keySet
     PrefixSum.exclusiveRunningTotals(df, "k", "v").count() shouldBe 500
-    (sc.getPersistentRDDs.keySet -- before).size shouldBe 1 // ranged only
+    (sc.getPersistentRDDs.keySet.toSet -- before).size shouldBe 1 // ranged only
     val before2 = sc.getPersistentRDDs.keySet
     PrefixSum.exclusiveRunningTotalsBy(df, Seq(col("k").desc), "v").count() shouldBe 500
-    (sc.getPersistentRDDs.keySet -- before2).size shouldBe 1
+    (sc.getPersistentRDDs.keySet.toSet -- before2).size shouldBe 1
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 

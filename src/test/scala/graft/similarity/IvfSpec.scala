@@ -64,7 +64,7 @@ class IvfSpec extends SparkSpec {
       .toDF("id", "vec")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val model = Ivf.train(big, nlist = 64, iters = 2)
-    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+    (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before) shouldBe empty
     model.nlist shouldBe 64
     val cells = big.select(Ivf.cellId($"vec", model).as("c")).as[Int].collect()
     all(cells) should (be >= 0 and be < 64)
