@@ -1,5 +1,7 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Keep the build warning-clean: deprecations surfaced, not accumulated.
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-unchecked")
 name := "airflowretailetlspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
