@@ -1,6 +1,7 @@
 package graft
 
 import graft.similarity.{Ivf, IvfPq, PcaPower, Pq}
+import graft.text.Bpe
 
 /** Per-run capture of trained ANN models (IVF centroids, PQ codebooks) so
   * [[SparkEntry.oracleSql]] can hand the driver a DuckDB replay of the
@@ -344,6 +345,76 @@ object OracleModelSql {
       "FROM ps p JOIN best b ON b.query_id = p.query_id AND b.rank = p.rank"
   }
 
+  /** m40: full BPE-encode replay over the captured merge list. The
+    * TRAINING loop stays spec-pinned (BpeSpec — textbook merge sequence,
+    * round-trip), but a finished run's merge list is just ranked string
+    * pairs, and greedy ENCODE is replayable: a recursive CTE holds each
+    * word's symbol sequence as a string with every symbol wrapped in
+    * chr(31) separators (boundaries are double-seps, so a merge pattern
+    * `␟a␟␟b␟` can only match WHOLE adjacent symbols — a bare `a␟b` would
+    * also match a symbol's suffix, e.g. symbol "xa" before "b"), and each
+    * step applies the minimum-rank applicable merge to every left-to-right
+    * occurrence — SQL `replace` scans left-to-right non-overlapping,
+    * exactly [[graft.text.Bpe.encodeWord]]'s `j += 2` loop. Recursion ends
+    * when no merge applies (the lateral min-rank probe returns NULL and
+    * the join drops the row); the max-step row per word is the final
+    * encoding. Sound because the corpus contract is separator-free text
+    * (chr(31) never appears; TESTDATA is ASCII), and cheap because the
+    * CTE iterates over DISTINCT words — the same Zipf amortization as the
+    * engine's per-partition memo. */
+  private def bpeEncodeCtes(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val mv = merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '${esc(a)}', '${esc(b)}')" }.mkString(", ")
+    val sep = "chr(31)"
+    val pat = s"$sep || m.a || $sep || $sep || m.b || $sep"
+    val probePat = s"$sep || x.a || $sep || $sep || x.b || $sep"
+    "WITH RECURSIVE " +
+      s"merges(rank, a, b) AS (VALUES $mv), " +
+      "docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(trim(text)) AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "wx AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+      "unnest(string_split_regex(t, ' +')) AS w FROM docs) x WHERE w <> ''), " +
+      "words AS (SELECT DISTINCT w FROM wx), " +
+      "enc(w, step, st) AS (" +
+      s"SELECT w, 0, $sep || list_aggregate(string_split(w, ''), 'string_agg', $sep || $sep) " +
+      s"|| $sep || $sep || '${Bpe.Eow}' || $sep FROM words " +
+      "UNION ALL " +
+      s"SELECT e.w, e.step + 1, replace(e.st, $pat, $sep || m.a || m.b || $sep) " +
+      "FROM (SELECT w, step, st, (SELECT min(rank) FROM merges x " +
+      s"WHERE contains(st, $probePat)) AS br FROM enc) e " +
+      "JOIN merges m ON m.rank = e.br), " +
+      "fin AS (SELECT w, st FROM (SELECT w, st, " +
+      "row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn FROM enc) z WHERE rn = 1), " +
+      s"tok AS (SELECT w, len(string_split(st, $sep || $sep)) AS n_tok FROM fin), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_bpe FROM wx JOIN tok USING (w) GROUP BY 1), " +
+      "perdoc AS (SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
+      "CAST(length(d.t) AS BIGINT) AS n_chars, coalesce(a.n_bpe, 0) AS n_bpe " +
+      "FROM docs d LEFT JOIN agg a USING (doc_id)) "
+  }
+
+  def bpeTokenStats(merges: Seq[(String, String)]): String =
+    bpeEncodeCtes(merges) +
+      "SELECT doc_id, n_words, n_chars, n_bpe AS n_bpe_tokens, " +
+      "CASE WHEN n_words = 0 THEN 0.0 " +
+      "ELSE CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE) END AS bpe_per_word " +
+      "FROM perdoc"
+
+  /** m79: the per-source fertility REPORT fully replayed — the recursive
+    * encode above makes the BPE-dependent token totals themselves
+    * recomputable, so the certificate form (exact companions +
+    * `fertility_ok`) is superseded by hash-checking the raw numbers. */
+  def bpeFertility(merges: Seq[(String, String)]): String =
+    bpeEncodeCtes(merges) +
+      "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(p.n_words) AS BIGINT) AS total_words, " +
+      "CAST(sum(p.n_bpe) AS BIGINT) AS total_bpe_tokens, " +
+      "CAST(sum(p.n_bpe) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) AS fertility, " +
+      "CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_bpe) AS DOUBLE) AS chars_per_token " +
+      "FROM perdoc p JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source " +
+      "FROM documents) s USING (doc_id) GROUP BY 1"
+
   /** Oracle entries for every model a query run has deposited — merged
     * into [[SparkEntry.oracleSql]]. Parameters (k, nprobe, cap, sweep
     * points, candMult) mirror the CorpusQueries call sites. */
@@ -360,5 +431,9 @@ object OracleModelSql {
       OracleCapture.get[IvfPq.Model]("m47_ann_rerank").map(m => "m47_ann_rerank" -> ivfPqRerank(m, 5, 4, 5)).toMap ++
       OracleCapture.get[(Seq[(Long, Long, Long)], Long)]("m53_mmr_rerank").map { case (picks, off) =>
         "m53_mmr_rerank" -> mmrCertificate(picks, off, k = 5, lambda = 0.7, candMult = 10) }.toMap ++
-      OracleCapture.get[PcaPower.IterState]("m63_pca_top_component").map(st => "m63_pca_top_component" -> pcaTopComponent(st)).toMap
+      OracleCapture.get[PcaPower.IterState]("m63_pca_top_component").map(st => "m63_pca_top_component" -> pcaTopComponent(st)).toMap ++
+      OracleCapture.get[Seq[(String, String)]]("m40_bpe_tokens")
+        .filter(_.nonEmpty).map(ms => "m40_bpe_tokens" -> bpeTokenStats(ms)).toMap ++
+      OracleCapture.get[Seq[(String, String)]]("m79_tokenizer_fertility")
+        .filter(_.nonEmpty).map(ms => "m79_tokenizer_fertility" -> bpeFertility(ms)).toMap
 }

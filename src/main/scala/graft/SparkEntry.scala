@@ -113,8 +113,10 @@ object SparkEntry {
     "m38_ann_ivfpq" -> (CorpusQueries.annIvfPq _),
     "m81_ann_ivfpq_batch" -> (CorpusQueries.annIvfPqBatch _),
     "m39_train_val_test" -> (CorpusQueries.trainValTestSplit _),
-    // m40 has no oracle by design: BPE's iterative merge loop isn't SQL;
-    // BpeSpec pins the textbook merge sequence, round-trip, and bounds.
+    // m40 is CERTIFIED (the q40 recipe): the merge-TRAINING loop stays
+    // spec-pinned (BpeSpec: textbook merge sequence, round-trip, bounds),
+    // and the oracle replays greedy ENCODE over the captured merge list
+    // in a DuckDB recursive CTE (OracleModelSql.bpeTokenStats).
     "m40_bpe_tokens" -> (CorpusQueries.bpeTokenStats _),
     "m41_cluster_quota" -> (CorpusQueries.clusterQuotaSample _),
     "m42_repeated_windows" -> (CorpusQueries.repeatedWindows _),
@@ -172,11 +174,11 @@ object SparkEntry {
     "m76_char_entropy" -> (CorpusQueries.charEntropy _),
     "m77_pack_split_leaks" -> (CorpusQueries.packSplitLeaks _),
     "m78_embed_outliers" -> (CorpusQueries.embedOutliers _),
-    // m79 is CERTIFIED (the q40 recipe): the BPE-dependent token totals
-    // stay spec-pinned on the raw report (fertility ≥ 1, merge-count
-    // monotonicity, aggregation arithmetic — tokenizerFertilityRaw), and
-    // the oracle hash-checks the exact per-source doc/word/char totals
-    // plus the tokens-within-[words, chars] certificate (fertility_ok).
+    // m79 is fully REPLAYED since round 11's m40 flip: the recursive-CTE
+    // BPE encode makes the per-source token totals DuckDB-recomputable,
+    // so the raw fertility report is hash-checked directly
+    // (OracleModelSql.bpeFertility over the captured merge list);
+    // CorpusQueriesSpec still pins fertility ≥ 1 and merge monotonicity.
     "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
     "m80_salted_join" -> (CorpusQueries.saltedEventJoin _)
   )
@@ -523,14 +525,13 @@ object SparkEntry {
         "SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term " +
         "FROM documents) x WHERE term <> '' GROUP BY 1) t " +
         "ORDER BY tf DESC, term LIMIT 100"),
-    // M8 oracles. m40 is the sole intentional omission: BPE's iterative
-    // merge-training loop isn't SQL-expressible and has no finished-run
-    // certificate short of replaying the loop → no-oracle (BpeSpec pins
-    // the textbook merge sequence, round-trip, and bounds). All other
-    // m-queries — including the trained/seeded-model ones — are replayed
-    // in DuckDB by inlining the model as literals (OracleModelSql for
-    // the captured quantizers and the PCA final pass, the hyperplane/
-    // permutation CTEs below for the seeded hashes).
+    // M8 oracles. Every m-query is hash-checked: the trained/seeded-model
+    // ones are replayed in DuckDB by inlining the model as literals
+    // (OracleModelSql for the captured quantizers, the PCA final pass and
+    // the m40 BPE merge list — whose greedy encode a recursive CTE
+    // replays in full — plus the hyperplane/permutation CTEs below for
+    // the seeded hashes). Only the non-replayable INTERNALS (k-means/BPE/
+    // power-iteration training loops, deflate) stay spec-pinned.
     "m11_multimodal" ->
       ("WITH png AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L " +
         "FROM documents WHERE doc_id % 2 = 0), " +
@@ -881,20 +882,8 @@ object SparkEntry {
     "m71_compression_ratio" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_raw_bytes, " +
         "TRUE AS deflate_ok FROM documents WHERE text IS NOT NULL"),
-    // m79: exact per-source doc/word/char totals replayed (same
-    // whitespace-split walk as m75); fertility_ok is the engine's
-    // tokens-within-[words, chars] + ratio-arithmetic certificate.
-    "m79_tokenizer_fertility" ->
-      ("WITH d AS (SELECT doc_id, source, lower(trim(text)) AS t " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM (" +
-        "SELECT doc_id, unnest(string_split_regex(t, ' +')) AS term FROM d) x " +
-        "WHERE term <> '' GROUP BY 1) " +
-        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(coalesce(wc.n_words, 0)) AS BIGINT) AS total_words, " +
-        "CAST(sum(length(d.t)) AS BIGINT) AS total_chars, " +
-        "TRUE AS fertility_ok " +
-        "FROM d LEFT JOIN wc USING (doc_id) GROUP BY 1"),
+    // m79's oracle is generated from the captured merge list
+    // (OracleModelSql.bpeFertility — full fertility-report replay).
     "m73_source_interleave" ->
       ("WITH d AS (SELECT doc_id, source FROM documents), " +
         "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx " +

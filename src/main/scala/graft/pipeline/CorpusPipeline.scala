@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** `snapshot = false` skips the mid-pipeline localCheckpoint so the whole
+    * dataflow stays ONE inspectable plan — PlanSpec uses it to pin that no
+    * exchange carries document text (a checkpoint truncates the plan into
+    * a LogicalRDD scan, hiding the upstream exchanges from assertion).
+    * Production callers keep the default: the deduped set feeds three
+    * consumers and must not recompute per consumer. */
   def prepare(docs: DataFrame, lang: String = "en", minQuality: Double = 0.3,
               jaccardThreshold: Double = 0.6, dfCap: Int = 50,
-              chunkSize: Int = 50, chunkStride: Int = 40): DataFrame = {
+              chunkSize: Int = 50, chunkStride: Int = 40,
+              snapshot: Boolean = true): DataFrame = {
     val gated = docs
       .select(col("doc_id"), col("text"), TextOps.profile(col("text")).as("p"))
       .filter(col("p.lang_pred") === lang && col("p.quality") >= minQuality)
@@ -39,7 +46,8 @@ object CorpusPipeline {
     // long-lived sessions must release them once the result is consumed
     // (Bench/Verify unpersist all snapshots between queries — queries
     // share no state, so anything still pinned is dead weight).
-    val exact = ExactDedup.dedup(gated).localCheckpoint(eager = false)
+    val deduped = ExactDedup.dedup(gated)
+    val exact = if (snapshot) deduped.localCheckpoint(eager = false) else deduped
     val pairs = NgramJaccard
       .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
       .select("doc_a", "doc_b")
@@ -66,7 +74,8 @@ object CorpusPipeline {
     */
   def prepareV2(docs: DataFrame, lang: String = "en", minQuality: Double = 0.3,
                 jaccardThreshold: Double = 0.6, dfCap: Int = 50,
-                chunkSize: Int = 50, chunkStride: Int = 40): DataFrame = {
+                chunkSize: Int = 50, chunkStride: Int = 40,
+                snapshot: Boolean = true): DataFrame = {
     // Each scrub stage lands in its own projection so the collapse lambda
     // references an ATTRIBUTE, not the upstream expression tree — see
     // Repetition.collapseTokens' contract (inlining the chain re-runs the
@@ -79,7 +88,8 @@ object CorpusPipeline {
       .select(col("doc_id"), split(lower(trim(col("text"))), " +").as("t"))
       .select(col("doc_id"),
         graft.text.Repetition.collapseTokens(col("t")).as("text"))
-    val exact = ExactDedup.dedup(gated).localCheckpoint(eager = false)
+    val deduped = ExactDedup.dedup(gated)
+    val exact = if (snapshot) deduped.localCheckpoint(eager = false) else deduped
     val pairs = NgramJaccard
       .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
       .select("doc_a", "doc_b")

@@ -256,11 +256,16 @@ object CorpusQueries {
     * the estimate). The merge budget is sized BELOW the corpus's ~31-word
     * vocabulary's full-merge point so the output shows genuine subword
     * structure (200 merges would collapse every word to one token and
-    * prove nothing). Rows-only by design (iterative merges aren't SQL);
-    * BpeSpec pins the textbook merge sequence and round-trip. */
+    * prove nothing). The TRAINING loop stays spec-pinned (BpeSpec pins
+    * the textbook merge sequence and round-trip); the finished run's
+    * merge list is captured so the oracle replays greedy ENCODE itself in
+    * a DuckDB recursive CTE ([[graft.OracleModelSql.bpeTokenStats]]) —
+    * the q40/m53 captured-model recipe. */
   def bpeTokenStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
+    val model = bpeModel(s, dir)
+    graft.OracleCapture.put("m40_bpe_tokens", model.merges)
+    graft.text.Bpe.tokenStats(docs, model)
   }
 
   /** One trained BPE model per corpus per JVM: m40 and m79 share the same
@@ -294,11 +299,9 @@ object CorpusQueries {
     * training FLOPs per word. One partial-agg exchange on source; the
     * encode pass is m40's memoized per-partition map.
     *
-    * This is the RAW report (fertility/chars_per_token carry the
-    * BPE-dependent token counts, which DuckDB cannot replay — the m40
-    * argument); [[tokenizerFertility]] is the certified driver query.
     * CorpusQueriesSpec pins fertility ≥ 1, arithmetic consistency and
-    * merge-count monotonicity here. */
+    * merge-count monotonicity here; [[tokenizerFertility]] is this report
+    * with the merge list captured for the oracle replay. */
   def tokenizerFertilityRaw(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
@@ -313,36 +316,15 @@ object CorpusQueries {
           sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
   }
 
-  /** CERTIFIED m79 (the q40 recipe): the exact, replayable companions —
-    * per-source doc counts, whitespace word totals, char totals (all
-    * independently recomputable by DuckDB from the documents table) —
-    * hash-checked next to `fertility_ok`, the engine's certificate over
-    * the BPE-dependent token totals: every nonempty word encodes to
-    * between 1 token and its char count, so per source
-    * total_words ≤ total_bpe_tokens ≤ total_chars must hold, and the
-    * reported fertility/chars_per_token ratios must match their own
-    * numerators and denominators. The raw report with the token counts
-    * stays the engine surface ([[tokenizerFertilityRaw]], spec-pinned) —
-    * same split as q40's sketch estimates. */
+  /** m79 driver query: the RAW fertility report, fully hash-checked —
+    * round 11's recursive-CTE encode replay (the m40 flip) made the
+    * BPE-dependent token totals themselves DuckDB-recomputable, so the
+    * interim certificate form (exact companions + `fertility_ok`) is
+    * superseded; the oracle now recomputes fertility/chars_per_token from
+    * the captured merge list ([[graft.OracleModelSql.bpeFertility]]). */
   def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
-      .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("total_words"),
-        sum(col("n_chars")).as("total_chars"),
-        sum(col("n_bpe_tokens")).as("tb"),
-        (sum(col("n_bpe_tokens")).cast("double") /
-          sum(col("n_words")).cast("double")).as("fert"),
-        (sum(col("n_chars")).cast("double") /
-          sum(col("n_bpe_tokens")).cast("double")).as("cpt"))
-      .select(col("source"), col("n_docs"), col("total_words"),
-        col("total_chars"),
-        (col("tb") >= col("total_words") && col("tb") <= col("total_chars") &&
-          col("fert") === col("tb").cast("double") / col("total_words").cast("double") &&
-          col("cpt") === col("total_chars").cast("double") / col("tb").cast("double"))
-          .as("fertility_ok"))
+    graft.OracleCapture.put("m79_tokenizer_fertility", bpeModel(s, dir).merges)
+    tokenizerFertilityRaw(s, dir)
   }
 
   /** Cross-doc repeated 30-token windows (m42) over the augmented corpus

@@ -96,6 +96,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m18/m28: end-to-end corpus pipeline exchanges never carry document text") {
+    // snapshot=false keeps the whole dataflow one inspectable plan (the
+    // production checkpoint truncates it into a LogicalRDD scan). After
+    // AQE finalizes, every exchange must carry fingerprints, gram hashes,
+    // posting ids or pair ids — document bodies move only inside a stage,
+    // never across one. The id-only winner/non-canonical sides must
+    // broadcast back (semi/anti), not drag the corpus into a shuffle.
+    val docs = graft.Tables.documents(spark, dir)
+    for (df <- Seq(
+      graft.pipeline.CorpusPipeline.prepare(docs, snapshot = false),
+      graft.pipeline.CorpusPipeline.prepareV2(docs, snapshot = false))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+      (exchanges should not).include("text#")
+      (p should not).include("CartesianProduct")
+    }
+  }
+
   test("minhash signature generation itself plans with zero exchanges") {
     val sigs = graft.dedup.MinHashLSH.signatures(
       graft.Tables.documents(spark, dir))
