@@ -180,7 +180,8 @@ object SparkEntry {
     // (OracleModelSql.bpeFertility over the captured merge list);
     // CorpusQueriesSpec still pins fertility ≥ 1 and merge monotonicity.
     "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
-    "m80_salted_join" -> (CorpusQueries.saltedEventJoin _)
+    "m80_salted_join" -> (CorpusQueries.saltedEventJoin _),
+    "m82_span_scrub" -> (CorpusQueries.spanScrub _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -587,6 +588,29 @@ object SparkEntry {
         "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
         "WHERE df >= 2) " +
         "SELECT doc_id, window_idx, fp FROM f JOIN rep USING (fp)"),
+    // m82: m42's flagged windows cut out of the text — token j is removed
+    // iff a flagged window starts in [j-29, j] (the window-union coverage
+    // test), then the kept tokens re-join in order.
+    "m82_span_scrub" ->
+      (AugmentedDocs +
+        ", toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) <= 30 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 30), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 30), ' ')) END AS ws FROM toks), " +
+        "x AS (SELECT doc_id, unnest(ws) AS wtext, unnest(range(0, len(ws))) AS widx FROM w), " +
+        "f AS (SELECT doc_id, widx, md5(wtext) AS fp FROM x), " +
+        "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
+        "WHERE df >= 2), " +
+        "fl AS (SELECT doc_id, widx FROM f JOIN rep USING (fp)), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS j, len(t) AS n FROM toks), " +
+        "kept AS (SELECT tk.doc_id, tk.tok, tk.j, tk.n, NOT EXISTS (SELECT 1 FROM fl " +
+        "WHERE fl.doc_id = tk.doc_id AND fl.widx BETWEEN tk.j - 29 AND tk.j) AS keep FROM tk) " +
+        "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, " +
+        "CAST(max(n) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '') AS scrubbed_text " +
+        "FROM kept GROUP BY 1"),
     "m19_repetition_collapse" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

@@ -333,6 +333,15 @@ object CorpusQueries {
     graft.text.RepeatedWindows.flag(
       withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
 
+  /** Repeated-span REMOVAL (m82): m42's flagged windows actually cut out
+    * of every document — the exact-substring dedup rewrite a training
+    * pipeline ships. Same augmented corpus and window width as m42, so
+    * the two queries audit the same repetition mass from both sides
+    * (what was flagged vs what the scrubbed corpus no longer contains). */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanScrub.scrub(
+      withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
+
   /** Snapshot diff (m44): the current corpus plays the NEW snapshot; the
     * OLD one is derived deterministically so every status is exercised —
     * doc_id%10==7 absent from old ("added"), %10==3 text-mutated in old

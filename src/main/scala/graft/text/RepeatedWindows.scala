@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object RepeatedWindows {
 
+  /** Spark's `trim` strips ASCII SPACE only — String.trim would also
+    * strip tabs/controls and diverge from the Column form. Shared with
+    * [[SpanScrub]] so the rewrite tokenizes exactly like the window pass. */
+  private[text] def sparkTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
   /** Compiled per-document window fingerprints as RAW 16-byte MD5:
     * (doc_id, window_idx, fp BINARY). Tokenization is ASCII
     * trim/lower/split-on-spaces — the exact semantics of
@@ -63,15 +74,6 @@ object RepeatedWindows {
         def fpOf(s: String): Array[Byte] = {
           md.reset()
           md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-        // Spark's trim strips ASCII SPACE only — String.trim would also
-        // strip tabs/controls and diverge from the Column form.
-        def sparkTrim(s: String): String = {
-          var a = 0
-          var b = s.length
-          while (a < b && s.charAt(a) == ' ') a += 1
-          while (b > a && s.charAt(b - 1) == ' ') b -= 1
-          s.substring(a, b)
         }
         it.flatMap { case (docId, text) =>
           val toks = sparkTrim(text).toLowerCase(java.util.Locale.ROOT).split(" +")

@@ -35,6 +35,7 @@ class EmptyCorpusSpec extends SparkSpec {
     "m73_source_interleave" -> (CorpusQueries.sourceInterleave _),
     "m76_char_entropy" -> (CorpusQueries.charEntropy _),
     "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
+    "m82_span_scrub" -> (CorpusQueries.spanScrub _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

@@ -75,6 +75,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.curriculumShards)
   }
 
+  test("m82 span scrub: rewritten text identical across partitionings") {
+    // The cut lists pass through collect_list (order partition-dependent)
+    // before sort_array normalizes them; the rewrite must not leak that.
+    assertInvariant(CorpusQueries.spanScrub)
+  }
+
   // The dedup tier's capped collections (CappedCollect, bucketCap) keep
   // MEMBERSHIP deterministic while their internal order is partition-
   // dependent — these three assert that no consumer ever leaks that
