@@ -115,6 +115,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("m82: span-scrub rewrite exchanges carry cut lists, never text; no cartesian") {
+    // The corpus joins repetition-mass-bounded (doc_id, cut_idx) lists —
+    // that side must broadcast (or at worst exchange ids); document text
+    // must never appear in a shuffle, and nothing may degrade to a
+    // cartesian product.
+    val df = CorpusQueries.spanScrub(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+  }
+
   test("minhash signature generation itself plans with zero exchanges") {
     val sigs = graft.dedup.MinHashLSH.signatures(
       graft.Tables.documents(spark, dir))
