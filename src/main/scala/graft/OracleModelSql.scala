@@ -418,6 +418,31 @@ object OracleModelSql {
   /** Oracle entries for every model a query run has deposited — merged
     * into [[SparkEntry.oracleSql]]. Parameters (k, nprobe, cap, sweep
     * points, candMult) mirror the CorpusQueries call sites. */
+  /** m83: replay the quality-classifier SCORING pass with the captured
+    * weights inlined. Features come from the same text-stats base the
+    * m01/m02 oracles use (SparkEntry's fragments — kept in lockstep with
+    * TextOps.profile), the label replays the m02 gate, and the logit is
+    * the left-associated w0 + w1·f1 + … exactly as the engine's literal
+    * expression writes it. Training (the GD loop) is driver-state
+    * recursion pinned by QualityClassifierSpec — but scoring, the only
+    * pass that ever touches the corpus at scale, is recomputed here
+    * end-to-end from the parquet. */
+  def qualityClassifier(w: Seq[Double]): String = {
+    val z = s"(${lit(w(0))} + ${lit(w(1))} * f1 + ${lit(w(2))} * f2 " +
+      s"+ ${lit(w(3))} * f3 + ${lit(w(4))} * f4 + ${lit(w(5))} * f5)"
+    "WITH " + SparkEntry.textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
+      ", f AS (SELECT doc_id, " +
+      s"CASE WHEN ${SparkEntry.LangExpr} = 'en' AND ${SparkEntry.QualityExpr} >= 0.3 " +
+      "THEN 1.0 ELSE 0.0 END AS y, " +
+      "least(CAST(n_words AS DOUBLE) / 200.0, 1.0) AS f1, " +
+      "least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 4.0, 1.0) AS f2, " +
+      "least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f3, " +
+      "least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f4, " +
+      "CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) AS f5 FROM base) " +
+      s"SELECT doc_id, CAST(y AS BIGINT) AS label, $z AS logit, " +
+      s"CAST($z >= 0.0 AS BIGINT) AS pred FROM f"
+  }
+
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
       OracleCapture.get[(Ivf.Model, Long)]("m33_semantic_dedup").map { case (m, off) =>
@@ -435,5 +460,7 @@ object OracleModelSql {
       OracleCapture.get[Seq[(String, String)]]("m40_bpe_tokens")
         .filter(_.nonEmpty).map(ms => "m40_bpe_tokens" -> bpeTokenStats(ms)).toMap ++
       OracleCapture.get[Seq[(String, String)]]("m79_tokenizer_fertility")
-        .filter(_.nonEmpty).map(ms => "m79_tokenizer_fertility" -> bpeFertility(ms)).toMap
+        .filter(_.nonEmpty).map(ms => "m79_tokenizer_fertility" -> bpeFertility(ms)).toMap ++
+      OracleCapture.get[Seq[Double]]("m83_quality_classifier")
+        .map(w => "m83_quality_classifier" -> qualityClassifier(w)).toMap
 }

@@ -181,7 +181,13 @@ object SparkEntry {
     // CorpusQueriesSpec still pins fertility ≥ 1 and merge monotonicity.
     "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
     "m80_salted_join" -> (CorpusQueries.saltedEventJoin _),
-    "m82_span_scrub" -> (CorpusQueries.spanScrub _)
+    "m82_span_scrub" -> (CorpusQueries.spanScrub _),
+    // m83: learned quality filter — LR distilled from the m02 gate; the
+    // oracle replays the scoring pass with the run's captured weights
+    // (OracleModelSql.qualityClassifier); training GD is spec-pinned
+    // (QualityClassifierSpec: separation, convergence, partition
+    // invariance of the trained weights).
+    "m83_quality_classifier" -> (CorpusQueries.qualityClassifier _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1235,7 +1241,7 @@ object SparkEntry {
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
   // graft.text.TextOps (same regexes, same double-arithmetic order).
-  private def textStatsBaseOver(src: String): String =
+  private[graft] def textStatsBaseOver(src: String): String =
     s"base AS (SELECT doc_id, text, length(text) AS n_chars_c, " +
       "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +
       "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_est, " +
@@ -1247,13 +1253,13 @@ object SparkEntry {
 
   private val TextStatsBase: String = "WITH " + textStatsBaseOver("documents")
 
-  private val QualityExpr: String =
+  private[graft] val QualityExpr: String =
     "(0.4 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) " +
       "+ 0.4 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 4.0, 1.0) " +
       "+ 0.1 * (1.0 - least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0)) " +
       "+ 0.1 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0)))"
 
-  private val LangExpr: String =
+  private[graft] val LangExpr: String =
     "(CASE WHEN n_words = 0 THEN 'unknown' " +
       "WHEN CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) >= 0.03 THEN 'en' " +
       "ELSE 'unknown' END)"

@@ -342,6 +342,14 @@ object CorpusQueries {
     graft.text.SpanScrub.scrub(
       withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
 
+  /** Learned quality filter (m83): logistic regression distilled from the
+    * m02 gate — bounded deterministic training sample, literal-weights
+    * scoring pass; the run's weights are captured so the oracle replays
+    * scoring end-to-end from the parquet. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.trainScore(Tables.documents(s, dir),
+      captureKey = Some("m83_quality_classifier"))
+
   /** Snapshot diff (m44): the current corpus plays the NEW snapshot; the
     * OLD one is derived deterministically so every status is exercised —
     * doc_id%10==7 absent from old ("added"), %10==3 text-mutated in old

@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned quality filter (m83) — a logistic-regression classifier over
+  * the cheap per-document text features, distilling the rule-based
+  * [[TextOps.langQualityGate]] into a linear scorer. This is the missing
+  * tier of the filtering stack: m02 is the hand-tuned heuristic gate,
+  * m68 calibrates it, and this operator is the CCNet/GPT-3-style LEARNED
+  * gate — train a linear model on labeled examples, then score the whole
+  * corpus with it (in production the labels come from a curated reference
+  * corpus; here the heuristic gate supplies them, which also makes the
+  * pipeline self-contained and the distillation gap measurable).
+  *
+  * Scale shape (100 TB):
+  *  - TRAINING reads a deterministic bounded sample: features are
+  *    projected in one compiled [[TextOps.profile]] pass, the sample is
+  *    the first `trainCap` rows in md5(doc_id) order — a
+  *    TakeOrderedAndProject (per-partition top-cap, then a cap-sized
+  *    merge on the driver), never a global sort. Driver training state
+  *    is `trainCap × 6` doubles (~200 KB) and the GD loop never touches
+  *    the cluster — the [[Bpe]]/`Ivf.trainCap` bounded-sample contract.
+  *  - SCORING is one codegen'd projection pass: the trained weights ride
+  *    into the plan as literals (the broadcast-model-in-closure shape),
+  *    so the corpus is scanned once, no shuffle, no per-row join.
+  *  - Determinism: the sample is chosen by content-independent hash
+  *    order and the gradient loop folds it in ascending doc_id order, so
+  *    the trained weights are bit-identical under any input partitioning
+  *    — which is what lets the oracle replay scoring from captured
+  *    weights ([[graft.OracleModelSql.qualityClassifier]]) and the spec
+  *    pin partition invariance exactly.
+  *
+  * Features (all from the one profile struct, each in [0, 1]): the
+  * gate's own saturating transforms — length score min(n_words/200, 1),
+  * stopword score min(4·stopRatio, 1), digit penalty min(10·digitRatio,
+  * 1), punct penalty min(10·punctRatio, 1) — plus the raw stopword
+  * ratio (the language signal). In this basis the gate's quality
+  * threshold is EXACTLY linear (0.4·f1 + 0.4·f2 − 0.1·f3 − 0.1·f4 ≥
+  * 0.1), so the only structure left to learn is the AND with the
+  * language cut — the distillation gap the spec measures. Label: the
+  * m02 gate (lang_pred = 'en' AND quality ≥ 0.3). Training is
+  * full-batch gradient descent on the regularization-free logistic loss
+  * — the simplest convex recipe that is exactly replayable; the
+  * operator contract (bounded deterministic sample → literal-weights
+  * scoring pass) is what carries to a fastText-scale feature set.
+  */
+object QualityClassifier {
+
+  /** Trained model: weights (bias +: one per feature) and the per-iteration
+    * mean training losses (the convergence certificate the spec pins). */
+  final case class Model(w: Array[Double], nTrain: Int, losses: Array[Double])
+
+  val NumFeatures = 5
+
+  /** Feature + label projection: (doc_id, y, f1..f5), one compiled
+    * profile pass, null text excluded (no features to score). */
+  def featuresOf(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nw = col("p.n_words").cast("double")
+    val stopRatio = col("p.n_stopwords").cast("double") / greatest(nw, lit(1.0))
+    docs.filter(t.isNotNull)
+      .select(col("doc_id"), length(t).cast("double").as("nc"),
+        TextOps.profile(t).as("p"))
+      .select(col("doc_id"),
+        when(col("p.lang_pred") === "en" && col("p.quality") >= 0.3, 1.0)
+          .otherwise(0.0).as("y"),
+        least(nw / lit(200.0), lit(1.0)).as("f1"),
+        least(stopRatio * lit(4.0), lit(1.0)).as("f2"),
+        least(col("p.n_digits").cast("double") / greatest(col("nc"), lit(1.0))
+          * lit(10.0), lit(1.0)).as("f3"),
+        least(col("p.n_punct").cast("double") / greatest(col("nc"), lit(1.0))
+          * lit(10.0), lit(1.0)).as("f4"),
+        stopRatio.as("f5"))
+  }
+
+  /** Train on the first `trainCap` docs in md5(doc_id) order (content-
+    * independent, partition-invariant). Full-batch GD, w init 0. */
+  def train(docs: DataFrame, textCol: String = "text", trainCap: Int = 4096,
+            iters: Int = 2000, lr: Double = 2.0): Model = {
+    val sample = featuresOf(docs, textCol)
+      .withColumn("h", md5(concat(lit("qc:"), col("doc_id").cast("string"))))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(trainCap)
+      .select("doc_id", "y", "f1", "f2", "f3", "f4", "f5")
+      .collect() // bounded: ≤ trainCap rows × 7 doubles
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))))
+      .sortBy(_._1) // fixed fold order → bit-identical weights
+    require(sample.nonEmpty, "quality-classifier training sample is empty")
+    val n = sample.length
+    val w = Array.fill(NumFeatures + 1)(0.0)
+    val losses = Array.fill(iters)(0.0)
+    var it = 0
+    while (it < iters) {
+      val g = Array.fill(NumFeatures + 1)(0.0)
+      var loss = 0.0
+      var i = 0
+      while (i < n) {
+        val (_, y, f) = sample(i)
+        var z = w(0)
+        var j = 0
+        while (j < NumFeatures) { z += w(j + 1) * f(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        // clamped log-loss (p can round to exactly 0/1 late in training)
+        loss -= y * math.log(math.max(p, 1e-15)) +
+          (1.0 - y) * math.log(math.max(1.0 - p, 1e-15))
+        val e = p - y
+        g(0) += e
+        j = 0
+        while (j < NumFeatures) { g(j + 1) += e * f(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j <= NumFeatures) { w(j) -= lr / n * g(j); j += 1 }
+      losses(it) = loss / n
+      it += 1
+    }
+    Model(w, n, losses)
+  }
+
+  /** Score every doc with the trained weights as plan literals: one
+    * codegen'd pass, (doc_id, label, logit, pred). `label` is the gate's
+    * verdict, `pred` the classifier's (logit ≥ 0) — diffing them is the
+    * distillation-error report. */
+  def score(docs: DataFrame, model: Model, textCol: String = "text"): DataFrame = {
+    require(model.w.length == NumFeatures + 1, "weight/feature arity mismatch")
+    val f = featuresOf(docs, textCol)
+    // left-associated w0 + w1·f1 + … exactly as the oracle SQL writes it
+    val z = lit(model.w(0)) + lit(model.w(1)) * col("f1") +
+      lit(model.w(2)) * col("f2") + lit(model.w(3)) * col("f3") +
+      lit(model.w(4)) * col("f4") + lit(model.w(5)) * col("f5")
+    f.select(col("doc_id"), col("y").cast("long").as("label"), z.as("logit"),
+      (z >= 0.0).cast("long").as("pred"))
+  }
+
+  /** Train-then-score with per-run oracle capture (the [[graft.similarity.PcaPower]]
+    * captureKey recipe): the exact weights this run scored with are what
+    * the DuckDB replay inlines. */
+  def trainScore(docs: DataFrame, captureKey: Option[String] = None): DataFrame = {
+    val model = train(docs)
+    captureKey.foreach(k => graft.OracleCapture.put(k, model.w.toSeq))
+    score(docs, model)
+  }
+}

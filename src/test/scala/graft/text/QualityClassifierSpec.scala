@@ -1,0 +1,77 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 gate-passing English docs + 60 junk docs (digit mash / punct mash,
+  // no stopword mass) — linearly separable in the m83 feature space.
+  private lazy val planted = {
+    val good = (0L until 60L).map { i =>
+      (i, ("the quick brown fox jumps over the lazy dog and it is a fine day " +
+        "for the walk in the park with a friend of the family ") * 3)
+    }
+    val junk = (60L until 120L).map { i =>
+      (i, if (i % 2 == 0) s"4823 9913 ${i} 77120 00 382 4451 9 0023 118 55"
+          else "!!! ??? ,,, ;;; ... ((())) --- ::: ??? !!! ... ,,,")
+    }
+    (good ++ junk).toDF("doc_id", "text")
+  }
+
+  test("separates gate-passing docs from junk (planted fixture)") {
+    val out = QualityClassifier.trainScore(planted).cache()
+    val n = out.count()
+    n shouldBe 120
+    // every planted label is as constructed
+    out.filter(col("doc_id") < 60 && col("label") === 0L).count() shouldBe 0
+    out.filter(col("doc_id") >= 60 && col("label") === 1L).count() shouldBe 0
+    // distillation accuracy on a separable fixture: perfect
+    out.filter(col("pred") =!= col("label")).count() shouldBe 0
+    out.unpersist()
+  }
+
+  test("training loss is non-increasing (convergence certificate)") {
+    val m = QualityClassifier.train(planted)
+    m.losses.zip(m.losses.tail).foreach { case (a, b) =>
+      b should be <= a + 1e-12
+    }
+    // and it actually moved: final loss well under ln 2 (the w=0 start)
+    m.losses.last should be < 0.3
+  }
+
+  test("trained weights are bit-identical under repartitioning") {
+    val base = QualityClassifier.train(planted).w.toSeq
+    QualityClassifier.train(planted.repartition(7)).w.toSeq shouldBe base
+    QualityClassifier.train(planted.coalesce(1)).w.toSeq shouldBe base
+  }
+
+  test("trainCap bounds the sample and training still stands up") {
+    val m = QualityClassifier.train(planted, trainCap = 32)
+    m.nTrain shouldBe 32
+    // the hash-ordered 32-doc sample still sees both classes
+    val out = QualityClassifier.score(planted, m)
+    out.filter(col("pred") =!= col("label")).count() shouldBe 0
+  }
+
+  test("null text is excluded from both training and scoring") {
+    val withNull = planted.unionByName(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = QualityClassifier.trainScore(withNull)
+    out.count() shouldBe 120
+    out.filter(col("doc_id") === 999L).count() shouldBe 0
+  }
+
+  test("logit agrees with the gate on real corpus data") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = QualityClassifier.trainScore(docs).cache()
+    val n = out.count()
+    n should be > 0L
+    // distillation of a thresholded nonlinear rule by a linear model is
+    // not exact — but it should agree on the overwhelming majority
+    val agree = out.filter(col("pred") === col("label")).count()
+    agree.toDouble / n should be >= 0.9
+    out.unpersist()
+  }
+}
