@@ -187,7 +187,15 @@ object SparkEntry {
     // (OracleModelSql.qualityClassifier); training GD is spec-pinned
     // (QualityClassifierSpec: separation, convergence, partition
     // invariance of the trained weights).
-    "m83_quality_classifier" -> (CorpusQueries.qualityClassifier _)
+    "m83_quality_classifier" -> (CorpusQueries.qualityClassifier _),
+    // m84: m38's probe served from the persisted AnnAssets index —
+    // oracle replays the search over the captured post-round-trip model
+    // (OracleModelSql.ivfPqTopK, same replay as m38).
+    "m84_ann_stored_probe" -> (CorpusQueries.annStoredProbe _),
+    // m85: banded-minhash recall vs the exact inverted-index reference,
+    // per jaccard band — both chains replayed in the oracle (gramPairCtes
+    // truth + a nested-WITH m05 detect side).
+    "m85_lsh_recall" -> (CorpusQueries.lshRecallAudit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +428,26 @@ object SparkEntry {
     "m14_gram_index_jaccard" ->
       (AugmentedDocs + gramPairCtes("aug") +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
+    // m85: truth = the m14 inverted-index chain at θ=0.5; detected = the
+    // m05 minhash chain, nested in a sub-WITH (its CTE names shadow the
+    // outer gram chain's — the dummy z0 head lets the shared fragment's
+    // leading comma continue the inner WITH).
+    "m85_lsh_recall" ->
+      (AugmentedDocs + gramPairCtes("aug") +
+        ", det AS (WITH z0 AS (SELECT 1)" + MinhashCandCtes +
+        ", nsz AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1), " +
+        "minter AS (SELECT c.doc_a, c.doc_b, count(*) AS shared FROM cand c " +
+        "JOIN shx a ON a.doc_id = c.doc_a " +
+        "JOIN shx b ON b.doc_id = c.doc_b AND a.x = b.x GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b FROM minter " +
+        "JOIN nsz na ON na.doc_id = doc_a JOIN nsz nb ON nb.doc_id = doc_b " +
+        "WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5), " +
+        "audit AS (SELECT least(floor(p.jaccard * 10.0) / 10.0, 0.9) AS band, " +
+        "CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        "FROM pairs p LEFT JOIN det d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b " +
+        "WHERE p.jaccard >= 0.5) " +
+        "SELECT band, count(*) AS n_truth, CAST(sum(hit) AS BIGINT) AS n_hit, " +
+        "CAST(sum(hit) AS DOUBLE) / count(*) AS recall FROM audit GROUP BY band"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,

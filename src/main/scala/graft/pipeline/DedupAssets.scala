@@ -73,13 +73,17 @@ object DedupAssets {
   /** Order-insensitive corpus fingerprint: row count + bit_xor of
     * xxhash64(doc_id, text) over `$dir/documents.parquet`, hex-joined.
     * One narrow scan, memoized per (dir) per JVM. Keys that are not a
-    * corpus dir hash textually (generic materialized callers). */
-  private def fingerprint(s: SparkSession, key: String): String =
-    fingerprints.computeIfAbsent(key, { _ =>
-      val docs = Paths.get(key, "documents.parquet")
-      if (Files.exists(docs)) {
-        val r = s.read.parquet(docs.toString)
-          .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text"))))
+    * corpus dir hash textually (generic materialized callers). Assets
+    * over a different source table pass `fpTable`/`fpCols` — an ANN
+    * index over `embeddings.parquet` must go stale when the EMBEDDINGS
+    * change, whether or not the documents did. */
+  private def fingerprint(s: SparkSession, key: String,
+                          fpTable: String, fpCols: Seq[String]): String =
+    fingerprints.computeIfAbsent(s"$key::$fpTable", { _ =>
+      val src = Paths.get(key, fpTable)
+      if (Files.exists(src)) {
+        val r = s.read.parquet(src.toString)
+          .agg(count(lit(1)), bit_xor(xxhash64(fpCols.map(col): _*)))
           .head()
         val x = if (r.isNullAt(1)) 0L else r.getLong(1)
         f"${r.getLong(0)}%x-$x%016x"
@@ -96,14 +100,17 @@ object DedupAssets {
     * reached via two dir spellings) must serialize on one latch, or both
     * would build into the shared path concurrently. */
   def materialized(s: SparkSession, asset: String, key: String,
-                   sortCols: Seq[String])(build: => DataFrame): DataFrame = {
+                   sortCols: Seq[String],
+                   fpTable: String = "documents.parquet",
+                   fpCols: Seq[String] = Seq("doc_id", "text"))
+                  (build: => DataFrame): DataFrame = {
     val ck = s"$asset::$key"
     val a = Option(cache.get(ck)).getOrElse {
       // Fingerprinting runs a (memoized) Spark job — outside any lock, so
       // concurrent different-key callers still overlap.
       val (path, stable) = stableRoot match {
         case Some(root) =>
-          (s"$root/$asset-${fingerprint(s, key)}-$SemanticsVersion", true)
+          (s"$root/$asset-${fingerprint(s, key, fpTable, fpCols)}-$SemanticsVersion", true)
         case None =>
           (s"$tempRoot/$asset-${java.lang.Integer.toHexString(key.hashCode)}",
             false)

@@ -645,6 +645,34 @@ object CorpusQueries {
     NgramJaccard.invertedIndexPairs(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
       threshold = 0.6, dfCap = 50)
 
+  /** LSH recall audit (m85): the QA dial every probabilistic-dedup rollout
+    * needs before trusting its miss rate — measure the banded-minhash
+    * pipeline's recall against the exact inverted-index reference, per
+    * similarity band. Truth = [[NgramJaccard.invertedIndexPairs]] (every
+    * pair sharing a surviving word-shingle, exact Jaccard); detected =
+    * [[MinHashLSH.verifiedPairs]] (what the 16-band/64-hash signatures
+    * actually surfaced), both at θ = 0.5 over the same corpus. Output:
+    * per 0.1-wide Jaccard band, truth-pair count, detected count, recall
+    * — the measured S-curve (recall should climb toward 1 as jaccard →
+    * 1; the 0.5–0.6 band is where banding theory predicts the misses).
+    * Scale shape: both inputs are pair-id tables (the corpus never joins
+    * by text); the audit join and band aggregation exchange (long, long)
+    * pairs only. */
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
+    lshRecallAuditOver(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)))
+
+  def lshRecallAuditOver(docs: DataFrame): DataFrame = {
+    val truth = NgramJaccard.invertedIndexPairs(docs, threshold = 0.5, dfCap = 50)
+    val det = MinHashLSH.verifiedPairs(docs, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(det, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10.0) / 10.0, lit(0.9)).as("band"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_truth"))
+  }
+
   /** Corpus vocabulary with TF/DF/IDF — the classic explode-shuffle-topk
     * shape (generator → hash agg on term → TakeOrdered). At 100 TB the
     * term exchange is the dominant cost; partial aggregation collapses
@@ -833,6 +861,23 @@ object CorpusQueries {
     graft.OracleCapture.put("m81_ann_ivfpq_batch", model)
     graft.similarity.IvfPq.topKBatch(
       all, graft.similarity.IvfPq.encode(all, model), model, k = 3, nprobe = 2)
+  }
+
+  /** Stored-index retrieval (m84): the m38 probe served from the
+    * [[graft.similarity.AnnAssets]] persisted IVF-PQ index — train+encode
+    * run at most once per (embedding corpus, params) and every later
+    * retrieval is a bounded model load plus a cell-clustered parquet
+    * scan. Same probe set/params as m38, so the output contract is
+    * identical; the oracle replays the search over the LOADED model
+    * (captured after the parquet round-trip — a model that did not
+    * round-trip bit-exactly would hash-mismatch). */
+  def annStoredProbe(s: SparkSession, dir: String): DataFrame = {
+    val all = vectors(s, dir)
+    val (model, enc) = graft.similarity.AnnAssets.ivfPqIndex(
+      s, dir, all, nlist = 16, m = 8, ksub = 16)
+    graft.OracleCapture.put("m84_ann_stored_probe", model)
+    graft.similarity.IvfPq.topK(all.filter(col("id") < 10), enc, model,
+      k = 5, nprobe = 4)
   }
 
   /** Cluster-balanced sampling (m41): the diversity-preserving downsample
