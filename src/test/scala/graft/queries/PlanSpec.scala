@@ -287,6 +287,39 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
   }
 
+  test("m83: classifier scoring is one literal-weights projection — zero exchanges") {
+    // Training collects its bounded sample at call time; what's left as
+    // THE plan — the only pass that touches the corpus at 100 TB — must
+    // be a pure projection: no exchange, no join, scan pruned to the two
+    // columns the features need.
+    val p = plan(CorpusQueries.qualityClassifier(spark, dir))
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("m84: stored-index probe scans the asset, never the raw embeddings") {
+    val df = CorpusQueries.annStoredProbe(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate scan reads the cell-clustered asset shards...
+    p should include("annenc-")
+    p should include("ReadSchema: struct<id:bigint,cell:int,codes:array<int>>")
+    // ...and nothing degrades to a vector shuffle join
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+    (p should not).include("embeddings.parquet")
+  }
+
+  test("m85: recall-audit exchanges carry pair ids and gram hashes, never text") {
+    val df = CorpusQueries.lshRecallAudit(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+  }
+
   test("m80: salted join actually joins on the salt column") {
     val df = CorpusQueries.saltedEventJoin(spark, dir)
     df.collect()
