@@ -88,7 +88,10 @@ object QualityClassifier {
         Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
           r.getDouble(6))))
       .sortBy(_._1) // fixed fold order → bit-identical weights
-    require(sample.nonEmpty, "quality-classifier training sample is empty")
+    // Empty corpus → zero model (scores nothing anyway): the operator
+    // tier's degrade-to-empty contract (EmptyCorpusSpec), not an error.
+    if (sample.isEmpty)
+      return Model(Array.fill(NumFeatures + 1)(0.0), 0, Array.empty)
     val n = sample.length
     val w = Array.fill(NumFeatures + 1)(0.0)
     val losses = Array.fill(iters)(0.0)

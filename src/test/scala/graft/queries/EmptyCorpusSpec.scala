@@ -36,6 +36,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "m76_char_entropy" -> (CorpusQueries.charEntropy _),
     "m79_tokenizer_fertility" -> (CorpusQueries.tokenizerFertility _),
     "m82_span_scrub" -> (CorpusQueries.spanScrub _),
+    // m83: training degrades to the zero model, scoring to an empty frame
+    "m83_quality_classifier" -> (CorpusQueries.qualityClassifier _),
+    "m85_lsh_recall" -> (CorpusQueries.lshRecallAudit _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

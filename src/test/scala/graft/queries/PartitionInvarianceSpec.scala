@@ -118,4 +118,15 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m80 salted join: salting invisible across partitionings") {
     assertInvariant(CorpusQueries.saltedEventJoin)
   }
+
+  test("m83 quality classifier: trained weights AND scores identical across partitionings") {
+    // The md5-ordered bounded sample + ascending-doc_id driver fold make
+    // the weights bit-identical under any input split; the scoring pass
+    // is then a pure projection of plan literals.
+    assertInvariant(CorpusQueries.qualityClassifier)
+  }
+
+  test("m85 LSH recall audit: banded recall report identical across partitionings") {
+    assertInvariant(CorpusQueries.lshRecallAudit)
+  }
 }
