@@ -443,6 +443,38 @@ object OracleModelSql {
       s"CAST($z >= 0.0 AS BIGINT) AS pred FROM f"
   }
 
+  /** m86: the ROC / operating-characteristic replay — same captured-
+    * weights feature chain as [[qualityClassifier]], fanned out over the
+    * exactly-representable threshold grid and reduced to confusion
+    * counts + ratios (greatest(·,1) guards the empty-cell divisions the
+    * same way the engine does). */
+  def classifierRoc(w: Seq[Double]): String = {
+    val z = s"(${lit(w(0))} + ${lit(w(1))} * f1 + ${lit(w(2))} * f2 " +
+      s"+ ${lit(w(3))} * f3 + ${lit(w(4))} * f4 + ${lit(w(5))} * f5)"
+    val grid = graft.text.QualityClassifier.RocThresholds.map(lit).mkString("[", ", ", "]")
+    "WITH " + SparkEntry.textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
+      ", f AS (SELECT doc_id, " +
+      s"CASE WHEN ${SparkEntry.LangExpr} = 'en' AND ${SparkEntry.QualityExpr} >= 0.3 " +
+      "THEN 1.0 ELSE 0.0 END AS y, " +
+      "least(CAST(n_words AS DOUBLE) / 200.0, 1.0) AS f1, " +
+      "least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 4.0, 1.0) AS f2, " +
+      "least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f3, " +
+      "least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f4, " +
+      "CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) AS f5 FROM base), " +
+      s"s AS (SELECT y, $z AS logit FROM f), " +
+      s"j AS (SELECT t.threshold, y, logit FROM s CROSS JOIN (SELECT unnest($grid) AS threshold) t), " +
+      "c AS (SELECT threshold, " +
+      "CAST(sum(CASE WHEN logit >= threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN logit >= threshold AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN logit < threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+      "CAST(sum(CASE WHEN logit < threshold AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn " +
+      "FROM j GROUP BY threshold) " +
+      "SELECT threshold, tp, fp, fn, tn, " +
+      "CAST(tp AS DOUBLE) / greatest(tp + fn, 1) AS tpr, " +
+      "CAST(fp AS DOUBLE) / greatest(fp + tn, 1) AS fpr, " +
+      "CAST(tp AS DOUBLE) / greatest(tp + fp, 1) AS precision FROM c"
+  }
+
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
       OracleCapture.get[(Ivf.Model, Long)]("m33_semantic_dedup").map { case (m, off) =>
@@ -463,5 +495,7 @@ object OracleModelSql {
       OracleCapture.get[Seq[(String, String)]]("m79_tokenizer_fertility")
         .filter(_.nonEmpty).map(ms => "m79_tokenizer_fertility" -> bpeFertility(ms)).toMap ++
       OracleCapture.get[Seq[Double]]("m83_quality_classifier")
-        .map(w => "m83_quality_classifier" -> qualityClassifier(w)).toMap
+        .map(w => "m83_quality_classifier" -> qualityClassifier(w)).toMap ++
+      OracleCapture.get[Seq[Double]]("m86_classifier_roc")
+        .map(w => "m86_classifier_roc" -> classifierRoc(w)).toMap
 }

@@ -195,7 +195,11 @@ object SparkEntry {
     // m85: banded-minhash recall vs the exact inverted-index reference,
     // per jaccard band — both chains replayed in the oracle (gramPairCtes
     // truth + a nested-WITH m05 detect side).
-    "m85_lsh_recall" -> (CorpusQueries.lshRecallAudit _)
+    "m85_lsh_recall" -> (CorpusQueries.lshRecallAudit _),
+    // m86: the learned gate's operating curve — captured-weights replay
+    // over the exactly-representable threshold grid
+    // (OracleModelSql.classifierRoc).
+    "m86_classifier_roc" -> (CorpusQueries.classifierRoc _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -350,6 +350,18 @@ object CorpusQueries {
     graft.text.QualityClassifier.trainScore(Tables.documents(s, dir),
       captureKey = Some("m83_quality_classifier"))
 
+  /** Classifier operating curve (m86): confusion counts + TPR/FPR/
+    * precision per logit threshold — how a rollout picks the cut. Trains
+    * its own model instance (deterministic, but captured under its OWN
+    * key per the no-shared-capture convention) and fans each scored row
+    * out to the 9-point threshold grid inside its partition. */
+  def classifierRoc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.QualityClassifier.train(docs)
+    graft.OracleCapture.put("m86_classifier_roc", model.w.toSeq)
+    graft.text.QualityClassifier.rocReport(docs, model)
+  }
+
   /** Snapshot diff (m44): the current corpus plays the NEW snapshot; the
     * OLD one is derived deterministically so every status is exercised —
     * doc_id%10==7 absent from old ("added"), %10==3 text-mutated in old

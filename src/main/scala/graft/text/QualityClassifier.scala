@@ -146,4 +146,40 @@ object QualityClassifier {
     captureKey.foreach(k => graft.OracleCapture.put(k, model.w.toSeq))
     score(docs, model)
   }
+
+  /** Decision-threshold grid for [[rocReport]] — data-independent logit
+    * cuts (every value exactly representable, so the grid is identical
+    * in the engine and the SQL replay). */
+  val RocThresholds: Seq[Double] =
+    Seq(-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)
+
+  /** Operating-characteristic report (m86): confusion counts + TPR / FPR /
+    * precision of `logit ≥ t` against the gate label, per threshold — the
+    * curve a rollout reads to PICK the threshold (the m85-style QA dial
+    * for the learned gate; `pred` in [[score]] is just the t = 0 point).
+    *
+    * Scale shape: one scoring pass; each row fans out to the |grid| = 9
+    * threshold rows inside its partition (codegen explode) and the
+    * partial aggregation collapses them before the exchange — 9 rows per
+    * partition cross the wire, 9 rows come out. No driver-side loop, no
+    * second corpus scan per threshold. */
+  def rocReport(docs: DataFrame, model: Model,
+                thresholds: Seq[Double] = RocThresholds): DataFrame = {
+    require(model.w.length == NumFeatures + 1, "weight/feature arity mismatch")
+    val scored = score(docs, model)
+    scored
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"),
+        col("label"), col("logit"))
+      .select(col("threshold"), col("label"), (col("logit") >= col("threshold")).as("p"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("p") && col("label") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && col("label") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("label") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && col("label") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L))).as("tpr"),
+        (col("fp").cast("double") / greatest(col("fp") + col("tn"), lit(1L))).as("fpr"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L))).as("precision"))
+  }
 }

@@ -311,6 +311,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("embeddings.parquet")
   }
 
+  test("m86: ROC fan-out collapses map-side — one 9-group exchange, one scan") {
+    val p = plan(CorpusQueries.classifierRoc(spark, dir))
+    // the 9-way threshold explode partial-aggregates inside each
+    // partition: the only exchange carries ≤ 9 rows per partition
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include("partial_sum")
+    p should include("Generate explode")
+    // doc_id is pruned all the way out of the scan — the report reads text only
+    p should include("ReadSchema: struct<text:string>")
+  }
+
   test("m85: recall-audit exchanges carry pair ids and gram hashes, never text") {
     val df = CorpusQueries.lshRecallAudit(spark, dir)
     df.collect()

@@ -63,6 +63,32 @@ class QualityClassifierSpec extends SparkSpec {
     out.filter(col("doc_id") === 999L).count() shouldBe 0
   }
 
+  test("ROC report: counts reconcile, curve is monotone, t=0 matches pred") {
+    val m = QualityClassifier.train(planted)
+    val roc = QualityClassifier.rocReport(planted, m)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    roc.map(_._1) shouldBe QualityClassifier.RocThresholds.sorted
+    val n = planted.count()
+    // confusion counts partition the corpus at every threshold
+    roc.foreach { case (_, tp, fp, fn, tn, tpr, fpr) =>
+      tp + fp + fn + tn shouldBe n
+      tpr should (be >= 0.0 and be <= 1.0)
+      fpr should (be >= 0.0 and be <= 1.0)
+    }
+    // raising the threshold can only remove positive predictions
+    roc.sliding(2).foreach { case Array(lo, hi) =>
+      hi._2 should be <= lo._2 // tp
+      hi._3 should be <= lo._3 // fp
+    }
+    // the t = 0 row IS score()'s pred
+    val scored = QualityClassifier.score(planted, m)
+    val predPos = scored.filter(col("pred") === 1L && col("label") === 1L).count()
+    roc.find(_._1 == 0.0).get._2 shouldBe predPos
+  }
+
   test("logit agrees with the gate on real corpus data") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val out = QualityClassifier.trainScore(docs).cache()
