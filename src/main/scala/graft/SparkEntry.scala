@@ -199,7 +199,10 @@ object SparkEntry {
     // m86: the learned gate's operating curve — captured-weights replay
     // over the exactly-representable threshold grid
     // (OracleModelSql.classifierRoc).
-    "m86_classifier_roc" -> (CorpusQueries.classifierRoc _)
+    "m86_classifier_roc" -> (CorpusQueries.classifierRoc _),
+    // m87: per-source exact-count stratified split (m39 gives expected
+    // fractions; eval strata need exact sizes)
+    "m87_stratified_split" -> (CorpusQueries.stratifiedSplit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -946,6 +949,18 @@ object SparkEntry {
         "TRUE AS deflate_ok FROM documents WHERE text IS NOT NULL"),
     // m79's oracle is generated from the captured merge list
     // (OracleModelSql.bpeFertility — full fertility-report replay).
+    "m87_stratified_split" ->
+      ("WITH d AS (SELECT doc_id, source FROM documents), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), " +
+        "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS rk FROM d) " +
+        "SELECT r.doc_id, r.source, r.rk, " +
+        // CAST to DOUBLE so DuckDB does the same IEEE product Spark does
+        // (a bare n * 0.8 would be exact DECIMAL math, which can floor
+        // differently at integer boundaries)
+        "CASE WHEN r.rk < floor(CAST(n AS DOUBLE) * 0.8) THEN 'train' " +
+        "WHEN r.rk < floor(CAST(n AS DOUBLE) * 0.8) + floor(CAST(n AS DOUBLE) * 0.1) THEN 'val' " +
+        "ELSE 'test' END AS split FROM r JOIN c USING (source)"),
     "m73_source_interleave" ->
       ("WITH d AS (SELECT doc_id, source FROM documents), " +
         "si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx " +

@@ -1032,6 +1032,33 @@ object CorpusQueries {
       .select("doc_id", "source", "rk", "source_idx", "pos")
   }
 
+  /** Exact stratified split (m87): per-source EXACT-count train/val/test.
+    * [[graft.operators.HashSplit]] (m39) gives leak-proof but only
+    * *expected* fractions — fine for train, wrong for an eval set that
+    * must be exactly n·10% rows per stratum. Here each source ranks its
+    * docs on the content-independent md5 line (the m73 per-source window
+    * — bounded by the largest stratum, never a global single partition)
+    * and cuts at floor(n·0.8) / floor(n·0.8)+floor(n·0.1): train and val
+    * are exact by construction, test absorbs the remainder. The
+    * per-source count table broadcasts back (sources ≪ corpus). Both
+    * engines compute the identical IEEE floor(n·f) cuts, so the oracle
+    * replays the whole assignment. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val nTrain = floor(col("n") * lit(0.8))
+    val nVal = floor(col("n") * lit(0.1))
+    d.withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("split",
+        when(col("rk") < nTrain, "train")
+          .when(col("rk") < nTrain + nVal, "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "rk", "split")
+  }
+
   /** Incremental near-dup admission (m72): the planted copies
     * (doc_id ≥ off) arrive as the "new batch" and probe the original
     * corpus's inverted shingle index — only (batch, indexed) pairs. The

@@ -129,4 +129,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m85 LSH recall audit: banded recall report identical across partitionings") {
     assertInvariant(CorpusQueries.lshRecallAudit)
   }
+
+  test("m87 stratified split: exact per-source assignment identical across partitionings") {
+    assertInvariant(CorpusQueries.stratifiedSplit)
+  }
 }
