@@ -52,6 +52,22 @@ object StreamingCorpus {
     dedupByContent(gateAndScrub(docs, minQuality), horizon,
       textCol = "text_redacted")
 
+  /** Ingest-time LEARNED gate — the m83 classifier applied to arriving
+    * documents. Scoring is a pure literal-weights projection, so the
+    * batch scorer runs UNCHANGED on the streaming frame (no state store,
+    * no reimplementation; the spec pins stream ≡ batch row-for-row).
+    * This is the production split of the learned-filter lifecycle: the
+    * model trains in the batch tier (bounded sample, captured weights)
+    * and serves at the stream front door. Emits (doc_id, arrival_ts,
+    * label, logit, pred) for every arriving non-null doc; `admittedOnly`
+    * keeps just the docs the classifier passes. */
+  def scoreStream(docs: DataFrame, model: graft.text.QualityClassifier.Model,
+                  admittedOnly: Boolean = false): DataFrame = {
+    val scored = graft.text.QualityClassifier.score(
+      docs, model, keep = Seq("arrival_ts"))
+    if (admittedOnly) scored.filter(col("pred") === 1L) else scored
+  }
+
   /** Streaming near-dup admission — [[graft.dedup.IncrementalNearDup]]
     * at ingest time: every micro-batch probes the standing inverted
     * shingle index of the already-admitted corpus, and the flagged

@@ -53,25 +53,28 @@ object QualityClassifier {
 
   val NumFeatures = 5
 
-  /** Feature + label projection: (doc_id, y, f1..f5), one compiled
-    * profile pass, null text excluded (no features to score). */
-  def featuresOf(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Feature + label projection: (doc_id[, keep…], y, f1..f5), one
+    * compiled profile pass, null text excluded (no features to score).
+    * `keep` columns pass through untouched — the streaming front door
+    * carries `arrival_ts` this way. */
+  def featuresOf(docs: DataFrame, textCol: String = "text",
+                 keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nw = col("p.n_words").cast("double")
     val stopRatio = col("p.n_stopwords").cast("double") / greatest(nw, lit(1.0))
     docs.filter(t.isNotNull)
-      .select(col("doc_id"), length(t).cast("double").as("nc"),
-        TextOps.profile(t).as("p"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+ length(t).cast("double").as("nc")
+        :+ TextOps.profile(t).as("p"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
         when(col("p.lang_pred") === "en" && col("p.quality") >= 0.3, 1.0)
-          .otherwise(0.0).as("y"),
-        least(nw / lit(200.0), lit(1.0)).as("f1"),
-        least(stopRatio * lit(4.0), lit(1.0)).as("f2"),
+          .otherwise(0.0).as("y") :+
+        least(nw / lit(200.0), lit(1.0)).as("f1") :+
+        least(stopRatio * lit(4.0), lit(1.0)).as("f2") :+
         least(col("p.n_digits").cast("double") / greatest(col("nc"), lit(1.0))
-          * lit(10.0), lit(1.0)).as("f3"),
+          * lit(10.0), lit(1.0)).as("f3") :+
         least(col("p.n_punct").cast("double") / greatest(col("nc"), lit(1.0))
-          * lit(10.0), lit(1.0)).as("f4"),
-        stopRatio.as("f5"))
+          * lit(10.0), lit(1.0)).as("f4") :+
+        stopRatio.as("f5"): _*)
   }
 
   /** Train on the first `trainCap` docs in md5(doc_id) order (content-
@@ -127,15 +130,17 @@ object QualityClassifier {
     * codegen'd pass, (doc_id, label, logit, pred). `label` is the gate's
     * verdict, `pred` the classifier's (logit ≥ 0) — diffing them is the
     * distillation-error report. */
-  def score(docs: DataFrame, model: Model, textCol: String = "text"): DataFrame = {
+  def score(docs: DataFrame, model: Model, textCol: String = "text",
+            keep: Seq[String] = Nil): DataFrame = {
     require(model.w.length == NumFeatures + 1, "weight/feature arity mismatch")
-    val f = featuresOf(docs, textCol)
+    val f = featuresOf(docs, textCol, keep)
     // left-associated w0 + w1·f1 + … exactly as the oracle SQL writes it
     val z = lit(model.w(0)) + lit(model.w(1)) * col("f1") +
       lit(model.w(2)) * col("f2") + lit(model.w(3)) * col("f3") +
       lit(model.w(4)) * col("f4") + lit(model.w(5)) * col("f5")
-    f.select(col("doc_id"), col("y").cast("long").as("label"), z.as("logit"),
-      (z >= 0.0).cast("long").as("pred"))
+    f.select(col("doc_id") +: keep.map(col) :+
+      col("y").cast("long").as("label") :+ z.as("logit") :+
+      (z >= 0.0).cast("long").as("pred"): _*)
   }
 
   /** Train-then-score with per-run oracle capture (the [[graft.similarity.PcaPower]]

@@ -54,6 +54,34 @@ class StreamingCorpusSpec extends SparkSpec {
     spark.table("prepared").as[Long].collect().toSet shouldBe Set(1L)
   }
 
+  test("streaming learned-gate scoring equals the batch scorer row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    // model trained in the batch tier on a small labeled corpus
+    val trainDocs = Seq(
+      (1L, good), (2L, junk), (3L, good + " and more of the fine text"),
+      (4L, "9912 8817 4432 11 00 23")).toDF("doc_id", "text")
+    val model = graft.text.QualityClassifier.train(trainDocs)
+    val input = MemoryStream[StreamDoc]
+    input.addData(StreamDoc(10L, ts(0), good), StreamDoc(11L, ts(1), junk))
+    val q = StreamingCorpus.scoreStream(input.toDF(), model)
+      .writeStream.format("memory").queryName("scored_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scored_stream")
+      .select("doc_id", "label", "logit", "pred").collect().toSeq
+    val batch = graft.text.QualityClassifier.score(
+        Seq((10L, good), (11L, junk)).toDF("doc_id", "text"), model)
+      .select("doc_id", "label", "logit", "pred").collect().toSeq
+    streamed.sortBy(_.getLong(0)) shouldBe batch.sortBy(_.getLong(0))
+    // and the admission filter keeps only classifier-passed docs
+    val input2 = MemoryStream[StreamDoc]
+    input2.addData(StreamDoc(10L, ts(0), good), StreamDoc(11L, ts(1), junk))
+    val q2 = StreamingCorpus.scoreStream(input2.toDF(), model, admittedOnly = true)
+      .writeStream.format("memory").queryName("admitted_stream").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    spark.table("admitted_stream").select("doc_id").as[Long].collect().toSet shouldBe
+      batch.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+  }
+
   test("streaming near-dup admission flags exactly what the batch probe flags") {
     implicit val sqlCtx = spark.sqlContext
     val index = Seq(
