@@ -56,7 +56,7 @@ object DedupAssets {
 
   /** Bump when the semantics of any materialized asset chain change —
     * stored assets from older versions are then never reused. */
-  private val SemanticsVersion = "v1"
+  private val SemanticsVersion = "v2" // v2: pair asset stored at loose θ=0.5
 
   private case class Asset(path: String, schema: StructType)
   private val cache = new ConcurrentHashMap[String, Asset]
@@ -187,9 +187,20 @@ object DedupAssets {
   /** Verified near-dup pairs (doc_a, doc_b, jaccard) over the augmented
     * `documents` corpus of `dir` — m14's inverted-index verification, run
     * once and stored. */
-  def pairs(s: SparkSession, dir: String): DataFrame =
+  /** The stored pair table is built at the LOOSE θ = 0.5 so every
+    * consumer tier shares one artifact: curation reads the ≥ 0.6 slice
+    * ([[pairs]]), while the recall audit (m85) needs the 0.5–0.6 band —
+    * jaccard is threshold-independent (the cut is a final filter), so
+    * filtering the loose table is row-identical to running the chain at
+    * the tighter threshold. */
+  def pairsLoose(s: SparkSession, dir: String): DataFrame =
     materialized(s, "pairs", dir, Seq("doc_a", "doc_b"))(
-      graft.queries.CorpusQueries.gramIndexJaccard(s, dir))
+      graft.dedup.NgramJaccard.invertedIndexPairs(
+        graft.queries.CorpusQueries.augmentedDocs(s, dir),
+        threshold = 0.5, dfCap = 50))
+
+  def pairs(s: SparkSession, dir: String): DataFrame =
+    pairsLoose(s, dir).filter(col("jaccard") >= 0.6)
 
   /** Cluster labels (doc_id, cluster_id) — connected components over the
     * stored pair asset, themselves stored once. */

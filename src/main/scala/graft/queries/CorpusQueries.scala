@@ -55,6 +55,11 @@ object CorpusQueries {
     docs.unionByName(exact).unionByName(mutated)
   }
 
+  /** The dup-augmented corpus every dedup-tier query runs on — the one
+    * fixture spelling shared with [[graft.pipeline.DedupAssets]]. */
+  def augmentedDocs(s: SparkSession, dir: String): DataFrame =
+    withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
+
   // ---- text analysis --------------------------------------------------
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -670,13 +675,21 @@ object CorpusQueries {
     * Scale shape: both inputs are pair-id tables (the corpus never joins
     * by text); the audit join and band aggregation exchange (long, long)
     * pairs only. */
-  def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
-    lshRecallAuditOver(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)))
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    // truth comes from the STORED loose pair asset — the audit reads the
+    // same artifact the curation tier stores, instead of re-shingling the
+    // corpus (the oracle still replays the whole chain independently)
+    val docs = augmentedDocs(s, dir)
+    bandedRecall(graft.pipeline.DedupAssets.pairsLoose(s, dir),
+      MinHashLSH.verifiedPairs(docs, threshold = 0.5))
+  }
 
-  def lshRecallAuditOver(docs: DataFrame): DataFrame = {
-    val truth = NgramJaccard.invertedIndexPairs(docs, threshold = 0.5, dfCap = 50)
-    val det = MinHashLSH.verifiedPairs(docs, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+  def lshRecallAuditOver(docs: DataFrame): DataFrame =
+    bandedRecall(NgramJaccard.invertedIndexPairs(docs, threshold = 0.5, dfCap = 50),
+      MinHashLSH.verifiedPairs(docs, threshold = 0.5))
+
+  private def bandedRecall(truth: DataFrame, detected: DataFrame): DataFrame = {
+    val det = detected.select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truth.join(det, Seq("doc_a", "doc_b"), "left")
       .select(least(floor(col("jaccard") * 10.0) / 10.0, lit(0.9)).as("band"),
         coalesce(col("hit"), lit(0L)).as("hit"))
