@@ -205,9 +205,21 @@ object MinHashLSH {
   def verifiedPairs(docs: DataFrame, textCol: String = "text",
                     threshold: Double = 0.7, numHashes: Int = 64,
                     bands: Int = 16, bucketCap: Int = 1000,
-                    seed: Long = 42L): DataFrame = {
-    val pairs = candidatePairs(docs, textCol, numHashes, bands, bucketCap, seed)
-      .localCheckpoint(true)
+                    seed: Long = 42L): DataFrame =
+    verifiedPairsOver(docs,
+      candidatePairs(docs, textCol, numHashes, bands, bucketCap, seed),
+      textCol, threshold)
+
+  /** Verify stage over an externally supplied candidate table — the
+    * production split: candidate GENERATION is the expensive banded
+    * shuffle and a storable per-corpus artifact
+    * ([[graft.pipeline.DedupAssets.minhashCandidates]]); each verify
+    * style (shingle-hash here, char-gram [[NgramJaccard.scorePairs]])
+    * probes it. Same eager contract as [[verifiedPairs]]. */
+  def verifiedPairsOver(docs: DataFrame, candidates: DataFrame,
+                        textCol: String = "text",
+                        threshold: Double = 0.7): DataFrame = {
+    val pairs = candidates.select("doc_a", "doc_b").localCheckpoint(true)
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(ids, Seq("doc_id"), "left_semi")

@@ -202,6 +202,15 @@ object DedupAssets {
   def pairs(s: SparkSession, dir: String): DataFrame =
     pairsLoose(s, dir).filter(col("jaccard") >= 0.6)
 
+  /** Banded-minhash CANDIDATE pairs (doc_a, doc_b) — the generation
+    * stage's banded shuffle is the expensive half of every LSH query;
+    * both verify styles (m05's shingle-hash jaccard, m07's char-gram
+    * jaccard) probe the same stored table. */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "lshcand", dir, Seq("doc_a", "doc_b"))(
+      graft.dedup.MinHashLSH.candidatePairs(
+        graft.queries.CorpusQueries.augmentedDocs(s, dir)))
+
   /** Cluster labels (doc_id, cluster_id) — connected components over the
     * stored pair asset, themselves stored once. */
   def clusters(s: SparkSession, dir: String): DataFrame =

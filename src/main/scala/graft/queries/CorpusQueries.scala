@@ -644,16 +644,20 @@ object CorpusQueries {
     ExactDedup.dedup(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)))
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** m05/m07 share the stored candidate table: generation (the banded
+    * shuffle) runs once per corpus; each query pays only its verify
+    * style. Oracles replay the full chains independently. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    MinHashLSH.verifiedPairs(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
-      threshold = 0.5)
+    MinHashLSH.verifiedPairsOver(augmentedDocs(s, dir),
+      graft.pipeline.DedupAssets.minhashCandidates(s, dir), threshold = 0.5)
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicates(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), maxDist = 3)
 
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    NgramJaccard.nearDuplicates(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
-      threshold = 0.6)
+    NgramJaccard.scorePairs(augmentedDocs(s, dir),
+        graft.pipeline.DedupAssets.minhashCandidates(s, dir).select("doc_a", "doc_b"))
+      .filter(col("jaccard") >= 0.6)
 
   /** Inverted-index word-shingle Jaccard — the SQL-exact near-dup path
     * (string grams, relational pruning), hash-checked against a DuckDB
@@ -681,7 +685,8 @@ object CorpusQueries {
     // corpus (the oracle still replays the whole chain independently)
     val docs = augmentedDocs(s, dir)
     bandedRecall(graft.pipeline.DedupAssets.pairsLoose(s, dir),
-      MinHashLSH.verifiedPairs(docs, threshold = 0.5))
+      MinHashLSH.verifiedPairsOver(docs,
+        graft.pipeline.DedupAssets.minhashCandidates(s, dir), threshold = 0.5))
   }
 
   def lshRecallAuditOver(docs: DataFrame): DataFrame =
