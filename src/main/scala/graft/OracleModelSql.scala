@@ -394,6 +394,23 @@ object OracleModelSql {
       "FROM docs d LEFT JOIN agg a USING (doc_id)) "
   }
 
+  /** m88: vocabulary-usage curve — encode replayed by the same recursive
+    * CTE as m40, then the corpus token counts, ranks and cumulative
+    * shares re-derived from the word-frequency table. */
+  def bpeTokenCoverage(merges: Seq[(String, String)]): String = {
+    val sep = "chr(31)"
+    bpeEncodeCtes(merges) +
+      ", wn AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM wx GROUP BY 1), " +
+      s"tw AS (SELECT w, trim(e, $sep) AS token FROM (" +
+      s"SELECT w, unnest(string_split(st, $sep || $sep)) AS e FROM fin) x), " +
+      "tc AS (SELECT token, CAST(sum(n_w) AS BIGINT) AS n FROM tw JOIN wn USING (w) GROUP BY 1), " +
+      "r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank, " +
+      "sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n, " +
+      "sum(n) OVER () AS total FROM tc) " +
+      "SELECT token, n, rank, CAST(n AS DOUBLE) / total AS share, " +
+      "CAST(cum_n AS DOUBLE) / total AS cum_share FROM r"
+  }
+
   def bpeTokenStats(merges: Seq[(String, String)]): String =
     bpeEncodeCtes(merges) +
       "SELECT doc_id, n_words, n_chars, n_bpe AS n_bpe_tokens, " +
@@ -497,5 +514,7 @@ object OracleModelSql {
       OracleCapture.get[Seq[Double]]("m83_quality_classifier")
         .map(w => "m83_quality_classifier" -> qualityClassifier(w)).toMap ++
       OracleCapture.get[Seq[Double]]("m86_classifier_roc")
-        .map(w => "m86_classifier_roc" -> classifierRoc(w)).toMap
+        .map(w => "m86_classifier_roc" -> classifierRoc(w)).toMap ++
+      OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
+        .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap
 }

@@ -202,7 +202,10 @@ object SparkEntry {
     "m86_classifier_roc" -> (CorpusQueries.classifierRoc _),
     // m87: per-source exact-count stratified split (m39 gives expected
     // fractions; eval strata need exact sizes)
-    "m87_stratified_split" -> (CorpusQueries.stratifiedSplit _)
+    "m87_stratified_split" -> (CorpusQueries.stratifiedSplit _),
+    // m88: tokenizer vocabulary-usage curve — encode replayed by the m40
+    // recursive CTE, curve re-derived (OracleModelSql.bpeTokenCoverage)
+    "m88_token_coverage" -> (CorpusQueries.tokenCoverage _)
   )
 
   def oracleSql: Map[String, String] = Map(

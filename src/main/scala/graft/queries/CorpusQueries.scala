@@ -273,6 +273,18 @@ object CorpusQueries {
     graft.text.Bpe.tokenStats(docs, model)
   }
 
+  /** Tokenizer vocabulary-usage report (m88): per realized BPE token, its
+    * corpus count, frequency rank, share and cumulative share — the
+    * coverage curve ("how many tokens cover 90% of the corpus", "which
+    * merges never fire"). Same shared model as m40/m79; the oracle
+    * replays encode via the recursive-CTE chain and re-derives the whole
+    * curve. */
+  def tokenCoverage(s: SparkSession, dir: String): DataFrame = {
+    val model = bpeModel(s, dir)
+    graft.OracleCapture.put("m88_token_coverage", model.merges)
+    graft.text.Bpe.tokenCoverage(Tables.documents(s, dir), model)
+  }
+
   /** One trained BPE model per corpus per JVM: m40 and m79 share the same
     * tokenizer (the production contract — fertility is a property OF a
     * tokenizer, so retraining per report would both double the bounded

@@ -151,4 +151,43 @@ object Bpe {
       }
     }.toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "bpe_per_word")
   }
+
+  /** Corpus-level vocabulary-usage report (m88): for every realized BPE
+    * token, its corpus occurrence count, frequency rank, share and
+    * cumulative share — the coverage curve a tokenizer QA reads ("how
+    * many tokens cover 90% of the corpus", "which merges never fire").
+    *
+    * Scale shape: the corpus is touched ONCE, for the word-frequency
+    * aggregate (partial-agg collapses each partition's word stream, so
+    * the exchange is vocabulary-bounded). Everything after runs on the
+    * WORD-VOCABULARY table: encode per distinct word (not per
+    * occurrence), token explode bounded by vocab × tokens-per-word, and
+    * the final rank/cumulative windows run over the TOKEN-vocabulary
+    * table — bounded by base-chars + merges (≤ a few thousand at any
+    * corpus size), which is why a driver-bounded global window is
+    * correct here where it would be a scale bug on corpus-sized data
+    * (the PrefixSum rule). */
+  def tokenCoverage(docs: DataFrame, model: Model,
+                    textCol: String = "text"): DataFrame = {
+    val ranks = model.ranks
+    val enc = udf { w: String => encodeWord(w, ranks).toArray }
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(lower(trim(col(textCol))), " +")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tokens = words
+      .select(explode(enc(col("w"))).as("token"), col("n_w"))
+      .groupBy("token").agg(sum(col("n_w")).as("n"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    tokens
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        byFreq.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("n")).over(all))
+      .select(col("token"), col("n"), col("rank"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("cum_n").cast("double") / col("total")).as("cum_share"))
+  }
 }

