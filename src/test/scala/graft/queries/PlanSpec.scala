@@ -331,6 +331,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
   }
 
+  test("m87: stratified split ranks per source — no global sort, counts broadcast") {
+    val df = CorpusQueries.stratifiedSplit(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("Window") // per-source rank window…
+    (p should not).include("rangepartitioning") // …but never a global sort
+    p should include("BroadcastHashJoin") // the per-source count table
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m88: token coverage's only corpus-sized exchange is the word partial agg") {
+    val df = CorpusQueries.tokenCoverage(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // word-frequency aggregate partial-aggregates before its exchange;
+    // every later stage (encode, token agg, CDF windows) is vocab-bounded
+    p should include("partial_count")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m80: salted join actually joins on the salt column") {
     val df = CorpusQueries.saltedEventJoin(spark, dir)
     df.collect()
