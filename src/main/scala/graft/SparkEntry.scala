@@ -205,7 +205,10 @@ object SparkEntry {
     "m87_stratified_split" -> (CorpusQueries.stratifiedSplit _),
     // m88: tokenizer vocabulary-usage curve — encode replayed by the m40
     // recursive CTE, curve re-derived (OracleModelSql.bpeTokenCoverage)
-    "m88_token_coverage" -> (CorpusQueries.tokenCoverage _)
+    "m88_token_coverage" -> (CorpusQueries.tokenCoverage _),
+    // m89: CCNet head/middle/tail perplexity terciles — rank-based
+    // integer cuts over the 6-dp-rounded perplexity order
+    "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -856,19 +859,23 @@ object SparkEntry {
         "avg(ln(cnt)) AS mean_log_freq " +
         "FROM g JOIN c USING (gram) GROUP BY doc_id"),
     "m43_lm_perplexity" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
-        "p AS (SELECT doc_id, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM w), " +
-        "g AS (SELECT doc_id, a, b FROM p WHERE b IS NOT NULL), " +
-        "c AS (SELECT a, b, count(*) AS cab FROM g GROUP BY 1, 2), " +
-        "ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +
-        "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
-        "(SELECT a AS tok FROM c UNION SELECT b FROM c)), " +
-        "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
-        "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
-        "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
+      (LmPerplexityCtes +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m89: CCNet-style head/middle/tail — rank-based terciles on the
+    // 6-dp-rounded perplexity order (integer cuts, so a doc can never
+    // flip buckets on cross-engine float drift; the rounded order is
+    // exactly what the m43 hash check proves the engines share).
+    "m89_ppl_buckets" ->
+      (LmPerplexityCtes +
+        ", sc AS (SELECT h.doc_id, d.source, exp(cross_entropy) AS perplexity " +
+        "FROM h JOIN documents d USING (doc_id)), " +
+        "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1), " +
+        "r AS (SELECT doc_id, source, perplexity, " +
+        "CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY round(perplexity, 6), doc_id) - 1 AS BIGINT) AS rk FROM sc) " +
+        "SELECT r.doc_id, r.source, r.perplexity, " +
+        "CASE WHEN rk * 3 < n THEN 'head' WHEN rk * 3 < n * 2 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM r JOIN cnt USING (source)"),
     // m80: a PLAIN join — the whole point: the engine's salted plan must
     // hash-match the unsalted semantics exactly.
     "m80_salted_join" ->
@@ -1291,6 +1298,22 @@ object SparkEntry {
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
   // graft.text.TextOps (same regexes, same double-arithmetic order).
+  /** The m43 bigram-LM chain up to per-doc cross-entropy (`h`) — shared
+    * by the m43 report and the m89 bucket assignment. */
+  private val LmPerplexityCtes: String =
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+      "p AS (SELECT doc_id, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM w), " +
+      "g AS (SELECT doc_id, a, b FROM p WHERE b IS NOT NULL), " +
+      "c AS (SELECT a, b, count(*) AS cab FROM g GROUP BY 1, 2), " +
+      "ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +
+      "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
+      "(SELECT a AS tok FROM c UNION SELECT b FROM c)), " +
+      "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
+      "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
+      "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) "
+
   private[graft] def textStatsBaseOver(src: String): String =
     s"base AS (SELECT doc_id, text, length(text) AS n_chars_c, " +
       "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +

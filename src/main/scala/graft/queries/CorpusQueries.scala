@@ -473,6 +473,33 @@ object CorpusQueries {
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.NgramLm.selfPerplexity(Tables.documents(s, dir), alpha = 0.5)
 
+  /** Perplexity buckets (m89): the CCNet head/middle/tail cut — per
+    * source, rank docs by LM self-perplexity and split into terciles
+    * (head = most fluent third; tail = the noise candidates a pipeline
+    * drops or down-weights). Buckets are RANK-based with integer cuts
+    * (rk·3 vs n) over the 6-dp-rounded perplexity order, so a doc can
+    * never flip buckets on cross-engine float drift — the rounded order
+    * is precisely what the m43 hash check proves both engines share.
+    * Scale shape: the m43 scoring chain plus one per-source rank window
+    * (the m73/m87 pattern) and a broadcast count table. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = graft.text.NgramLm.selfPerplexity(docs, alpha = 0.5)
+      .select(col("doc_id"), col("perplexity"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(round(col("perplexity"), 6), col("doc_id"))
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    scored
+      .withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("bucket",
+        when(col("rk") * 3 < col("n"), "head")
+          .when(col("rk") * 3 < col("n") * 2, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "source", "perplexity", "bucket")
+  }
+
   /** Corpus-law fit (m57): Zipf slope/intercept/r² over globally-ranked
     * term frequencies plus the Heaps exponent across per-source
     * (tokens, distinct-terms) points — one-row corpus health report. */
