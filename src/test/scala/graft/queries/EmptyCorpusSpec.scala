@@ -39,6 +39,8 @@ class EmptyCorpusSpec extends SparkSpec {
     // m83: training degrades to the zero model, scoring to an empty frame
     "m83_quality_classifier" -> (CorpusQueries.qualityClassifier _),
     "m85_lsh_recall" -> (CorpusQueries.lshRecallAudit _),
+    "m88_token_coverage" -> (CorpusQueries.tokenCoverage _),
+    "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

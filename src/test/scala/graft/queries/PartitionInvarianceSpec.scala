@@ -133,4 +133,12 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m87 stratified split: exact per-source assignment identical across partitionings") {
     assertInvariant(CorpusQueries.stratifiedSplit)
   }
+
+  test("m88 token coverage: counts, ranks and CDF identical across partitionings") {
+    assertInvariant(CorpusQueries.tokenCoverage)
+  }
+
+  test("m89 perplexity buckets: tercile assignment identical across partitionings") {
+    assertInvariant(CorpusQueries.pplBuckets)
+  }
 }
