@@ -208,7 +208,10 @@ object SparkEntry {
     "m88_token_coverage" -> (CorpusQueries.tokenCoverage _),
     // m89: CCNet head/middle/tail perplexity terciles — rank-based
     // integer cuts over the 6-dp-rounded perplexity order
-    "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _)
+    "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _),
+    // m90: span-level decontamination — the contaminated span is CUT
+    // (m82's rewrite), not the document dropped
+    "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -654,6 +657,33 @@ object SparkEntry {
         "tk AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS j, len(t) AS n FROM toks), " +
         "kept AS (SELECT tk.doc_id, tk.tok, tk.j, tk.n, NOT EXISTS (SELECT 1 FROM fl " +
         "WHERE fl.doc_id = tk.doc_id AND fl.widx BETWEEN tk.j - 29 AND tk.j) AS keep FROM tk) " +
+        "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, " +
+        "CAST(max(n) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '') AS scrubbed_text " +
+        "FROM kept GROUP BY 1"),
+    // m90: m82's rebuild with the flag source swapped — a corpus window
+    // is cut iff its fingerprint appears among the BENCHMARK's windows
+    // (m25's fixture split, w = 8).
+    "m90_decontaminate_spans" ->
+      (AugmentedDocs +
+        ", corp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM aug " +
+        "WHERE doc_id >= 50 AND text IS NOT NULL), " +
+        "bench AS (SELECT text FROM aug WHERE doc_id < 50 AND text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM corp), " +
+        "btoks AS (SELECT string_split_regex(lower(trim(text)), ' +') AS t FROM bench), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 8), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')) END AS ws FROM toks), " +
+        "x AS (SELECT doc_id, unnest(ws) AS wtext, unnest(range(0, len(ws))) AS widx FROM w), " +
+        "f AS (SELECT doc_id, widx, md5(wtext) AS fp FROM x), " +
+        "bw AS (SELECT CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 8), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')) END AS ws FROM btoks), " +
+        "bf AS (SELECT DISTINCT md5(wtext) AS fp FROM (SELECT unnest(ws) AS wtext FROM bw)), " +
+        "fl AS (SELECT doc_id, widx FROM f JOIN bf USING (fp)), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS j, len(t) AS n FROM toks), " +
+        "kept AS (SELECT tk.doc_id, tk.tok, tk.j, tk.n, NOT EXISTS (SELECT 1 FROM fl " +
+        "WHERE fl.doc_id = tk.doc_id AND fl.widx BETWEEN tk.j - 7 AND tk.j) AS keep FROM tk) " +
         "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, " +
         "CAST(max(n) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
         "coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '') AS scrubbed_text " +

@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Span-level decontamination (m90): instead of DROPPING a
+    * contaminated document ([[contaminated]]'s verdict), cut the
+    * contaminated span out and keep the rest — the surgical policy a
+    * pipeline applies when a good document merely QUOTES an eval item.
+    * A corpus W-token window is contaminated iff its fingerprint appears
+    * among the benchmark's windows (same stride-1 window walk on both
+    * sides, [[graft.text.RepeatedWindows]]'s); the cut is
+    * [[graft.text.SpanScrub]]'s coverage-union rewrite, so overlapping
+    * quoted runs excise end-to-end.
+    *
+    * Scale shape: the benchmark window-fingerprint set is eval-suite
+    * sized and BROADCAST into a semi join against the corpus windows
+    * (whose text never leaves its document — only 16-byte fps move);
+    * the rewrite is the m82 join + O(L) sweep. */
+  def exciseSpans(corpus: DataFrame, benchmark: DataFrame, w: Int = 8,
+                  textCol: String = "text"): DataFrame = {
+    val corpusWindows = graft.text.RepeatedWindows
+      .windowFingerprintsRaw(corpus, w, textCol)
+    val benchFps = graft.text.RepeatedWindows
+      .windowFingerprintsRaw(benchmark, w, textCol)
+      .select("fp").distinct()
+    val flagged = corpusWindows
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .select("doc_id", "window_idx")
+    graft.text.SpanScrub.scrubWith(corpus, flagged, w, textCol)
+  }
+
   /** Corpus docs whose distinct-gram hit ratio against the benchmark gram
     * set reaches `ratioThreshold`: (doc_id, n_hits, n_grams, hit_ratio). */
   def contaminated(corpus: DataFrame, benchmark: DataFrame,

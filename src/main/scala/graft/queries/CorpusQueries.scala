@@ -565,6 +565,17 @@ object CorpusQueries {
       benchmark = aug.filter(col("doc_id") < 50))
   }
 
+  /** Span-level decontamination (m90): m25's fixture split, but the
+    * contaminated span is CUT (m82's coverage-union rewrite) instead of
+    * the document dropped — the surgical policy for docs that merely
+    * quote an eval item. */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
+    graft.dedup.Decontaminate.exciseSpans(
+      corpus = aug.filter(col("doc_id") >= 50),
+      benchmark = aug.filter(col("doc_id") < 50), w = 8)
+  }
+
   /** Bloom-prefiltered decontamination (m46): m25's exact semantics —
     * same split, same output, same oracle — through the bitset-prefilter
     * plan for benchmark sets too large to broadcast as hash relations. */

@@ -46,10 +46,21 @@ object SpanScrub {
     * document: tokens covered by any cross-document repeated W-window
     * (fingerprint in ≥ `minDocs` distinct docs) are removed. */
   def scrub(docs: DataFrame, w: Int, minDocs: Int = 2,
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    scrubWith(docs,
+      RepeatedWindows.flag(docs, w, minDocs, textCol).select("doc_id", "window_idx"),
+      w, textCol)
+
+  /** The rewrite stage alone, over an externally supplied flagged-window
+    * table (doc_id, window_idx) — same coverage-union cut and string
+    * rebuild whatever flagged the windows (cross-doc repetition in
+    * [[scrub]], benchmark overlap in
+    * [[graft.dedup.Decontaminate.exciseSpans]]). */
+  def scrubWith(docs: DataFrame, flagged: DataFrame, w: Int,
+                textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cuts = RepeatedWindows.flag(docs, w, minDocs, textCol)
+    val cuts = flagged
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("window_idx"))).as("cut_idx"))
     val wB = w

@@ -38,4 +38,28 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  test("span excision cuts exactly the quoted eval span and keeps the rest") {
+    // benchmark item is 13 tokens; w = 8 stride-1 windows cover precisely
+    // the quoted run inside a longer document
+    val prefix = "in my essay about european geography i note that"
+    val quote = "the capital of france is paris and the capital of spain is madrid"
+    val suffix = "which every student learns early on in school each year"
+    val corpus = Seq(
+      (300L, s"$prefix $quote $suffix"), // embedded quote
+      (301L, quote),                     // whole doc = eval item
+      (302L, "completely unrelated text about training data pipelines at scale today")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.exciseSpans(corpus, benchmark, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // embedded: exactly the 13 quoted tokens are removed, prefix+suffix survive
+    out(300L)._2 shouldBe 13L
+    out(300L)._3 shouldBe s"$prefix $suffix"
+    // whole-copy: scrubs to empty
+    out(301L)._2 shouldBe out(301L)._1
+    out(301L)._3 shouldBe ""
+    // clean doc: untouched (normalized join only)
+    out(302L)._2 shouldBe 0L
+  }
 }

@@ -41,6 +41,7 @@ class EmptyCorpusSpec extends SparkSpec {
     "m85_lsh_recall" -> (CorpusQueries.lshRecallAudit _),
     "m88_token_coverage" -> (CorpusQueries.tokenCoverage _),
     "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _),
+    "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

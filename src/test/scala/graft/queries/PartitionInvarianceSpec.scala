@@ -141,4 +141,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m89 perplexity buckets: tercile assignment identical across partitionings") {
     assertInvariant(CorpusQueries.pplBuckets)
   }
+
+  test("m90 span decontamination: rewritten text identical across partitionings") {
+    assertInvariant(CorpusQueries.decontaminateSpans)
+  }
 }
