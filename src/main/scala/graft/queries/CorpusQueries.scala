@@ -1119,11 +1119,14 @@ object CorpusQueries {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    // per-source n from a frame-less window over the same partitioning —
+    // one source exchange serves rank and count; a groupBy-count branch
+    // would scan the corpus a second time (the m89 lesson)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
     val nTrain = floor(col("n") * lit(0.8))
     val nVal = floor(col("n") * lit(0.1))
     d.withColumn("rk", (row_number().over(w) - 1).cast("long"))
-      .join(broadcast(counts), Seq("source"))
+      .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("split",
         when(col("rk") < nTrain, "train")
           .when(col("rk") < nTrain + nVal, "val")

@@ -331,14 +331,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
   }
 
-  test("m87: stratified split ranks per source — no global sort, counts broadcast") {
-    val df = CorpusQueries.stratifiedSplit(spark, dir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+  test("m87: stratified split is ONE source exchange — rank and count share it") {
+    // pre-execution plan string: one rendering (the collect()'d AQE form
+    // prints Final + Initial subtrees and double-counts the exchange)
+    val p = plan(CorpusQueries.stratifiedSplit(spark, dir))
     p should include("Window") // per-source rank window…
     (p should not).include("rangepartitioning") // …but never a global sort
-    p should include("BroadcastHashJoin") // the per-source count table
-    (p should not).include("CartesianProduct")
+    // the per-source size rides a frame-less window over the SAME
+    // partitioning — no second corpus scan, no join at all
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    (p should not).include("Join")
   }
 
   test("m88: token coverage's only corpus-sized exchange is the word partial agg") {
