@@ -715,10 +715,15 @@ object CorpusQueries {
 
   /** Inverted-index word-shingle Jaccard — the SQL-exact near-dup path
     * (string grams, relational pruning), hash-checked against a DuckDB
-    * oracle that replays the identical algorithm. */
+    * oracle that replays the identical algorithm. Served from the STORED
+    * pair asset (built once per corpus at the loose threshold; this is
+    * the ≥ 0.6 slice): the oracle recomputes the whole chain
+    * independently, and DedupAssetsSpec pins the stored slice
+    * row-identical to the direct [[NgramJaccard.invertedIndexPairs]]
+    * run — so the asset read IS the chain's output, at a parquet scan's
+    * cost for every curation consumer. */
   def gramIndexJaccard(s: SparkSession, dir: String): DataFrame =
-    NgramJaccard.invertedIndexPairs(withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)),
-      threshold = 0.6, dfCap = 50)
+    graft.pipeline.DedupAssets.pairs(s, dir)
 
   /** LSH recall audit (m85): the QA dial every probabilistic-dedup rollout
     * needs before trusting its miss rate — measure the banded-minhash

@@ -10,7 +10,9 @@ class DedupAssetsSpec extends SparkSpec {
   private val dir = sf("sf0.001")
 
   test("stored pair asset round-trips the direct m14 computation exactly") {
-    val direct = CorpusQueries.gramIndexJaccard(spark, dir)
+    // the DIRECT chain (not the asset-backed query — that would be circular)
+    val direct = graft.dedup.NgramJaccard.invertedIndexPairs(
+        CorpusQueries.augmentedDocs(spark, dir), threshold = 0.6, dfCap = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val stored = DedupAssets.pairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -20,7 +22,9 @@ class DedupAssetsSpec extends SparkSpec {
 
   test("stored cluster asset round-trips components over the pairs") {
     val direct = graft.dedup.DedupClusters.components(
-        CorpusQueries.gramIndexJaccard(spark, dir).select("doc_a", "doc_b"))
+        graft.dedup.NgramJaccard.invertedIndexPairs(
+          CorpusQueries.augmentedDocs(spark, dir), threshold = 0.6, dfCap = 50)
+          .select("doc_a", "doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val stored = DedupAssets.clusters(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -129,7 +133,9 @@ class DedupAssetsSpec extends SparkSpec {
   test("asset consumers match their pre-asset direct computations") {
     // m62/m66/m70 read the stored asset; their results must be what the
     // direct pair-graph rebuild produced (the round-7 hash-green shape).
-    val pairs = CorpusQueries.gramIndexJaccard(spark, dir).select("doc_a", "doc_b")
+    val pairs = graft.dedup.NgramJaccard.invertedIndexPairs(
+        CorpusQueries.augmentedDocs(spark, dir), threshold = 0.6, dfCap = 50)
+      .select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val directRanks = graft.operators.PageRank.ranks(edges, iterations = 10)

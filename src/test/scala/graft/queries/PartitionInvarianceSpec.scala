@@ -86,11 +86,15 @@ class PartitionInvarianceSpec extends SparkSpec {
   // dependent — these three assert that no consumer ever leaks that
   // internal order into results.
   test("m05 minhash candidate pairs identical across partitionings") {
-    assertInvariant(CorpusQueries.minhashPairs)
+    // the DIRECT chain — the asset-backed query would reuse the first
+    // partitioning's stored build and make the check vacuous
+    assertInvariant((s, d) => graft.dedup.MinHashLSH.verifiedPairs(
+      CorpusQueries.augmentedDocs(s, d), threshold = 0.5))
   }
 
   test("m14 inverted-index jaccard pairs identical across partitionings") {
-    assertInvariant(CorpusQueries.gramIndexJaccard)
+    assertInvariant((s, d) => graft.dedup.NgramJaccard.invertedIndexPairs(
+      CorpusQueries.augmentedDocs(s, d), threshold = 0.6, dfCap = 50))
   }
 
   test("m17 dedup cluster labels identical across partitionings") {
