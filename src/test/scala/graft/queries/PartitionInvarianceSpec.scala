@@ -98,7 +98,10 @@ class PartitionInvarianceSpec extends SparkSpec {
   }
 
   test("m17 dedup cluster labels identical across partitionings") {
-    assertInvariant(CorpusQueries.dedupClusters)
+    assertInvariant((s, d) => graft.dedup.DedupClusters.components(
+      graft.dedup.NgramJaccard.invertedIndexPairs(
+        CorpusQueries.augmentedDocs(s, d), threshold = 0.6, dfCap = 50)
+        .select("doc_a", "doc_b")))
   }
 
   // Order-sensitive joins and windows: a missing tie-break here would
@@ -131,7 +134,10 @@ class PartitionInvarianceSpec extends SparkSpec {
   }
 
   test("m85 LSH recall audit: banded recall report identical across partitionings") {
-    assertInvariant(CorpusQueries.lshRecallAudit)
+    // direct truth + detect chains (the asset-backed query would reuse
+    // the first partitioning's stored build)
+    assertInvariant((s, d) => CorpusQueries.lshRecallAuditOver(
+      CorpusQueries.augmentedDocs(s, d)))
   }
 
   test("m87 stratified split: exact per-source assignment identical across partitionings") {
