@@ -211,7 +211,10 @@ object SparkEntry {
     "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _),
     // m90: span-level decontamination — the contaminated span is CUT
     // (m82's rewrite), not the document dropped
-    "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _)
+    "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _),
+    // m91: the Gopher/MassiveText per-document rule battery (the rules a
+    // single-line corpus can express) — bits + AND verdict
+    "m91_gopher_rules" -> (CorpusQueries.gopherRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -688,6 +691,23 @@ object SparkEntry {
         "CAST(max(n) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
         "coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '') AS scrubbed_text " +
         "FROM kept GROUP BY 1"),
+    "m91_gopher_rules" ->
+      ("WITH b AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
+        "list_distinct(string_split_regex(lower(trim(text)), ' +')) AS toks " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(length(array_to_string(ws, '')) AS DOUBLE) / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS mean_len, " +
+        "CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS aw, " +
+        "len(list_intersect(toks, ['the','a','an','of','to','and','in','is','it','that','for','on','with','as'])) AS ds " +
+        "FROM b) " +
+        "SELECT doc_id, n_words, " +
+        "CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT) AS r_word_count, " +
+        "CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS BIGINT) AS r_mean_word_len, " +
+        "CAST(aw / greatest(CAST(n_words AS DOUBLE), 1.0) >= 0.8 AS BIGINT) AS r_alpha_words, " +
+        "CAST(ds >= 2 AS BIGINT) AS r_stopwords, " +
+        "CAST(n_words >= 10 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0 " +
+        "AND aw / greatest(CAST(n_words AS DOUBLE), 1.0) >= 0.8 AND ds >= 2 AS BIGINT) AS pass " +
+        "FROM c"),
     "m19_repetition_collapse" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
         "FROM documents WHERE text IS NOT NULL), " +

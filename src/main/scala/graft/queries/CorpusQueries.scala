@@ -473,6 +473,11 @@ object CorpusQueries {
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.NgramLm.selfPerplexity(Tables.documents(s, dir), alpha = 0.5)
 
+  /** Gopher rule card (m91): the MassiveText per-document rule battery —
+    * rule bits + AND verdict, one projection pass. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables.documents(s, dir))
+
   /** Perplexity buckets (m89): the CCNet head/middle/tail cut — per
     * source, rank docs by LM self-perplexity and split into terciles
     * (head = most fluent third; tail = the noise candidates a pipeline

