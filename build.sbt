@@ -13,6 +13,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the captured stdout tail.
+// With the default LoggedOutput strategy sbt prefixes every forked-stdout
+// line with "[info] " (observed in BENCH_r1..r11: parsed=null every
+// round), and appends its own "[success] Total time" line after the JSON.
+// StdoutOutput inherits the parent's raw stdout/stderr (no prefixes);
+// showSuccess drops the trailer — together the JSON line is the LAST
+// stdout line and parses as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by a task — lint can't
+// see that and would warn "not used" on every invocation.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,26 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
-  /** localCheckpoint `df` eagerly and return the frame plus the RDDs the
-    * checkpoint pinned in the block manager (captured by diffing
-    * sc.getPersistentRDDs around the call — the only handle Spark exposes,
-    * since the checkpointed internal RDD is not reachable from the
-    * Dataset API). Single-threaded per session by contract; a concurrent
-    * persist from another query would be mis-attributed. */
-  private def snapshot(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(eager = true)
-    val added = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !before.contains(id) => rdd
-    }.toSeq
-    (out, added)
-  }
+  /** Snapshot `df` eagerly and return the frame plus the pinned-RDD
+    * handles for [[graft.Snapshot.free]] — local blocks by default,
+    * durable checkpoint files when `spark.graft.checkpointDir` is set
+    * (the cluster fault-tolerance mode; see [[graft.Snapshot]]). */
+  private def snapshot(df: DataFrame): (DataFrame, Seq[RDD[_]]) =
+    graft.Snapshot.pinTracked(df, eager = true)
 
-  private def free(rdds: Seq[RDD[_]]): Unit =
-    // Non-blocking: the blocks belong to superseded rounds nothing will
-    // read again; eviction can proceed asynchronously.
-    rdds.foreach(_.unpersist(blocking = false))
+  private def free(rdds: Seq[RDD[_]]): Unit = graft.Snapshot.free(rdds)
 
   /** (doc_id, cluster_id) for every document that appears in `pairs`
     * (doc_a, doc_b); cluster_id = min doc_id of the component.

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** MinHash + LSH near-duplicate detection:
   * shingle → minhash signature → band → bucket-join → verified Jaccard.
@@ -219,13 +220,13 @@ object MinHashLSH {
   def verifiedPairsOver(docs: DataFrame, candidates: DataFrame,
                         textCol: String = "text",
                         threshold: Double = 0.7): DataFrame = {
-    val pairs = candidates.select("doc_a", "doc_b").localCheckpoint(true)
+    val pairs = candidates.select("doc_a", "doc_b").pinned(true)
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingleHashes(col(textCol), lit(3))).as("sh"))
-      .localCheckpoint(true)
+      .pinned(true)
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** N-gram Jaccard similarity — the classic fuzzy-dedup verifier.
   *
@@ -66,12 +67,12 @@ object NgramJaccard {
     * sessions. */
   def scorePairs(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                  n: Int = 3): DataFrame = {
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.pinned(true)
     val ids = p.select(col("doc_a").as("doc_id"))
       .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
     val grams = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), charNgramHashes(col(textCol), lit(n)).as("g"))
-      .localCheckpoint(true)
+      .pinned(true)
     p
       .join(grams.withColumnsRenamed(Map("doc_id" -> "doc_a", "g" -> "g_a")), Seq("doc_a"))
       .join(grams.withColumnsRenamed(Map("doc_id" -> "doc_b", "g" -> "g_b")), Seq("doc_b"))

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** Cross-source overlap matrix (m60): for every pair of sources, how much
   * of their distinct word-shingle mass is shared — the corpus-level dial
@@ -54,7 +55,7 @@ object SourceOverlap {
       .groupBy("gram")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .select("ss")
-      .localCheckpoint(true)
+      .pinned(true)
     val counts = bySources
       .select(explode(col("ss")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n"))

@@ -51,13 +51,8 @@ object PageRank {
     // DedupClusters' snapshot hygiene: track each localCheckpoint's
     // blocks so a superseded iteration frees immediately — at billions
     // of nodes, 10 retained rank tables is real executor storage.
-    def snapshot(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before.contains(id) => rdd
-      }.toSeq)
-    }
+    def snapshot(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      graft.Snapshot.pinTracked(df, eager = true)
     // Pin the raw edges FIRST: base and nodes both derive from them, and
     // without this the upstream edge pipeline (e.g. m14's pair
     // verification) would execute once per derivation.

@@ -32,24 +32,14 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixSum {
 
-  /** localCheckpoint `df` eagerly and return the frame plus the RDDs the
-    * checkpoint pinned (diffed via sc.getPersistentRDDs — the only handle
-    * Spark exposes; `Dataset.unpersist` does NOT release a localCheckpoint's
-    * internal RDD, so freeing requires these captured handles). Same
-    * pattern as DedupClusters.snapshot; single-threaded per session by
-    * contract. */
-  private def snapshot(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(eager = true)
-    val added = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !before.contains(id) => rdd
-    }.toSeq
-    (out, added)
-  }
+  /** Snapshot `df` eagerly and return the frame plus the pinned-RDD
+    * handles for [[graft.Snapshot.free]] — local blocks by default,
+    * durable checkpoint files when `spark.graft.checkpointDir` is set
+    * (the cluster fault-tolerance mode; see [[graft.Snapshot]]). */
+  private def snapshot(df: DataFrame): (DataFrame, Seq[RDD[_]]) =
+    graft.Snapshot.pinTracked(df, eager = true)
 
-  private def free(rdds: Seq[RDD[_]]): Unit =
-    rdds.foreach(_.unpersist(blocking = false))
+  private def free(rdds: Seq[RDD[_]]): Unit = graft.Snapshot.free(rdds)
 
   /** (orderCol, valueCol, running) where `running` is the EXCLUSIVE
     * prefix total of valueCol in ascending orderCol order. orderCol must
@@ -78,11 +68,10 @@ object PrefixSum {
     // cacheManager entries, not the checkpoint-pinned internal RDD).
     val (input, inputPins) =
       if (pinInput) snapshot(proj) else (proj, Seq.empty[RDD[_]])
-    val ranged = input
+    val ranged = graft.Snapshot.pin(input
       .repartitionByRange(p, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .sortWithinPartitions(orderCol), eager = true)
       .as[(Long, Long)]
-      .localCheckpoint(true)
     free(inputPins)
     val partSums = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -126,10 +115,9 @@ object PrefixSum {
     // (Dataset.unpersist cannot reach a localCheckpoint's internal RDD).
     val (input, inputPins) =
       if (pinInput) snapshot(df) else (df, Seq.empty[RDD[_]])
-    val ranged = input
+    val ranged = graft.Snapshot.pin(input
       .repartitionByRange(p, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .localCheckpoint(true)
+      .sortWithinPartitions(orderCols: _*), eager = true)
     free(inputPins)
     val valIdx = ranged.schema.fieldIndex(valueCol)
     val partSums = ranged.rdd

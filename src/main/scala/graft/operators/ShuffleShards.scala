@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** Deterministic global corpus shuffle into training shards — the "shuffle
   * the data before the trainer sees it" step every pretraining pipeline
@@ -35,8 +36,8 @@ object ShuffleShards {
         col(keyCol).cast("long").as("key"))
       .repartitionByRange(p, col("ord"), col("key"))
       .sortWithinPartitions("ord", "key")
+      .pinned(true)
       .as[(String, Long)]
-      .localCheckpoint(true)
     val counts = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L; it.foreach(_ => n += 1); Iterator((pid, n))

@@ -4,6 +4,7 @@ import graft.dedup.{DedupClusters, ExactDedup, NgramJaccard}
 import graft.text.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** The end-to-end training-data preparation flow, composed from the
   * engine's corpus operators — what a 100 TB pretraining pipeline actually
@@ -47,7 +48,7 @@ object CorpusPipeline {
     // (Bench/Verify unpersist all snapshots between queries — queries
     // share no state, so anything still pinned is dead weight).
     val deduped = ExactDedup.dedup(gated)
-    val exact = if (snapshot) deduped.localCheckpoint(eager = false) else deduped
+    val exact = if (snapshot) deduped.pinned(false) else deduped
     val pairs = NgramJaccard
       .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
       .select("doc_a", "doc_b")
@@ -89,7 +90,7 @@ object CorpusPipeline {
       .select(col("doc_id"),
         graft.text.Repetition.collapseTokens(col("t")).as("text"))
     val deduped = ExactDedup.dedup(gated)
-    val exact = if (snapshot) deduped.localCheckpoint(eager = false) else deduped
+    val exact = if (snapshot) deduped.pinned(false) else deduped
     val pairs = NgramJaccard
       .invertedIndexPairs(exact, threshold = jaccardThreshold, dfCap = dfCap)
       .select("doc_a", "doc_b")

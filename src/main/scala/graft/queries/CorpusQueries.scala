@@ -7,6 +7,7 @@ import graft.similarity.{Ann, Vectors}
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** Training-data pipeline queries over the documents/embeddings corpus.
   *
@@ -788,7 +789,7 @@ object CorpusQueries {
 
   // ---- similarity search ----------------------------------------------
 
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       Vectors.toDouble(col("embedding")).as("vec"))
 
@@ -1105,7 +1106,7 @@ object CorpusQueries {
       .withColumn("source_idx",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("source")) - 1).cast("long"))
-      .localCheckpoint(true) // n_sources rows; freed by the session sweep
+      .pinned(true) // n_sources rows; freed by the session sweep
     val nS = srcIdx.agg(count(lit(1)).as("n_sources"))
     d.withColumn("rk", (row_number().over(w) - 1).cast("long"))
       .join(broadcast(srcIdx), Seq("source"))

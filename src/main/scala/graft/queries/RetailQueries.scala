@@ -5,6 +5,7 @@ import graft.operators.{DimDate, RetailOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** SURVEY §2 operator inventory instantiated over the driver corpus
   * (TESTDATA.md tables), one query per operator row. Each has a matching
@@ -371,7 +372,7 @@ object RetailQueries {
       count_distinct(col("user_id")).as("exact_users"),
       approx_count_distinct(col("user_id")).as("approx_users"),
       percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"))
-      .localCheckpoint(true)
+      .pinned(true)
     val ranks = e.select(col("event_type"), col("value"))
       .join(broadcast(agg.select(col("event_type"), col("am"))), Seq("event_type"))
       .groupBy("event_type").agg(

@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
   * quantizer partitions the corpus into `nlist` cells; a query scores only
@@ -166,7 +167,7 @@ object Ivf {
       .orderBy(xxhash64(col("id")).asc, col("id").asc)
       .limit(math.max(trainCap, nlist * 4))
       .select(col("id"), col("vec"))
-      .localCheckpoint(eager = true)
+      .pinned(true)
     try {
       val pool = sample
         .orderBy(xxhash64(col("id")).asc, col("id").asc)

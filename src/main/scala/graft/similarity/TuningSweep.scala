@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** ANN tuning sweep (m74) — the recall-vs-nprobe curve for an IVF index,
   * what FAISS exposes as ParameterSpace: before anyone serves an
@@ -35,7 +36,7 @@ object TuningSweep {
     import spark.implicits._
     val exact = Ann.bruteForceTopK(queries, corpus, k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+      .pinned(true)
     val nQ = queries.count()
     val maxNp = math.min(nprobes.max, model.nlist)
     val npDf = nprobes.sorted.map(_.toLong).toDF("np")

@@ -3,6 +3,7 @@ package graft.text
 import graft.operators.PrefixSum
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** Corpus-law fit (m57): one-row report of how closely the corpus obeys
   * Zipf's law (term frequency vs rank) and Heaps' law (vocabulary growth
@@ -61,7 +62,7 @@ object CorpusLaws {
     // this pins the small table, not the corpus. Same release policy as
     // PrefixSum: Bench/Verify unpersist snapshots between queries.
     val st = terms.groupBy("source", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .pinned(true)
 
     // Zipf: y = ln(tf) against x = ln(rank), rank = global position in
     // (tf DESC, term ASC) order — unique, hence deterministic.

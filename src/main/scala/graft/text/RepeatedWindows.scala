@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Snapshot.SnapshotOps
 
 /** Cross-document repeated-sequence detection — the "dedup long repeated
   * substrings" signal (Lee et al. 2022, public) at token-window
@@ -135,7 +136,7 @@ object RepeatedWindows {
            textCol: String = "text"): DataFrame = {
     require(w > 0, "w must be positive")
     require(minDocs > 1, "minDocs must be > 1 (1 flags every window)")
-    val windows = windowFingerprintsRaw(docs, w, textCol).localCheckpoint(true)
+    val windows = windowFingerprintsRaw(docs, w, textCol).pinned(true)
     val repeated = windows
       .select("fp", "doc_id").distinct()
       .groupBy("fp").agg(count(lit(1)).as("df"))
