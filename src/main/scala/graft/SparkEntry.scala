@@ -911,10 +911,12 @@ object SparkEntry {
     "m43_lm_perplexity" ->
       (LmPerplexityCtes +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
-    // m89: CCNet-style head/middle/tail — rank-based terciles on the
-    // 6-dp-rounded perplexity order (integer cuts, so a doc can never
-    // flip buckets on cross-engine float drift; the rounded order is
-    // exactly what the m43 hash check proves the engines share).
+    // m89: CCNet-style head/middle/tail — rank-based terciles on an
+    // INTEGER sort key, floor(ppl*1e6): an IEEE multiply + floor on the
+    // identical double (m43's hash check proves the engines share ppl)
+    // is bit-identical cross-engine, where round(ppl, 6) was not (Spark
+    // rounds via exact BigDecimal, DuckDB via a float multiply — a value
+    // near a .5e-6 boundary could flip a near-tie doc's tercile).
     "m89_ppl_buckets" ->
       (LmPerplexityCtes +
         ", sc AS (SELECT h.doc_id, d.source, exp(cross_entropy) AS perplexity " +
@@ -922,7 +924,7 @@ object SparkEntry {
         "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1), " +
         "r AS (SELECT doc_id, source, perplexity, " +
         "CAST(row_number() OVER (PARTITION BY source " +
-        "ORDER BY round(perplexity, 6), doc_id) - 1 AS BIGINT) AS rk FROM sc) " +
+        "ORDER BY CAST(floor(perplexity * 1000000) AS BIGINT), doc_id) - 1 AS BIGINT) AS rk FROM sc) " +
         "SELECT r.doc_id, r.source, r.perplexity, " +
         "CASE WHEN rk * 3 < n THEN 'head' WHEN rk * 3 < n * 2 THEN 'middle' " +
         "ELSE 'tail' END AS bucket FROM r JOIN cnt USING (source)"),

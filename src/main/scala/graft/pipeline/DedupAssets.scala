@@ -79,7 +79,10 @@ object DedupAssets {
     * change, whether or not the documents did. */
   private def fingerprint(s: SparkSession, key: String,
                           fpTable: String, fpCols: Seq[String]): String =
-    fingerprints.computeIfAbsent(s"$key::$fpTable", { _ =>
+    // fpCols is part of the memo key: two assets over the same source
+    // table but fingerprinting different columns must not share a cached
+    // fingerprint (a collision would silently reuse a stale asset).
+    fingerprints.computeIfAbsent(s"$key::$fpTable::${fpCols.mkString(",")}", { _ =>
       val src = Paths.get(key, fpTable)
       if (Files.exists(src)) {
         val r = s.read.parquet(src.toString)

@@ -483,9 +483,13 @@ object CorpusQueries {
     * source, rank docs by LM self-perplexity and split into terciles
     * (head = most fluent third; tail = the noise candidates a pipeline
     * drops or down-weights). Buckets are RANK-based with integer cuts
-    * (rk·3 vs n) over the 6-dp-rounded perplexity order, so a doc can
-    * never flip buckets on cross-engine float drift — the rounded order
-    * is precisely what the m43 hash check proves both engines share.
+    * (rk·3 vs n) over an INTEGER sort key, floor(ppl·1e6) as bigint —
+    * both engines compute an IEEE multiply and floor on the identical
+    * double (the m43 hash check proves they share the ppl values), so
+    * the key is bit-identical cross-engine. round(ppl, 6) was NOT:
+    * Spark rounds via exact BigDecimal HALF_UP while DuckDB multiplies
+    * by 10^6 in floats, so a value a hair from a .5e-6 boundary could
+    * round differently and flip a near-tie doc's tercile.
     * Scale shape: the m43 scoring chain plus one per-source rank window
     * (the m73/m87 pattern) and a broadcast count table. */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -494,7 +498,7 @@ object CorpusQueries {
       .select(col("doc_id"), col("perplexity"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy(round(col("perplexity"), 6), col("doc_id"))
+      .orderBy(floor(col("perplexity") * lit(1e6)).cast("long"), col("doc_id"))
     // per-source size via a frame-less window over the SAME partitioning —
     // one source exchange serves rank AND count, and the LM scoring chain
     // is evaluated exactly once (a separate groupBy-count branch would

@@ -73,13 +73,41 @@ object AnnAssets {
     * closure ships — driver state by construction). */
   private def fromRows(rows: DataFrame): IvfPq.Model = {
     val all = rows.select("part", "i", "j", "vec").collect()
-    val coarse = all.filter(_.getString(0) == "coarse")
+    val coarseRows = all.filter(_.getString(0) == "coarse")
       .map(r => (r.getInt(1), r.getSeq[Double](3)))
-      .sortBy(_._1).map(_._2)
-    val pq = all.filter(_.getString(0) == "pq")
+      .sortBy(_._1)
+    coarseRows.map(_._1).zipWithIndex.foreach { case (cell, i) =>
+      require(cell == i,
+        s"stored ANN model asset: coarse cell indices not contiguous " +
+          s"(expected $i, found $cell) — asset is corrupt, rebuild it")
+    }
+    val coarse = coarseRows.map(_._2)
+    val pqRows = all.filter(_.getString(0) == "pq")
       .map(r => (r.getInt(1), r.getInt(2), r.getSeq[Double](3)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
+    val bySub = pqRows.groupBy(_._1).toSeq.sortBy(_._1)
+    // Validate structure before building: a partially-corrupted asset
+    // (one subspace's rows missing) would otherwise silently SHIFT every
+    // later codebook index and decode garbage distances. Subspace indices
+    // must be contiguous 0..m-1, every codebook the same size with
+    // contiguous code indices.
+    bySub.map(_._1).zipWithIndex.foreach { case (sub, i) =>
+      require(sub == i,
+        s"stored ANN model asset: subspace indices not contiguous " +
+          s"(expected $i, found $sub) — asset is corrupt, rebuild it")
+    }
+    val sizes = bySub.map(_._2.size).distinct
+    require(sizes.size <= 1,
+      s"stored ANN model asset: codebook sizes differ across subspaces " +
+        s"($sizes) — asset is corrupt, rebuild it")
+    val pq = bySub.map { case (sub, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.map(_._2).zipWithIndex.foreach { case (code, j) =>
+        require(code == j,
+          s"stored ANN model asset: code indices not contiguous in " +
+            s"subspace $sub (expected $j, found $code) — rebuild it")
+      }
+      sorted.map(_._3).toSeq
+    }
     require(coarse.nonEmpty, "stored ANN model asset has no coarse centroids")
     IvfPq.Model(Ivf.Model(coarse.toSeq), Pq.Model(pq))
   }

@@ -239,9 +239,18 @@ object TextOps {
   /** Gopher-style rule card (m91) — the published MassiveText per-document
     * rule battery (Rae et al. 2021, public), restricted to the rules this
     * corpus's single-line documents can express (the line-based rules —
-    * ellipsis-line and bullet-line ratios — need newline structure the
-    * synthetic corpus doesn't carry; they'd be two more `size(filter(
-    * split(text, '\n'), …))` columns of the same shape):
+    * ellipsis-line and bullet-line ratios — live in [[lineRules]], which
+    * runs them over newline-structured text).
+    *
+    * Parameter deviations from the paper, stated explicitly: the paper's
+    * word-count band is 50–100k with a specific 8-word stopword list
+    * ("the, be, to, of, and, that, have, with", ≥2 present); here
+    * minWords defaults to 10 (the synthetic corpus median is far below
+    * web-page length — the paper's 50 would reject most of the fixture)
+    * and the stopword probe reuses the repo-wide 14-word
+    * [[Stopwords]] list so every text operator shares one vocabulary.
+    * Callers wanting the paper's exact filter decisions pass
+    * minWords = 50 and their own list. Rules:
     *  - word count in [minWords, maxWords];
     *  - mean word length in [3, 10] (characters of [a-z0-9]+ runs over
     *    their count);
@@ -251,14 +260,15 @@ object TextOps {
     * AND verdict. One projection pass, no shuffle; every expression is
     * replayed verbatim by the DuckDB oracle. */
   def gopherRules(docs: DataFrame, textCol: String = "text",
-                  minWords: Long = 10, maxWords: Long = 100000): DataFrame = {
+                  minWords: Long = 10, maxWords: Long = 100000,
+                  stopwords: Seq[String] = Stopwords): DataFrame = {
     val t = col(textCol)
     val words = regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0))
     val nWords = size(words).cast("long")
     val meanLen = length(array_join(words, "")).cast("double") /
       greatest(nWords.cast("double"), lit(1.0))
     val alphaWords = size(filter(words, w => w.rlike("[a-z]"))).cast("double")
-    val sw = array(Stopwords.map(lit): _*)
+    val sw = array(stopwords.map(lit): _*)
     val distinctStops = size(array_intersect(array_distinct(tokens(t)), sw))
     val rWordCount = (nWords >= minWords && nWords <= maxWords).cast("long")
     val rMeanLen = (meanLen >= 3.0 && meanLen <= 10.0).cast("long")

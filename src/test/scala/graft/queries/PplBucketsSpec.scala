@@ -24,12 +24,14 @@ class PplBucketsSpec extends SparkSpec {
       r.getLong(3) shouldBe expMid
       r.getLong(4) shouldBe n - expHead - expMid
     }
-    // buckets are ordered: every head doc's rounded ppl ≤ every tail doc's
-    // within the same source
+    // buckets are ordered: every head doc's SORT KEY (floor(ppl*1e6) —
+    // the exact key the engine ranks on) ≤ every tail doc's within the
+    // same source
+    val key = floor(col("perplexity") * lit(1e6)).cast("long")
     val maxHead = out.filter(col("bucket") === "head")
-      .groupBy("source").agg(max(round(col("perplexity"), 6)).as("mx"))
+      .groupBy("source").agg(max(key).as("mx"))
     val minTail = out.filter(col("bucket") === "tail")
-      .groupBy("source").agg(min(round(col("perplexity"), 6)).as("mn"))
+      .groupBy("source").agg(min(key).as("mn"))
     maxHead.join(minTail, Seq("source"))
       .filter(col("mx") > col("mn")).count() shouldBe 0L
     out.unpersist()
