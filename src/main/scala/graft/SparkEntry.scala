@@ -214,7 +214,10 @@ object SparkEntry {
     "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _),
     // m91: the Gopher/MassiveText per-document rule battery (the rules a
     // single-line corpus can express) — bits + AND verdict
-    "m91_gopher_rules" -> (CorpusQueries.gopherRules _)
+    "m91_gopher_rules" -> (CorpusQueries.gopherRules _),
+    // m92: the LINE-level Gopher rules (ellipsis/bullet/duplicate-line
+    // fractions) over the noise-augmented multi-line corpus
+    "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -691,6 +694,37 @@ object SparkEntry {
         "CAST(max(n) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
         "coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '') AS scrubbed_text " +
         "FROM kept GROUP BY 1"),
+    // m92: the line-level Gopher battery over the m31 line corpus plus
+    // deterministic noise (bullets on ≡0 mod 3, ellipsis markers on ≡0
+    // mod 5, a repeated line on ≡0 mod 7) — integer-count divisions, so
+    // fractions and rule bits replay bit-identically.
+    "m92_gopher_line_rules" ->
+      ("WITH b AS (SELECT doc_id, (CASE WHEN doc_id % 2 = 0 " +
+        "THEN 'this site uses cookies accept to continue' " +
+        "ELSE 'home products about contact' END) || chr(10) || text || chr(10) || " +
+        "'subscribe to our newsletter for updates' || chr(10) || " +
+        "'ref ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'copyright all rights reserved' || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- sale item one' || chr(10) || '- sale item two' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' || chr(10) || 'loading more results...' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'subscribe to our newsletter for updates' ELSE '' END) AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b), " +
+        "c AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n, " +
+        "CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT) AS ne, " +
+        "CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS nb, " +
+        "CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS nd FROM sp) " +
+        "SELECT doc_id, n AS n_lines, " +
+        "CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) AS ellipsis_frac, " +
+        "CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) AS bullet_frac, " +
+        "CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_line_frac, " +
+        "CAST(CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) <= 0.25 AS BIGINT) AS r_ellipsis_lines, " +
+        "CAST(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) <= 0.25 AS BIGINT) AS r_bullet_lines, " +
+        "CAST(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 AS BIGINT) AS r_dup_lines, " +
+        "CAST(CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) <= 0.25 " +
+        "AND CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) <= 0.25 " +
+        "AND CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 AS BIGINT) AS pass " +
+        "FROM c"),
     "m91_gopher_rules" ->
       ("WITH b AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
         "list_distinct(string_split_regex(lower(trim(text)), ' +')) AS toks " +

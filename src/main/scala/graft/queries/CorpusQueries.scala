@@ -145,6 +145,29 @@ object CorpusQueries {
     graft.text.LineDedup.dedupLines(
       withSyntheticLines(Tables.documents(s, dir)), minDocs = 10)
 
+  /** m92's corpus: [[withSyntheticLines]] plus deterministic per-doc line
+    * NOISE, so every line-level Gopher rule fires both ways — bullet
+    * scrapings on doc_id ≡ 0 (mod 3), "read more..." truncation markers
+    * on ≡ 0 (mod 5), a repeated boilerplate line on ≡ 0 (mod 7). Pure
+    * function of the input; the oracle rebuilds the identical corpus. */
+  def withSyntheticLineNoise(docs: DataFrame): DataFrame =
+    withSyntheticLines(docs).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- sale item one\n- sale item two")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nread more...\nloading more results...")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nsubscribe to our newsletter for updates")).otherwise(lit(""))))
+
+  /** Line-level Gopher rule card (m92): ellipsis-line / bullet-line /
+    * duplicate-line fractions over the noise-augmented multi-line corpus
+    * — the rules the single-line battery (m91) cannot express. One
+    * projection pass, no shuffle. */
+  def gopherLineRules(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.lineRules(
+      withSyntheticLineNoise(Tables.documents(s, dir)))
+
   /** Bigram-frequency novelty scores (m32) — rareMax 25 puts ~25% of the
     * sf0.01 corpus's bigram occurrences under the rare line, so both
     * branches of the gate are exercised. */

@@ -283,6 +283,53 @@ object TextOps {
           col("r_alpha_words") === 1L && col("r_stopwords") === 1L).cast("long"))
   }
 
+  /** Line-level Gopher rules (m92) — the MassiveText rules [[gopherRules]]
+    * cannot see in single-line text, run over newline-structured documents
+    * (Rae et al. 2021, public):
+    *  - ellipsis-line fraction: share of lines ending in "..." ≤
+    *    maxEllipsisFrac (boilerplate "read more..." truncation markers);
+    *  - bullet-line fraction: share of lines starting with a bullet
+    *    ("- ", "* ", "• ") ≤ maxBulletFrac (nav/list scrapings);
+    *  - duplicate-line fraction: (n_lines − distinct lines) / n_lines ≤
+    *    maxDupLineFrac (the within-doc repetition probe).
+    * Default thresholds are TIGHTENED from the paper's (0.3 / 0.9 / 0.3)
+    * so the synthetic fixture exercises both branches of every rule —
+    * the paper's values are reachable via the parameters, and the
+    * deviation is deliberate and documented, like [[gopherRules]]'s.
+    * Output: per-doc line counts, fractions, rule bits (BIGINT 0/1) and
+    * the AND verdict. One projection pass, no shuffle: the fractions are
+    * integer-count divisions, so both engines compute identical doubles.
+    */
+  def lineRules(docs: DataFrame, textCol: String = "text",
+                maxEllipsisFrac: Double = 0.25,
+                maxBulletFrac: Double = 0.25,
+                maxDupLineFrac: Double = 0.1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val n = org.apache.spark.sql.functions.size(lines).cast("long")
+    val nDouble = n.cast("double")
+    val nEll = org.apache.spark.sql.functions.size(
+      filter(lines, l => l.endsWith("..."))).cast("long")
+    val nBul = org.apache.spark.sql.functions.size(
+      filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("long")
+    val nDup = (n - org.apache.spark.sql.functions.size(
+      array_distinct(lines)).cast("long"))
+    val ellFrac = nEll.cast("double") / nDouble
+    val bulFrac = nBul.cast("double") / nDouble
+    val dupFrac = nDup.cast("double") / nDouble
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), n.as("n_lines"),
+        ellFrac.as("ellipsis_frac"), bulFrac.as("bullet_frac"),
+        dupFrac.as("dup_line_frac"),
+        (ellFrac <= maxEllipsisFrac).cast("long").as("r_ellipsis_lines"),
+        (bulFrac <= maxBulletFrac).cast("long").as("r_bullet_lines"),
+        (dupFrac <= maxDupLineFrac).cast("long").as("r_dup_lines"))
+      .withColumn("pass",
+        (col("r_ellipsis_lines") === 1L && col("r_bullet_lines") === 1L &&
+          col("r_dup_lines") === 1L).cast("long"))
+  }
+
   /** Language + quality gate — production path for filter pipelines. */
   def langQualityGate(docs: DataFrame, textCol: String = "text",
                       lang: String = "en", minQuality: Double = 0.3): DataFrame =

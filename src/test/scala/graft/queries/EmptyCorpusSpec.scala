@@ -42,6 +42,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m88_token_coverage" -> (CorpusQueries.tokenCoverage _),
     "m89_ppl_buckets" -> (CorpusQueries.pplBuckets _),
     "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _),
+    "m91_gopher_rules" -> (CorpusQueries.gopherRules _),
+    "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

@@ -155,4 +155,12 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m90 span decontamination: rewritten text identical across partitionings") {
     assertInvariant(CorpusQueries.decontaminateSpans)
   }
+
+  test("m91 Gopher rules: rule bits identical across partitionings") {
+    assertInvariant(CorpusQueries.gopherRules)
+  }
+
+  test("m92 line-level Gopher rules: fractions and bits identical across partitionings") {
+    assertInvariant(CorpusQueries.gopherLineRules)
+  }
 }

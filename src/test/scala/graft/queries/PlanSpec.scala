@@ -364,4 +364,42 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("Generate explode") // dim replicated across salts
     (p should not).include("CartesianProduct")
   }
+
+  test("m89: rank and per-source count share ONE source exchange; no text in any exchange") {
+    val p = plan(CorpusQueries.pplBuckets(spark, dir))
+    // the tercile stage: rank window + frame-less count window stacked
+    // over a single per-source exchange (the m73/m87 pattern) — a second
+    // source exchange would mean the LM chain re-derived per window
+    "Exchange hashpartitioning\\(source".r.findAllIn(p).size shouldBe 1
+    // every exchange in the LM chain carries bigram/doc keys, never text
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (ex should not).include("text#")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m90: span decontamination shuffles fingerprints and cut lists, never text") {
+    val p = plan(CorpusQueries.decontaminateSpans(spark, dir))
+    // benchmark fingerprints reach the corpus side as a broadcast
+    // semi-join probe (the bounded set builds, the corpus streams)
+    p should include("LeftSemi")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (ex should not).include("text#")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m91: single-line Gopher card is one codegen'd projection — zero exchanges") {
+    val p = plan(CorpusQueries.gopherRules(spark, dir))
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("m92: line-level Gopher card is one codegen'd projection — zero exchanges") {
+    val p = plan(CorpusQueries.gopherLineRules(spark, dir))
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
 }

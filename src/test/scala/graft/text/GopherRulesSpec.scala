@@ -31,6 +31,42 @@ class GopherRulesSpec extends SparkSpec {
     }
   }
 
+  test("line rules: each rule trips on its own planted violation") {
+    val out = TextOps.lineRules(Seq(
+      // clean: 4 distinct plain lines
+      1L -> "alpha line\nbeta line\ngamma line\ndelta line",
+      // 2/4 lines end in "..." → ellipsis_frac 0.5 > 0.25
+      2L -> "read more...\nalpha line\nloading...\nbeta line",
+      // 2/4 bullet lines → bullet_frac 0.5 > 0.25 ("- ", "* ", "• " all count)
+      3L -> "- item one\n* item two\nalpha line\nbeta line",
+      // one line repeated → dup_line_frac 1/4 = 0.25 > 0.1
+      4L -> "alpha line\nbeta line\nalpha line\ngamma line")
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    out(1L) shouldBe ((1L, 1L, 1L, 1L))
+    out(2L)._1 shouldBe 0L // r_ellipsis_lines
+    out(3L)._2 shouldBe 0L // r_bullet_lines
+    out(4L)._3 shouldBe 0L // r_dup_lines
+    out.values.foreach { case (a, b, c, p) =>
+      p shouldBe (if (a == 1L && b == 1L && c == 1L) 1L else 0L)
+    }
+  }
+
+  test("line rules: the synthetic noise corpus exercises both branches of every rule") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = graft.queries.CorpusQueries.gopherLineRules(spark, sf("sf0.001"))
+    out.count() shouldBe docs.filter(col("text").isNotNull).count()
+    // a rule that only ever passes (or only ever fails) on the fixture
+    // is not being tested by the oracle gate at all
+    Seq("r_ellipsis_lines", "r_bullet_lines", "r_dup_lines", "pass").foreach { c =>
+      withClue(c) {
+        out.filter(col(c) === 1L).count() should be > 0L
+        out.filter(col(c) === 0L).count() should be > 0L
+      }
+    }
+  }
+
   test("null text is excluded; the pass verdict matches a manual recompute on corpus data") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val out = TextOps.gopherRules(docs)
