@@ -217,7 +217,10 @@ object SparkEntry {
     "m91_gopher_rules" -> (CorpusQueries.gopherRules _),
     // m92: the LINE-level Gopher rules (ellipsis/bullet/duplicate-line
     // fractions) over the noise-augmented multi-line corpus
-    "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _)
+    "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _),
+    // m93: the repetition rules (top/duplicate n-gram character
+    // fractions) — the third MassiveText family, completing the battery
+    "m93_repetition_rules" -> (CorpusQueries.repetitionRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -725,6 +728,48 @@ object SparkEntry {
         "AND CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) <= 0.25 " +
         "AND CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 AS BIGINT) AS pass " +
         "FROM c"),
+    // m93: repetition rule card — top n-gram (n=2..4) and capped
+    // duplicate n-gram mass (n=5..10) fractions; integer count×length
+    // sums divided once, so both engines produce identical doubles.
+    "m93_repetition_rules" ->
+      ("WITH aug AS (SELECT doc_id, text || (CASE WHEN doc_id % 4 = 0 " +
+        "THEN repeat(' limited time offer click here to claim your exclusive reward now today', 3) " +
+        "ELSE '' END) AS text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+        "base AS (SELECT doc_id, t, CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars FROM toks), " +
+        "g AS (SELECT doc_id, total_chars, n, unnest(CASE WHEN len(t) >= n THEN " +
+        "list_transform(generate_series(1, len(t) - n + 1), i -> array_to_string(list_slice(t, i, i + n - 1), ' ')) " +
+        "ELSE [] END) AS gram FROM base, (SELECT unnest(generate_series(2, 10)) AS n)), " +
+        "c AS (SELECT doc_id, total_chars, n, gram, count(*) AS cnt FROM g GROUP BY 1,2,3,4), " +
+        "p AS (SELECT doc_id, total_chars, n, max(cnt * length(gram)) AS mx, " +
+        "sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup FROM c GROUP BY 1,2,3), " +
+        "f AS (SELECT doc_id, n, least(1.0, CAST(mx AS DOUBLE) / greatest(CAST(total_chars AS DOUBLE), 1.0)) AS top_frac, " +
+        "least(1.0, CAST(dup AS DOUBLE) / greatest(CAST(total_chars AS DOUBLE), 1.0)) AS dup_frac FROM p), " +
+        "w AS (SELECT doc_id, " +
+        "coalesce(max(CASE WHEN n = 2 THEN top_frac END), 0.0) AS top_2, " +
+        "coalesce(max(CASE WHEN n = 3 THEN top_frac END), 0.0) AS top_3, " +
+        "coalesce(max(CASE WHEN n = 4 THEN top_frac END), 0.0) AS top_4, " +
+        "coalesce(max(CASE WHEN n = 5 THEN dup_frac END), 0.0) AS dup_5, " +
+        "coalesce(max(CASE WHEN n = 6 THEN dup_frac END), 0.0) AS dup_6, " +
+        "coalesce(max(CASE WHEN n = 7 THEN dup_frac END), 0.0) AS dup_7, " +
+        "coalesce(max(CASE WHEN n = 8 THEN dup_frac END), 0.0) AS dup_8, " +
+        "coalesce(max(CASE WHEN n = 9 THEN dup_frac END), 0.0) AS dup_9, " +
+        "coalesce(max(CASE WHEN n = 10 THEN dup_frac END), 0.0) AS dup_10 " +
+        "FROM f GROUP BY 1) " +
+        "SELECT doc_id, top_2, top_3, top_4, dup_5, dup_6, dup_7, dup_8, dup_9, dup_10, " +
+        "CAST(top_2 <= 0.20 AS BIGINT) AS r_top_2, " +
+        "CAST(top_3 <= 0.18 AS BIGINT) AS r_top_3, " +
+        "CAST(top_4 <= 0.16 AS BIGINT) AS r_top_4, " +
+        "CAST(dup_5 <= 0.15 AS BIGINT) AS r_dup_5, " +
+        "CAST(dup_6 <= 0.14 AS BIGINT) AS r_dup_6, " +
+        "CAST(dup_7 <= 0.13 AS BIGINT) AS r_dup_7, " +
+        "CAST(dup_8 <= 0.12 AS BIGINT) AS r_dup_8, " +
+        "CAST(dup_9 <= 0.11 AS BIGINT) AS r_dup_9, " +
+        "CAST(dup_10 <= 0.10 AS BIGINT) AS r_dup_10, " +
+        "CAST(top_2 <= 0.20 AND top_3 <= 0.18 AND top_4 <= 0.16 " +
+        "AND dup_5 <= 0.15 AND dup_6 <= 0.14 AND dup_7 <= 0.13 " +
+        "AND dup_8 <= 0.12 AND dup_9 <= 0.11 AND dup_10 <= 0.10 AS BIGINT) AS pass " +
+        "FROM w"),
     "m91_gopher_rules" ->
       ("WITH b AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
         "list_distinct(string_split_regex(lower(trim(text)), ' +')) AS toks " +

@@ -168,6 +168,27 @@ object CorpusQueries {
     graft.text.TextOps.lineRules(
       withSyntheticLineNoise(Tables.documents(s, dir)))
 
+  /** m93's corpus: a spam phrase repeated 3× appended to doc_id ≡ 0
+    * (mod 4) — the corpus vocabulary is too small for natural
+    * duplicate-5-gram mass (measured 0 across all of sf0.01), so the
+    * duplicate-n-gram rules need planted repetition to fire both ways;
+    * the top-n-gram rules already trip naturally (2–28% per n). Pure
+    * function of the input; the oracle rebuilds the identical corpus. */
+  def withSyntheticRepetition(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          repeat(lit(" limited time offer click here to claim your" +
+            " exclusive reward now today"), 3)).otherwise(lit(""))))
+
+  /** Repetition rule card (m93): top n-gram (n=2..4) and duplicate
+    * n-gram (n=5..10) character fractions with the MassiveText
+    * thresholds — the third Gopher family, completing m91 (word rules)
+    * and m92 (line rules). */
+  def repetitionRules(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.repetitionRules(
+      withSyntheticRepetition(Tables.documents(s, dir)))
+
   /** Bigram-frequency novelty scores (m32) — rareMax 25 puts ~25% of the
     * sf0.01 corpus's bigram occurrences under the rare line, so both
     * branches of the gate are exercised. */

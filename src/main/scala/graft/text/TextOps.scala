@@ -330,6 +330,90 @@ object TextOps {
           col("r_dup_lines") === 1L).cast("long"))
   }
 
+  /** Repetition rule card (m93) — the third MassiveText family (Rae et
+    * al. 2021, public), completing the battery next to [[gopherRules]]
+    * (word rules) and [[lineRules]] (line rules):
+    *  - top n-gram character fraction (n = 2, 3, 4): characters of the
+    *    single most frequent n-gram (count × gram length over the
+    *    normalized single-spaced text length) ≤ 0.20 / 0.18 / 0.16;
+    *  - duplicate n-gram character MASS (n = 5..10): count × length
+    *    summed over every n-gram occurring more than once, divided by
+    *    text length and capped at 1.0 — ≤ 0.15 / 0.14 / 0.13 / 0.12 /
+    *    0.11 / 0.10. Deviation from the paper, stated plainly: the paper
+    *    measures the character-position UNION covered by duplicated
+    *    n-grams; the mass form double-counts overlapping grams (hence
+    *    the cap — applied to BOTH families, since overlapping
+    *    occurrences can push even the top-gram product past the text
+    *    length) but needs no per-position coverage pass — the same
+    *    trade public implementations of the filter make for speed. The
+    *    exact union machinery exists in [[SpanScrub]] for callers that
+    *    need it per-n.
+    * Scale shape: one explode of (doc_id, n, gram) rows; the first
+    * aggregate keys on (doc_id, n, gram), and because a document's grams
+    * all originate from its single input row, map-side partial
+    * aggregation collapses within-doc duplicates BEFORE the exchange —
+    * the shuffle carries distinct-gram rows, and the two follow-up
+    * aggregates are doc-scale. Sums are exact integer counts, so the
+    * fractions are single IEEE divisions — bit-identical cross-engine.
+    */
+  def repetitionRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topThr = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val t = tokens(col(textCol))
+    val perN = array((topNs ++ dupNs).map { n =>
+      struct(lit(n).as("n"),
+        when(org.apache.spark.sql.functions.size(col("t")) >= n,
+          transform(
+            sequence(lit(1),
+              org.apache.spark.sql.functions.size(col("t")) - n + 1),
+            i => array_join(slice(col("t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    }: _*)
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        length(array_join(col("t"), " ")).cast("long").as("total_chars"),
+        explode(perN).as("s"))
+      .select(col("doc_id"), col("total_chars"), col("s.n").as("n"),
+        explode(col("s.grams")).as("gram"))
+    val perGram = grams
+      .groupBy("doc_id", "total_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val perDocN = perGram
+      .groupBy("doc_id", "total_chars", "n")
+      .agg(max(col("cnt") * length(col("gram"))).as("mx"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+          .otherwise(0L)).as("dup"))
+    val tc = greatest(col("total_chars").cast("double"), lit(1.0))
+    // both fractions cap at 1.0: overlapping occurrences double-count
+    // characters (count × length), so "buy now buy now …" pushes even the
+    // TOP-gram product past the text length
+    val fracs = perDocN
+      .withColumn("top_frac", least(lit(1.0), col("mx").cast("double") / tc))
+      .withColumn("dup_frac", least(lit(1.0), col("dup").cast("double") / tc))
+    // conditional aggregation instead of pivot: one row per (doc, n), so
+    // max(when(n = k, …)) selects that n's value deterministically — a doc
+    // shorter than n tokens has no row for that n and coalesces to 0
+    val aggCols = topNs.map(n =>
+      coalesce(max(when(col("n") === n, col("top_frac"))), lit(0.0))
+        .as(s"top_$n")) ++
+      dupNs.map(n =>
+        coalesce(max(when(col("n") === n, col("dup_frac"))), lit(0.0))
+          .as(s"dup_$n"))
+    val agg = fracs.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val withBits = (topNs.map(n => s"top_$n" -> topThr(n)) ++
+      dupNs.map(n => s"dup_$n" -> dupThr(n)))
+      .foldLeft(agg) { case (df, (c, thr)) =>
+        df.withColumn(s"r_$c", (col(c) <= thr).cast("long"))
+      }
+    val bitCols = topNs.map(n => s"r_top_$n") ++ dupNs.map(n => s"r_dup_$n")
+    withBits.withColumn("pass",
+      bitCols.map(c => col(c) === 1L).reduce(_ && _).cast("long"))
+  }
+
   /** Language + quality gate — production path for filter pipelines. */
   def langQualityGate(docs: DataFrame, textCol: String = "text",
                       lang: String = "en", minQuality: Double = 0.3): DataFrame =

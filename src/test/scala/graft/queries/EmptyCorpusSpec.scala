@@ -44,6 +44,7 @@ class EmptyCorpusSpec extends SparkSpec {
     "m90_decontaminate_spans" -> (CorpusQueries.decontaminateSpans _),
     "m91_gopher_rules" -> (CorpusQueries.gopherRules _),
     "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _),
+    "m93_repetition_rules" -> (CorpusQueries.repetitionRules _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

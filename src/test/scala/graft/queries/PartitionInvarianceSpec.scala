@@ -163,4 +163,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m92 line-level Gopher rules: fractions and bits identical across partitionings") {
     assertInvariant(CorpusQueries.gopherLineRules)
   }
+
+  test("m93 repetition rules: integer-sum fractions identical across partitionings") {
+    assertInvariant(CorpusQueries.repetitionRules)
+  }
 }

@@ -402,4 +402,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Join")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
+
+  test("m93: every repetition-rule exchange sits above a map-side partial aggregate") {
+    val p = plan(CorpusQueries.repetitionRules(spark, dir))
+    // three exchanges by construction — (doc,n,gram) counts (partial
+    // count collapses a doc's duplicate grams BEFORE the shuffle, since
+    // a doc's grams originate in one input row), then doc×n, then doc
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 3
+    p should include("partial_count")
+    p should include("partial_max")
+    (p should not).include("Join")
+    (p should not).include("CartesianProduct")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
 }

@@ -67,6 +67,51 @@ class GopherRulesSpec extends SparkSpec {
     }
   }
 
+  test("repetition rules: top and duplicate n-gram fractions trip on planted violations") {
+    // doc 1: 60 distinct words — no repeated gram at any n, and long
+    // enough that a single n-gram is a small character share (short docs
+    // trivially fail the top-gram rules: 1 trigram of a 12-word doc is
+    // already ~25% of its characters — the paper gates on word count
+    // first, which is m91's job)
+    // doc 2: one bigram dominating ("buy now" x5 of 11 words)
+    // doc 3: a 6-token phrase repeated 3x — duplicate mass for n=5,6 high
+    val out = TextOps.repetitionRules(Seq(
+      1L -> (0 until 60).map(i => s"word$i").mkString(" "),
+      2L -> "buy now buy now buy now buy now buy now again",
+      3L -> ("one two three four five six " * 3 + "tail marker words"))
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c = out(1L).schema.fieldNames.zipWithIndex.toMap
+    // doc 1 passes everything
+    out(1L).getLong(c("pass")) shouldBe 1L
+    // doc 2: top-2-gram fraction = 5*len("buy now")/total > 0.2
+    out(2L).getLong(c("r_top_2")) shouldBe 0L
+    out(2L).getLong(c("pass")) shouldBe 0L
+    // doc 3: duplicate 5-gram and 6-gram mass over threshold
+    out(3L).getLong(c("r_dup_5")) shouldBe 0L
+    out(3L).getLong(c("r_dup_6")) shouldBe 0L
+    out(3L).getLong(c("pass")) shouldBe 0L
+    // fractions stay in [0, 1] (the cap is real)
+    out.values.foreach { r =>
+      Seq("top_2", "top_3", "top_4", "dup_5", "dup_10").foreach { f =>
+        r.getDouble(c(f)) should be >= 0.0
+        r.getDouble(c(f)) should be <= 1.0
+      }
+    }
+  }
+
+  test("repetition rules: the planted-noise corpus exercises both branches") {
+    val out = graft.queries.CorpusQueries.repetitionRules(spark, sf("sf0.001"))
+    // the dup rules fire exactly on the %4 planted docs; top rules fire
+    // naturally — both branches of the AND verdict must exist
+    Seq("r_dup_5", "r_dup_10", "pass").foreach { cc =>
+      withClue(cc) {
+        out.filter(col(cc) === 1L).count() should be > 0L
+        out.filter(col(cc) === 0L).count() should be > 0L
+      }
+    }
+  }
+
   test("null text is excluded; the pass verdict matches a manual recompute on corpus data") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val out = TextOps.gopherRules(docs)
