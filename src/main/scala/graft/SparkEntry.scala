@@ -220,7 +220,18 @@ object SparkEntry {
     "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _),
     // m93: the repetition rules (top/duplicate n-gram character
     // fractions) — the third MassiveText family, completing the battery
-    "m93_repetition_rules" -> (CorpusQueries.repetitionRules _)
+    "m93_repetition_rules" -> (CorpusQueries.repetitionRules _),
+    // m94: the C4 cleaning rules (Raffel et al. 2020) — line-REWRITING
+    // where Gopher is page-scoring; the fourth rule family
+    "m94_c4_rules" -> (CorpusQueries.c4Rules _),
+    // m95: DSIR importance resampling (Xie et al. 2023) — hashed-bigram
+    // target-vs-raw log weights via a PORTABLE md5 bucket hash, exact
+    // 80th-percentile selection threshold
+    "m95_dsir_weights" -> (CorpusQueries.dsirWeights _),
+    // m96: global keep-first line dedup (Lee et al. 2021's keep-one
+    // policy at line granularity) — m31's complement: one copy of shared
+    // content survives instead of none
+    "m96_keep_first_lines" -> (CorpusQueries.keepFirstLineDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -770,6 +781,99 @@ object SparkEntry {
         "AND dup_5 <= 0.15 AND dup_6 <= 0.14 AND dup_7 <= 0.13 " +
         "AND dup_8 <= 0.12 AND dup_9 <= 0.11 AND dup_10 <= 0.10 AS BIGINT) AS pass " +
         "FROM w"),
+    // m94: C4 rule card — the line filter (terminal punct / ≥3 words /
+    // no-javascript) rewrites the page; the page gate reads the kept
+    // text's sentence count plus raw-text content flags. All counts are
+    // integers, never divided — bit-identical cross-engine.
+    "m94_c4_rules" ->
+      ("WITH b AS (SELECT doc_id, (CASE WHEN doc_id % 2 = 0 " +
+        "THEN 'this site uses cookies accept to continue' " +
+        "ELSE 'home products about contact' END) || chr(10) || text || chr(10) || " +
+        "'subscribe to our newsletter for updates' || chr(10) || " +
+        "'ref ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'copyright all rights reserved' || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'the quick brown fox jumps over the lazy dog. it runs fast. it never stops. we watch it daily. the end is near.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'const config = { theme: dark }' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'win big at the casino tonight.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'ok fine.' ELSE '' END) AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM b), " +
+        "k AS (SELECT doc_id, text, ls, list_filter(ls, l -> " +
+        "(ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '\"')) " +
+        "AND len(string_split_regex(trim(l), ' +')) >= 3 " +
+        "AND NOT contains(l, 'javascript')) AS kept FROM sp), " +
+        "c AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept_lines, " +
+        // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        // array_join([]) is '' — an all-struck page must read as empty
+        "coalesce(array_to_string(kept, chr(10)), '') AS text_clean, " +
+        "CAST(length(regexp_replace(coalesce(array_to_string(kept, chr(10)), ''), '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences, " +
+        "CAST(contains(text, 'lorem ipsum') AS BIGINT) AS has_lorem, " +
+        "CAST(contains(text, '{') OR contains(text, '}') AS BIGINT) AS has_brace, " +
+        "CAST(len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'), ['casino','jackpot'])) > 0 AS BIGINT) AS has_badword " +
+        "FROM k) " +
+        "SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace, has_badword, " +
+        "CAST(n_sentences >= 5 AS BIGINT) AS r_min_sentences, text_clean, " +
+        "CAST(n_kept_lines >= 1 AND n_sentences >= 5 AND has_lorem = 0 " +
+        "AND has_brace = 0 AND has_badword = 0 AS BIGINT) AS pass FROM c"),
+    // m95: DSIR — bucket counts, smoothed target/raw log-ratio per
+    // bucket, bucket-sorted per-doc fold (the m55 discipline), exact
+    // interpolated 80th-percentile threshold. The bucket hash is the
+    // PORTABLE one: md5's last 3 hex chars parsed base-16, mod 1024.
+    "m95_dsir_weights" ->
+      ("WITH aug AS (SELECT doc_id, text || (CASE WHEN doc_id % 10 < 2 " +
+        "THEN ' quantum flux entangled qubit lattice coherence' ELSE '' END) AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, doc_id % 10 < 2 AS is_target, " +
+        "string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+        "g AS (SELECT doc_id, is_target, unnest(list_transform(" +
+        "generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS gram " +
+        "FROM toks WHERE len(t) >= 2), " +
+        "hb AS (SELECT doc_id, is_target, " +
+        "((strpos('0123456789abcdef', substr(md5(gram), 30, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(md5(gram), 31, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(md5(gram), 32, 1)) - 1)) % 1024 AS bucket FROM g), " +
+        "d AS (SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS n_db " +
+        "FROM hb GROUP BY 1, 2, 3), " +
+        "rawc AS (SELECT bucket, sum(n_db) AS n_r FROM d GROUP BY 1), " +
+        "tgt AS (SELECT bucket, sum(n_db) AS n_t FROM d WHERE is_target GROUP BY 1), " +
+        "tot AS (SELECT sum(n_db) AS tr, " +
+        "sum(CASE WHEN is_target THEN n_db ELSE 0 END) AS tt FROM d), " +
+        "lam AS (SELECT r.bucket, " +
+        "ln((coalesce(t.n_t, 0) + 0.5) / (tot.tt + 512.0)) " +
+        "- ln((r.n_r + 0.5) / (tot.tr + 512.0)) AS lam " +
+        "FROM rawc r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot), " +
+        "w AS (SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_grams, " +
+        "list_sum(list(n_db * lam ORDER BY bucket)) AS logw " +
+        "FROM d JOIN lam USING (bucket) GROUP BY doc_id), " +
+        "q AS (SELECT quantile_cont(logw, 0.8) AS thr FROM w) " +
+        "SELECT doc_id, n_grams, logw, " +
+        "CAST(logw > thr AS BIGINT) AS selected FROM w CROSS JOIN q"),
+    // m96: keep-first — first occurrence in (doc_id, line_no) order wins
+    // (the impl's min(struct) ≡ the oracle's row_number window; the impl
+    // groups by xxhash64(line), the oracle by line text — same contract
+    // as m31's documented collision bound).
+    "m96_keep_first_lines" ->
+      ("WITH b AS (SELECT doc_id, (CASE WHEN doc_id % 2 = 0 " +
+        "THEN 'this site uses cookies accept to continue' " +
+        "ELSE 'home products about contact' END) || chr(10) || text || chr(10) || " +
+        "'subscribe to our newsletter for updates' || chr(10) || " +
+        "'ref ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'copyright all rights reserved' || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- sale item one' || chr(10) || '- sale item two' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' || chr(10) || 'loading more results...' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'subscribe to our newsletter for updates' ELSE '' END) AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b), " +
+        "l AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n, unnest(ls) AS line, " +
+        "unnest(range(1, len(ls) + 1)) AS pos FROM sp), " +
+        "k AS (SELECT doc_id, n, pos, line, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, " +
+        "max(n) AS n_lines, CAST(max(n) - count(*) AS BIGINT) AS n_struck " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id"),
     "m91_gopher_rules" ->
       ("WITH b AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
         "list_distinct(string_split_regex(lower(trim(text)), ' +')) AS toks " +

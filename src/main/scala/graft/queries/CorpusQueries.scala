@@ -189,6 +189,74 @@ object CorpusQueries {
     graft.text.TextOps.repetitionRules(
       withSyntheticRepetition(Tables.documents(s, dir)))
 
+  /** m94's corpus: [[withSyntheticLines]] plus the deterministic noise
+    * every C4 rule needs to fire both ways — the base boilerplate lines
+    * carry no terminal punctuation (struck by the line filter), so:
+    * a five-sentence kept line on even ids (the sentence floor splits
+    * even/odd), an enable-javascript banner on ≡ 0 (mod 3), a lorem-
+    * ipsum plug on ≡ 0 (mod 5), a curly-brace code fragment on ≡ 0
+    * (mod 7), a blocklist line on ≡ 0 (mod 11), and a too-short
+    * punctuated line on ≡ 0 (mod 13). Pure function of the input; the
+    * oracle rebuilds the identical corpus in SQL. */
+  def withSyntheticC4Noise(docs: DataFrame): DataFrame =
+    withSyntheticLines(docs).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("\nthe quick brown fox jumps over the lazy dog. " +
+            "it runs fast. it never stops. we watch it daily. " +
+            "the end is near.")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nplease enable javascript to view this page."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nconst config = { theme: dark }")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nwin big at the casino tonight.")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nok fine.")).otherwise(lit(""))))
+
+  /** C4 rule card (m94): terminal-punctuation / min-words / javascript
+    * line rewrite plus the lorem-ipsum / brace / blocklist / sentence-
+    * floor page gate — the fourth rule family, the line-REWRITING
+    * counterpart to the Gopher scoring battery (m91–m93). */
+  def c4Rules(s: SparkSession, dir: String): DataFrame =
+    graft.text.C4Rules.c4Rules(
+      withSyntheticC4Noise(Tables.documents(s, dir)))
+
+  /** m95's corpus: a six-word domain phrase appended to doc_id ≡ 0,1
+    * (mod 10) — the corpus vocabulary is uniform across sources, so
+    * without a planted domain the target and raw bigram distributions
+    * differ only by sampling noise and the importance ranking, while
+    * still deterministic, separates nothing. The phrase-bearing docs ARE
+    * the target set; they also stay in the raw pool (DSIR's raw is the
+    * full crawl). Pure function of the input; the oracle rebuilds the
+    * identical corpus. */
+  def withSyntheticDomain(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 10 < 2,
+          lit(" quantum flux entangled qubit lattice coherence"))
+          .otherwise(lit(""))))
+
+  /** DSIR importance weights (m95): hashed-bigram log p_target − log
+    * p_raw per doc + top-20% selection — the importance-resampling data
+    * selector, scored against the planted-domain target set. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.importanceWeights(
+      withSyntheticDomain(Tables.documents(s, dir)),
+      isTarget = col("doc_id") % 10 < 2)
+
+  /** Global keep-first line dedup (m96) over the m92 noise corpus (its
+    * shared boilerplate exercises cross-doc races; its mod-7 repeated
+    * plug exercises within-doc strikes) — the Lee-et-al keep-one policy
+    * at line granularity, complementing m31's strike-everywhere
+    * frequency policy. */
+  def keepFirstLineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.LineDedup.keepFirstLines(
+      withSyntheticLineNoise(Tables.documents(s, dir)))
+
   /** Bigram-frequency novelty scores (m32) — rareMax 25 puts ~25% of the
     * sf0.01 corpus's bigram occurrences under the rare line, so both
     * branches of the gate are exercised. */

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * public) — the standard recipe for steering a raw crawl toward a
+  * target domain without training a classifier: model both corpora as
+  * bags of HASHED n-gram features, score every raw document by the
+  * log importance weight log p_target(x) − log p_raw(x), and keep the
+  * top mass.
+  *
+  * Features are whitespace bigrams hashed into `buckets` buckets via a
+  * PORTABLE hash — the last three hex chars of md5(gram) parsed base-16
+  * (identical in Spark and the DuckDB oracle, unlike xxhash64/built-in
+  * hash()). Bucket distributions use add-0.5 smoothing, so a bucket the
+  * target never saw still gets finite mass and unseen-feature docs score
+  * low rather than −∞.
+  *
+  * Determinism: the per-doc weight Σ n_db·λ_b folds in BUCKET-SORTED
+  * order inside one aggregate (the m55 discipline) — a plain double-sum
+  * would re-associate with partitioning. The selection threshold is the
+  * exact interpolated `1 − selectFrac` percentile of the weights.
+  *
+  * Scale shape (100 TB):
+  *  - the feature pass exchanges (doc_id, bucket, count) partials only —
+  *    grams are hashed in the same projection that creates them, so no
+  *    exchange ever carries gram text;
+  *  - the two distribution tables are bucket-sized (≤ `buckets` rows);
+  *    the λ table is built from them and BROADCAST back — at any corpus
+  *    size the join side is bounded by the bucket count, not the data;
+  *  - the threshold is a one-row aggregate broadcast (exact percentile
+  *    over one double per doc; swap to percentile_approx via the m35
+  *    flag pattern if even that reduction is too hot).
+  */
+object Dsir {
+
+  /** Portable bucket hash: base-16 parse of md5's last 3 hex chars,
+    * mod `buckets` (buckets ≤ 4096 — 12 bits is what three hex chars
+    * carry). */
+  def bucketOf(gram: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 4096,
+      "buckets must be in (0, 4096] — the portable hash carries 12 bits")
+    conv(substring(md5(gram), 30, 3), 16, 10).cast("long") % buckets
+  }
+
+  /** Score every document against the target distribution and mark the
+    * top `selectFrac` by log importance weight. `isTarget` is a boolean
+    * Column over the input rows defining the target set (a curated
+    * subset, a trusted source, …). Output: (doc_id, n_grams, logw,
+    * selected); docs with fewer than two tokens carry no features and
+    * are absent (a featureless doc has no evidence either way). */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        buckets: Int = 1024, selectFrac: Double = 0.2,
+                        textCol: String = "text"): DataFrame = {
+    require(selectFrac > 0.0 && selectFrac < 1.0, "selectFrac must be in (0,1)")
+    val t = col("t")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), isTarget.as("is_target"),
+        split(lower(trim(col(textCol))), " +").as("t"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+      // hash in the same projection — gram text never reaches an exchange
+      .select(col("doc_id"), col("is_target"),
+        bucketOf(col("gram"), buckets).as("bucket"))
+    val docBuckets = grams
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("n_db"))
+    val rawC = docBuckets.groupBy("bucket").agg(sum("n_db").as("n_r"))
+    val tgtC = docBuckets.filter(col("is_target"))
+      .groupBy("bucket").agg(sum("n_db").as("n_t"))
+    val totals = docBuckets.agg(
+      sum("n_db").as("tr"),
+      sum(when(col("is_target"), col("n_db")).otherwise(lit(0L))).as("tt"))
+    val half = lit(0.5)
+    val bHalf = lit(0.5 * buckets)
+    val lam = rawC
+      .join(tgtC, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("n_t") + half) / (col("tt") + bHalf)) -
+          log((col("n_r") + half) / (col("tr") + bHalf))).as("lam"))
+    val scored = docBuckets
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n_db").cast("long").as("n_grams"),
+        // bucket-sorted fold: bucket is unique per doc, so the struct
+        // sort pins a total order and the double sum is associative-free
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"),
+            (col("n_db") * col("lam")).as("c")))),
+          lit(0.0), (acc, x) => acc + x("c")).as("logw"))
+    val thr = scored.agg(
+      percentile(col("logw"), lit(1.0 - selectFrac)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_grams"), col("logw"),
+        (col("logw") > col("thr")).cast("long").as("selected"))
+  }
+}

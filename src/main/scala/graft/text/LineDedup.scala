@@ -38,6 +38,50 @@ object LineDedup {
     * kept lines with '\n' in original order; docs with zero kept lines
     * are absent. Null-text docs are excluded up front (corpus contract,
     * same policy as Repetition/Sessionize). */
+  /** Global KEEP-FIRST line dedup — the other line-granularity policy
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", public, applied at line rather than 50-token-span
+    * granularity): every distinct line survives exactly ONCE in the
+    * corpus, at its first occurrence in (doc_id, line_no) order; all
+    * later occurrences — in other docs AND repeats inside the same doc —
+    * are struck. Complements [[dedupLines]], which strikes frequent
+    * lines from EVERY doc including the first: keep-first preserves one
+    * copy of shared content (quotes, licenses) where the frequency
+    * policy erases it corpus-wide.
+    *
+    * Scale shape: the first-occurrence table groups (line-hash, doc_id,
+    * line_no) triples — 24-byte rows, never line text — with min(struct)
+    * partial-aggregating map-side (no window over the corpus). The
+    * winner join keys line text by hash once (same bounded text exchange
+    * as [[dedupLines]]'s anti-join; broadcast-vs-shuffle left to AQE),
+    * and reassembly is the one other text-carrying exchange, bounded by
+    * the output. Hash-collision contract identical to [[dedupLines]].
+    *
+    * Output: (doc_id, text_clean, n_lines, n_struck); docs whose every
+    * line lost its race are absent. */
+  def keepFirstLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col("doc_id"), split(col(textCol), "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+        posexplode(col("ls")).as(Seq("line_no", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val firsts = lines
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.line_no").as("f_no"))
+    lines
+      .join(firsts, Seq("h"))
+      .filter(col("doc_id") === col("f_doc") && col("line_no") === col("f_no"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s("line")), "\n").as("text_clean"),
+        max(col("n_lines")).as("n_lines"),
+        (max(col("n_lines")) - count(lit(1))).cast("long").as("n_struck"))
+  }
+
   def dedupLines(docs: DataFrame, minDocs: Int,
                  textCol: String = "text"): DataFrame = {
     require(minDocs > 1, "minDocs must be > 1 (1 would drop every line)")
