@@ -45,6 +45,12 @@ class EmptyCorpusSpec extends SparkSpec {
     "m91_gopher_rules" -> (CorpusQueries.gopherRules _),
     "m92_gopher_line_rules" -> (CorpusQueries.gopherLineRules _),
     "m93_repetition_rules" -> (CorpusQueries.repetitionRules _),
+    "m94_c4_rules" -> (CorpusQueries.c4Rules _),
+    // m95: both bucket distributions and the percentile threshold degrade
+    // to empty/null; the scored frame must come back empty, not divide by
+    // an empty total
+    "m95_dsir_weights" -> (CorpusQueries.dsirWeights _),
+    "m96_keep_first_lines" -> (CorpusQueries.keepFirstLineDedup _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

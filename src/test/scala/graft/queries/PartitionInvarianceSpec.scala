@@ -167,4 +167,22 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m93 repetition rules: integer-sum fractions identical across partitionings") {
     assertInvariant(CorpusQueries.repetitionRules)
   }
+
+  test("m94 C4 rules: kept lines and page gate identical across partitionings") {
+    assertInvariant(CorpusQueries.c4Rules)
+  }
+
+  test("m95 DSIR weights: bucket-sorted fold and exact percentile identical across partitionings") {
+    // the per-doc logw folds (bucket, n·λ) structs in bucket-sorted order —
+    // a plain double-sum would re-associate with partitioning; the
+    // selection threshold is an exact interpolated percentile, which a
+    // partitioning-dependent logw would silently shift
+    assertInvariant(CorpusQueries.dsirWeights)
+  }
+
+  test("m96 keep-first line dedup: first-occurrence race identical across partitionings") {
+    // the winner of each line-hash race is min(struct(doc_id, line_no)) —
+    // task scheduling order must never decide which copy survives
+    assertInvariant(CorpusQueries.keepFirstLineDedup)
+  }
 }

@@ -415,4 +415,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
+
+  test("m94: C4 rule card is one codegen'd projection — zero exchanges") {
+    val p = plan(CorpusQueries.c4Rules(spark, dir))
+    // line strike, rejoin, sentence count and page flags all live in one
+    // whole-stage-codegen'd projection over the pruned two-column scan
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("m95: DSIR exchanges carry hashed buckets, never gram or document text") {
+    val p = plan(CorpusQueries.dsirWeights(spark, dir))
+    // grams are hashed in the projection that creates them, so every
+    // exchange in the chain carries (doc_id, bucket, count) partials; the
+    // λ table and the percentile threshold come back as broadcasts
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (ex should not).include("text#")
+    (ex should not).include("gram#")
+    p should include("partial_count")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m96: keep-first race partial-aggregates before its exchange; no corpus window") {
+    val p = plan(CorpusQueries.keepFirstLineDedup(spark, dir))
+    // the first-occurrence table is min(struct) with a map-side partial —
+    // a window over (line-hash) would sort the whole exploded corpus in
+    // one pass instead
+    p should include("partial_min")
+    (p should not).include("Window")
+    (p should not).include("CartesianProduct")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
 }
