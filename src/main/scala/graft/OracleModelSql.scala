@@ -492,6 +492,83 @@ object OracleModelSql {
       "CAST(tp AS DOUBLE) / greatest(tp + fp, 1) AS precision FROM c"
   }
 
+  /** m98: the calibration replay — same captured-weights feature chain,
+    * with p = σ(logit) quantized ONCE to q = floor(p·1e9) per doc; the
+    * bin, the per-bin Σq and the count are integer arithmetic from
+    * there, so partial aggregation and the cross-engine hash both see
+    * exact integers (exp() shares the LM tier's ln() bit-identity
+    * contract). */
+  def calibration(w: Seq[Double]): String = {
+    val z = s"(${lit(w(0))} + ${lit(w(1))} * f1 + ${lit(w(2))} * f2 " +
+      s"+ ${lit(w(3))} * f3 + ${lit(w(4))} * f4 + ${lit(w(5))} * f5)"
+    "WITH " + SparkEntry.textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
+      ", f AS (SELECT doc_id, " +
+      s"CASE WHEN ${SparkEntry.LangExpr} = 'en' AND ${SparkEntry.QualityExpr} >= 0.3 " +
+      "THEN 1.0 ELSE 0.0 END AS y, " +
+      "least(CAST(n_words AS DOUBLE) / 200.0, 1.0) AS f1, " +
+      "least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 4.0, 1.0) AS f2, " +
+      "least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f3, " +
+      "least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f4, " +
+      "CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) AS f5 FROM base), " +
+      s"s AS (SELECT CAST(y AS BIGINT) AS label, " +
+      s"CAST(floor(1e9 / (1.0 + exp(-$z))) AS BIGINT) AS q FROM f), " +
+      "b AS (SELECT least(CAST(floor(q / 100000000) AS BIGINT), 9) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos, " +
+      "CAST(sum(q) AS BIGINT) AS sum_q FROM s GROUP BY 1), " +
+      "t AS (SELECT sum(n) AS n_total FROM b) " +
+      "SELECT bin, n, n_pos, sum_q, " +
+      "CAST(sum_q AS DOUBLE) / 1e9 / n AS mean_p, " +
+      "CAST(n_pos AS DOUBLE) / n AS frac_pos, " +
+      "abs(CAST(sum_q AS DOUBLE) / 1e9 / n - CAST(n_pos AS DOUBLE) / n) AS gap, " +
+      "abs(CAST(sum_q AS DOUBLE) / 1e9 / n - CAST(n_pos AS DOUBLE) / n) " +
+      "* CAST(n AS DOUBLE) / n_total AS ece_term FROM b CROSS JOIN t"
+  }
+
+  /** m101: the gate-agreement replay — the captured-weights classifier
+    * chain and the m89 LM tercile chain composed over one doc_id join,
+    * reduced to a single marginal row and fanned to the three gate
+    * pairs; κ recomputes p_o/p_e from the same integer marginals the
+    * engine hashes. */
+  def gateAgreement(w: Seq[Double]): String = {
+    val z = s"(${lit(w(0))} + ${lit(w(1))} * f1 + ${lit(w(2))} * f2 " +
+      s"+ ${lit(w(3))} * f3 + ${lit(w(4))} * f4 + ${lit(w(5))} * f5)"
+    val pO = "CAST(n_agree AS DOUBLE) / n"
+    val pE = "(CAST(pos_a AS DOUBLE) * pos_b + CAST(n - pos_a AS DOUBLE) * (n - pos_b)) " +
+      "/ (CAST(n AS DOUBLE) * n)"
+    SparkEntry.LmPerplexityCtes +
+      ", " + SparkEntry.textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
+      ", f AS (SELECT doc_id, " +
+      s"CASE WHEN ${SparkEntry.LangExpr} = 'en' AND ${SparkEntry.QualityExpr} >= 0.3 " +
+      "THEN 1.0 ELSE 0.0 END AS y, " +
+      "least(CAST(n_words AS DOUBLE) / 200.0, 1.0) AS f1, " +
+      "least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 4.0, 1.0) AS f2, " +
+      "least(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f3, " +
+      "least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_c AS DOUBLE), 1.0) * 10.0, 1.0) AS f4, " +
+      "CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) AS f5 FROM base), " +
+      s"cls AS (SELECT doc_id, CAST(y AS BIGINT) AS g_rule, " +
+      s"CAST($z >= 0.0 AS BIGINT) AS g_cls FROM f), " +
+      "sc AS (SELECT h.doc_id, d.source, exp(cross_entropy) AS perplexity " +
+      "FROM h JOIN documents d USING (doc_id)), " +
+      "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1), " +
+      "r AS (SELECT doc_id, source, " +
+      "CAST(row_number() OVER (PARTITION BY source " +
+      "ORDER BY CAST(floor(perplexity * 1000000) AS BIGINT), doc_id) - 1 AS BIGINT) AS rk FROM sc), " +
+      "buck AS (SELECT r.doc_id, CAST(rk * 3 < n * 2 AS BIGINT) AS g_ppl " +
+      "FROM r JOIN cnt USING (source)), " +
+      "j AS (SELECT cls.g_rule, cls.g_cls, buck.g_ppl FROM cls JOIN buck USING (doc_id)), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(g_rule) AS BIGINT) AS pos_rule, CAST(sum(g_cls) AS BIGINT) AS pos_cls, " +
+      "CAST(sum(g_ppl) AS BIGINT) AS pos_ppl, " +
+      "CAST(sum(CASE WHEN g_rule = g_cls THEN 1 ELSE 0 END) AS BIGINT) AS agree_rule_cls, " +
+      "CAST(sum(CASE WHEN g_rule = g_ppl THEN 1 ELSE 0 END) AS BIGINT) AS agree_rule_ppl, " +
+      "CAST(sum(CASE WHEN g_cls = g_ppl THEN 1 ELSE 0 END) AS BIGINT) AS agree_cls_ppl FROM j), " +
+      "pr AS (SELECT 'rule_vs_cls' AS pair, n, pos_rule AS pos_a, pos_cls AS pos_b, agree_rule_cls AS n_agree FROM a WHERE n > 0 " +
+      "UNION ALL SELECT 'rule_vs_ppl', n, pos_rule, pos_ppl, agree_rule_ppl FROM a WHERE n > 0 " +
+      "UNION ALL SELECT 'cls_vs_ppl', n, pos_cls, pos_ppl, agree_cls_ppl FROM a WHERE n > 0) " +
+      s"SELECT pair, n, pos_a, pos_b, n_agree, $pO AS p_o, $pE AS p_e, " +
+      s"CASE WHEN $pE < 1.0 THEN ($pO - $pE) / (1.0 - $pE) END AS kappa FROM pr"
+  }
+
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
       OracleCapture.get[(Ivf.Model, Long)]("m33_semantic_dedup").map { case (m, off) =>
@@ -515,6 +592,10 @@ object OracleModelSql {
         .map(w => "m83_quality_classifier" -> qualityClassifier(w)).toMap ++
       OracleCapture.get[Seq[Double]]("m86_classifier_roc")
         .map(w => "m86_classifier_roc" -> classifierRoc(w)).toMap ++
+      OracleCapture.get[Seq[Double]]("m98_calibration")
+        .map(w => "m98_calibration" -> calibration(w)).toMap ++
+      OracleCapture.get[Seq[Double]]("m101_gate_agreement")
+        .map(w => "m101_gate_agreement" -> gateAgreement(w)).toMap ++
       OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
         .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap
 }

@@ -231,7 +231,30 @@ object SparkEntry {
     // m96: global keep-first line dedup (Lee et al. 2021's keep-one
     // policy at line granularity) — m31's complement: one copy of shared
     // content survives instead of none
-    "m96_keep_first_lines" -> (CorpusQueries.keepFirstLineDedup _)
+    "m96_keep_first_lines" -> (CorpusQueries.keepFirstLineDedup _),
+    // m97: keep-first exact-substring dedup (Lee et al. 2022's keep-one
+    // policy at window granularity) — m82's complement: the earliest
+    // occurrence of every repeated span survives, later copies are cut
+    "m97_keep_first_spans" -> (CorpusQueries.keepFirstSpans _),
+    // m98: calibration / reliability card for the learned gate — mean
+    // predicted p vs observed positive rate per probability decile +
+    // per-bin ECE terms (captured-weights replay,
+    // OracleModelSql.calibration)
+    "m98_calibration" -> (CorpusQueries.calibration _),
+    // m99: LSH candidate PRECISION audit — m85's other half: exact
+    // jaccard of every stored candidate, banded, with the cumulative
+    // precision-at-threshold curve the verify stage is budgeted from
+    "m99_lsh_precision" -> (CorpusQueries.lshPrecisionAudit _),
+    // m100: UniMax waterfilling budget allocation (Chung et al. 2023) —
+    // uniform-as-possible token budget across sources under an epoch cap
+    "m100_unimax_mix" -> (CorpusQueries.unimaxMix _),
+    // m101: Cohen's κ between the three quality gates (rule / learned /
+    // perplexity) — the gate-redundancy report (captured-weights replay,
+    // OracleModelSql.gateAgreement)
+    "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
+    // m102: Johnson–Lindenstrauss ±1 projection norm card — portable
+    // md5-parity sign matrix, norms before/after, the JL certificate
+    "m102_jl_projection" -> (CorpusQueries.jlNormCard _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -484,6 +507,51 @@ object SparkEntry {
         "WHERE p.jaccard >= 0.5) " +
         "SELECT band, count(*) AS n_truth, CAST(sum(hit) AS BIGINT) AS n_hit, " +
         "CAST(sum(hit) AS DOUBLE) / count(*) AS recall FROM audit GROUP BY band"),
+    // m99: every stored LSH candidate exactly verified (m05's shingle
+    // jaccard, LEFT-joined so zero-overlap candidates band at 0.0) and
+    // banded; the cumulative window is the precision-at-threshold curve.
+    "m99_lsh_precision" ->
+      (AugmentedDocs + MinhashCandCtes +
+        ", nsz AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS shared FROM cand c " +
+        "JOIN shx a ON a.doc_id = c.doc_a " +
+        "JOIN shx b ON b.doc_id = c.doc_b AND a.x = b.x GROUP BY 1, 2), " +
+        "jc AS (SELECT c.doc_a, c.doc_b, " +
+        "CAST(coalesce(i.shared, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.shared, 0)) AS jaccard " +
+        "FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b " +
+        "JOIN nsz na ON na.doc_id = c.doc_a JOIN nsz nb ON nb.doc_id = c.doc_b), " +
+        "bd AS (SELECT least(floor(jaccard * 10.0) / 10.0, 0.9) AS band, " +
+        "CAST(count(*) AS BIGINT) AS n_cand FROM jc GROUP BY 1), " +
+        "t AS (SELECT sum(n_cand) AS n_total FROM bd) " +
+        "SELECT band, n_cand, CAST(n_cand AS DOUBLE) / n_total AS frac_cand, " +
+        "CAST(sum(n_cand) OVER (ORDER BY band DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge, " +
+        "CAST(sum(n_cand) OVER (ORDER BY band DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n_total AS prec_at_band " +
+        "FROM bd CROSS JOIN t"),
+    // m100: the waterfill replayed with the identical window walk —
+    // capacities sorted ascending, prefix-contributions, the first
+    // non-saturated level as τ (max over the decreasing tail).
+    "m100_unimax_mix" ->
+      ("WITH sz AS (SELECT 'src_' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split_regex(lower(trim(text)), ' +'))) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 0.8) AS BIGINT) AS budget, " +
+        "CAST(count(*) AS BIGINT) AS k FROM sz), " +
+        "r AS (SELECT sz.source, sz.n_docs, sz.n_tokens, " +
+        "CAST(n_tokens AS DOUBLE) * 2.0 AS capacity, t.budget, t.k, " +
+        "row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE) * 2.0, source) AS idx, " +
+        "coalesce(sum(CAST(n_tokens AS DOUBLE) * 2.0) OVER (ORDER BY CAST(n_tokens AS DOUBLE) * 2.0, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix " +
+        "FROM sz CROSS JOIN t), " +
+        "lv AS (SELECT *, CAST(capacity <= (budget - prefix) / CAST(k - idx + 1 AS DOUBLE) AS BIGINT) AS saturated, " +
+        "(budget - prefix) / CAST(k - idx + 1 AS DOUBLE) AS level FROM r), " +
+        "tau AS (SELECT max(CASE WHEN saturated = 0 THEN level END) AS tau FROM lv) " +
+        "SELECT source, n_docs, n_tokens, capacity, budget, saturated, " +
+        "CASE WHEN saturated = 1 THEN capacity ELSE coalesce(tau, capacity) END AS alloc, " +
+        "(CASE WHEN saturated = 1 THEN capacity ELSE coalesce(tau, capacity) END) / CAST(n_tokens AS DOUBLE) AS epochs " +
+        "FROM lv CROSS JOIN tau"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,
@@ -674,6 +742,32 @@ object SparkEntry {
         "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
         "WHERE df >= 2), " +
         "fl AS (SELECT doc_id, widx FROM f JOIN rep USING (fp)), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS j, len(t) AS n FROM toks), " +
+        "kept AS (SELECT tk.doc_id, tk.tok, tk.j, tk.n, NOT EXISTS (SELECT 1 FROM fl " +
+        "WHERE fl.doc_id = tk.doc_id AND fl.widx BETWEEN tk.j - 29 AND tk.j) AS keep FROM tk) " +
+        "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, " +
+        "CAST(max(n) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY j), '') AS scrubbed_text " +
+        "FROM kept GROUP BY 1"),
+    // m97: m82's chain with a winner exclusion — the (doc_id, widx)-first
+    // occurrence of each repeated fingerprint (row_number = 1) keeps its
+    // windows; only later occurrences reach the cut list.
+    "m97_keep_first_spans" ->
+      (AugmentedDocs +
+        ", toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) <= 30 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 30), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 30), ' ')) END AS ws FROM toks), " +
+        "x AS (SELECT doc_id, unnest(ws) AS wtext, unnest(range(0, len(ws))) AS widx FROM w), " +
+        "f AS (SELECT doc_id, widx, md5(wtext) AS fp FROM x), " +
+        "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
+        "WHERE df >= 2), " +
+        "fr AS (SELECT doc_id, widx, " +
+        "row_number() OVER (PARTITION BY fp ORDER BY doc_id, widx) AS rn " +
+        "FROM f JOIN rep USING (fp)), " +
+        "fl AS (SELECT doc_id, widx FROM fr WHERE rn > 1), " +
         "tk AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS j, len(t) AS n FROM toks), " +
         "kept AS (SELECT tk.doc_id, tk.tok, tk.j, tk.n, NOT EXISTS (SELECT 1 FROM fl " +
         "WHERE fl.doc_id = tk.doc_id AND fl.widx BETWEEN tk.j - 29 AND tk.j) AS keep FROM tk) " +
@@ -1118,6 +1212,25 @@ object SparkEntry {
         "FROM events GROUP BY 1) " +
         "SELECT e.event_id, e.event_type, d.type_count " +
         "FROM events e JOIN d ON e.event_type = d.event_type"),
+    // m102: the JL sign matrix regenerated from md5 parity (the engine's
+    // hex(15)&1 ≡ the last hex char's value parity), products folded in
+    // index order (list_sum ≡ the engine's aggregate fold, the m95
+    // discipline), /√16 exact in both engines.
+    "m102_jl_projection" ->
+      ("WITH e0 AS (SELECT vec_id, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE)) AS xs " +
+        "FROM embeddings), " +
+        "p AS (SELECT vec_id, xs, list_transform(generate_series(0, 15), j -> " +
+        "list_sum(list_transform(generate_series(1, 64), i -> xs[i] * " +
+        "(CASE WHEN (strpos('0123456789abcdef', substr(md5('jl:' || CAST(i - 1 AS VARCHAR) " +
+        "|| ':' || CAST(j AS VARCHAR)), 32, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END))) " +
+        "/ sqrt(16.0)) AS ys FROM e0) " +
+        "SELECT vec_id, " +
+        "list_sum(list_transform(xs, x -> x * x)) AS norm2_orig, " +
+        "list_sum(list_transform(ys, y -> y * y)) AS norm2_proj, " +
+        "CASE WHEN list_sum(list_transform(xs, x -> x * x)) > 0.0 " +
+        "THEN list_sum(list_transform(ys, y -> y * y)) / list_sum(list_transform(xs, x -> x * x)) " +
+        "END AS ratio FROM p"),
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
@@ -1535,7 +1648,7 @@ object SparkEntry {
   // graft.text.TextOps (same regexes, same double-arithmetic order).
   /** The m43 bigram-LM chain up to per-doc cross-entropy (`h`) — shared
     * by the m43 report and the m89 bucket assignment. */
-  private val LmPerplexityCtes: String =
+  private[graft] val LmPerplexityCtes: String =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
       "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +

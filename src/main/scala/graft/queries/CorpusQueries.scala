@@ -274,6 +274,24 @@ object CorpusQueries {
         concat(lit("d"), length(col("doc_id").cast("string")))),
       groupCol = "domain", keyCol = "doc_id")
 
+  /** UniMax budget allocation (m100) over the m34 skewed grouping (the
+    * corpus's real sources are uniform — uniform sources waterfill
+    * trivially to budget/k and exercise nothing): 80% of the corpus's
+    * tokens, epoch cap 2.0. At the fixture's 10/90/400-doc skew the two
+    * small groups saturate (contribute every token twice) and the big
+    * group lands on the waterline — all three operator states exercised.
+    * The one corpus-sized stage is the token-count aggregate; the
+    * waterfill itself is source-count-bounded. */
+  def unimaxMix(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(concat(lit("src_"),
+          length(col("doc_id").cast("string"))).as("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    graft.operators.UniMax.allocateFrac(sizes, budgetFrac = 0.8, epochCap = 2.0)
+  }
+
   /** Per-source corpus composition report (m35): doc/token/char mass and
     * an exact interpolated median — what a mix dashboard reads. One
     * partial-aggregated exchange of (source, counters); the median is the
@@ -472,6 +490,16 @@ object CorpusQueries {
     graft.text.SpanScrub.scrub(
       withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
 
+  /** Keep-first exact-substring dedup (m97) over the same dup-augmented
+    * corpus as m82 — the keep-one-copy policy: the (doc_id, window_idx)-
+    * earliest occurrence of every repeated window survives, every later
+    * copy is cut. Against this fixture the base doc (lowest id) keeps its
+    * text verbatim, its exact copy scrubs to '' and its mutated copy
+    * keeps only the changed head — where m82 erases all three. */
+  def keepFirstSpans(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanScrub.keepFirstSpans(
+      withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
+
   /** Learned quality filter (m83): logistic regression distilled from the
     * m02 gate — bounded deterministic training sample, literal-weights
     * scoring pass; the run's weights are captured so the oracle replays
@@ -490,6 +518,20 @@ object CorpusQueries {
     val model = graft.text.QualityClassifier.train(docs)
     graft.OracleCapture.put("m86_classifier_roc", model.w.toSeq)
     graft.text.QualityClassifier.rocReport(docs, model)
+  }
+
+  /** Calibration / reliability card (m98): per predicted-probability
+    * decile, mean predicted p vs observed positive rate + per-bin ECE
+    * contribution — certifies whether m83's scores are usable as
+    * SAMPLING WEIGHTS (the ROC (m86) only certifies the ranking). Trains
+    * its own model instance, captured under its own key (the no-shared-
+    * capture convention), so the oracle replays scoring + binning from
+    * this run's exact weights. */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.QualityClassifier.train(docs)
+    graft.OracleCapture.put("m98_calibration", model.w.toSeq)
+    graft.text.QualityClassifier.calibrationReport(docs, model)
   }
 
   /** Snapshot diff (m44): the current corpus plays the NEW snapshot; the
@@ -625,6 +667,58 @@ object CorpusQueries {
           .otherwise("tail"))
       .select("doc_id", "source", "perplexity", "bucket")
   }
+
+  /** Gate-agreement matrix (m101): Cohen's κ between the three quality
+    * gates the filtering tier ships — the m02 rule gate, the m83 learned
+    * classifier and the CCNet perplexity gate (m89's head+middle
+    * terciles). The report a curator reads before composing gates: high
+    * κ means a gate is redundant, κ near 0 means it cuts an independent
+    * axis. One row per gate pair with the confusion marginals, observed
+    * and chance agreement, and κ. Scale shape: the classifier scoring is
+    * a literal projection, the LM chain is m89's (shared exchange), and
+    * everything after the doc_id join is ONE single-row aggregate fanned
+    * out to three pair rows — nothing corpus-sized past the join. */
+  def gateAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.QualityClassifier.train(docs)
+    graft.OracleCapture.put("m101_gate_agreement", model.w.toSeq)
+    val cls = graft.text.QualityClassifier.score(docs, model)
+      .select(col("doc_id"), col("label").as("g_rule"), col("pred").as("g_cls"))
+    val ppl = pplBuckets(s, dir)
+      .select(col("doc_id"), (col("bucket") =!= "tail").cast("long").as("g_ppl"))
+    val agg = cls.join(ppl, Seq("doc_id")).agg(
+      count(lit(1)).as("n"),
+      sum("g_rule").as("pos_rule"), sum("g_cls").as("pos_cls"),
+      sum("g_ppl").as("pos_ppl"),
+      sum((col("g_rule") === col("g_cls")).cast("long")).as("agree_rule_cls"),
+      sum((col("g_rule") === col("g_ppl")).cast("long")).as("agree_rule_ppl"),
+      sum((col("g_cls") === col("g_ppl")).cast("long")).as("agree_cls_ppl"))
+    val pairs = agg.select(explode(array(
+      struct(lit("rule_vs_cls").as("pair"), col("n"), col("pos_rule").as("pos_a"),
+        col("pos_cls").as("pos_b"), col("agree_rule_cls").as("n_agree")),
+      struct(lit("rule_vs_ppl").as("pair"), col("n"), col("pos_rule").as("pos_a"),
+        col("pos_ppl").as("pos_b"), col("agree_rule_ppl").as("n_agree")),
+      struct(lit("cls_vs_ppl").as("pair"), col("n"), col("pos_cls").as("pos_a"),
+        col("pos_ppl").as("pos_b"), col("agree_cls_ppl").as("n_agree")))).as("s"))
+      .select("s.*")
+      .filter(col("n") > 0) // empty corpus degrades to empty, not 3 null rows
+    val pO = col("n_agree").cast("double") / col("n")
+    val pE = (col("pos_a").cast("double") * col("pos_b") +
+      (col("n") - col("pos_a")).cast("double") * (col("n") - col("pos_b"))) /
+      (col("n").cast("double") * col("n"))
+    pairs.select(col("pair"), col("n"), col("pos_a"), col("pos_b"),
+      col("n_agree"), pO.as("p_o"), pE.as("p_e"),
+      // κ undefined when chance agreement is total (both gates constant)
+      when(pE < 1.0, (pO - pE) / (lit(1.0) - pE)).as("kappa"))
+  }
+
+  /** JL projection norm card (m102): per-embedding squared norms before
+    * and after the ±1-sign random projection (64 → 16 dims) — the
+    * distance-preservation certificate for using projected vectors in
+    * the ANN tier. Matrix is a plan literal; one projection pass. */
+  def jlNormCard(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.JlProjection.normCard(
+      Tables.embeddings(s, dir), d = 64, k = 16)
 
   /** Corpus-law fit (m57): Zipf slope/intercept/r² over globally-ranked
     * term frequencies plus the Heaps exponent across per-source
@@ -873,6 +967,42 @@ object CorpusQueries {
   def lshRecallAuditOver(docs: DataFrame): DataFrame =
     bandedRecall(NgramJaccard.invertedIndexPairs(docs, threshold = 0.5, dfCap = 50),
       MinHashLSH.verifiedPairs(docs, threshold = 0.5))
+
+  /** LSH candidate PRECISION audit (m99) — the other half of the m85
+    * dial: m85 asks "which true pairs did banding miss", this asks "how
+    * much verification work do the candidates waste". Every stored LSH
+    * candidate pair is exactly verified (n-gram shingle Jaccard, no
+    * threshold) and banded by its true similarity; `prec_at_band` is the
+    * fraction of ALL candidates at or above each band — the curve a
+    * rollout reads to budget the verify stage. Scale shape: candidates
+    * and shingle sets exchange by id (the corpus never joins by text);
+    * the band rollup and the 10-row cumulative window are band-bounded. */
+  def lshPrecisionAudit(s: SparkSession, dir: String): DataFrame =
+    bandedPrecision(MinHashLSH.verifiedPairsOver(augmentedDocs(s, dir),
+      graft.pipeline.DedupAssets.minhashCandidates(s, dir), threshold = 0.0))
+
+  /** Direct (asset-free) chain for the invariance contract. */
+  def lshPrecisionAuditOver(docs: DataFrame): DataFrame =
+    bandedPrecision(MinHashLSH.verifiedPairsOver(docs,
+      MinHashLSH.candidatePairs(docs), threshold = 0.0))
+
+  private def bandedPrecision(scored: DataFrame): DataFrame = {
+    val banded = scored
+      .select(least(floor(col("jaccard") * 10.0) / 10.0, lit(0.9)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_cand"))
+    val total = banded.agg(sum("n_cand").as("n_total"))
+    // single-partition window over ≤ 10 post-aggregate rows — band-
+    // bounded, never corpus-sized (the PrefixSum rule's small-frame case)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    banded.crossJoin(broadcast(total))
+      .withColumn("n_ge", sum(col("n_cand")).over(cum))
+      .select(col("band"), col("n_cand"),
+        (col("n_cand").cast("double") / col("n_total")).as("frac_cand"),
+        col("n_ge"),
+        (col("n_ge").cast("double") / col("n_total")).as("prec_at_band"))
+  }
 
   private def bandedRecall(truth: DataFrame, detected: DataFrame): DataFrame = {
     val det = detected.select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))

@@ -168,6 +168,47 @@ object QualityClassifier {
     * partial aggregation collapses them before the exchange — 9 rows per
     * partition cross the wire, 9 rows come out. No driver-side loop, no
     * second corpus scan per threshold. */
+  /** Calibration / reliability report (m98): per probability decile, how
+    * the classifier's predicted probability compares to the observed
+    * positive rate — the reliability-diagram table (DeGroot & Fienberg
+    * 1983, public) that decides whether m83's scores can be used as
+    * SAMPLING WEIGHTS (quality-weighted mixing needs calibrated p, not
+    * just a ranking; the m86 ROC only certifies the ranking).
+    *
+    * Determinism contract: p = σ(logit) is quantized ONCE per doc to
+    * q = floor(p·1e9) (bigint); the bin (q div 1e8, clamped to 9) and the
+    * per-bin Σq are integer arithmetic from there, so partial aggregation
+    * can never re-associate a double sum. mean_p = (Σq/1e9)/n is derived
+    * from the hashed integers. Cross-engine, exp() shares the ln()
+    * bit-identity contract the LM tier (m43/m95) already relies on; a
+    * last-ulp flip would need p·1e9 within one ulp of an integer.
+    *
+    * Scale shape: one literal-weights scoring projection → a 10-row hash
+    * aggregate (map-side partials) → one broadcast scalar join for the
+    * ECE weight. Nothing corpus-sized crosses the wire after the scan. */
+  def calibrationReport(docs: DataFrame, model: Model): DataFrame = {
+    require(model.w.length == NumFeatures + 1, "weight/feature arity mismatch")
+    val scored = score(docs, model)
+    val q = floor(lit(1e9) / (lit(1.0) + exp(-col("logit")))).cast("long")
+    val binned = scored
+      .select(col("label"), q.as("q"))
+      .select(least(floor(col("q") / lit(100000000L)).cast("long"), lit(9L)).as("bin"),
+        col("label"), col("q"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"), sum("q").as("sum_q"))
+    val total = binned.agg(sum("n").as("n_total"))
+    binned.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_q"),
+        (col("sum_q").cast("double") / lit(1e9) / col("n")).as("mean_p"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"), col("n_total"))
+      .withColumn("gap", abs(col("mean_p") - col("frac_pos")))
+      // this bin's contribution to expected calibration error — ECE is
+      // the column's sum, kept per-bin so the report stays one row per bin
+      .withColumn("ece_term",
+        col("gap") * col("n").cast("double") / col("n_total"))
+      .drop("n_total")
+  }
+
   def rocReport(docs: DataFrame, model: Model,
                 thresholds: Seq[Double] = RocThresholds): DataFrame = {
     require(model.w.length == NumFeatures + 1, "weight/feature arity mismatch")

@@ -51,6 +51,39 @@ object SpanScrub {
       RepeatedWindows.flag(docs, w, minDocs, textCol).select("doc_id", "window_idx"),
       w, textCol)
 
+  /** Keep-FIRST exact-substring dedup (m97) — the keep-one-copy policy of
+    * Lee et al. 2022 (public) that [[scrub]]'s cut-all policy deliberately
+    * is not: for every cross-document repeated window fingerprint, the
+    * occurrence that is first in (doc_id, window_idx) order SURVIVES and
+    * every later occurrence — in other documents AND later repeats inside
+    * the winning document — is cut. Exactly one copy of each repeated
+    * span remains corpus-wide (quotes, licenses, shared passages keep a
+    * canonical copy where [[scrub]] erases them everywhere), the same
+    * complement relationship [[LineDedup.keepFirstLines]] has to
+    * [[LineDedup.dedupLines]] at line granularity.
+    *
+    * Scale shape adds ONE stage to [[scrub]]'s: the winner table is
+    * min(struct(doc_id, window_idx)) per fingerprint — partial-aggregated
+    * map-side over the already-bounded flagged set (never the corpus),
+    * then equi-joined back by fingerprint to subtract winners from the
+    * cut list. Determinism is the min(struct) total order — task
+    * scheduling can never decide which copy survives (pinned in
+    * PartitionInvarianceSpec). */
+  def keepFirstSpans(docs: DataFrame, w: Int, minDocs: Int = 2,
+                     textCol: String = "text"): DataFrame = {
+    val flagged = RepeatedWindows.flag(docs, w, minDocs, textCol)
+    val winners = flagged
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("window_idx"))).as("f"))
+      .select(col("fp"), col("f.doc_id").as("f_doc"),
+        col("f.window_idx").as("f_no"))
+    val cuts = flagged.join(winners, Seq("fp"))
+      .filter(!(col("doc_id") === col("f_doc") &&
+        col("window_idx") === col("f_no")))
+      .select("doc_id", "window_idx")
+    scrubWith(docs, cuts, w, textCol)
+  }
+
   /** The rewrite stage alone, over an externally supplied flagged-window
     * table (doc_id, window_idx) — same coverage-union cut and string
     * rebuild whatever flagged the windows (cross-doc repetition in

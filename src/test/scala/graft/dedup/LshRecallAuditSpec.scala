@@ -56,4 +56,29 @@ class LshRecallAuditSpec extends SparkSpec {
     r.getLong(2) shouldBe r.getLong(1) // n_hit == n_truth... at least for this fixture
     r.getDouble(3) shouldBe 1.0
   }
+
+  test("precision audit (m99) reconciles with a direct verify of every candidate") {
+    val report = CorpusQueries.lshPrecisionAuditOver(corpus).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val jacc = MinHashLSH.verifiedPairsOver(corpus,
+      MinHashLSH.candidatePairs(corpus), threshold = 0.0)
+      .collect().map(_.getDouble(2))
+    jacc should not be empty
+    val total = jacc.length.toLong
+    val byBand = jacc.groupBy(j => math.min(math.floor(j * 10.0) / 10.0, 0.9))
+      .view.mapValues(_.length.toLong).toMap
+    report.keySet shouldBe byBand.keySet
+    // per-band counts and the cumulative ≥-band curve both reconcile
+    report.foreach { case (band, (nCand, fracCand, nGe, prec)) =>
+      nCand shouldBe byBand(band)
+      fracCand shouldBe nCand.toDouble / total
+      val expectGe = byBand.filter(_._1 >= band).values.sum
+      nGe shouldBe expectGe
+      prec shouldBe expectGe.toDouble / total
+    }
+    // the lowest band's cumulative count covers every candidate
+    report(report.keySet.min)._3 shouldBe total
+  }
 }

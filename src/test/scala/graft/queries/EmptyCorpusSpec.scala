@@ -51,6 +51,13 @@ class EmptyCorpusSpec extends SparkSpec {
     // an empty total
     "m95_dsir_weights" -> (CorpusQueries.dsirWeights _),
     "m96_keep_first_lines" -> (CorpusQueries.keepFirstLineDedup _),
+    "m97_keep_first_spans" -> (CorpusQueries.keepFirstSpans _),
+    "m98_calibration" -> (CorpusQueries.calibration _),
+    "m99_lsh_precision" -> (CorpusQueries.lshPrecisionAudit _),
+    "m100_unimax_mix" -> (CorpusQueries.unimaxMix _),
+    // m101: the single marginal row filters itself out at n = 0
+    "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
+    "m102_jl_projection" -> (CorpusQueries.jlNormCard _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

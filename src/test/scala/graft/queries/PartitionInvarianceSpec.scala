@@ -185,4 +185,38 @@ class PartitionInvarianceSpec extends SparkSpec {
     // task scheduling order must never decide which copy survives
     assertInvariant(CorpusQueries.keepFirstLineDedup)
   }
+
+  test("m97 keep-first spans: window-race winners identical across partitionings") {
+    // same min(struct) discipline as m96, at repeated-window granularity
+    assertInvariant(CorpusQueries.keepFirstSpans)
+  }
+
+  test("m98 calibration: quantized-integer bin sums identical across partitionings") {
+    // per-doc p is quantized to an integer ONCE; Σq per bin is then a
+    // bigint sum that partial aggregation cannot re-associate
+    assertInvariant(CorpusQueries.calibration)
+  }
+
+  test("m99 LSH precision audit: banded candidate verification identical across partitionings") {
+    // direct chain — the asset-backed query would reuse the first
+    // partitioning's stored candidate build and make the check vacuous
+    assertInvariant((s, d) => CorpusQueries.lshPrecisionAuditOver(
+      CorpusQueries.augmentedDocs(s, d)))
+  }
+
+  test("m100 UniMax: waterline and allocations identical across partitionings") {
+    // the prefix walk runs in the (capacity, source) total order inside
+    // one source-count-sized window frame
+    assertInvariant(CorpusQueries.unimaxMix)
+  }
+
+  test("m101 gate agreement: marginals and kappa identical across partitionings") {
+    // all three gates are individually invariant (m83 weights, m89
+    // terciles); the pair marginals are then integer sums
+    assertInvariant(CorpusQueries.gateAgreement)
+  }
+
+  test("m102 JL projection: literal-matrix folds identical across partitionings") {
+    assertInvariant(CorpusQueries.jlNormCard)
+  }
 }

@@ -448,4 +448,60 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
+
+  test("m97: keep-first span race shuffles fingerprints, never text; winner agg partial-aggregates") {
+    val df = CorpusQueries.keepFirstSpans(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // m82's exchange discipline (cut lists and fingerprints only) plus
+    // the winner min(struct) collapsing map-side before its exchange
+    p should include("partial_min")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m98: calibration is one scoring projection + a 10-row aggregate — no text in exchanges") {
+    val p = plan(CorpusQueries.calibration(spark, dir))
+    // weights are plan literals; only (bin, label, q) partials shuffle,
+    // and the ECE total joins back as a broadcast scalar
+    p should include("partial_count")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m99: precision audit exchanges carry pair ids and shingle hashes, never text") {
+    val p = plan(CorpusQueries.lshPrecisionAudit(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m100: UniMax's only corpus-sized stage is the token aggregate; the waterfill is source-bounded") {
+    val p = plan(CorpusQueries.unimaxMix(spark, dir))
+    // the corpus-sized token aggregate runs ONCE, at the eager pin inside
+    // allocateFrac — the returned plan reads the source-count-sized
+    // snapshot (four references, zero parquet re-scans) and every later
+    // stage is source-bounded
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m101: gate agreement exchanges carry gate bits and LM keys, never text") {
+    val p = plan(CorpusQueries.gateAgreement(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m102: JL norm card is one codegen'd projection over the pruned scan — zero exchanges") {
+    val p = plan(CorpusQueries.jlNormCard(spark, dir))
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+  }
 }

@@ -89,6 +89,38 @@ class QualityClassifierSpec extends SparkSpec {
     roc.find(_._1 == 0.0).get._2 shouldBe predPos
   }
 
+  test("calibration card: bins partition the corpus and reconcile with a direct recount") {
+    val m = QualityClassifier.train(planted)
+    val cal = QualityClassifier.calibrationReport(planted, m).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Long]("sum_q"),
+          r.getAs[Double]("mean_p"), r.getAs[Double]("frac_pos"),
+          r.getAs[Double]("gap"), r.getAs[Double]("ece_term")))).toMap
+    // recompute from score() with the identical quantization
+    val scored = QualityClassifier.score(planted, m).collect()
+      .map(r => (r.getAs[Long]("label"),
+        math.floor(1e9 / (1.0 + math.exp(-r.getAs[Double]("logit")))).toLong))
+    val total = scored.length.toLong
+    val expected = scored.groupBy { case (_, q) => math.min(q / 100000000L, 9L) }
+      .map { case (bin, rows) =>
+        val n = rows.length.toLong
+        val nPos = rows.count(_._1 == 1L).toLong
+        val sumQ = rows.map(_._2).sum
+        bin -> ((n, nPos, sumQ))
+      }
+    cal.keySet shouldBe expected.keySet
+    cal.foreach { case (bin, (n, nPos, sumQ, meanP, fracPos, gap, ece)) =>
+      bin should (be >= 0L and be <= 9L)
+      (n, nPos, sumQ) shouldBe expected(bin)
+      // mean predicted p sits inside its own decile (quantization ≤ 1e-9)
+      meanP should (be >= bin * 0.1 - 1e-9 and be <= (bin + 1) * 0.1 + 1e-9)
+      fracPos shouldBe nPos.toDouble / n
+      gap shouldBe math.abs(meanP - fracPos)
+      ece shouldBe gap * n.toDouble / total
+    }
+    cal.values.map(_._1).sum shouldBe total
+  }
+
   test("logit agrees with the gate on real corpus data") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val out = QualityClassifier.trainScore(docs).cache()

@@ -74,6 +74,57 @@ class SpanScrubSpec extends SparkSpec {
     out.map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
   }
 
+  // ---- keepFirstSpans (m97): the keep-one-copy policy ----------------
+
+  test("keep-first: the earliest copy survives verbatim, later copies scrub to empty") {
+    val out = SpanScrub.keepFirstSpans(docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta",
+      3L -> "alpha beta gamma delta"), w = W).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getString(3) shouldBe "alpha beta gamma delta"
+    out(1L).getLong(2) shouldBe 0L
+    out(2L).getString(3) shouldBe ""
+    out(3L).getString(3) shouldBe ""
+  }
+
+  test("keep-first: a within-doc repeat of a cross-doc span loses to the doc's own first copy") {
+    val out = SpanScrub.keepFirstSpans(docs(
+      1L -> "x a b c y a b c z",
+      2L -> "q a b c r"), w = W).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // winner fp("a b c") = (doc 1, idx 1); the idx-5 repeat AND doc 2's
+    // copy are both later occurrences
+    out(1L).getString(3) shouldBe "x a b c y z"
+    out(2L).getString(3) shouldBe "q r"
+  }
+
+  test("keep-first: mutated copy keeps only its changed head (shared tail is a later copy)") {
+    val out = SpanScrub.keepFirstSpans(docs(
+      1L -> "one two three four five six",
+      2L -> "ZZZ two three four five six"), w = W).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getLong(2) shouldBe 0L // every shared window's winner is doc 1
+    out(2L).getString(3) shouldBe "zzz"
+  }
+
+  test("keep-first: exactly one copy of each repeated span remains corpus-wide") {
+    val corpus = docs(
+      1L -> "u1 u2 common1 common2 common3 common4 u3",
+      2L -> "v1 common1 common2 common3 common4 v2 v3",
+      3L -> "common1 common2 common3 common4",
+      4L -> "w1 w2 w3 w4 w5 w6 w7")
+    val kept = SpanScrub.keepFirstSpans(corpus, w = W)
+      .filter(col("scrubbed_text") =!= "")
+      .select(col("doc_id"), col("scrubbed_text").as("text"))
+    // re-flagging the rebuilt corpus finds no cross-doc repeated window:
+    // the policy left ONE copy, not zero and not several
+    RepeatedWindows.flag(kept, w = W).count() shouldBe 0L
+    // and the winner doc still carries the span
+    kept.filter(col("doc_id") === 1L).collect()(0).getString(1) should
+      include("common1 common2 common3 common4")
+  }
+
   test("scrubbed corpus no longer contains any flagged repeated window") {
     // The m42/m82 contract: re-running the FLAG pass on the scrubbed text
     // finds no cross-doc repeated window among docs that were actually cut
