@@ -254,7 +254,23 @@ object SparkEntry {
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     // m102: Johnson–Lindenstrauss ±1 projection norm card — portable
     // md5-parity sign matrix, norms before/after, the JL certificate
-    "m102_jl_projection" -> (CorpusQueries.jlNormCard _)
+    "m102_jl_projection" -> (CorpusQueries.jlNormCard _),
+    // m103: Okapi BM25 top-k — the lexical retrieval half; per-term
+    // partials quantized to floor(s·10⁶) so the sum is exact integers
+    "m103_bm25_topk" -> (CorpusQueries.bm25TopK _),
+    // m104: reciprocal-rank fusion of BM25 and cosine top-20 lists —
+    // hybrid retrieval, rank-only (exact BIGINT fused scores)
+    "m104_rrf_hybrid" -> (CorpusQueries.rrfHybrid _),
+    // m105: marginal-novelty curve — new distinct 3-shingles per
+    // ingestion-order decile, the crawl-scaling diagnostic
+    "m105_novelty_curve" -> (CorpusQueries.noveltyCurve _),
+    // m106: duplicate-family size histogram over the stored cluster
+    // asset — family size k → families / docs / token mass / excess
+    // (the Lee et al. 2021 dedup-payoff plot)
+    "m106_dup_family_hist" -> (CorpusQueries.dupFamilyHistogram _),
+    // m107: per-source duplicate mass with cross-source attribution —
+    // the mirror-site accounting card (exact copies re-sourced 'mirror')
+    "m107_source_dup_mass" -> (CorpusQueries.sourceDupMass _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1636,13 +1652,132 @@ object SparkEntry {
         "JOIN n na ON na.label = d.label JOIN n nb ON nb.label = d.other_label), " +
         "r AS (SELECT label, other_label, sim, row_number() OVER (" +
         "PARTITION BY label ORDER BY sim DESC, other_label) AS rk FROM s) " +
-        "SELECT label, other_label AS nearest_label, sim FROM r WHERE rk = 1")
+        "SELECT label, other_label AS nearest_label, sim FROM r WHERE rk = 1"),
+    // m103: BM25 replayed verbatim — same tokenization, same float op
+    // order, per-term partial floored to ×10⁶ BEFORE the sum (so the
+    // aggregate is exact BIGINT arithmetic; the m98 discipline).
+    "m103_bm25_topk" ->
+      (Bm25Ctes +
+        " SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit, " +
+        "CAST(score_q6 AS DOUBLE) / 1000000.0 AS score FROM (" +
+        "SELECT query_id, doc_id, n_terms_hit, score_q6, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank FROM acc) r " +
+        "WHERE rank <= 10"),
+    // m104: RRF over the BM25 and cosine top-20 lists; contributions are
+    // floor(1e9/(60+rank)) — exact integer arithmetic in both engines.
+    "m104_rrf_hybrid" ->
+      (Bm25Ctes +
+        ", lex AS (SELECT query_id, doc_id, rank FROM (" +
+        "SELECT query_id, doc_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank FROM acc) x " +
+        "WHERE rank <= 20), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10), " +
+        "sc AS (SELECT query_id, v.vec_id AS doc_id, " +
+        "list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim " +
+        "FROM v CROSS JOIN q WHERE v.vec_id <> query_id), " +
+        "sem AS (SELECT query_id, doc_id, rank FROM (" +
+        "SELECT query_id, doc_id, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank FROM sc) x " +
+        "WHERE rank <= 20), " +
+        "fused AS (SELECT coalesce(l.query_id, s.query_id) AS query_id, " +
+        "coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank AS rank_a, s.rank AS rank_b, " +
+        "coalesce(CAST(floor(1000000000.0 / (60 + l.rank)) AS BIGINT), 0) + " +
+        "coalesce(CAST(floor(1000000000.0 / (60 + s.rank)) AS BIGINT), 0) AS rrf_q9 " +
+        "FROM lex l FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rank_a, rank_b, rrf_q9 " +
+        "FROM (SELECT query_id, doc_id, rank_a, rank_b, rrf_q9, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY rrf_q9 DESC, doc_id) AS rank FROM fused) x " +
+        "WHERE rank <= 10"),
+    // m105: the gram walk is the proven m14/m60 string replay; the bucket
+    // is floor(rank·10 / n_all) on the same double operands; everything
+    // past the per-doc bucket map is ≤10 rows.
+    "m105_novelty_curve" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk FROM d), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d), " +
+        "bkt AS (SELECT doc_id, CAST(floor(CAST(rnk * 10 AS DOUBLE) / n_all) AS BIGINT) AS bucket " +
+        "FROM r CROSS JOIN n), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT doc_id, gram FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g) " +
+        "WHERE gram <> ''), " +
+        "fd AS (SELECT gram, min(doc_id) AS doc_id FROM gd GROUP BY 1), " +
+        "pbd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM bkt GROUP BY 1), " +
+        "pbn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_grams FROM fd JOIN bkt USING (doc_id) GROUP BY 1), " +
+        "j AS (SELECT b.bucket, b.n_docs, coalesce(p.new_grams, 0) AS new_grams " +
+        "FROM pbd b LEFT JOIN pbn p USING (bucket)) " +
+        "SELECT bucket, n_docs, new_grams, " +
+        "CAST(sum(new_grams) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new_grams, " +
+        "CAST(sum(new_grams) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+        "sum(new_grams) OVER () AS cum_share FROM j"),
+    // m106/m107: the family map is the m17 component closure (θ ≥ 0.6
+    // over the m14 gram chain); token counts are the filtered-whitespace
+    // convention with null text → 0. All sums are exact integers.
+    "m106_dup_family_hist" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
+        ", cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src), " +
+        "tok AS (SELECT doc_id, coalesce(CAST(len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')) AS BIGINT), 0) AS n_tokens FROM aug), " +
+        "fam AS (SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS family_id FROM aug a LEFT JOIN cl c ON a.doc_id = c.doc_id), " +
+        "fs AS (SELECT family_id, CAST(count(*) AS BIGINT) AS family_size, " +
+        "CAST(sum(t.n_tokens) AS BIGINT) AS fam_tokens, " +
+        "CAST(sum(CASE WHEN f.doc_id = f.family_id THEN t.n_tokens ELSE 0 END) AS BIGINT) AS canon_tokens " +
+        "FROM fam f JOIN tok t ON f.doc_id = t.doc_id GROUP BY 1) " +
+        "SELECT family_size, CAST(count(*) AS BIGINT) AS n_families, " +
+        "CAST(family_size * count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(fam_tokens) AS BIGINT) AS token_mass, " +
+        "CAST(sum(fam_tokens - canon_tokens) AS BIGINT) AS excess_token_mass " +
+        "FROM fs GROUP BY family_size"),
+    "m107_source_dup_mass" ->
+      ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
+        ", cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src), " +
+        "m AS (SELECT doc_id, CASE WHEN doc_id >= 20000 AND doc_id < 20050 THEN 'mirror' ELSE source END AS source, " +
+        "coalesce(CAST(len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')) AS BIGINT), 0) AS n_tokens FROM aug), " +
+        "fam AS (SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS family_id FROM aug a LEFT JOIN cl c ON a.doc_id = c.doc_id), " +
+        "j AS (SELECT f.family_id, f.doc_id, m.source, m.n_tokens, cs.source AS canon_source " +
+        "FROM fam f JOIN m ON f.doc_id = m.doc_id JOIN m cs ON f.family_id = cs.doc_id) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN doc_id <> family_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(CASE WHEN doc_id <> family_id THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens, " +
+        "CAST(sum(CASE WHEN doc_id <> family_id AND source <> canon_source THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source_dups, " +
+        "CAST(sum(CASE WHEN doc_id <> family_id AND source <> canon_source THEN n_tokens ELSE 0 END) AS BIGINT) AS cross_source_tokens, " +
+        "CAST(sum(CASE WHEN doc_id <> family_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_doc_share " +
+        "FROM j GROUP BY source")
   ) ++
     // Quantizer-backed ANN search paths (m12/m37/m38/m41/m47/m74): their
     // oracle SQL inlines the trained model the query run captured, so the
     // entries exist only after the query has run — Verify dumps
     // oracle_sql.json last, so the driver always sees them.
     OracleModelSql.captured
+
+  /** BM25 chain up to per-(query, doc) accumulated integer score `acc` —
+    * replays graft.text.Bm25 verbatim: same whitespace tokenization, same
+    * first-8-distinct-terms query bags over docs 0–9, same float op order
+    * in idf/tfNorm, per-term partial quantized floor(·10⁶) BEFORE the sum.
+    * Shared by m103 (k=10 list) and m104 (k=20 list into RRF). */
+  private[graft] val Bm25Ctes: String =
+    "WITH lt AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM lt), " +
+      "w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term, " +
+      "unnest(range(1, len(t)+1)) AS ord FROM lt), " +
+      "qf AS (SELECT doc_id AS query_id, term, min(ord) AS fp FROM w WHERE doc_id < 10 GROUP BY 1, 2), " +
+      "qb AS (SELECT query_id, term FROM (SELECT query_id, term, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY fp, term) AS tr FROM qf) x WHERE tr <= 8), " +
+      "post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2, 3), " +
+      "pruned AS (SELECT p.term, p.doc_id, p.dl, p.tf FROM post p " +
+      "JOIN (SELECT DISTINCT term FROM qb) qt USING (term)), " +
+      "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pruned GROUP BY 1), " +
+      "per AS (SELECT qb.query_id, p.doc_id, CAST(floor(" +
+      "ln(1.0 + (CAST(st.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) * " +
+      "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + " +
+      "0.75 * CAST(p.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))) * 1000000.0" +
+      ") AS BIGINT) AS s_q6 " +
+      "FROM pruned p JOIN dfreq d USING (term) JOIN qb USING (term) CROSS JOIN st " +
+      "WHERE p.doc_id <> qb.query_id), " +
+      "acc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, " +
+      "sum(s_q6) AS score_q6 FROM per GROUP BY 1, 2)"
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
   // graft.text.TextOps (same regexes, same double-arithmetic order).

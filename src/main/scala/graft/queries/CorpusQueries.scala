@@ -720,6 +720,64 @@ object CorpusQueries {
     graft.similarity.JlProjection.normCard(
       Tables.embeddings(s, dir), d = 64, k = 16)
 
+  /** BM25 top-k retrieval (m103): the lexical half of a hybrid retrieval
+    * stack. Queries are the first-8-distinct-term bags of docs 0–9 (the
+    * ANN tier's query convention, m08); scores quantize each term partial
+    * to floor(s·10⁶) before summing, so the aggregate is exact integer
+    * arithmetic and the DuckDB oracle replays it bit-for-bit. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bags = graft.text.Bm25.queryBags(
+      docs.filter(col("doc_id") < 10), maxTerms = 8)
+    graft.text.Bm25.topK(docs, bags, k = 10)
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (m104): BM25 top-20
+    * (lexical) fused with brute-force cosine top-20 (semantic) over the
+    * aligned doc_id/vec_id space — rank-only fusion, no score
+    * calibration, exact BIGINT fused scores. */
+  def rrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bags = graft.text.Bm25.queryBags(
+      docs.filter(col("doc_id") < 10), maxTerms = 8)
+    val lexical = graft.text.Bm25.topK(docs, bags, k = 20)
+      .select("query_id", "rank", "doc_id")
+    val all = vectors(s, dir)
+    val semantic = Ann.bruteForceTopK(all.filter(col("id") < 10), all, k = 20)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    graft.similarity.RrfFusion.fuse(lexical, semantic, k = 10)
+  }
+
+  /** Marginal-novelty curve (m105): new distinct 3-shingles contributed
+    * by each ingestion-order decile of the corpus — the "is another crawl
+    * snapshot still worth it" scaling diagnostic. */
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NoveltyCurve.curve(Tables.documents(s, dir))
+
+  /** Duplicate-family size histogram (m106) over the planted-dup corpus
+    * and the STORED cluster asset — the dedup-payoff plot. */
+  def dupFamilyHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DupStats.familyHistogram(
+      augmentedDocs(s, dir), graft.pipeline.DedupAssets.clusters(s, dir))
+
+  /** The m107 fixture: the planted EXACT copies re-sourced to 'mirror' —
+    * a simulated mirror site re-shipping the originals. Text and ids are
+    * byte-identical to [[augmentedDocs]], so the stored pair/cluster
+    * assets (which never read `source`) remain exactly valid. */
+  def mirroredAugmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val off = docOff(s, dir)
+    augmentedDocs(s, dir).withColumn("source",
+      when(col("doc_id") >= 2 * off && col("doc_id") < 2 * off + 50,
+        lit("mirror")).otherwise(col("source")))
+  }
+
+  /** Per-source duplicate mass with cross-source attribution (m107):
+    * which sources re-ship content whose canonical copy lives elsewhere
+    * — the mirror-site accounting card. */
+  def sourceDupMass(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DupStats.sourceDupMass(
+      mirroredAugmentedDocs(s, dir), graft.pipeline.DedupAssets.clusters(s, dir))
+
   /** Corpus-law fit (m57): Zipf slope/intercept/r² over globally-ranked
     * term frequencies plus the Heaps exponent across per-source
     * (tokens, distinct-terms) points — one-row corpus health report. */

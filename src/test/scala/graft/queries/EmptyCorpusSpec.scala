@@ -58,6 +58,15 @@ class EmptyCorpusSpec extends SparkSpec {
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),
+    // m103/m104: empty corpus → empty postings and empty query bags; the
+    // one-row stats aggregate must not poison the empty scored frame
+    "m103_bm25_topk" -> (CorpusQueries.bm25TopK _),
+    "m104_rrf_hybrid" -> (CorpusQueries.rrfHybrid _),
+    // m105: the prefix-sum offset table degrades to [0]; no bucket rows
+    "m105_novelty_curve" -> (CorpusQueries.noveltyCurve _),
+    // m106/m107: empty corpus → empty family map → empty histogram/card
+    "m106_dup_family_hist" -> (CorpusQueries.dupFamilyHistogram _),
+    "m107_source_dup_mass" -> (CorpusQueries.sourceDupMass _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

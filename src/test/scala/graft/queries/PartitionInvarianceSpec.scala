@@ -219,4 +219,34 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m102 JL projection: literal-matrix folds identical across partitionings") {
     assertInvariant(CorpusQueries.jlNormCard)
   }
+
+  test("m103 BM25: quantized per-term partials sum order-free; ranks tie-broken") {
+    // each term partial floors to an integer BEFORE the per-(query, doc)
+    // sum, so partial aggregation cannot re-associate doubles; the top-k
+    // window orders by (score_q6, doc_id) — a total order
+    assertInvariant(CorpusQueries.bm25TopK)
+  }
+
+  test("m104 RRF fusion: integer contributions and doc_id ties identical across partitionings") {
+    assertInvariant(CorpusQueries.rrfHybrid)
+  }
+
+  test("m105 novelty curve: prefix-sum buckets and first-doc races identical across partitionings") {
+    // the ingestion rank is the range-partitioned prefix sum (task-order
+    // free) and the gram's first doc is min(doc_id), not first-seen
+    assertInvariant(CorpusQueries.noveltyCurve)
+  }
+
+  test("m106/m107 dup mass: component closure and integer masses identical across partitionings") {
+    // direct chain (the m99 discipline) — the asset-backed query would
+    // reuse the first partitioning's stored cluster build
+    def freshClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+      graft.dedup.DedupClusters.components(
+        graft.dedup.NgramJaccard.invertedIndexPairs(
+          CorpusQueries.augmentedDocs(s, d)).select("doc_a", "doc_b"))
+    assertInvariant((s, d) => graft.dedup.DupStats.familyHistogram(
+      CorpusQueries.augmentedDocs(s, d), freshClusters(s, d)))
+    assertInvariant((s, d) => graft.dedup.DupStats.sourceDupMass(
+      CorpusQueries.mirroredAugmentedDocs(s, d), freshClusters(s, d)))
+  }
 }

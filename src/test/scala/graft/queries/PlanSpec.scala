@@ -504,4 +504,47 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Join")
     p should include("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
   }
+
+  test("m103: BM25 prunes the token stream via broadcast BEFORE aggregating; no text in exchanges") {
+    val p = plan(CorpusQueries.bm25TopK(spark, dir))
+    // the query-term join must be broadcast (the small side by
+    // construction) and sit below the tf partial aggregate — the only
+    // corpus-sized exchange carries kept-term postings, map-side combined
+    p should include("BroadcastHashJoin")
+    p should include("partial_count")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    // corpus scan reads only the two needed columns
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("m104: RRF fuses two already-top-k lists — the full-outer join is bounded, never corpus-sized") {
+    val p = plan(CorpusQueries.rrfHybrid(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("m105: novelty exchanges carry md5 keys and doc ids, never gram or document text") {
+    val p = plan(CorpusQueries.noveltyCurve(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (exchanges should not).include("gram#")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m106/m107: dup-mass reports read the stored cluster asset; exchanges carry ids and counts, never text") {
+    for (q <- Seq(CorpusQueries.dupFamilyHistogram _, CorpusQueries.sourceDupMass _)) {
+      val p = plan(q(spark, dir))
+      // the component closure is NOT rebuilt — the report reads the
+      // materialized asset (this is the 100 TB amortization contract)
+      p should include("clusters")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+      (exchanges should not).include("text#")
+      (p should not).include("CartesianProduct")
+    }
+  }
 }
