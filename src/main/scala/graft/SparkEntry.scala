@@ -270,7 +270,11 @@ object SparkEntry {
     "m106_dup_family_hist" -> (CorpusQueries.dupFamilyHistogram _),
     // m107: per-source duplicate mass with cross-source attribution —
     // the mirror-site accounting card (exact copies re-sourced 'mirror')
-    "m107_source_dup_mass" -> (CorpusQueries.sourceDupMass _)
+    "m107_source_dup_mass" -> (CorpusQueries.sourceDupMass _),
+    // m108: Flesch reading-ease / FK grade card — regex-heuristic
+    // sentence/word/syllable counts, exact integer bases, fixed-order
+    // float formulas; zero-exchange projection
+    "m108_readability" -> (CorpusQueries.readability _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1743,7 +1747,24 @@ object SparkEntry {
         "CAST(sum(CASE WHEN doc_id <> family_id AND source <> canon_source THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source_dups, " +
         "CAST(sum(CASE WHEN doc_id <> family_id AND source <> canon_source THEN n_tokens ELSE 0 END) AS BIGINT) AS cross_source_tokens, " +
         "CAST(sum(CASE WHEN doc_id <> family_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_doc_share " +
-        "FROM j GROUP BY source")
+        "FROM j GROUP BY source"),
+    // m108: sentence/word/syllable counting conventions documented in
+    // graft.text.Readability; counts are exact integers, formulas in a
+    // fixed operand order.
+    "m108_readability" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS ws FROM d), " +
+        "c AS (SELECT doc_id, " +
+        "greatest(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) AS BIGINT)) AS n_sentences, " +
+        "CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(list_sum(list_transform(ws, x -> greatest(1, len(string_split_regex(x, '[aeiouy]+')) - 1))) AS BIGINT) AS n_syllables " +
+        "FROM w) " +
+        "SELECT doc_id, n_sentences, n_words, n_syllables, " +
+        "CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence, " +
+        "CAST(n_syllables AS DOUBLE) / n_words AS syllables_per_word, " +
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch_reading_ease, " +
+        "0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 AS fk_grade " +
+        "FROM c WHERE n_words > 0")
   ) ++
     // Quantizer-backed ANN search paths (m12/m37/m38/m41/m47/m74): their
     // oracle SQL inlines the trained model the query run captured, so the

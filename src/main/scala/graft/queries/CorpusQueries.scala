@@ -778,6 +778,11 @@ object CorpusQueries {
     graft.dedup.DupStats.sourceDupMass(
       mirroredAugmentedDocs(s, dir), graft.pipeline.DedupAssets.clusters(s, dir))
 
+  /** Flesch reading-ease / FK-grade card (m108) — the formula-based
+    * readability proxy next to the rule batteries and the learned gate. */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    graft.text.Readability.card(Tables.documents(s, dir))
+
   /** Corpus-law fit (m57): Zipf slope/intercept/r² over globally-ranked
     * term frequencies plus the Heaps exponent across per-source
     * (tokens, distinct-terms) points — one-row corpus health report. */

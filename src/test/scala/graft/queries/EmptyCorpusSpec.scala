@@ -67,6 +67,7 @@ class EmptyCorpusSpec extends SparkSpec {
     // m106/m107: empty corpus → empty family map → empty histogram/card
     "m106_dup_family_hist" -> (CorpusQueries.dupFamilyHistogram _),
     "m107_source_dup_mass" -> (CorpusQueries.sourceDupMass _),
+    "m108_readability" -> (CorpusQueries.readability _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

@@ -237,6 +237,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.noveltyCurve)
   }
 
+  test("m108 readability: per-doc projection identical across partitionings") {
+    assertInvariant(CorpusQueries.readability)
+  }
+
   test("m106/m107 dup mass: component closure and integer masses identical across partitionings") {
     // direct chain (the m99 discipline) — the asset-backed query would
     // reuse the first partitioning's stored cluster build

@@ -536,6 +536,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("SortMergeJoin")
   }
 
+  test("m108: readability card is one codegen'd projection — zero exchanges") {
+    val p = plan(CorpusQueries.readability(spark, dir))
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
   test("m106/m107: dup-mass reports read the stored cluster asset; exchanges carry ids and counts, never text") {
     for (q <- Seq(CorpusQueries.dupFamilyHistogram _, CorpusQueries.sourceDupMass _)) {
       val p = plan(q(spark, dir))
