@@ -75,13 +75,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CHECKPOINT_DIR: route the snapshot tier through durable
+    // Dataset.checkpoint (graft.Snapshot reliable mode) so the overhead of
+    // the fault-tolerant configuration is measurable — the 100 TB deploy
+    // recipe needs a number, not a claim (DESIGN.md §5a).
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => builder.config("spark.graft.checkpointDir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(df: DataFrame): Unit =
@@ -186,15 +192,34 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // SPARK_GRAFT_STAGE_STATS=1: per-query executor stats from the LAST
-    // measured pass, reported as a "stats" key (absent otherwise — the
-    // driver's parse of the one-line contract is unaffected).
+    // Per-query executor stats from the LAST measured pass, reported as a
+    // "stats" key in the full-record file. DEFAULT ON since round 13 (set
+    // SPARK_GRAFT_STAGE_STATS=0 to disable): elevated wall-clock rows can
+    // only be adjudicated from the record itself when the record carries
+    // input/shuffle bytes — same bytes as the committed steady state ⇒
+    // host noise, different bytes ⇒ a plan change. The compact stdout
+    // line never carries stats (its 1000-char budget is for timings).
     val statsListener =
-      if (sys.env.get("SPARK_GRAFT_STAGE_STATS").contains("1")) {
+      if (sys.env.get("SPARK_GRAFT_STAGE_STATS").forall(_ != "0")) {
         val l = new QueryStatsListener(spark.sparkContext)
         spark.sparkContext.addSparkListener(l)
         Some(l)
       } else None
+    // Committed per-query steady-state reference (BENCH_REF.json,
+    // override with SPARK_GRAFT_BENCH_REF; missing file = guard off):
+    // flat {"query":seconds} written from a clean committed run. A
+    // min-of-passes exceeding 3× its committed value triggers the same
+    // re-measure path as pass disagreement — a transient spanning BOTH
+    // passes corrupts the row in a way the spread guard can't see
+    // (BENCH_r12: m19 at 2.28 s vs 0.26 committed, both passes slow).
+    val benchRef: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        """"([A-Za-z0-9_:]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
     val statsOut = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var runs = (1 to passes).map { i =>
@@ -220,11 +245,25 @@ object Bench {
         val g = rs.filter(_._2).map(_._1)
         if (g.size < 2) 1.0 else g.max / math.max(g.min, 1e-9)
       }
+      // Re-measure when the passes disagree >5× OR the min exceeds 3× the
+      // committed steady state (and isn't sub-noise-floor either way): a
+      // host-load window covering both passes defeats min-of-2, but the
+      // committed reference sees through it. A genuine plan regression
+      // re-measures to the same elevated number — two extra runs bound
+      // the cost, and the record then shows a STABLE elevated value.
+      def refExceeded(rs: Seq[(Double, Boolean)]): Boolean = {
+        val g = rs.filter(_._2).map(_._1)
+        g.nonEmpty && benchRef.get(name).exists(r =>
+          g.min > 3 * r && g.min > 0.2)
+      }
       var extra = 0
-      while (passes > 1 && extra < 2 && spread(runs) > 5.0 &&
+      while (passes > 1 && extra < 2 &&
+             (spread(runs) > 5.0 || refExceeded(runs)) &&
              runs.filter(_._2).map(_._1).min > 0.05) {
-        System.err.println(
-          f"[bench] $name passes disagree ${spread(runs)}%.1fx — re-measuring")
+        val why =
+          if (spread(runs) > 5.0) f"passes disagree ${spread(runs)}%.1fx"
+          else f"min ${runs.filter(_._2).map(_._1).min}%.2fs > 3x committed ${benchRef(name)}%.2fs"
+        System.err.println(s"[bench] $name $why — re-measuring")
         runs = runs :+ timeOne(name, fn)
         releaseSnapshots()
         extra += 1

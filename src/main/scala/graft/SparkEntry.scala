@@ -221,6 +221,10 @@ object SparkEntry {
     // m93: the repetition rules (top/duplicate n-gram character
     // fractions) — the third MassiveText family, completing the battery
     "m93_repetition_rules" -> (CorpusQueries.repetitionRules _),
+    // m109: the paper-exact position-UNION form of the repetition rules
+    // (a char counts once however many duplicated grams cover it) — both
+    // semantics certified side by side
+    "m109_repetition_union" -> (CorpusQueries.repetitionRulesUnion _),
     // m94: the C4 cleaning rules (Raffel et al. 2020) — line-REWRITING
     // where Gopher is page-scoring; the fourth rule family
     "m94_c4_rules" -> (CorpusQueries.c4Rules _),
@@ -631,7 +635,7 @@ object SparkEntry {
     "m29_incremental_dedup" ->
       ("WITH seen AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 400), " +
         "delta AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 " +
-        "UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id < 30), " +
+        s"UNION ALL SELECT doc_id + ${3 * SynthOff}, text FROM documents WHERE doc_id < 30), " +
         "dd AS (SELECT doc_id, md5(text) AS fingerprint FROM delta " +
         "WHERE doc_id IN (SELECT min(doc_id) FROM delta GROUP BY md5(text))) " +
         "SELECT d.doc_id, d.fingerprint FROM dd d LEFT JOIN seen s USING (fingerprint) " +
@@ -881,6 +885,67 @@ object SparkEntry {
         "coalesce(max(CASE WHEN n = 9 THEN dup_frac END), 0.0) AS dup_9, " +
         "coalesce(max(CASE WHEN n = 10 THEN dup_frac END), 0.0) AS dup_10 " +
         "FROM f GROUP BY 1) " +
+        "SELECT doc_id, top_2, top_3, top_4, dup_5, dup_6, dup_7, dup_8, dup_9, dup_10, " +
+        "CAST(top_2 <= 0.20 AS BIGINT) AS r_top_2, " +
+        "CAST(top_3 <= 0.18 AS BIGINT) AS r_top_3, " +
+        "CAST(top_4 <= 0.16 AS BIGINT) AS r_top_4, " +
+        "CAST(dup_5 <= 0.15 AS BIGINT) AS r_dup_5, " +
+        "CAST(dup_6 <= 0.14 AS BIGINT) AS r_dup_6, " +
+        "CAST(dup_7 <= 0.13 AS BIGINT) AS r_dup_7, " +
+        "CAST(dup_8 <= 0.12 AS BIGINT) AS r_dup_8, " +
+        "CAST(dup_9 <= 0.11 AS BIGINT) AS r_dup_9, " +
+        "CAST(dup_10 <= 0.10 AS BIGINT) AS r_dup_10, " +
+        "CAST(top_2 <= 0.20 AND top_3 <= 0.18 AND top_4 <= 0.16 " +
+        "AND dup_5 <= 0.15 AND dup_6 <= 0.14 AND dup_7 <= 0.13 " +
+        "AND dup_8 <= 0.12 AND dup_9 <= 0.11 AND dup_10 <= 0.10 AS BIGINT) AS pass " +
+        "FROM w"),
+    // m109: the position-union semantics — per-gram union via lead() gaps
+    // (top family: same-length intervals, so each occurrence contributes
+    // min(len, next_start - start)), gaps-and-islands sweep for the dup
+    // family; starts are char offsets in the single-spaced rejoin. All
+    // coverage sums are exact integers; one IEEE division per fraction.
+    "m109_repetition_union" ->
+      ("WITH aug AS (SELECT doc_id, text || (CASE WHEN doc_id % 4 = 0 " +
+        "THEN repeat(' limited time offer click here to claim your exclusive reward now today', 3) " +
+        "ELSE '' END) AS text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+        "base AS (SELECT doc_id, t, CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars FROM toks), " +
+        "g AS (SELECT doc_id, total_chars, n, CAST(u.s AS BIGINT) AS s, " +
+        "CAST(u.s + length(u.gram) AS BIGINT) AS e, u.gram AS gram FROM (" +
+        "SELECT b.doc_id, b.total_chars, ns.n, unnest(CASE WHEN len(t) >= n THEN " +
+        "list_transform(generate_series(1, len(t) - n + 1), i -> struct_pack(" +
+        "s := CASE WHEN i = 1 THEN 0 ELSE length(array_to_string(list_slice(t, 1, i - 1), ' ')) + 1 END, " +
+        "gram := array_to_string(list_slice(t, i, i + n - 1), ' '))) ELSE [] END) AS u " +
+        "FROM base b CROSS JOIN (SELECT unnest(generate_series(2, 10)) AS n) ns) x), " +
+        "gc AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt FROM g), " +
+        "tstep AS (SELECT doc_id, total_chars, n, gram, cnt, " +
+        "least(e - s, coalesce(lead(s) OVER (PARTITION BY doc_id, n, gram ORDER BY s), e) - s) AS contrib " +
+        "FROM gc WHERE n <= 4), " +
+        "tg AS (SELECT doc_id, total_chars, n, gram, cnt, CAST(sum(contrib) AS BIGINT) AS gcov " +
+        "FROM tstep GROUP BY 1, 2, 3, 4, 5), " +
+        "tg2 AS (SELECT *, max(cnt) OVER (PARTITION BY doc_id, n) AS mc FROM tg), " +
+        "tcov AS (SELECT doc_id, total_chars, n, CAST(max(CASE WHEN cnt = mc THEN gcov END) AS BIGINT) AS covered " +
+        "FROM tg2 GROUP BY 1, 2, 3), " +
+        "d AS (SELECT doc_id, total_chars, n, s, e FROM gc WHERE n >= 5 AND cnt > 1), " +
+        "dm AS (SELECT *, max(e) OVER (PARTITION BY doc_id, n ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM d), " +
+        "di AS (SELECT *, CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id, n ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gid FROM dm), " +
+        "disl AS (SELECT doc_id, total_chars, n, gid, max(e) - min(s) AS clen FROM di GROUP BY 1, 2, 3, 4), " +
+        "dcov AS (SELECT doc_id, total_chars, n, CAST(sum(clen) AS BIGINT) AS covered FROM disl GROUP BY 1, 2, 3), " +
+        "vals AS (SELECT * FROM tcov UNION ALL SELECT * FROM dcov), " +
+        "f AS (SELECT doc_id, n, CAST(covered AS DOUBLE) / greatest(CAST(total_chars AS DOUBLE), 1.0) AS frac FROM vals), " +
+        "w AS (SELECT a.doc_id, " +
+        "coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS top_2, " +
+        "coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS top_3, " +
+        "coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS top_4, " +
+        "coalesce(max(CASE WHEN n = 5 THEN frac END), 0.0) AS dup_5, " +
+        "coalesce(max(CASE WHEN n = 6 THEN frac END), 0.0) AS dup_6, " +
+        "coalesce(max(CASE WHEN n = 7 THEN frac END), 0.0) AS dup_7, " +
+        "coalesce(max(CASE WHEN n = 8 THEN frac END), 0.0) AS dup_8, " +
+        "coalesce(max(CASE WHEN n = 9 THEN frac END), 0.0) AS dup_9, " +
+        "coalesce(max(CASE WHEN n = 10 THEN frac END), 0.0) AS dup_10 " +
+        "FROM aug a LEFT JOIN f ON a.doc_id = f.doc_id GROUP BY 1) " +
         "SELECT doc_id, top_2, top_3, top_4, dup_5, dup_6, dup_7, dup_8, dup_9, dup_10, " +
         "CAST(top_2 <= 0.20 AS BIGINT) AS r_top_2, " +
         "CAST(top_3 <= 0.18 AS BIGINT) AS r_top_3, " +
@@ -1354,12 +1419,12 @@ object SparkEntry {
     // like the engine's FNV hashes (the m14/m25 argument).
     "m72_incremental_neardup" ->
       (AugmentedDocs +
-        ", bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug WHERE doc_id >= 10000), " +
+        s", bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug WHERE doc_id >= $SynthOff), " +
         "bg AS (SELECT DISTINCT doc_id AS batch_id, gram FROM (SELECT doc_id, " +
         "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
         "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
         "FROM bt) x WHERE gram <> ''), " +
-        "it AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug WHERE doc_id < 10000), " +
+        s"it AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM aug WHERE doc_id < $SynthOff), " +
         "ig AS (SELECT DISTINCT doc_id AS index_id, gram FROM (SELECT doc_id, " +
         "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
         "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
@@ -1498,7 +1563,7 @@ object SparkEntry {
       ("WITH f1 AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 3 " +
         "THEN 'zz' || substr(text, 3) ELSE text END, '')) AS fp " +
         "FROM documents WHERE doc_id % 10 <> 7 " +
-        "UNION ALL SELECT doc_id + 30000, md5(coalesce(text, '')) FROM documents WHERE doc_id < 25), " +
+        s"UNION ALL SELECT doc_id + ${3 * SynthOff}, md5(coalesce(text, '')) FROM documents WHERE doc_id < 25), " +
         "f2 AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents), " +
         "f3 AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 5 " +
         "THEN 'qq' || substr(text, 3) ELSE text END, '')) AS fp " +
@@ -1530,7 +1595,7 @@ object SparkEntry {
         "old AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 10 = 3 " +
         "THEN 'zz' || substr(text, 3) ELSE text END, '')) AS old_fp " +
         "FROM documents WHERE doc_id % 10 <> 7 " +
-        "UNION ALL SELECT doc_id + 30000, md5(coalesce(text, '')) " +
+        s"UNION ALL SELECT doc_id + ${3 * SynthOff}, md5(coalesce(text, '')) " +
         "FROM documents WHERE doc_id < 25) " +
         "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp, " +
         "CASE WHEN o.old_fp IS NULL THEN 'added' " +
@@ -1736,7 +1801,7 @@ object SparkEntry {
     "m107_source_dup_mass" ->
       ("WITH RECURSIVE " + AugmentedDocsBody + gramPairCtes("aug") + ClusterCtes +
         ", cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src), " +
-        "m AS (SELECT doc_id, CASE WHEN doc_id >= 20000 AND doc_id < 20050 THEN 'mirror' ELSE source END AS source, " +
+        s"m AS (SELECT doc_id, CASE WHEN doc_id >= ${2 * SynthOff} AND doc_id < ${2 * SynthOff + 50} THEN 'mirror' ELSE source END AS source, " +
         "coalesce(CAST(len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '')) AS BIGINT), 0) AS n_tokens FROM aug), " +
         "fam AS (SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS family_id FROM aug a LEFT JOIN cl c ON a.doc_id = c.doc_id), " +
         "j AS (SELECT f.family_id, f.doc_id, m.source, m.n_tokens, cs.source AS canon_source " +
@@ -1753,7 +1818,7 @@ object SparkEntry {
     // fixed operand order.
     "m108_readability" ->
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
-        "w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS ws FROM d), " +
+        "w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), ' +'), x -> regexp_matches(x, '[a-z0-9]')) AS ws FROM d), " +
         "c AS (SELECT doc_id, " +
         "greatest(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) AS BIGINT)) AS n_sentences, " +
         "CAST(len(ws) AS BIGINT) AS n_words, " +
@@ -1841,10 +1906,18 @@ object SparkEntry {
       "WHEN CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) >= 0.03 THEN 'en' " +
       "ELSE 'unknown' END)"
 
+  /** The oracle-side synthetic-dup id offset. CorpusQueries.docOff derives
+    * this as the smallest power-of-10 ≥ 10000 that clears max(doc_id); the
+    * driver fixtures top out below 10000, so the oracle can inline the
+    * floor value. Every oracle window over the synthetic ids (exact copies
+    * at [2·off, 2·off+50), mutated at [off, off+50), m107's mirror window)
+    * MUST be spelled from this one constant so they cannot drift. */
+  private val SynthOff: Long = 10000L
+
   private val AugmentedDocsBody: String =
     "aug AS (SELECT * FROM documents " +
-      "UNION ALL SELECT doc_id + 20000, text, lang, source, n_chars FROM documents WHERE doc_id < 50 " +
-      "UNION ALL SELECT doc_id + 10000, 'zz' || substr(text, 3), lang, source, n_chars " +
+      s"UNION ALL SELECT doc_id + ${2 * SynthOff}, text, lang, source, n_chars FROM documents WHERE doc_id < 50 " +
+      s"UNION ALL SELECT doc_id + $SynthOff, 'zz' || substr(text, 3), lang, source, n_chars " +
       "FROM documents WHERE doc_id < 50) "
 
   private val AugmentedDocs: String = "WITH " + AugmentedDocsBody

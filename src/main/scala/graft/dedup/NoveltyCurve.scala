@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *    gram text;
   *  - the global ingestion rank comes from [[graft.operators.PrefixSum]]
   *    (two-pass range partitioning), NOT a single-partition window;
-  *  - everything after the per-doc decile map is `buckets`-row state: the
+  *  - the first-occurrence→decile join is corpus-sized on BOTH sides
+  *    (gram first-occurrences vs the doc-level decile map) and at real
+  *    scale legitimately plans as a shuffle join on doc_id — but its
+  *    exchanges carry only (16-byte hash, doc_id, bucket), never text;
+  *  - only AFTER the per-bucket aggregates is state `buckets`-row: the
   *    cumulative window is bounded by `buckets` (default 10 rows), not
   *    corpus-sized.
   */

@@ -189,6 +189,14 @@ object CorpusQueries {
     graft.text.TextOps.repetitionRules(
       withSyntheticRepetition(Tables.documents(s, dir)))
 
+  /** Paper-exact position-union repetition card (m109): same families,
+    * thresholds and fixture as m93, but a character counts at most once
+    * however many duplicated n-grams cover it — both semantics certified
+    * side by side. */
+  def repetitionRulesUnion(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.repetitionRulesUnion(
+      withSyntheticRepetition(Tables.documents(s, dir)))
+
   /** m94's corpus: [[withSyntheticLines]] plus the deterministic noise
     * every C4 rule needs to fire both ways — the base boilerplate lines
     * carry no terminal punctuation (struck by the line filter), so:

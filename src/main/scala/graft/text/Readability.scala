@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * is dictionary work; the formulas were calibrated on heuristics of this
   * kind):
   *  - words: the corpus-wide whitespace tokenization ([[TextOps.tokens]]),
-  *    empty tokens excluded;
+  *    keeping only tokens that contain at least one alphanumeric character
+  *    (so punctuation-only tokens like "..." are not words and a
+  *    punctuation-only doc is excluded by the n_words > 0 gate);
   *  - sentences: maximal `[.!?]+` runs end a sentence; segments that are
   *    blank after trimming don't count; a doc with words but no terminal
   *    punctuation is one sentence (floor 1 — also the /0 guard);
@@ -30,7 +32,7 @@ import org.apache.spark.sql.functions._
 object Readability {
 
   private def words(text: Column): Column =
-    filter(split(lower(trim(text)), " +"), t => t =!= "")
+    filter(split(lower(trim(text)), " +"), t => t.rlike("[a-z0-9]"))
 
   /** Per-word syllable counts, floored at 1. A word's vowel-group count is
     * `size(split(word, "[aeiouy]+")) - 1`: split keeps leading/trailing

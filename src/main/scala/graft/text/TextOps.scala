@@ -348,12 +348,19 @@ object TextOps {
     *    trade public implementations of the filter make for speed. The
     *    exact union machinery exists in [[SpanScrub]] for callers that
     *    need it per-n.
-    * Scale shape: one explode of (doc_id, n, gram) rows; the first
-    * aggregate keys on (doc_id, n, gram), and because a document's grams
-    * all originate from its single input row, map-side partial
-    * aggregation collapses within-doc duplicates BEFORE the exchange —
-    * the shuffle carries distinct-gram rows, and the two follow-up
-    * aggregates are doc-scale. Sums are exact integer counts, so the
+    * Scale shape: one explode of (doc_id, n, gram) rows, with the gram
+    * REPLACED by (xxhash64, length) in the same projection that creates
+    * it — downstream needs only count × length, so the suite's largest
+    * exchange carries two fixed-width longs instead of up-to-10-word
+    * strings (the [[graft.text.Dsir]] hashing discipline). The first
+    * aggregate keys on (doc_id, n, hash, len), and because a document's
+    * grams all originate from its single input row, map-side partial
+    * aggregation collapses within-doc duplicates BEFORE the exchange;
+    * the two follow-up aggregates are doc-scale. Hashing is
+    * result-INVARIANT (grouping by hash ≡ grouping by the gram modulo a
+    * 64-bit in-doc collision), so the DuckDB oracle keeps grouping by
+    * the gram text — no portable-hash lockstep needed, unlike DSIR where
+    * the hash picks the bucket. Sums are exact integer counts, so the
     * fractions are single IEEE divisions — bit-identical cross-engine.
     */
   def repetitionRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -379,13 +386,16 @@ object TextOps {
         explode(perN).as("s"))
       .select(col("doc_id"), col("total_chars"), col("s.n").as("n"),
         explode(col("s.grams")).as("gram"))
+      .select(col("doc_id"), col("total_chars"), col("n"),
+        xxhash64(col("gram")).as("h"),
+        length(col("gram")).cast("long").as("glen"))
     val perGram = grams
-      .groupBy("doc_id", "total_chars", "n", "gram")
+      .groupBy("doc_id", "total_chars", "n", "h", "glen")
       .agg(count(lit(1)).as("cnt"))
     val perDocN = perGram
       .groupBy("doc_id", "total_chars", "n")
-      .agg(max(col("cnt") * length(col("gram"))).as("mx"),
-        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+      .agg(max(col("cnt") * col("glen")).as("mx"),
+        sum(when(col("cnt") > 1, col("cnt") * col("glen"))
           .otherwise(0L)).as("dup"))
     val tc = greatest(col("total_chars").cast("double"), lit(1.0))
     // both fractions cap at 1.0: overlapping occurrences double-count
@@ -414,6 +424,126 @@ object TextOps {
       bitCols.map(c => col(c) === 1L).reduce(_ && _).cast("long"))
   }
 
+  /** Paper-exact position-union repetition card (m109) — the SECOND
+    * certified semantics for the MassiveText repetition rules, next to
+    * [[repetitionRules]]' char-mass form (m93): here a character is
+    * counted AT MOST ONCE however many duplicated n-grams cover it,
+    * exactly as Rae et al. 2021 measure (their "fraction of characters
+    * contained in ..." is positional coverage, not a count×length
+    * product). Families and thresholds are m93's:
+    *  - top n-gram (n = 2, 3, 4): positional coverage of the most
+    *    frequent n-gram; among count-ties the gram with the LARGEST
+    *    coverage is scored (coverage is the only thing the fraction
+    *    needs, so the tie-break is deterministic without a gram order);
+    *  - duplicate n-grams (n = 5..10): coverage of the interval union
+    *    over every n-gram occurring more than once.
+    * No 1.0 cap is needed — a union is ≤ the text length structurally
+    * (the cap is exactly the patch the mass form required).
+    *
+    * Scale shape: tokenization and the per-doc token array stay in the
+    * Catalyst projection (so the corpus contract is [[tokens]],
+    * bit-identical to m93's); the interval union is genuinely per-doc
+    * imperative work — the [[SpanScrub]] difference-array precedent — so
+    * it runs in ONE mapPartitions over (doc_id, tokens): zero exchanges,
+    * zero joins, embarrassingly parallel at any corpus size. Coverage
+    * sums are exact integers; each fraction is a single IEEE division,
+    * so the DuckDB oracle (lead()-gap per-gram union for the top family,
+    * gaps-and-islands sweep for the dup family) replays bit-for-bit.
+    */
+  def repetitionRulesUnion(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id").cast("long"), tokens(col(textCol)).as("t"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, toksSeq) =>
+          val toks = toksSeq.toArray
+          val k = toks.length
+          // char start offset of token i in the single-spaced rejoin
+          val starts = new Array[Long](k)
+          var off = 0L
+          var i = 0
+          while (i < k) { starts(i) = off; off += toks(i).length + 1; i += 1 }
+          val tc = math.max(math.max(off - 1, 0L), 1L).toDouble
+          val fr = new Array[Double](9) // n = 2..10, 0.0 when k < n
+          var n = 2
+          while (n <= 10) {
+            if (k >= n) {
+              val occ = new java.util.HashMap[String, java.util.ArrayList[Int]]()
+              var j = 0
+              while (j + n <= k) {
+                val sb = new java.lang.StringBuilder
+                var q = j
+                while (q < j + n) {
+                  if (q > j) sb.append(' '); sb.append(toks(q)); q += 1
+                }
+                occ.computeIfAbsent(sb.toString,
+                  _ => new java.util.ArrayList[Int]()).add(j)
+                j += 1
+              }
+              var covered = 0L
+              if (n <= 4) {
+                // most frequent gram; coverage = union of ITS occurrences
+                // (same-length intervals at ascending starts: each
+                // occurrence contributes min(len, next_start - start))
+                var mc = 0
+                occ.values.forEach(v => if (v.size > mc) mc = v.size)
+                occ.forEach { (g, v) =>
+                  if (v.size == mc) {
+                    val glen = g.length.toLong
+                    var cov = 0L
+                    var x = 0
+                    while (x < v.size) {
+                      val s = starts(v.get(x))
+                      val nxt =
+                        if (x + 1 < v.size) starts(v.get(x + 1)) else s + glen
+                      cov += math.min(glen, nxt - s)
+                      x += 1
+                    }
+                    if (cov > covered) covered = cov
+                  }
+                }
+              } else {
+                // union over ALL occurrences of grams with count >= 2:
+                // sort intervals by start, sweep-merge
+                val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                occ.forEach { (g, v) =>
+                  if (v.size > 1) {
+                    val glen = g.length.toLong
+                    v.forEach(p => buf += ((starts(p), starts(p) + glen)))
+                  }
+                }
+                val sorted = buf.sortInPlaceBy(_._1)
+                var curS = 0L
+                var curE = -1L
+                sorted.foreach { case (s, e) =>
+                  if (s > curE) {
+                    if (curE > curS) covered += curE - curS
+                    curS = s; curE = e
+                  } else if (e > curE) curE = e
+                }
+                if (curE > curS) covered += curE - curS
+              }
+              fr(n - 2) = covered.toDouble / tc
+            }
+            n += 1
+          }
+          val bits = Array(
+            if (fr(0) <= 0.20) 1L else 0L, if (fr(1) <= 0.18) 1L else 0L,
+            if (fr(2) <= 0.16) 1L else 0L, if (fr(3) <= 0.15) 1L else 0L,
+            if (fr(4) <= 0.14) 1L else 0L, if (fr(5) <= 0.13) 1L else 0L,
+            if (fr(6) <= 0.12) 1L else 0L, if (fr(7) <= 0.11) 1L else 0L,
+            if (fr(8) <= 0.10) 1L else 0L)
+          RepetitionUnionCard(id, fr(0), fr(1), fr(2), fr(3), fr(4), fr(5),
+            fr(6), fr(7), fr(8), bits(0), bits(1), bits(2), bits(3), bits(4),
+            bits(5), bits(6), bits(7), bits(8),
+            if (bits.forall(_ == 1L)) 1L else 0L)
+        }
+      }
+      .toDF()
+  }
+
   /** Language + quality gate — production path for filter pipelines. */
   def langQualityGate(docs: DataFrame, textCol: String = "text",
                       lang: String = "en", minQuality: Double = 0.3): DataFrame =
@@ -422,3 +552,12 @@ object TextOps {
         col("p.quality").as("quality"))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
 }
+
+/** m109 output row — top-level so the `Encoder` derives outside the
+  * operator's closure. Field order is the card's column order. */
+case class RepetitionUnionCard(
+    doc_id: Long, top_2: Double, top_3: Double, top_4: Double,
+    dup_5: Double, dup_6: Double, dup_7: Double, dup_8: Double,
+    dup_9: Double, dup_10: Double, r_top_2: Long, r_top_3: Long,
+    r_top_4: Long, r_dup_5: Long, r_dup_6: Long, r_dup_7: Long,
+    r_dup_8: Long, r_dup_9: Long, r_dup_10: Long, pass: Long)

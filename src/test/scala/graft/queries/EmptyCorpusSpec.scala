@@ -68,6 +68,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m106_dup_family_hist" -> (CorpusQueries.dupFamilyHistogram _),
     "m107_source_dup_mass" -> (CorpusQueries.sourceDupMass _),
     "m108_readability" -> (CorpusQueries.readability _),
+    // m109: the mapPartitions union sweep over zero rows is zero rows
+    "m109_repetition_union" -> (CorpusQueries.repetitionRulesUnion _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

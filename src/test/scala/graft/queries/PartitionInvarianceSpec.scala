@@ -172,6 +172,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.c4Rules)
   }
 
+  test("m109 union repetition rules: per-doc interval sweep identical across partitionings") {
+    // the whole computation is a pure function of one document's tokens —
+    // partitioning can only change which task runs it, never the result
+    assertInvariant(CorpusQueries.repetitionRulesUnion)
+  }
+
   test("m95 DSIR weights: bucket-sorted fold and exact percentile identical across partitionings") {
     // the per-doc logw folds (bucket, n·λ) structs in bucket-sorted order —
     // a plain double-sum would re-associate with partitioning; the

@@ -405,7 +405,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("m93: every repetition-rule exchange sits above a map-side partial aggregate") {
     val p = plan(CorpusQueries.repetitionRules(spark, dir))
-    // three exchanges by construction — (doc,n,gram) counts (partial
+    // three exchanges by construction — (doc,n,hash,len) counts (partial
     // count collapses a doc's duplicate grams BEFORE the shuffle, since
     // a doc's grams originate in one input row), then doc×n, then doc
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 3
@@ -413,6 +413,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("partial_max")
     (p should not).include("Join")
     (p should not).include("CartesianProduct")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    // the gram string is replaced by (xxhash64, length) in the creating
+    // projection — the suite's largest shuffle carries NO string column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("gram#")
+    (exchanges should not).include("text#")
+  }
+
+  test("m109: union repetition card is one shuffle-free per-doc pass — zero exchanges, zero joins") {
+    val p = plan(CorpusQueries.repetitionRulesUnion(spark, dir))
+    // tokenization stays in the Catalyst projection; the interval sweep
+    // is per-doc mapPartitions — nothing ever leaves its input partition
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("MapPartitions")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
@@ -533,7 +548,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
     (exchanges should not).include("gram#")
     (p should not).include("CartesianProduct")
-    (p should not).include("SortMergeJoin")
+    // NOTE: no no-SMJ pin — the first-occurrence→decile join is
+    // corpus-sized on both sides and at real scale legitimately plans as
+    // a shuffle join; the contract is WHAT the exchanges carry (hash,
+    // doc_id, bucket), not that they don't exist.
   }
 
   test("m108: readability card is one codegen'd projection — zero exchanges") {
