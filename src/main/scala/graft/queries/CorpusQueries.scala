@@ -186,7 +186,7 @@ object CorpusQueries {
     * thresholds — the third Gopher family, completing m91 (word rules)
     * and m92 (line rules). */
   def repetitionRules(s: SparkSession, dir: String): DataFrame =
-    graft.text.TextOps.repetitionRules(
+    graft.text.TextOps.repetitionRulesCompiled(
       withSyntheticRepetition(Tables.documents(s, dir)))
 
   /** Paper-exact position-union repetition card (m109): same families,

@@ -403,19 +403,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
-  test("m93: every repetition-rule exchange sits above a map-side partial aggregate") {
+  test("m93: compiled repetition card is one shuffle-free per-doc pass — zero exchanges") {
     val p = plan(CorpusQueries.repetitionRules(spark, dir))
+    // the production path is the compiled per-doc pass (every count is
+    // within one document) — RepetitionDifferentialSpec pins it
+    // bit-identical to the distributed reference form below
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("MapPartitions")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("m93 reference form: every exchange sits above a map-side partial aggregate, no string keys") {
+    val p = plan(graft.text.TextOps.repetitionRules(
+      graft.Tables.documents(spark, dir)))
     // three exchanges by construction — (doc,n,hash,len) counts (partial
     // count collapses a doc's duplicate grams BEFORE the shuffle, since
-    // a doc's grams originate in one input row), then doc×n, then doc
+    // a doc's grams originate in one input row), then doc×n, then doc.
+    // This distributed form is the fallback for unbounded documents the
+    // per-doc compiled pass can't hold in one task's heap.
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 3
     p should include("partial_count")
     p should include("partial_max")
     (p should not).include("Join")
     (p should not).include("CartesianProduct")
-    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
     // the gram string is replaced by (xxhash64, length) in the creating
-    // projection — the suite's largest shuffle carries NO string column
+    // projection — the largest shuffle carries NO string column
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     (exchanges should not).include("gram#")
     (exchanges should not).include("text#")
