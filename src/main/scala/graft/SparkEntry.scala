@@ -252,6 +252,10 @@ object SparkEntry {
     // m100: UniMax waterfilling budget allocation (Chung et al. 2023) —
     // uniform-as-possible token budget across sources under an epoch cap
     "m100_unimax_mix" -> (CorpusQueries.unimaxMix _),
+    // m110: temperature mixing (p ∝ n^α, α = 0.3) on the SAME skewed
+    // sizes as m100 — exponent-based smoothing next to the epoch-cap
+    // waterfill
+    "m110_alpha_mix_weights" -> (CorpusQueries.alphaMixWeights _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -576,6 +580,25 @@ object SparkEntry {
         "CASE WHEN saturated = 1 THEN capacity ELSE coalesce(tau, capacity) END AS alloc, " +
         "(CASE WHEN saturated = 1 THEN capacity ELSE coalesce(tau, capacity) END) / CAST(n_tokens AS DOUBLE) AS epochs " +
         "FROM lv CROSS JOIN tau"),
+    // m110: same sizes CTE as m100; the double chain replays Spark's
+    // fixed operand order (weight = pow/denom, alloc = budget·weight,
+    // epochs = alloc/n); denominator ordering differences vanish under
+    // the 6-dp canonicalization
+    "m110_alpha_mix_weights" ->
+      ("WITH sz AS (SELECT 'src_' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split_regex(lower(trim(text)), ' +'))) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1), " +
+        "p AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.3) AS pw FROM sz), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS itot, sum(pw) AS denom, " +
+        "CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 0.8) AS BIGINT) AS budget FROM p) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "CAST(n_tokens AS DOUBLE) / CAST(itot AS DOUBLE) AS p_raw, " +
+        "pw / denom AS weight, budget, " +
+        "CAST(budget AS DOUBLE) * (pw / denom) AS alloc_tokens, " +
+        "CASE WHEN n_tokens = 0 THEN NULL ELSE " +
+        "(CAST(budget AS DOUBLE) * (pw / denom)) / CAST(n_tokens AS DOUBLE) END AS epochs " +
+        "FROM p CROSS JOIN t"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,

@@ -300,6 +300,22 @@ object CorpusQueries {
     graft.operators.UniMax.allocateFrac(sizes, budgetFrac = 0.8, epochCap = 2.0)
   }
 
+  /** Temperature-weighted mix card (m110) over the same skewed m34
+    * grouping as m100 (uniform sources make every α look alike): α = 0.3,
+    * 80% token budget — the `p ∝ n^α` companion to UniMax's waterfill,
+    * so a mix dashboard can compare cap-based and exponent-based
+    * smoothing on identical inputs. */
+  def alphaMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(concat(lit("src_"),
+          length(col("doc_id").cast("string"))).as("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    graft.operators.TemperatureMix.allocate(sizes, alpha = 0.3,
+      budgetFrac = 0.8)
+  }
+
   /** Per-source corpus composition report (m35): doc/token/char mass and
     * an exact interpolated median — what a mix dashboard reads. One
     * partial-aggregated exchange of (source, counters); the median is the

@@ -55,6 +55,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m98_calibration" -> (CorpusQueries.calibration _),
     "m99_lsh_precision" -> (CorpusQueries.lshPrecisionAudit _),
     "m100_unimax_mix" -> (CorpusQueries.unimaxMix _),
+    // m110: zero sources → empty sizes table → empty mix card
+    "m110_alpha_mix_weights" -> (CorpusQueries.alphaMixWeights _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

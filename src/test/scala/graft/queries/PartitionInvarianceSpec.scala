@@ -172,6 +172,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.c4Rules)
   }
 
+  test("m110 temperature mix: source-sorted denominator fold identical across partitionings") {
+    // Σ n^α is a double sum — folded over the source-sorted collected
+    // list, so partition order can never re-associate it
+    assertInvariant(CorpusQueries.alphaMixWeights)
+  }
+
   test("m109 union repetition rules: per-doc interval sweep identical across partitionings") {
     // the whole computation is a pure function of one document's tokens —
     // partitioning can only change which task runs it, never the result

@@ -519,6 +519,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("SortMergeJoin")
   }
 
+  test("m110: temperature mix's only corpus-sized stage is the token aggregate; the totals join broadcasts") {
+    val p = plan(CorpusQueries.alphaMixWeights(spark, dir))
+    // one corpus-sized exchange (the per-source token partial aggregate),
+    // a 1-row totals aggregate broadcast back onto the k source rows
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m101: gate agreement exchanges carry gate bits and LM keys, never text") {
     val p = plan(CorpusQueries.gateAgreement(spark, dir))
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
