@@ -216,7 +216,12 @@ object Bench {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-        """"([A-Za-z0-9_:]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        // The reference only applies at the scale it was measured at — a
+        // scale-sweep run at sf1/sf3 against an sf0.1 reference would
+        // re-measure every query for nothing.
+        val refSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!refSf.contains(sfDir)) Map.empty
+        else """"([A-Za-z0-9_:]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }

@@ -225,6 +225,10 @@ object SparkEntry {
     // (a char counts once however many duplicated grams cover it) — both
     // semantics certified side by side
     "m109_repetition_union" -> (CorpusQueries.repetitionRulesUnion _),
+    // m111: Misra–Gries heavy-hitter 3-grams with exact recount — the
+    // over-represented-boilerplate diagnostic, certified sketch-free by
+    // the threshold's superset guarantee
+    "m111_heavy_grams" -> (CorpusQueries.heavyGrams _),
     // m94: the C4 cleaning rules (Raffel et al. 2020) — line-REWRITING
     // where Gopher is page-scoring; the fourth rule family
     "m94_c4_rules" -> (CorpusQueries.c4Rules _),
@@ -922,6 +926,21 @@ object SparkEntry {
         "AND dup_5 <= 0.15 AND dup_6 <= 0.14 AND dup_7 <= 0.13 " +
         "AND dup_8 <= 0.12 AND dup_9 <= 0.11 AND dup_10 <= 0.10 AS BIGINT) AS pass " +
         "FROM w"),
+    // m111: sketch-free replay — the engine's MG candidates are made
+    // unobservable by the exact ≥ floor(N/(k+1))+1 recount (superset
+    // guarantee), so the oracle just computes the thresholded set
+    "m111_heavy_grams" ->
+      ("WITH aug AS (SELECT doc_id, text || (CASE WHEN doc_id % 4 = 0 " +
+        "THEN repeat(' limited time offer click here to claim your exclusive reward now today', 3) " +
+        "ELSE '' END) AS text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT string_split_regex(lower(trim(text)), ' +') AS t FROM aug), " +
+        "g AS (SELECT unnest(CASE WHEN len(t) >= 3 THEN " +
+        "list_transform(generate_series(1, len(t) - 2), i -> array_to_string(list_slice(t, i, i + 2), ' ')) " +
+        "ELSE [] END) AS gram FROM toks), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS total_grams, " +
+        "CAST(floor(count(*) / 1001) + 1 AS BIGINT) AS threshold FROM g), " +
+        "c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1) " +
+        "SELECT gram, n, total_grams, threshold FROM c CROSS JOIN tot WHERE n >= threshold"),
     // m109: the position-union semantics — per-gram union via lead() gaps
     // (top family: same-length intervals, so each occurrence contributes
     // min(len, next_start - start)), gaps-and-islands sweep for the dup

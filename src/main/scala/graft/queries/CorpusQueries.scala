@@ -189,6 +189,16 @@ object CorpusQueries {
     graft.text.TextOps.repetitionRulesCompiled(
       withSyntheticRepetition(Tables.documents(s, dir)))
 
+  /** Heavy-hitter 3-grams (m111) over the m93 repetition fixture (the
+    * planted spam phrase is exactly the boilerplate the diagnostic
+    * exists to surface): Misra–Gries proposes ≤ k candidates, an exact
+    * recount keeps those at/above floor(N/(k+1)) + 1 — deterministic
+    * under any partitioning by the mergeable-summaries superset
+    * guarantee, so the oracle replays it sketch-free. */
+  def heavyGrams(s: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyGrams.heavyGrams(
+      withSyntheticRepetition(Tables.documents(s, dir)))
+
   /** Paper-exact position-union repetition card (m109): same families,
     * thresholds and fixture as m93, but a character counts at most once
     * however many duplicated n-grams cover it — both semantics certified

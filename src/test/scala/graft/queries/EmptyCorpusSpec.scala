@@ -72,6 +72,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m108_readability" -> (CorpusQueries.readability _),
     // m109: the mapPartitions union sweep over zero rows is zero rows
     "m109_repetition_union" -> (CorpusQueries.repetitionRulesUnion _),
+    // m111: empty gram stream → empty summary → empty recount
+    "m111_heavy_grams" -> (CorpusQueries.heavyGrams _),
     // ANN tier: quantizer training must degrade to an empty model, not
     // require a non-empty sample
     "m08_ann_brute" -> (CorpusQueries.annBruteForce _),

@@ -178,6 +178,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.alphaMixWeights)
   }
 
+  test("m111 heavy grams: thresholded set identical across partitionings (sketch unobservable)") {
+    // per-partition MG summaries differ with the partitioning, but the
+    // merged summary's superset guarantee + the exact recount make the
+    // OUTPUT a pure function of the corpus
+    assertInvariant(CorpusQueries.heavyGrams)
+  }
+
   test("m109 union repetition rules: per-doc interval sweep identical across partitionings") {
     // the whole computation is a pure function of one document's tokens —
     // partitioning can only change which task runs it, never the result

@@ -444,6 +444,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
+  test("m111: heavy-gram recount broadcasts the bounded candidate set; count partial-aggregates") {
+    val df = CorpusQueries.heavyGrams(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the exact pass: candidates (≤ k rows) broadcast as a semi-join
+    // below the single count exchange — the corpus never shuffles whole
+    p should include("BroadcastHashJoin")
+    p should include("LeftSemi")
+    p should include("partial_count")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("m94: C4 rule card is one codegen'd projection — zero exchanges") {
     val p = plan(CorpusQueries.c4Rules(spark, dir))
     // line strike, rejoin, sentence count and page flags all live in one
