@@ -270,6 +270,10 @@ object SparkEntry {
     // m103: Okapi BM25 top-k — the lexical retrieval half; per-term
     // partials quantized to floor(s·10⁶) so the sum is exact integers
     "m103_bm25_topk" -> (CorpusQueries.bm25TopK _),
+    // m112: the same retrieval served from the STORED term-sorted
+    // postings asset (build-once/probe-many, the m84 topology) —
+    // byte-identical to m103 by construction, shares its oracle
+    "m112_bm25_stored" -> (CorpusQueries.bm25StoredProbe _),
     // m104: reciprocal-rank fusion of BM25 and cosine top-20 lists —
     // hybrid retrieval, rank-only (exact BIGINT fused scores)
     "m104_rrf_hybrid" -> (CorpusQueries.rrfHybrid _),
@@ -1768,6 +1772,16 @@ object SparkEntry {
     // order, per-term partial floored to ×10⁶ BEFORE the sum (so the
     // aggregate is exact BIGINT arithmetic; the m98 discipline).
     "m103_bm25_topk" ->
+      (Bm25Ctes +
+        " SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit, " +
+        "CAST(score_q6 AS DOUBLE) / 1000000.0 AS score FROM (" +
+        "SELECT query_id, doc_id, n_terms_hit, score_q6, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank FROM acc) r " +
+        "WHERE rank <= 10"),
+    // m112: ONE oracle for m103 AND m112 — the stored-index probe is
+    // contractually byte-identical to the fresh path (the m25/m46
+    // shared-oracle discipline)
+    "m112_bm25_stored" ->
       (Bm25Ctes +
         " SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit, " +
         "CAST(score_q6 AS DOUBLE) / 1000000.0 AS score FROM (" +

@@ -766,6 +766,19 @@ object CorpusQueries {
     graft.text.Bm25.topK(docs, bags, k = 10)
   }
 
+  /** Stored-index BM25 probe (m112): same queries, same k as m103, but
+    * served from the persisted term-sorted postings asset instead of
+    * re-tokenizing the corpus — contractually BYTE-identical to m103
+    * (shared scoring tail, df-over-pruned ≡ global df), so it shares
+    * m103's oracle, the m25/m46 discipline. */
+  def bm25StoredProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bags = graft.text.Bm25.queryBags(
+      docs.filter(col("doc_id") < 10), maxTerms = 8)
+    val (post, stats) = graft.text.Bm25Assets.index(s, dir)
+    graft.text.Bm25.topKStored(post, stats, bags, k = 10)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (m104): BM25 top-20
     * (lexical) fused with brute-force cosine top-20 (semantic) over the
     * aligned doc_id/vec_id space — rank-only fusion, no score

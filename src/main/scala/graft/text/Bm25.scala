@@ -72,7 +72,6 @@ object Bm25 {
   def topK(docs: DataFrame, queryTerms: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75,
            textCol: String = "text"): DataFrame = {
-    val stats = corpusStats(docs, textCol)
     // broadcast-prune the raw token stream BEFORE the tf aggregate: the
     // only corpus-sized exchange then carries query-term postings (map-
     // side-combined), not the full vocabulary. tf/df over the kept terms
@@ -82,6 +81,28 @@ object Bm25 {
       .join(broadcast(queryTerms.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+    score(pruned, corpusStats(docs, textCol), queryTerms, k, k1, b)
+  }
+
+  /** Serving path over a STORED postings index (m112): `postings` is the
+    * persisted (doc_id, term, tf, dl) table — term-sorted parquet, so
+    * the broadcast term prune rides row-group min/max skipping instead
+    * of re-tokenizing the corpus — and `stats` the persisted 1-row
+    * (n_docs, sum_dl). Scoring is [[topK]]'s verbatim (shared tail), so
+    * stored ≡ fresh bit-for-bit: df over term-pruned postings equals
+    * global df for those terms, and everything downstream is identical
+    * integer arithmetic. */
+  def topKStored(postings: DataFrame, stats: DataFrame,
+                 queryTerms: DataFrame, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    score(
+      postings.join(broadcast(queryTerms.select("term").distinct()), Seq("term"))
+        .select("doc_id", "dl", "term", "tf"),
+      stats, queryTerms, k, k1, b)
+
+  private def score(pruned: DataFrame, stats: DataFrame,
+                    queryTerms: DataFrame, k: Int,
+                    k1: Double, b: Double): DataFrame = {
     val df = pruned.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = pruned
       .join(broadcast(df), Seq("term"))

@@ -63,6 +63,8 @@ class EmptyCorpusSpec extends SparkSpec {
     // m103/m104: empty corpus → empty postings and empty query bags; the
     // one-row stats aggregate must not poison the empty scored frame
     "m103_bm25_topk" -> (CorpusQueries.bm25TopK _),
+    // m112: empty postings asset + zero-doc stats row → empty probe
+    "m112_bm25_stored" -> (CorpusQueries.bm25StoredProbe _),
     "m104_rrf_hybrid" -> (CorpusQueries.rrfHybrid _),
     // m105: the prefix-sum offset table degrades to [0]; no bucket rows
     "m105_novelty_curve" -> (CorpusQueries.noveltyCurve _),

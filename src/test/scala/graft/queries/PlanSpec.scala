@@ -572,6 +572,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
+  test("m112: stored BM25 probe scans the term-sorted postings asset, not the corpus text") {
+    val df = CorpusQueries.bm25StoredProbe(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the scoring side reads the asset (postings + 1-row stats)...
+    p should include("bm25post-")
+    p should include("bm25stats-")
+    // ...never re-tokenizes the corpus: no explode and no text column in
+    // any exchange (the query-bag build still reads the 10 query docs)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("m104: RRF fuses two already-top-k lists — the full-outer join is bounded, never corpus-sized") {
     val p = plan(CorpusQueries.rrfHybrid(spark, dir))
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
