@@ -787,7 +787,10 @@ object CorpusQueries {
     val docs = Tables.documents(s, dir)
     val bags = graft.text.Bm25.queryBags(
       docs.filter(col("doc_id") < 10), maxTerms = 8)
-    val lexical = graft.text.Bm25.topK(docs, bags, k = 20)
+    // lexical leg serves from the stored index (m112): byte-identical to
+    // the fresh path, one less corpus tokenization in the fusion query
+    val (post, stats) = graft.text.Bm25Assets.index(s, dir)
+    val lexical = graft.text.Bm25.topKStored(post, stats, bags, k = 20)
       .select("query_id", "rank", "doc_id")
     val all = vectors(s, dir)
     val semantic = Ann.bruteForceTopK(all.filter(col("id") < 10), all, k = 20)
