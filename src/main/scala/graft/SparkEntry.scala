@@ -83,6 +83,9 @@ object SparkEntry {
     "m06_simhash_pairs" -> (CorpusQueries.simhashPairs _),
     "m07_ngram_jaccard" -> (CorpusQueries.ngramJaccardPairs _),
     "m14_gram_index_jaccard" -> (CorpusQueries.gramIndexJaccard _),
+    // m113: asymmetric Broder containment — quotes/excerpts score ~1.0
+    // in the contained direction where symmetric Jaccard is blind
+    "m113_containment_pairs" -> (CorpusQueries.containmentPairs _),
     "m15_embed_neardup_exact" -> (CorpusQueries.embedNearDupExact _),
     "m17_dedup_clusters" -> (CorpusQueries.dedupClusters _),
     "m18_corpus_pipeline" -> (CorpusQueries.corpusPipeline _),
@@ -523,6 +526,22 @@ object SparkEntry {
     "m14_gram_index_jaccard" ->
       (AugmentedDocs + gramPairCtes("aug") +
         "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6"),
+    // m113: the m14 chain over the quote-augmented corpus, asymmetric
+    // containment scores instead of the symmetric jaccard
+    "m113_containment_pairs" ->
+      ("WITH aug AS (SELECT * FROM documents " +
+        s"UNION ALL SELECT doc_id + ${2 * SynthOff}, text, lang, source, n_chars FROM documents WHERE doc_id < 50 " +
+        s"UNION ALL SELECT doc_id + $SynthOff, 'zz' || substr(text, 3), lang, source, n_chars " +
+        "FROM documents WHERE doc_id < 50 " +
+        s"UNION ALL SELECT doc_id + ${4 * SynthOff}, " +
+        "array_to_string(list_slice(string_split_regex(lower(trim(text)), ' +'), 1, 15), ' '), " +
+        "lang, source, n_chars FROM documents WHERE doc_id < 25) " +
+        gramPairCtes("aug") +
+        "SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, CAST(shared AS BIGINT) AS shared, " +
+        "CAST(shared AS DOUBLE) / sa.n AS containment_a, " +
+        "CAST(shared AS DOUBLE) / sb.n AS containment_b " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE greatest(CAST(shared AS DOUBLE) / sa.n, CAST(shared AS DOUBLE) / sb.n) >= 0.8"),
     // m85: truth = the m14 inverted-index chain at θ=0.5; detected = the
     // m05 minhash chain, nested in a sub-WITH (its CTE names shadow the
     // outer gram chain's — the dummy z0 head lets the shared fragment's

@@ -190,4 +190,44 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Asymmetric CONTAINMENT pairs (m113, Broder 1997's "roughly
+    * contained" resemblance variant — public): containment_a =
+    * |A∩B| / |A| is the fraction of A's kept shingles that also appear
+    * in B, so a short document quoted inside a long one scores ~1.0 in
+    * the A→B direction while its symmetric Jaccard (what
+    * [[invertedIndexPairs]] thresholds) stays low — exactly the
+    * subset-duplication case (quotes, excerpts, wrapper pages) the
+    * symmetric tier is blind to. Pairs are emitted when EITHER direction
+    * reaches `threshold`, with both directions and the raw counts
+    * reported so the consumer can tell "A inside B" from "B inside A".
+    *
+    * Scale shape: identical to [[invertedIndexPairs]] (one capped
+    * posting exchange, pair expansion inside it, df > dfCap stop-grams
+    * dropped before any pair exists); only the final scoring projection
+    * differs. Sizes are over KEPT grams — the same pruned-shingle
+    * convention the Jaccard tier and its oracle use. */
+  def containmentPairs(docs: DataFrame, textCol: String = "text", w: Int = 3,
+                       threshold: Double = 0.8, dfCap: Int = 50): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordShingleHashSet(col(textCol), lit(w))).as("gram"))
+    val postings = grams.groupBy("gram")
+      .agg(graft.functions.CappedCollect.cappedIds(dfCap)(col("doc_id")).as("ids"))
+      .filter(col("ids").isNotNull)
+    val posts = postings.select(explode(col("ids")).as("doc_id"), col("ids"))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = posts
+      .select(col("doc_id").as("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "n_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "n_b")), Seq("doc_b"))
+      .withColumn("containment_a", col("shared").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("shared").cast("double") / col("n_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("doc_a", "doc_b", "n_a", "n_b", "shared",
+        "containment_a", "containment_b")
+  }
 }

@@ -766,6 +766,25 @@ object CorpusQueries {
     graft.text.Bm25.topK(docs, bags, k = 10)
   }
 
+  /** The m113 fixture: [[augmentedDocs]] plus QUOTE docs (doc_id + 4·off,
+    * the first 15 tokens of docs 0–24 re-joined single-spaced) — true
+    * subsets whose symmetric Jaccard is low but whose containment in the
+    * original is exactly 1.0, the case the asymmetric tier exists for. */
+  def quotedAugmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val off = docOff(s, dir)
+    val quotes = Tables.documents(s, dir).filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + (4 * off))
+      .withColumn("text",
+        array_join(slice(split(lower(trim(col("text"))), " +"), 1, 15), " "))
+    augmentedDocs(s, dir).unionByName(quotes)
+  }
+
+  /** Asymmetric containment pairs (m113): Broder containment over the
+    * quote-augmented corpus — quotes/excerpts score ~1.0 in their
+    * contained direction where the symmetric m14 tier is blind. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.NgramJaccard.containmentPairs(quotedAugmentedDocs(s, dir))
+
   /** Stored-index BM25 probe (m112): same queries, same k as m103, but
     * served from the persisted term-sorted postings asset instead of
     * re-tokenizing the corpus — contractually BYTE-identical to m103

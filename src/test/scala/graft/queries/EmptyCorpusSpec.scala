@@ -29,6 +29,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m03_exact_dedup_groups" -> (CorpusQueries.exactDedupGroups _),
     "m05_minhash_pairs" -> (CorpusQueries.minhashPairs _),
     "m14_gram_index_jaccard" -> (CorpusQueries.gramIndexJaccard _),
+    // m113: empty corpus → empty postings → no pairs
+    "m113_containment_pairs" -> (CorpusQueries.containmentPairs _),
     "m17_dedup_clusters" -> (CorpusQueries.dedupClusters _),
     "m52_curriculum_shards" -> (CorpusQueries.curriculumShards _),
     "m71_compression_ratio" -> (CorpusQueries.compressionRatios _),

@@ -97,6 +97,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       CorpusQueries.augmentedDocs(s, d), threshold = 0.6, dfCap = 50))
   }
 
+  test("m113 containment pairs identical across partitionings") {
+    // same capped-posting membership discipline as m14, asymmetric scores
+    assertInvariant(CorpusQueries.containmentPairs)
+  }
+
   test("m17 dedup cluster labels identical across partitionings") {
     assertInvariant((s, d) => graft.dedup.DedupClusters.components(
       graft.dedup.NgramJaccard.invertedIndexPairs(

@@ -587,6 +587,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
   }
 
+  test("m113: containment pairs shuffle hashed shingles and id lists, never text") {
+    val p = plan(CorpusQueries.containmentPairs(spark, dir))
+    // the m14 capped-posting shape: ONE gram exchange builds the posting
+    // list, pair expansion explodes inside it (no second corpus shuffle)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("m104: RRF fuses two already-top-k lists — the full-outer join is bounded, never corpus-sized") {
     val p = plan(CorpusQueries.rrfHybrid(spark, dir))
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
