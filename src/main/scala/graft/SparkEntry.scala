@@ -263,6 +263,10 @@ object SparkEntry {
     // sizes as m100 — exponent-based smoothing next to the epoch-cap
     // waterfill
     "m110_alpha_mix_weights" -> (CorpusQueries.alphaMixWeights _),
+    // m114: priority sampling (Duffield–Lund–Thorup) — k docs drawn
+    // ∝ char mass with the unbiased max(w, τ) subset-sum estimator;
+    // IEEE-exact arithmetic only, so priorities replay bit-for-bit
+    "m114_priority_sample" -> (CorpusQueries.prioritySample _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -626,6 +630,22 @@ object SparkEntry {
         "CASE WHEN n_tokens = 0 THEN NULL ELSE " +
         "(CAST(budget AS DOUBLE) * (pw / denom)) / CAST(n_tokens AS DOUBLE) END AS epochs " +
         "FROM p CROSS JOIN t"),
+    // m114: priority sample — the q expression is PrioritySample
+    // .oracleQExpr (kept adjacent to the Spark formula); rn = 101 is the
+    // runner-up whose priority is the DLT threshold τ, coalesced to 0
+    // when the corpus has ≤ k docs (estimator exact in that regime)
+    "m114_priority_sample" ->
+      ("WITH keyed AS (SELECT doc_id, " +
+        "CAST(greatest(length(text), 1) AS BIGINT) AS weight, " +
+        graft.operators.PrioritySample.oracleQExpr(
+          "doc_id", "greatest(length(text), 1)") + " AS priority " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM keyed), " +
+        "tau AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN priority END), 0.0) AS tau " +
+        "FROM ranked WHERE rn <= 101) " +
+        "SELECT doc_id, weight, priority, " +
+        "greatest(CAST(weight AS DOUBLE), tau) AS est_weight " +
+        "FROM ranked CROSS JOIN tau WHERE rn <= 100"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,

@@ -326,6 +326,22 @@ object CorpusQueries {
       budgetFrac = 0.8)
   }
 
+  /** Priority sample (m114): k = 100 docs drawn ∝ char mass with the
+    * Duffield–Lund–Thorup unbiased subset-sum estimator — the
+    * weighted-sampling companion to m34/m100/m110's mix cards (those
+    * decide how much each SOURCE contributes; this picks the actual
+    * DOCUMENTS, certainty-including any megadoc whose weight exceeds the
+    * threshold). Weight = max(length, 1) so empty-but-present docs stay
+    * sampleable. Every arithmetic step is IEEE-exact (see
+    * [[graft.operators.PrioritySample]]), so the oracle replays the
+    * priorities bit-for-bit. */
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        greatest(length(col("text")), lit(1)).cast("long").as("weight"))
+    graft.operators.PrioritySample.sample(docs, "doc_id", "weight", k = 100)
+  }
+
   /** Per-source corpus composition report (m35): doc/token/char mass and
     * an exact interpolated median — what a mix dashboard reads. One
     * partial-aggregated exchange of (source, counters); the median is the

@@ -59,6 +59,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "m100_unimax_mix" -> (CorpusQueries.unimaxMix _),
     // m110: zero sources → empty sizes table → empty mix card
     "m110_alpha_mix_weights" -> (CorpusQueries.alphaMixWeights _),
+    // m114: empty corpus → empty top-(k+1) frame; the 1-row τ aggregate
+    // (coalesced to 0) must cross-join to nothing, not invent a row
+    "m114_priority_sample" -> (CorpusQueries.prioritySample _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

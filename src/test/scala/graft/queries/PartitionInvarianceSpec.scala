@@ -183,6 +183,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.alphaMixWeights)
   }
 
+  test("m114 priority sample: winners, tau and estimates identical across partitionings") {
+    // priorities are pure row functions; the top-(k+1) selection has a
+    // total (priority DESC, doc_id) order, so the winning SET and the
+    // runner-up threshold can't depend on which partition held a row
+    assertInvariant(CorpusQueries.prioritySample)
+  }
+
   test("m111 heavy grams: thresholded set identical across partitionings (sketch unobservable)") {
     // per-partition MG summaries differ with the partitioning, but the
     // merged summary's superset guarantee + the exact recount make the

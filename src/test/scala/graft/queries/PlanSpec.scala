@@ -532,6 +532,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("SortMergeJoin")
   }
 
+  test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
+    val p = plan(CorpusQueries.prioritySample(spark, dir))
+    // the k-highest selection is per-partition bounded heaps + driver
+    // merge, NOT a global sort; τ broadcasts back onto the k winners
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m110: temperature mix's only corpus-sized stage is the token aggregate; the totals join broadcasts") {
     val p = plan(CorpusQueries.alphaMixWeights(spark, dir))
     // one corpus-sized exchange (the per-source token partial aggregate),
