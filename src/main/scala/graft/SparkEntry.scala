@@ -267,6 +267,9 @@ object SparkEntry {
     // ∝ char mass with the unbiased max(w, τ) subset-sum estimator;
     // IEEE-exact arithmetic only, so priorities replay bit-for-bit
     "m114_priority_sample" -> (CorpusQueries.prioritySample _),
+    // m115: Neyman allocation — minimum-variance audit sample sizes
+    // n_h ∝ N_h·σ_h from exact decimal Σx/Σx² (no double accumulation)
+    "m115_neyman_alloc" -> (CorpusQueries.neymanAlloc _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -646,6 +649,27 @@ object SparkEntry {
         "SELECT doc_id, weight, priority, " +
         "greatest(CAST(weight AS DOUBLE), tau) AS est_weight " +
         "FROM ranked CROSS JOIN tau WHERE rn <= 100"),
+    // m115: exact HUGEINT sums mirror Spark's decimal aggregates; the
+    // σ projection replays the fixed operand order (√(Σx²/n − (Σx/n)²));
+    // the denominator is a plain sum over the stratum-bounded frame (the
+    // m110 convention — ulp association differences vanish at 6 dp)
+    "m115_neyman_alloc" ->
+      ("WITH st AS (SELECT 'src_' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS source, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "sum(CAST(length(text) AS HUGEINT)) AS sx, " +
+        "sum(CAST(length(text) AS HUGEINT) * CAST(length(text) AS HUGEINT)) AS sx2 " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1), " +
+        "s2 AS (SELECT source, n_docs, " +
+        "CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_x, " +
+        "sqrt(greatest(CAST(sx2 AS DOUBLE) / CAST(n_docs AS DOUBLE) - " +
+        "(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)), 0.0)) AS sigma " +
+        "FROM st), " +
+        "w AS (SELECT *, CAST(n_docs AS DOUBLE) * sigma AS w FROM s2), " +
+        "d AS (SELECT sum(w) AS denom FROM w) " +
+        "SELECT source, n_docs, mean_x, sigma, " +
+        "CASE WHEN denom > 0 THEN w / denom END AS share, " +
+        "CASE WHEN denom > 0 THEN least(100.0 * (w / denom), CAST(n_docs AS DOUBLE)) END AS alloc_docs " +
+        "FROM w CROSS JOIN d"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,

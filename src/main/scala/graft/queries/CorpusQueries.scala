@@ -326,6 +326,20 @@ object CorpusQueries {
       budgetFrac = 0.8)
   }
 
+  /** Neyman audit allocation (m115): minimum-variance per-source sample
+    * sizes for a 100-doc manual audit of char mass, over the same m34
+    * skewed digit-count grouping as m100/m110 (so stratum sizes differ
+    * and the N_h·σ_h product is observable). The third allocation law in
+    * the mix-card family: m100 caps epochs, m110 smooths by n^α, m115
+    * sizes audit samples by stratum variance. */
+  def neymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(concat(lit("src_"),
+          length(col("doc_id").cast("string"))).as("source"),
+        length(col("text")).as("n_chars"))
+    graft.operators.NeymanAlloc.allocate(perDoc, "source", "n_chars", k = 100)
+  }
+
   /** Priority sample (m114): k = 100 docs drawn ∝ char mass with the
     * Duffield–Lund–Thorup unbiased subset-sum estimator — the
     * weighted-sampling companion to m34/m100/m110's mix cards (those

@@ -62,6 +62,9 @@ class EmptyCorpusSpec extends SparkSpec {
     // m114: empty corpus → empty top-(k+1) frame; the 1-row τ aggregate
     // (coalesced to 0) must cross-join to nothing, not invent a row
     "m114_priority_sample" -> (CorpusQueries.prioritySample _),
+    // m115: zero strata → empty stats frame; the 1-row null denominator
+    // cross-joins to nothing
+    "m115_neyman_alloc" -> (CorpusQueries.neymanAlloc _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

@@ -190,6 +190,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.prioritySample)
   }
 
+  test("m115 Neyman allocation: exact decimal sums identical across partitionings") {
+    // Σx and Σx² are decimal aggregates — integer-exact under any merge
+    // order; the double projection then starts from identical sums
+    assertInvariant(CorpusQueries.neymanAlloc)
+  }
+
   test("m111 heavy grams: thresholded set identical across partitionings (sketch unobservable)") {
     // per-partition MG summaries differ with the partitioning, but the
     // merged summary's superset guarantee + the exact recount make the

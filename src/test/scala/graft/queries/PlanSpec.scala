@@ -532,6 +532,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("SortMergeJoin")
   }
 
+  test("m115: Neyman allocation partial-aggregates per stratum; the denominator broadcasts") {
+    val p = plan(CorpusQueries.neymanAlloc(spark, dir))
+    // one corpus-sized exchange (the per-stratum (count, Σx, Σx²) partial
+    // aggregate); the 1-row denominator broadcasts back onto strata rows
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
