@@ -270,6 +270,11 @@ object SparkEntry {
     // m115: Neyman allocation — minimum-variance audit sample sizes
     // n_h ∝ N_h·σ_h from exact decimal Σx/Σx² (no double accumulation)
     "m115_neyman_alloc" -> (CorpusQueries.neymanAlloc _),
+    // m116: per-group token-distribution drift — KL(P_lang ‖ P_corpus)
+    // in bits over the corpus top-256 vocabulary + tail bucket (the
+    // scale-bounded counterpart of m55's full-vocab KL); the
+    // transcendental fold runs only on the rank-sorted bounded array
+    "m116_bounded_kl_drift" -> (CorpusQueries.boundedKlDrift _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -670,6 +675,39 @@ object SparkEntry {
         "CASE WHEN denom > 0 THEN w / denom END AS share, " +
         "CASE WHEN denom > 0 THEN least(100.0 * (w / denom), CAST(n_docs AS DOUBLE)) END AS alloc_docs " +
         "FROM w CROSS JOIN d"),
+    // m116: vocabulary tie-broken on (count DESC, token) — no engine
+    // hash in the selection, so the sets match exactly; the KL fold
+    // replays Spark's bucket-sorted left fold (log2 ulp differences
+    // vanish under the 6-dp canonicalization, the m43/m76 convention)
+    "m116_bounded_kl_drift" ->
+      ("WITH toks AS (SELECT lang AS source, " +
+        "unnest(string_split_regex(lower(trim(text)), ' +')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tk AS (SELECT source, tok FROM toks WHERE length(tok) > 0), " +
+        "counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2), " +
+        "tokTot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM counts GROUP BY 1), " +
+        "topv AS (SELECT tok, ct, row_number() OVER (ORDER BY ct DESC, tok) AS rank " +
+        "FROM tokTot ORDER BY ct DESC, tok LIMIT 256), " +
+        "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM tokTot), " +
+        "vtot AS (SELECT CAST(sum(ct) AS BIGINT) AS ct_vocab FROM topv), " +
+        "bucketed AS (SELECT c.source, CAST(coalesce(v.rank, 257) AS INT) AS bucket, " +
+        "CAST(sum(c.c) AS BIGINT) AS c, max(v.ct) AS ct " +
+        "FROM counts c LEFT JOIN topv v ON c.tok = v.tok GROUP BY 1, 2), " +
+        "b2 AS (SELECT source, bucket, c, " +
+        "CASE WHEN bucket = 257 THEN (SELECT n_corpus FROM tot) - (SELECT ct_vocab FROM vtot) " +
+        "ELSE ct END AS cb FROM bucketed), " +
+        "persrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(sum(CASE WHEN bucket = 257 THEN c END), 0) AS BIGINT) AS c_other, " +
+        "list_sort(list(struct_pack(bucket := bucket, c := c, cb := cb))) AS bs " +
+        "FROM b2 GROUP BY 1) " +
+        "SELECT source, n_tokens, " +
+        "CAST(c_other AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS other_frac, " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, x -> " +
+        "(CAST(x.c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * " +
+        "log2((CAST(x.c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / " +
+        "(CAST(x.cb AS DOUBLE) / CAST(n_corpus AS DOUBLE))))), " +
+        "(a, x) -> a + x) AS kl_bits " +
+        "FROM persrc CROSS JOIN tot"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,

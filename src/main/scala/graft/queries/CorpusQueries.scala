@@ -326,6 +326,19 @@ object CorpusQueries {
       budgetFrac = 0.8)
   }
 
+  /** Source-drift card (m116): KL(P_group ‖ P_corpus) in bits over the
+    * corpus top-256 tokens + tail bucket, grouped by `lang` — the corpus's
+    * `source` column is uniform (all groups share one token distribution,
+    * KL ≈ 0 everywhere), while languages have genuinely disjoint
+    * vocabularies, so the drift signal is real and every code path
+    * (vocab hits, tail mass, near-zero and large KL) is exercised.
+    * Differs from m55 ([[sourceDivergence]]): that one sums the full
+    * vocabulary; this is the bounded top-V + tail form whose per-source
+    * state is (V+1) rows regardless of corpus size. */
+  def boundedKlDrift(s: SparkSession, dir: String): DataFrame =
+    graft.text.SourceDivergence.klBySource(
+      Tables.documents(s, dir), sourceCol = "lang", vocab = 256)
+
   /** Neyman audit allocation (m115): minimum-variance per-source sample
     * sizes for a 100-doc manual audit of char mass, over the same m34
     * skewed digit-count grouping as m100/m110 (so stratum sizes differ

@@ -65,6 +65,9 @@ class EmptyCorpusSpec extends SparkSpec {
     // m115: zero strata → empty stats frame; the 1-row null denominator
     // cross-joins to nothing
     "m115_neyman_alloc" -> (CorpusQueries.neymanAlloc _),
+    // m116: empty corpus → empty pinned count table → empty vocabulary,
+    // null totals; the final per-source aggregate is over zero rows
+    "m116_bounded_kl_drift" -> (CorpusQueries.boundedKlDrift _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

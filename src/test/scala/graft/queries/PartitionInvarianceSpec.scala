@@ -196,6 +196,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.neymanAlloc)
   }
 
+  test("m116 bounded KL drift: rank-sorted fold identical across partitionings") {
+    // every count is an exact long; the vocabulary tie-breaks on the
+    // token string; the only double sum folds over the rank-sorted
+    // bounded bucket array, so merge order can never re-associate it
+    assertInvariant(CorpusQueries.boundedKlDrift)
+  }
+
   test("m111 heavy grams: thresholded set identical across partitionings (sketch unobservable)") {
     // per-partition MG summaries differ with the partitioning, but the
     // merged summary's superset guarantee + the exact recount make the

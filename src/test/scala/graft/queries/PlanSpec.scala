@@ -543,6 +543,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m116: bounded KL drift tokenizes the corpus once; everything after the pin is vocab-bounded") {
+    val p = plan(CorpusQueries.boundedKlDrift(spark, dir))
+    // the corpus-sized (source, token) aggregate is eagerly pinned — the
+    // returned plan reads snapshots, never re-scans the parquet text
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    // the vocabulary is a true top-V (bounded heaps), broadcast back
+    p should include("TakeOrderedAndProject(limit=256")
+    p should include("BroadcastHashJoin")
+    // 1-row totals ride broadcasts; no corpus-sized join anywhere
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
