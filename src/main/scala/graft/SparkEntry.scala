@@ -275,6 +275,11 @@ object SparkEntry {
     // scale-bounded counterpart of m55's full-vocab KL); the
     // transcendental fold runs only on the rank-sorted bounded array
     "m116_bounded_kl_drift" -> (CorpusQueries.boundedKlDrift _),
+    // m117: DoReMi one-step domain reweighting — α ∝ exp(η·excess loss)
+    // under the corpus bigram LM, smoothed with uniform; per-doc loss
+    // quantized to a long (the m89 floor·1e6 move) so domain pools are
+    // exact-integer, the MW normalizer folds over the K-row sorted list
+    "m117_doremi_weights" -> (CorpusQueries.doremiWeights _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -708,6 +713,31 @@ object SparkEntry {
         "(CAST(x.cb AS DOUBLE) / CAST(n_corpus AS DOUBLE))))), " +
         "(a, x) -> a + x) AS kl_bits " +
         "FROM persrc CROSS JOIN tot"),
+    // m117: the m43 LM chain, per-doc loss quantized by the m89
+    // floor·1e6 move BEFORE the domain pools (exact BIGINT sums), the
+    // MW normalizer folded over the domain-sorted K-row list (the m110
+    // discipline); exp/ln ulp differences vanish at the 6-dp gate
+    "m117_doremi_weights" ->
+      (LmPerplexityCtes +
+        ", pd AS (SELECT h.doc_id, d.lang AS domain, h.n_bigrams, " +
+        "CAST(floor(cross_entropy * CAST(h.n_bigrams AS DOUBLE) * 1000000.0) AS BIGINT) AS q " +
+        "FROM h JOIN documents d USING (doc_id)), " +
+        "dom AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams, CAST(sum(q) AS BIGINT) AS lq " +
+        "FROM pd GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tb, " +
+        "CAST(sum(lq) AS BIGINT) AS tq, CAST(count(*) AS BIGINT) AS k FROM dom), " +
+        "e AS (SELECT domain, n_docs, n_bigrams, k, " +
+        "(CAST(lq AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS ce, " +
+        "greatest(0.0, (CAST(lq AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) " +
+        "- (CAST(tq AS DOUBLE) / 1000000.0) / CAST(tb AS DOUBLE)) AS excess " +
+        "FROM dom CROSS JOIN tot), " +
+        "den AS (SELECT list_reduce(list_prepend(0.0, list_transform(" +
+        "list_sort(list(struct_pack(domain := domain, w := exp(1.0 * excess)))), " +
+        "x -> x.w)), (a, x) -> a + x) AS denom FROM e) " +
+        "SELECT domain, n_docs, n_bigrams, ce, excess, " +
+        "0.99 * (exp(1.0 * excess) / denom) + 0.01 / CAST(k AS DOUBLE) AS weight " +
+        "FROM e CROSS JOIN den"),
     "m09_ann_lsh" -> AnnLshSql,
     "m10_embed_neardup" -> EmbedNearDupSql,
     "m06_simhash_pairs" -> SimhashSql,

@@ -339,6 +339,16 @@ object CorpusQueries {
     graft.text.SourceDivergence.klBySource(
       Tables.documents(s, dir), sourceCol = "lang", vocab = 256)
 
+  /** DoReMi domain reweighting (m117): one multiplicative-weights step on
+    * the domain mixture from per-domain excess loss under the corpus's
+    * own bigram LM, grouped by `lang` — the axis whose LM fit genuinely
+    * differs (languages share one model, so the rarer ones score worse
+    * than the pooled average and get up-weighted, exactly the DRO
+    * dynamic), while `source` is distribution-uniform in this corpus. */
+  def doremiWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DoremiWeights.weights(
+      Tables.documents(s, dir), domainCol = "lang")
+
   /** Neyman audit allocation (m115): minimum-variance per-source sample
     * sizes for a 100-doc manual audit of char mass, over the same m34
     * skewed digit-count grouping as m100/m110 (so stratum sizes differ

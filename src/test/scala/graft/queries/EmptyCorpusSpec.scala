@@ -68,6 +68,9 @@ class EmptyCorpusSpec extends SparkSpec {
     // m116: empty corpus → empty pinned count table → empty vocabulary,
     // null totals; the final per-source aggregate is over zero rows
     "m116_bounded_kl_drift" -> (CorpusQueries.boundedKlDrift _),
+    // m117: empty corpus → empty LM → empty domain pools; the 1-row
+    // null totals and null MW normalizer cross-join to nothing
+    "m117_doremi_weights" -> (CorpusQueries.doremiWeights _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

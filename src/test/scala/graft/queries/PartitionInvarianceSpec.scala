@@ -196,6 +196,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.neymanAlloc)
   }
 
+  test("m117 DoReMi weights: quantized domain pools identical across partitionings") {
+    // per-doc cross-entropy is map-side deterministic (a doc's grams
+    // never leave its partition), quantized to a LONG before the
+    // cross-partition domain sum; the MW normalizer folds over the
+    // domain-sorted K-row list
+    assertInvariant(CorpusQueries.doremiWeights)
+  }
+
   test("m116 bounded KL drift: rank-sorted fold identical across partitionings") {
     // every count is an exact long; the vocabulary tie-breaks on the
     // token string; the only double sum folds over the rank-sorted

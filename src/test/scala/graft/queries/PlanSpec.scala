@@ -559,6 +559,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m117: domain pools partial-aggregate exact longs; the MW tail is K-bounded broadcasts") {
+    val p = plan(CorpusQueries.doremiWeights(spark, dir))
+    // the corpus-sized LM chain runs ONCE, at the eager pin of the
+    // K-row domain pool — the returned plan reads the snapshot (four
+    // consumers: totals, excess, MW normalizer, final card) and never
+    // re-scans parquet text
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    // totals and the MW normalizer ride 1-row broadcasts back
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    // exchanges carry grams/ids/partials, never document text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
