@@ -529,12 +529,13 @@ object OracleModelSql {
     * reduced to a single marginal row and fanned to the three gate
     * pairs; κ recomputes p_o/p_e from the same integer marginals the
     * engine hashes. */
-  def gateAgreement(w: Seq[Double]): String = {
+  /** The m101/m118 shared gate-vote chain: CTEs ending in
+    * `votes(doc_id, g_rule, g_cls, g_ppl)` — one string, two consumers,
+    * so the gate semantics cannot drift between the κ card and the
+    * Dawid–Skene fuser. */
+  private def gateVotesCtes(w: Seq[Double]): String = {
     val z = s"(${lit(w(0))} + ${lit(w(1))} * f1 + ${lit(w(2))} * f2 " +
       s"+ ${lit(w(3))} * f3 + ${lit(w(4))} * f4 + ${lit(w(5))} * f5)"
-    val pO = "CAST(n_agree AS DOUBLE) / n"
-    val pE = "(CAST(pos_a AS DOUBLE) * pos_b + CAST(n - pos_a AS DOUBLE) * (n - pos_b)) " +
-      "/ (CAST(n AS DOUBLE) * n)"
     SparkEntry.LmPerplexityCtes +
       ", " + SparkEntry.textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
       ", f AS (SELECT doc_id, " +
@@ -555,7 +556,16 @@ object OracleModelSql {
       "ORDER BY CAST(floor(perplexity * 1000000) AS BIGINT), doc_id) - 1 AS BIGINT) AS rk FROM sc), " +
       "buck AS (SELECT r.doc_id, CAST(rk * 3 < n * 2 AS BIGINT) AS g_ppl " +
       "FROM r JOIN cnt USING (source)), " +
-      "j AS (SELECT cls.g_rule, cls.g_cls, buck.g_ppl FROM cls JOIN buck USING (doc_id)), " +
+      "votes AS (SELECT cls.doc_id AS doc_id, cls.g_rule, cls.g_cls, buck.g_ppl " +
+      "FROM cls JOIN buck USING (doc_id))"
+  }
+
+  def gateAgreement(w: Seq[Double]): String = {
+    val pO = "CAST(n_agree AS DOUBLE) / n"
+    val pE = "(CAST(pos_a AS DOUBLE) * pos_b + CAST(n - pos_a AS DOUBLE) * (n - pos_b)) " +
+      "/ (CAST(n AS DOUBLE) * n)"
+    gateVotesCtes(w) +
+      ", j AS (SELECT g_rule, g_cls, g_ppl FROM votes), " +
       "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
       "CAST(sum(g_rule) AS BIGINT) AS pos_rule, CAST(sum(g_cls) AS BIGINT) AS pos_cls, " +
       "CAST(sum(g_ppl) AS BIGINT) AS pos_ppl, " +
@@ -567,6 +577,37 @@ object OracleModelSql {
       "UNION ALL SELECT 'cls_vs_ppl', n, pos_cls, pos_ppl, agree_cls_ppl FROM a WHERE n > 0) " +
       s"SELECT pair, n, pos_a, pos_b, n_agree, $pO AS p_o, $pE AS p_e, " +
       s"CASE WHEN $pE < 1.0 THEN ($pO - $pE) / (1.0 - $pE) END AS kappa FROM pr"
+  }
+
+  /** m118: Dawid–Skene one-EM-step fusion over the m101 gate votes —
+    * majority init (ties to keep), Laplace-smoothed per-gate
+    * sensitivity/specificity against the majority, posterior as a
+    * fixed-order product (rule, cls, ppl — the engine's voteCols
+    * order). Every statistic is an exact BIGINT count; the only doubles
+    * are the final ratio chain in the engine's operand order. */
+  def dawidSkene(w: Seq[Double]): String = {
+    def sens(g: String) = s"(CAST(a_$g + 1 AS DOUBLE) / CAST(n1 + 2 AS DOUBLE))"
+    def spec(g: String) = s"(CAST(b_$g + 1 AS DOUBLE) / CAST(n - n1 + 2 AS DOUBLE))"
+    val gates = Seq("rule", "cls", "ppl")
+    val l1 = gates.foldLeft("(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))") {
+      (acc, g) => s"$acc * (CASE WHEN g_$g = 1 THEN ${sens(g)} ELSE 1.0 - ${sens(g)} END)"
+    }
+    val l0 = gates.foldLeft("(CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))") {
+      (acc, g) => s"$acc * (CASE WHEN g_$g = 0 THEN ${spec(g)} ELSE 1.0 - ${spec(g)} END)"
+    }
+    gateVotesCtes(w) +
+      ", mv AS (SELECT doc_id, g_rule, g_cls, g_ppl, " +
+      "CAST((g_rule + g_cls + g_ppl) * 2 >= 3 AS BIGINT) AS maj_label FROM votes), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(maj_label) AS BIGINT) AS n1, " +
+      gates.map(g =>
+        s"CAST(sum(CASE WHEN g_$g = 1 AND maj_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_$g, " +
+          s"CAST(sum(CASE WHEN g_$g = 0 AND maj_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_$g")
+        .mkString(", ") + " FROM mv), " +
+      s"post AS (SELECT doc_id, g_rule, g_cls, g_ppl, maj_label, $l1 AS l1, $l0 AS l0 " +
+      "FROM mv CROSS JOIN st) " +
+      "SELECT doc_id, g_rule, g_cls, g_ppl, maj_label, l1 / (l1 + l0) AS p_keep, " +
+      "CAST(l1 / (l1 + l0) >= 0.5 AS BIGINT) AS ds_label FROM post"
   }
 
   def captured: Map[String, String] =
@@ -596,6 +637,8 @@ object OracleModelSql {
         .map(w => "m98_calibration" -> calibration(w)).toMap ++
       OracleCapture.get[Seq[Double]]("m101_gate_agreement")
         .map(w => "m101_gate_agreement" -> gateAgreement(w)).toMap ++
+      OracleCapture.get[Seq[Double]]("m118_dawid_skene")
+        .map(w => "m118_dawid_skene" -> dawidSkene(w)).toMap ++
       OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
         .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap
 }

@@ -280,6 +280,11 @@ object SparkEntry {
     // quantized to a long (the m89 floor·1e6 move) so domain pools are
     // exact-integer, the MW normalizer folds over the K-row sorted list
     "m117_doremi_weights" -> (CorpusQueries.doremiWeights _),
+    // m118: Dawid–Skene gate fusion — majority init + ONE EM step over
+    // the m101 gate votes; confusion estimates from exact counts, the
+    // per-doc posterior a fixed-order product (captured-weights replay,
+    // OracleModelSql.dawidSkene)
+    "m118_dawid_skene" -> (CorpusQueries.dawidSkene _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)

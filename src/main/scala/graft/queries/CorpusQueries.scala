@@ -799,6 +799,25 @@ object CorpusQueries {
       when(pE < 1.0, (pO - pE) / (lit(1.0) - pE)).as("kappa"))
   }
 
+  /** Dawid–Skene gate fusion (m118): m101's three gate votes (rule /
+    * learned / perplexity) pooled by majority-init + one EM step —
+    * per-gate sensitivity/specificity against the majority, then every
+    * doc re-scored by posterior odds. m101 reports whether the gates
+    * agree; this decides each doc when they don't. The votes frame is
+    * pinned: the stats aggregate and the posterior projection are two
+    * consumers of one corpus-sized gate computation. */
+  def dawidSkene(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = graft.text.QualityClassifier.train(docs)
+    graft.OracleCapture.put("m118_dawid_skene", model.w.toSeq)
+    val cls = graft.text.QualityClassifier.score(docs, model)
+      .select(col("doc_id"), col("label").as("g_rule"), col("pred").as("g_cls"))
+    val ppl = pplBuckets(s, dir)
+      .select(col("doc_id"), (col("bucket") =!= "tail").cast("long").as("g_ppl"))
+    val votes = graft.Snapshot.pin(cls.join(ppl, Seq("doc_id")), eager = true)
+    graft.operators.DawidSkene.fuse(votes, Seq("g_rule", "g_cls", "g_ppl"))
+  }
+
   /** JL projection norm card (m102): per-embedding squared norms before
     * and after the ±1-sign random projection (64 → 16 dims) — the
     * distance-preservation certificate for using projected vectors in

@@ -71,6 +71,9 @@ class EmptyCorpusSpec extends SparkSpec {
     // m117: empty corpus → empty LM → empty domain pools; the 1-row
     // null totals and null MW normalizer cross-join to nothing
     "m117_doremi_weights" -> (CorpusQueries.doremiWeights _),
+    // m118: empty corpus → empty votes; the 1-row zero-count stats
+    // broadcast joins onto zero rows
+    "m118_dawid_skene" -> (CorpusQueries.dawidSkene _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

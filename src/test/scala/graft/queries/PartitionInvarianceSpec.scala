@@ -204,6 +204,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m118 Dawid-Skene fusion: confusion counts exact, posteriors identical across partitionings") {
+    // every prior/confusion statistic is an exact long count; the
+    // posterior is a fixed-operand-order product per doc
+    assertInvariant(CorpusQueries.dawidSkene)
+  }
+
   test("m116 bounded KL drift: rank-sorted fold identical across partitionings") {
     // every count is an exact long; the vocabulary tie-breaks on the
     // token string; the only double sum folds over the rank-sorted

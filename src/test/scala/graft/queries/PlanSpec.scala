@@ -575,6 +575,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m118: the gate chain runs once at the votes pin; fusion is one 1-row stats broadcast") {
+    val p = plan(CorpusQueries.dawidSkene(spark, dir))
+    // the returned plan reads the pinned votes snapshot — the LM/
+    // classifier chains never re-derive
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    // exactly one exchange: the global confusion-count aggregate (exact
+    // longs, map-side partials), broadcast back onto the votes
+    p should include("Exchange SinglePartition")
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
