@@ -285,6 +285,10 @@ object SparkEntry {
     // per-doc posterior a fixed-order product (captured-weights replay,
     // OracleModelSql.dawidSkene)
     "m118_dawid_skene" -> (CorpusQueries.dawidSkene _),
+    // m119: per-label embedding-centroid drift vs the corpus centroid
+    // (cosine + distance) — one (label, pos) summary exchange, folds
+    // over pos-sorted dim-bounded arrays
+    "m119_centroid_drift" -> (CorpusQueries.centroidDrift _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1501,6 +1505,30 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m119: centroid sums replayed relationally, cosine/distance folds
+    // in pos order (the m78/m102 convention — mean ulp noise vanishes
+    // at the 6-dp gate, fold order is pinned)
+    "m119_centroid_drift" ->
+      ("WITH e0 AS (SELECT label, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(i - 1 AS BIGINT)) AS dims, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE)) AS xs " +
+        "FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL), " +
+        "c AS (SELECT label, unnest(dims) AS pos, unnest(xs) AS x FROM e0), " +
+        "sums AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS cnt, sum(x) AS sv FROM c GROUP BY 1, 2), " +
+        "g AS (SELECT pos, sum(sv) / CAST(sum(cnt) AS DOUBLE) AS mg FROM sums GROUP BY 1), " +
+        "j AS (SELECT s.label, s.pos, sv / CAST(cnt AS DOUBLE) AS m, g.mg, cnt " +
+        "FROM sums s JOIN g USING (pos)), " +
+        "a AS (SELECT label, CAST(max(cnt) AS BIGINT) AS n_vecs, " +
+        "list_sort(list(struct_pack(pos := pos, m := m, mg := mg))) AS bs FROM j GROUP BY 1), " +
+        "f AS (SELECT label, n_vecs, " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, x -> x.m * x.mg)), (p, q) -> p + q) AS dot, " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, x -> x.m * x.m)), (p, q) -> p + q) AS n2, " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, x -> x.mg * x.mg)), (p, q) -> p + q) AS g2, " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, x -> (x.m - x.mg) * (x.m - x.mg))), (p, q) -> p + q) AS d2 " +
+        "FROM a) " +
+        "SELECT label, n_vecs, " +
+        "CASE WHEN n2 > 0.0 AND g2 > 0.0 THEN dot / (sqrt(n2) * sqrt(g2)) END AS cos_to_global, " +
+        "sqrt(d2) AS dist_to_global FROM f"),
     "m78_embed_outliers" ->
       ("WITH e0 AS (SELECT vec_id, " +
         "list_transform(generate_series(1, len(embedding)), i -> CAST(i - 1 AS BIGINT)) AS dims, " +

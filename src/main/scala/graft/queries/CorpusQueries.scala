@@ -1280,6 +1280,13 @@ object CorpusQueries {
     Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       Vectors.toDouble(col("embedding")).as("vec"), col("label"))
 
+  /** Embedding-centroid drift card (m119): per-label centroid vs the
+    * corpus centroid by cosine and euclidean distance — the semantic
+    * sibling of the lexical drift cards (m55 full-vocab KL, m116
+    * bounded KL). */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.CentroidDrift.report(labeledVectors(s, dir))
+
   /** Hard-negative mining (m48): per query, top-5 nearest vectors with a
     * different label — contrastive-training data prep. Exact (broadcast
     * queries, one corpus scan), so the oracle replays it in SQL. */

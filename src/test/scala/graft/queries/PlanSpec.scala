@@ -591,6 +591,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m119: vectors explode once at the summary pin; drift math is dim-bounded folds") {
+    val p = plan(CorpusQueries.centroidDrift(spark, dir))
+    // the (label, pos) sum/count summary is pinned — group and corpus
+    // centroids both derive from the snapshot, never re-exploding vectors
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    // the dim-row corpus centroid broadcasts back onto the group rows
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("embedding#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
