@@ -289,6 +289,10 @@ object SparkEntry {
     // (cosine + distance) — one (label, pos) summary exchange, folds
     // over pos-sorted dim-bounded arrays
     "m119_centroid_drift" -> (CorpusQueries.centroidDrift _),
+    // m120: perceptual-hash (dHash) image near-dups — real PNG decode on
+    // executors, 56-bit gradient-sign signature, then the m06 simhash
+    // chunk-bucket pairing chain; media dedup through the text spine
+    "m120_image_neardups" -> (CorpusQueries.imageNearDups _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1505,6 +1509,26 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m120: the raster is the text bytes tiled over 16×12 gray (the m11
+    // encoder), so the codec's 8×8 thumb grid samples byte (gy·12//8)·16
+    // + 2·gx of the text; gradient-sign bits sum to the 56-bit dHash and
+    // the chunk-bucket join replays the engine's banding exactly
+    "m120_image_neardups" ->
+      (AugmentedDocs +
+        ", d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L FROM aug " +
+        "WHERE text IS NOT NULL AND length(text) > 0), " +
+        "bits AS (SELECT doc_id, " +
+        "CASE WHEN ascii(substr(text, CAST((gy * 12 // 8 * 16 + 2 * gx) % L AS INT) + 1, 1)) < " +
+        "ascii(substr(text, CAST((gy * 12 // 8 * 16 + 2 * (gx + 1)) % L AS INT) + 1, 1)) " +
+        "THEN CAST(1 AS BIGINT) << CAST(gy * 7 + gx AS INT) ELSE CAST(0 AS BIGINT) END AS v " +
+        "FROM d CROSS JOIN range(0, 8) t1(gy) CROSS JOIN range(0, 7) t2(gx)), " +
+        "h AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sig FROM bits GROUP BY 1), " +
+        "ch AS (SELECT doc_id, sig, i, ((sig >> CAST(i * 16 AS INT)) & 65535) AS cv " +
+        "FROM h CROSS JOIN range(0, 4) t(i)), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+        "FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id) " +
+        "SELECT DISTINCT doc_a, doc_b, hamming FROM p WHERE hamming <= 4"),
     // m119: centroid sums replayed relationally, cosine/distance folds
     // in pos order (the m78/m102 convention — mean ulp noise vanishes
     // at the 6-dp gate, fold order is pinned)

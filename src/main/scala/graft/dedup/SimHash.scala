@@ -65,8 +65,16 @@ object SimHash {
     * up to 4× redundantly, which is a bit_count each — CPU traded for
     * the candidate shuffle. */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
-                     maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val sigs = signatures(docs, textCol)
+                     maxDist: Int = 3, bucketCap: Int = 1000): DataFrame =
+    nearDuplicatesFromSigs(signatures(docs, textCol), maxDist, bucketCap)
+
+  /** The chunk-bucket + in-bucket Hamming-verify chain over ANY 64-bit
+    * signature column (doc_id, simhash) — shared by the token simhash
+    * path above and the perceptual-hash path
+    * ([[graft.multimodal.Multimodal.dHashes]], m120): the pairing
+    * machinery is signature-agnostic, only the fingerprint changes. */
+  def nearDuplicatesFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                             bucketCap: Int = 1000): DataFrame = {
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i => chunk(col("simhash"), i)): _*))

@@ -101,6 +101,44 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) per image: decode, sample the
+    * codec's 8×8 nearest-neighbor luma grid, emit one bit per horizontal
+    * neighbor comparison — 7 bits × 8 rows = a 56-bit signature (the
+    * standard 9×8 dHash uses 64; 56 keeps the value off the sign bit so
+    * both engines sum bit·2^idx in plain BIGINTs). Gradient SIGNS are
+    * what survive re-encode/resize/brightness shifts, which is why
+    * dHash is the standard cheap image near-dup fingerprint (public
+    * technique, widely documented alongside aHash/pHash). Non-image
+    * blobs decode to None and carry no perceptual hash.
+    *
+    * Scale: one mapPartitions decode pass (the codec-amortized batch
+    * shape above); downstream pairing reuses the token-simhash
+    * chunk-bucket machinery unchanged
+    * ([[graft.dedup.SimHash.nearDuplicatesFromSigs]]). */
+  def dHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.decode(r.media, thumbSide = 8).map { d =>
+          var h = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 7) {
+              val a = d.thumb(gy * 8 + gx) & 0xFF
+              val b = d.thumb(gy * 8 + gx + 1) & 0xFF
+              if (a < b) h |= 1L << (gy * 7 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          (r.doc_id, h)
+        }
+      }
+    }.toDF("doc_id", "simhash")
+  }
+
   /** A sampled frame: 1→many child rows of a media row. */
   final case class MediaFrame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 

@@ -1280,6 +1280,23 @@ object CorpusQueries {
     Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       Vectors.toDouble(col("embedding")).as("vec"), col("label"))
 
+  /** Perceptual-hash image near-dups (m120): the dup-augmented corpus is
+    * packed as REAL PNG bytes (the m11 encoder), each image decoded and
+    * dHashed on the executors, and pairs found by the token-simhash
+    * chunk-bucket machinery — media dedup through the same pairing
+    * spine as text. Planted exact copies land at Hamming 0; the
+    * 'zz'-mutated copies perturb only the raster cells that sample byte
+    * positions 0/1 mod L, exercising the near-miss band. Blank docs are
+    * excluded (every blank renders the same all-zero image — a
+    * degenerate clique, the ingest gate's job to drop). */
+  def imageNearDups(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedDocs(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val sigs = graft.multimodal.Multimodal.dHashes(
+      graft.multimodal.Multimodal.packImages(aug))
+    graft.dedup.SimHash.nearDuplicatesFromSigs(sigs, maxDist = 4)
+  }
+
   /** Embedding-centroid drift card (m119): per-label centroid vs the
     * corpus centroid by cosine and euclidean distance — the semantic
     * sibling of the lexical drift cards (m55 full-vocab KL, m116

@@ -76,6 +76,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m118_dawid_skene" -> (CorpusQueries.dawidSkene _),
     // m119: empty embeddings → empty pinned summary → empty card
     "m119_centroid_drift" -> (CorpusQueries.centroidDrift _),
+    // m120: empty corpus → no images → no signatures → no pairs
+    "m120_image_neardups" -> (CorpusQueries.imageNearDups _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

@@ -204,6 +204,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m120 image near-dups: decode-derived pair set identical across partitionings") {
+    // the dHash is a pure per-row function of the PNG bytes; chunk
+    // buckets stay far under the cap at fixture scale, and the verified
+    // pair set is distinct()-canonical — a pure function of the corpus
+    assertInvariant(CorpusQueries.imageNearDups)
+  }
+
   test("m118 Dawid-Skene fusion: confusion counts exact, posteriors identical across partitionings") {
     // every prior/confusion statistic is an exact long count; the
     // posterior is a fixed-operand-order product per doc

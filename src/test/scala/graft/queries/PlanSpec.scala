@@ -604,6 +604,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("embedding#")
   }
 
+  test("m120: media bytes never shuffle — exchanges carry (chunk, id, sig) longs only") {
+    val p = plan(CorpusQueries.imageNearDups(spark, dir))
+    // the PNG encode + decode + dHash all happen inside mapPartitions on
+    // the scan side; the only exchange is the chunk-bucket build whose
+    // capped buffers hold (id, sig) pairs — never image bytes or text
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (exchanges should not).include("media#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
