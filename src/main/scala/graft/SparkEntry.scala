@@ -293,6 +293,9 @@ object SparkEntry {
     // executors, 56-bit gradient-sign signature, then the m06 simhash
     // chunk-bucket pairing chain; media dedup through the text spine
     "m120_image_neardups" -> (CorpusQueries.imageNearDups _),
+    // m121: per-source quality percentile calibration — percent_rank
+    // over the integer key (floor(q·1e6), doc_id), one source exchange
+    "m121_quality_percentiles" -> (CorpusQueries.qualityPercentiles _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1509,6 +1512,15 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m121: quality replayed from the shared stats base, percent_rank
+    // over the m89 integer key — tie-free under the doc_id break, so
+    // both engines compute the identical (rank−1)/(n−1)
+    "m121_quality_percentiles" ->
+      ("WITH " + textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
+        ", q AS (SELECT doc_id, " + QualityExpr + " AS quality FROM base), " +
+        "j AS (SELECT q.doc_id, d.source, q.quality FROM q JOIN documents d USING (doc_id)) " +
+        "SELECT doc_id, source, quality, percent_rank() OVER (PARTITION BY source " +
+        "ORDER BY CAST(floor(quality * 1000000) AS BIGINT), doc_id) AS pct_rank FROM j"),
     // m120: the raster is the text bytes tiled over 16×12 gray (the m11
     // encoder), so the codec's 8×8 thumb grid samples byte (gy·12//8)·16
     // + 2·gx of the text; gradient-sign bits sum to the 56-bit dHash and

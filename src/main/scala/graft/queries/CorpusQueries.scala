@@ -1280,6 +1280,25 @@ object CorpusQueries {
     Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       Vectors.toDouble(col("embedding")).as("vec"), col("label"))
 
+  /** Per-source quality calibration (m121): each doc's quality score
+    * rank-normalized WITHIN its source — percent_rank over an integer
+    * sort key (floor(q·1e6), doc_id — the m89 cross-engine move). A raw
+    * threshold means different things in different sources (a clean
+    * source's 0.3 is its trash, a noisy one's 0.3 its median); the
+    * percentile makes one corpus-wide cut comparable across sources —
+    * the FineWeb-style per-source calibration step. Scale: ONE source
+    * exchange serves rank and count (the m89 single-window shape);
+    * percent_rank is codegen'd and tie-free under the doc_id break. */
+  def qualityPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.profile(col("text")).getField("quality").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(floor(col("quality") * lit(1e6)).cast("long"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("quality"),
+      percent_rank().over(w).as("pct_rank"))
+  }
+
   /** Perceptual-hash image near-dups (m120): the dup-augmented corpus is
     * packed as REAL PNG bytes (the m11 encoder), each image decoded and
     * dHashed on the executors, and pairs found by the token-simhash

@@ -78,6 +78,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m119_centroid_drift" -> (CorpusQueries.centroidDrift _),
     // m120: empty corpus → no images → no signatures → no pairs
     "m120_image_neardups" -> (CorpusQueries.imageNearDups _),
+    // m121: empty corpus → empty windows → empty calibration
+    "m121_quality_percentiles" -> (CorpusQueries.qualityPercentiles _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

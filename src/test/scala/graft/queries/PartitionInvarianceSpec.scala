@@ -204,6 +204,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m121 quality percentiles: integer-keyed tie-free ranks identical across partitionings") {
+    // the window key is (floor(q·1e6) as long, doc_id) — a total integer
+    // order no partitioning can perturb
+    assertInvariant(CorpusQueries.qualityPercentiles)
+  }
+
   test("m120 image near-dups: decode-derived pair set identical across partitionings") {
     // the dHash is a pure per-row function of the PNG bytes; chunk
     // buckets stay far under the cap at fixture scale, and the verified

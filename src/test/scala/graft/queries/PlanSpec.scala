@@ -616,6 +616,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("media#")
   }
 
+  test("m121: one source exchange serves the calibration window; no text in exchanges") {
+    val p = plan(CorpusQueries.qualityPercentiles(spark, dir))
+    "Exchange hashpartitioning\\(source#".r.findAllIn(p).size shouldBe 1
+    p should include("Window")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
