@@ -296,6 +296,9 @@ object SparkEntry {
     // m121: per-source quality percentile calibration — percent_rank
     // over the integer key (floor(q·1e6), doc_id), one source exchange
     "m121_quality_percentiles" -> (CorpusQueries.qualityPercentiles _),
+    // m122: label-noise margins — own-centroid vs best-other-centroid
+    // cosine per vector; broadcast centroids, K-rows-per-id exchange
+    "m122_label_noise" -> (CorpusQueries.labelNoiseMargins _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1541,6 +1544,28 @@ object SparkEntry {
         "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
         "FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id) " +
         "SELECT DISTINCT doc_a, doc_b, hamming FROM p WHERE hamming <= 4"),
+    // m122: centroids + per-(id, candidate) dots replayed relationally;
+    // the best-other pick orders on the m89 integer key
+    "m122_label_noise" ->
+      ("WITH e0 AS (SELECT vec_id AS id, label, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(i - 1 AS BIGINT)) AS dims, " +
+        "list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE)) AS xs " +
+        "FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL), " +
+        "c AS (SELECT id, label, unnest(dims) AS pos, unnest(xs) AS x FROM e0), " +
+        "cent AS (SELECT label AS c_label, pos, avg(x) AS m FROM c GROUP BY 1, 2), " +
+        "cn AS (SELECT c_label, sum(m * m) AS n2c FROM cent GROUP BY 1), " +
+        "d AS (SELECT c.id, c.label, t.c_label, sum(c.x * t.m) AS dot, sum(c.x * c.x) AS nv " +
+        "FROM c JOIN cent t USING (pos) GROUP BY 1, 2, 3), " +
+        "s AS (SELECT d.id, d.label, d.c_label, " +
+        "CASE WHEN nv > 0.0 AND n2c > 0.0 THEN dot / (sqrt(nv) * sqrt(n2c)) END AS cos " +
+        "FROM d JOIN cn USING (c_label)), " +
+        "own AS (SELECT id, label, cos AS cos_own FROM s WHERE c_label = label), " +
+        "oth AS (SELECT id, c_label, cos, row_number() OVER (PARTITION BY id " +
+        "ORDER BY CAST(floor(cos * 1000000) AS BIGINT) DESC, c_label) AS rk " +
+        "FROM s WHERE c_label <> label) " +
+        "SELECT o.id, o.label, o.cos_own, b.c_label AS nearest_other, b.cos AS cos_other, " +
+        "o.cos_own - b.cos AS margin, (o.cos_own - b.cos) < 0.0 AS suspect " +
+        "FROM own o JOIN (SELECT * FROM oth WHERE rk = 1) b USING (id)"),
     // m119: centroid sums replayed relationally, cosine/distance folds
     // in pos order (the m78/m102 convention — mean ulp noise vanishes
     // at the 6-dp gate, fold order is pinned)

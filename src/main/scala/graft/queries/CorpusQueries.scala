@@ -1316,6 +1316,12 @@ object CorpusQueries {
     graft.dedup.SimHash.nearDuplicatesFromSigs(sigs, maxDist = 4)
   }
 
+  /** Label-noise margins (m122): every labeled vector scored by cosine to
+    * its own class centroid vs the best other centroid — negative margin
+    * flags the likely-mislabeled examples a curator reviews first. */
+  def labelNoiseMargins(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.LabelNoise.marginReport(labeledVectors(s, dir))
+
   /** Embedding-centroid drift card (m119): per-label centroid vs the
     * corpus centroid by cosine and euclidean distance — the semantic
     * sibling of the lexical drift cards (m55 full-vocab KL, m116

@@ -80,6 +80,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m120_image_neardups" -> (CorpusQueries.imageNearDups _),
     // m121: empty corpus → empty windows → empty calibration
     "m121_quality_percentiles" -> (CorpusQueries.qualityPercentiles _),
+    // m122: empty embeddings → empty pinned dots → empty margins
+    "m122_label_noise" -> (CorpusQueries.labelNoiseMargins _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

@@ -625,6 +625,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m122: centroids broadcast; the pinned dot table feeds own and best-other without re-explode") {
+    val p = plan(CorpusQueries.labelNoiseMargins(spark, dir))
+    // the (id, candidate-label) cosine table is pinned — own-margin and
+    // best-other branches read the snapshot, never re-exploding vectors.
+    // (The final own⋈best join is corpus-sized on BOTH sides, so its
+    // join TYPE is legitimately a shuffle join and is not pinned.)
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("embedding#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
