@@ -299,6 +299,9 @@ object SparkEntry {
     // m122: label-noise margins — own-centroid vs best-other-centroid
     // cosine per vector; broadcast centroids, K-rows-per-id exchange
     "m122_label_noise" -> (CorpusQueries.labelNoiseMargins _),
+    // m123: token burstiness — cf/df dispersion over the corpus top-100
+    // tokens; the boilerplate detector raw frequency ranking can't see
+    "m123_token_burstiness" -> (CorpusQueries.tokenBurstiness _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1515,6 +1518,17 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m123: exact counts, tie-broken top-100 on the token string
+    "m123_token_burstiness" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks " +
+        "WHERE length(tok) > 0 GROUP BY 1, 2), " +
+        "t AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df " +
+        "FROM pd GROUP BY 1 ORDER BY cf DESC, tok LIMIT 100), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE text IS NOT NULL) " +
+        "SELECT tok, cf, df, CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness, " +
+        "CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_frac FROM t CROSS JOIN n"),
     // m121: quality replayed from the shared stats base, percent_rank
     // over the m89 integer key — tie-free under the doc_id break, so
     // both engines compute the identical (rank−1)/(n−1)

@@ -1299,6 +1299,33 @@ object CorpusQueries {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  /** Token burstiness card (m123): for the corpus top-100 tokens by
+    * collection frequency, the dispersion ratio cf/df (mean occurrences
+    * per CONTAINING doc — Church & Gale 1995's burstiness, public): a
+    * high-burstiness low-df token concentrates in few documents, the
+    * signature of template/boilerplate text that raw frequency ranking
+    * (m13) cannot distinguish from genuinely common words. All counts
+    * exact longs; ratios in fixed operand order; top-100 tie-broken on
+    * the token string. Scale: one (doc_id, token) partial-agg exchange,
+    * one (token) re-aggregation, a 100-row TakeOrderedAndProject —
+    * nothing downstream is corpus-sized. */
+  def tokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " +")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy("tok")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .orderBy(desc("cf"), col("tok")).limit(100)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("cf"), col("df"),
+        (col("cf").cast("double") / col("df").cast("double")).as("burstiness"),
+        (col("df").cast("double") / col("n_docs").cast("double")).as("df_frac"))
+  }
+
   /** Perceptual-hash image near-dups (m120): the dup-augmented corpus is
     * packed as REAL PNG bytes (the m11 encoder), each image decoded and
     * dHashed on the executors, and pairs found by the token-simhash

@@ -82,6 +82,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m121_quality_percentiles" -> (CorpusQueries.qualityPercentiles _),
     // m122: empty embeddings → empty pinned dots → empty margins
     "m122_label_noise" -> (CorpusQueries.labelNoiseMargins _),
+    // m123: empty corpus → empty token table → empty top-100
+    "m123_token_burstiness" -> (CorpusQueries.tokenBurstiness _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

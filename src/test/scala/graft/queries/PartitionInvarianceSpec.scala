@@ -204,6 +204,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m123 token burstiness: exact counts and string-tie-broken top-100 identical across partitionings") {
+    assertInvariant(CorpusQueries.tokenBurstiness)
+  }
+
   test("m121 quality percentiles: integer-keyed tie-free ranks identical across partitionings") {
     // the window key is (floor(q·1e6) as long, doc_id) — a total integer
     // order no partitioning can perturb

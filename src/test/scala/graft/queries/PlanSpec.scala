@@ -637,6 +637,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("embedding#")
   }
 
+  test("m123: burstiness is two partial-agg exchanges and a true top-100; no text in exchanges") {
+    val p = plan(CorpusQueries.tokenBurstiness(spark, dir))
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject(limit=100")
+    p should include("BroadcastNestedLoopJoin") // the 1-row n_docs card
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
