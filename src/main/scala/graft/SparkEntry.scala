@@ -302,6 +302,9 @@ object SparkEntry {
     // m123: token burstiness — cf/df dispersion over the corpus top-100
     // tokens; the boilerplate detector raw frequency ranking can't see
     "m123_token_burstiness" -> (CorpusQueries.tokenBurstiness _),
+    // m124: cross-corpus perplexity — reference-trained LM (docs < 100)
+    // scores the rest; the unseen-gram backoff path under real load
+    "m124_cross_perplexity" -> (CorpusQueries.crossPerplexity _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1518,6 +1521,27 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m124: the m43 LM replay with counts from the reference split only;
+    // unseen grams/contexts coalesce to 0 before the smoothed ratio
+    "m124_cross_perplexity" ->
+      ("WITH rt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id < 100), " +
+        "rw AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM rt), " +
+        "rp AS (SELECT doc_id, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM rw), " +
+        "rg AS (SELECT a, b FROM rp WHERE b IS NOT NULL), " +
+        "c AS (SELECT a, b, count(*) AS cab FROM rg GROUP BY 1, 2), " +
+        "ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
+        "(SELECT a AS tok FROM c UNION SELECT b FROM c)), " +
+        "st AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id >= 100), " +
+        "sw AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM st), " +
+        "sp AS (SELECT doc_id, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM sw), " +
+        "sg AS (SELECT doc_id, a, b FROM sp WHERE b IS NOT NULL), " +
+        "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "-avg(ln((coalesce(cab, 0) + 0.5) / (coalesce(ca, 0) + 0.5 * vs))) AS cross_entropy " +
+        "FROM sg LEFT JOIN c USING (a, b) LEFT JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
     // m123: exact counts, tie-broken top-100 on the token string
     "m123_token_burstiness" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok " +

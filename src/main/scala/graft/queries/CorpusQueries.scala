@@ -1299,6 +1299,20 @@ object CorpusQueries {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  /** Cross-corpus perplexity (m124): the actual CCNet setup — the bigram
+    * LM trains on a clean REFERENCE corpus (docs < 100 play Wikipedia)
+    * and scores the rest; documents unlike the reference land in the
+    * high-perplexity tail. Unlike m43's self-scoring (every gram seen),
+    * this genuinely exercises the unseen-gram/unseen-context backoff:
+    * α-smoothing and the coalesce-to-zero join path carry real load. */
+  def crossPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val reference = docs.filter(col("doc_id") < 100)
+    graft.text.NgramLm.scoreAgainst(
+      docs.filter(col("doc_id") >= 100),
+      graft.text.NgramLm.bigramCounts(reference), alpha = 0.5)
+  }
+
   /** Token burstiness card (m123): for the corpus top-100 tokens by
     * collection frequency, the dispersion ratio cf/df (mean occurrences
     * per CONTAINING doc — Church & Gale 1995's burstiness, public): a

@@ -84,6 +84,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m122_label_noise" -> (CorpusQueries.labelNoiseMargins _),
     // m123: empty corpus → empty token table → empty top-100
     "m123_token_burstiness" -> (CorpusQueries.tokenBurstiness _),
+    // m124: empty reference LM + empty corpus grams → empty scores
+    "m124_cross_perplexity" -> (CorpusQueries.crossPerplexity _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),
