@@ -305,6 +305,9 @@ object SparkEntry {
     // m124: cross-corpus perplexity — reference-trained LM (docs < 100)
     // scores the rest; the unseen-gram backoff path under real load
     "m124_cross_perplexity" -> (CorpusQueries.crossPerplexity _),
+    // m125: Good–Turing unseen mass n₁/N per source — the
+    // keep-crawling-or-saturated corpus-planning card
+    "m125_unseen_mass" -> (CorpusQueries.unseenMass _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1521,6 +1524,18 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m125: exact counts, fixed-order ratios
+    "m125_unseen_mass" ->
+      ("WITH toks AS (SELECT source, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks " +
+        "WHERE length(tok) > 0 GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS unseen_mass, " +
+        "CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr " +
+        "FROM c GROUP BY 1"),
     // m124: the m43 LM replay with counts from the reference split only;
     // unseen grams/contexts coalesce to 0 before the smoothed ratio
     "m124_cross_perplexity" ->

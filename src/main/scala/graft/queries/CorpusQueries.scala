@@ -1299,6 +1299,31 @@ object CorpusQueries {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  /** Good–Turing unseen-mass card (m125): per source, the probability
+    * mass of tokens NOT yet seen, estimated by the Good–Turing identity
+    * P(unseen) ≈ n₁/N (hapax count over token count — Good 1953, public).
+    * The corpus-planning statistic: a source with high unseen mass still
+    * yields new vocabulary per crawl (keep crawling); one near zero is
+    * saturated. Reported with vocab size and type-token ratio — the
+    * empirical companion to m57's fitted Heaps law. All counts exact
+    * longs; ratios fixed-order. Scale: one (source, token) partial-agg
+    * exchange, one source-sized re-aggregation. */
+  def unseenMass(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " +")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("unseen_mass"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"))
+  }
+
   /** Cross-corpus perplexity (m124): the actual CCNet setup — the bigram
     * LM trains on a clean REFERENCE corpus (docs < 100 play Wikipedia)
     * and scores the rest; documents unlike the reference land in the

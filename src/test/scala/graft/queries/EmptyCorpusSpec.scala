@@ -86,6 +86,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m123_token_burstiness" -> (CorpusQueries.tokenBurstiness _),
     // m124: empty reference LM + empty corpus grams → empty scores
     "m124_cross_perplexity" -> (CorpusQueries.crossPerplexity _),
+    // m125: empty corpus → empty count table → empty card
+    "m125_unseen_mass" -> (CorpusQueries.unseenMass _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

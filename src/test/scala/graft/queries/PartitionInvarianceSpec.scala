@@ -204,6 +204,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m125 unseen mass: exact hapax/token counts identical across partitionings") {
+    assertInvariant(CorpusQueries.unseenMass)
+  }
+
   test("m123 token burstiness: exact counts and string-tie-broken top-100 identical across partitionings") {
     assertInvariant(CorpusQueries.tokenBurstiness)
   }
