@@ -308,6 +308,9 @@ object SparkEntry {
     // m125: Good–Turing unseen mass n₁/N per source — the
     // keep-crawling-or-saturated corpus-planning card
     "m125_unseen_mass" -> (CorpusQueries.unseenMass _),
+    // m126: benchmark-side leakage report — per EVAL item, the leaked
+    // gram fraction and corpus spread; the inverse view of m25
+    "m126_benchmark_leakage" -> (CorpusQueries.benchmarkLeakage _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1524,6 +1527,30 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m126: the m25 gram chain with bench-doc attribution kept; unleaked
+    // items survive the left join with zero counts
+    "m126_benchmark_leakage" ->
+      (AugmentedDocs +
+        ", bench AS (SELECT doc_id, text FROM aug WHERE doc_id < 50), " +
+        "corpus AS (SELECT doc_id, text FROM aug WHERE doc_id >= 50), " +
+        "bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM bench), " +
+        "bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM (SELECT doc_id, " +
+        "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
+        "FROM bt) WHERE gram <> ''), " +
+        "ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM corpus), " +
+        "cg AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gram " +
+        "FROM ct) WHERE gram <> ''), " +
+        "tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_grams FROM bg GROUP BY 1), " +
+        "h AS (SELECT b.bench_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hit_grams, " +
+        "CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs " +
+        "FROM cg c JOIN bg b USING (gram) GROUP BY 1) " +
+        "SELECT t.bench_id, t.n_grams, coalesce(h.n_hit_grams, 0) AS n_hit_grams, " +
+        "CAST(coalesce(h.n_hit_grams, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS leaked_frac, " +
+        "coalesce(h.n_corpus_docs, 0) AS n_corpus_docs " +
+        "FROM tot t LEFT JOIN h USING (bench_id)"),
     // m125: exact counts, fixed-order ratios
     "m125_unseen_mass" ->
       ("WITH toks AS (SELECT source, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok " +

@@ -47,6 +47,44 @@ object Decontaminate {
     graft.text.SpanScrub.scrubWith(corpus, flagged, w, textCol)
   }
 
+  /** The benchmark-side leakage report (m126) — the INVERSE view of
+    * [[contaminated]]: for each EVAL item, how much of it leaked and how
+    * widely. [[contaminated]] answers "which corpus docs to drop"; this
+    * answers "which benchmark items are compromised" — the report an
+    * eval owner reads to retire or re-split contaminated items (the
+    * per-item accounting GPT-3's appendix-C style contamination studies
+    * publish; public practice). One row per benchmark doc:
+    * (bench_id, n_grams, n_hit_grams, leaked_frac, n_corpus_docs) —
+    * distinct grams of the item, how many of them occur anywhere in the
+    * corpus, that fraction, and how many distinct corpus docs hit it.
+    *
+    * Scale shape: the benchmark (gram, bench_id) map is eval-suite-sized
+    * and BROADCAST; the corpus gram stream joins it without shuffling
+    * (hits inherit the corpus partitioning and are benchmark-bounded
+    * after the per-partition semi-prune); the final aggregate is
+    * benchmark-doc-sized. Unleaked items are kept via the left join
+    * with zero counts — absence of evidence is the report's good news. */
+  def benchmarkLeakage(corpus: DataFrame, benchmark: DataFrame,
+                       textCol: String = "text", w: Int = 3): DataFrame = {
+    val bg = benchmark.select(col("doc_id").as("bench_id"),
+        explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
+      .distinct()
+    val totals = bg.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    val cg = corpus.select(col("doc_id"),
+      explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
+      .distinct()
+    val hits = cg.join(broadcast(bg), Seq("gram"))
+      .groupBy("bench_id")
+      .agg(count_distinct(col("gram")).as("n_hit_grams"),
+        count_distinct(col("doc_id")).as("n_corpus_docs"))
+    totals.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("leaked_frac"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+  }
+
   /** Corpus docs whose distinct-gram hit ratio against the benchmark gram
     * set reaches `ratioThreshold`: (doc_id, n_hits, n_grams, hit_ratio). */
   def contaminated(corpus: DataFrame, benchmark: DataFrame,

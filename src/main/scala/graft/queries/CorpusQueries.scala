@@ -989,6 +989,17 @@ object CorpusQueries {
       benchmark = aug.filter(col("doc_id") < 50))
   }
 
+  /** Benchmark leakage report (m126): m25's fixture split, inverted —
+    * per EVAL item, how much of it leaked into the corpus and how widely
+    * (the report an eval owner reads to retire compromised items).
+    * Planted exact copies drive their bench docs to leaked_frac 1.0. */
+  def benchmarkLeakage(s: SparkSession, dir: String): DataFrame = {
+    val aug = withSyntheticDups(Tables.documents(s, dir), docOff(s, dir))
+    graft.dedup.Decontaminate.benchmarkLeakage(
+      corpus = aug.filter(col("doc_id") >= 50),
+      benchmark = aug.filter(col("doc_id") < 50))
+  }
+
   /** Span-level decontamination (m90): m25's fixture split, but the
     * contaminated span is CUT (m82's coverage-union rewrite) instead of
     * the document dropped — the surgical policy for docs that merely

@@ -88,6 +88,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m124_cross_perplexity" -> (CorpusQueries.crossPerplexity _),
     // m125: empty corpus → empty count table → empty card
     "m125_unseen_mass" -> (CorpusQueries.unseenMass _),
+    // m126: empty corpus → empty bench and corpus gram sets → empty report
+    "m126_benchmark_leakage" -> (CorpusQueries.benchmarkLeakage _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

@@ -204,6 +204,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m126 benchmark leakage: exact distinct-gram counts identical across partitionings") {
+    assertInvariant(CorpusQueries.benchmarkLeakage)
+  }
+
   test("m125 unseen mass: exact hapax/token counts identical across partitionings") {
     assertInvariant(CorpusQueries.unseenMass)
   }

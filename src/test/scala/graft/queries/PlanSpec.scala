@@ -647,6 +647,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m126: the benchmark gram map broadcasts; exchanges carry gram hashes, never text") {
+    val p = plan(CorpusQueries.benchmarkLeakage(spark, dir))
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
