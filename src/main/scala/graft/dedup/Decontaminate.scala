@@ -70,9 +70,13 @@ object Decontaminate {
         explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
       .distinct()
     val totals = bg.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    // No distinct on the corpus side: the broadcast join prunes to
+    // benchmark grams FIRST (the corpus stream never shuffles), and the
+    // count_distinct aggregates dedupe what survives. An eager distinct
+    // here shuffled every corpus gram hash — 118 MB at gen-30 vs the
+    // pruned hits' aggregate — for nothing.
     val cg = corpus.select(col("doc_id"),
       explode(NgramJaccard.wordShingleHashSet(col(textCol), lit(w))).as("gram"))
-      .distinct()
     val hits = cg.join(broadcast(bg), Seq("gram"))
       .groupBy("bench_id")
       .agg(count_distinct(col("gram")).as("n_hit_grams"),
