@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dawid–Skene label fusion — majority-vote initialization plus ONE EM
-  * step (Dawid & Skene 1977's confusion-matrix model for pooling
+  * step (Dawid & Skene 1979's confusion-matrix model for pooling
   * unreliable annotators — public literature). The modern pipeline use:
   * several cheap quality gates (rule battery, learned classifier,
   * perplexity cut — or LLM judges) vote keep/drop per document, and
