@@ -62,4 +62,19 @@ class SnapshotModeSpec extends SparkSpec {
       .toDF("src", "dst")
     assertModeInvariant(PageRank.ranks(edges, iterations = 5))
   }
+
+  // The round-13 eager-pin tier: every new Snapshot.pin call site must
+  // honor the mode switch too — one representative per pin shape.
+
+  test("m116 bounded KL drift (pinned count + vocab tables): identical in reliable mode") {
+    assertModeInvariant(graft.queries.CorpusQueries.boundedKlDrift(spark, dir))
+  }
+
+  test("m118 Dawid-Skene (pinned gate votes): identical in reliable mode") {
+    assertModeInvariant(graft.queries.CorpusQueries.dawidSkene(spark, dir))
+  }
+
+  test("m122 label noise (pinned cosine table): identical in reliable mode") {
+    assertModeInvariant(graft.queries.CorpusQueries.labelNoiseMargins(spark, dir))
+  }
 }
