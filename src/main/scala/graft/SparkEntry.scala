@@ -311,6 +311,10 @@ object SparkEntry {
     // m126: benchmark-side leakage report — per EVAL item, the leaked
     // gram fraction and corpus spread; the inverse view of m25
     "m126_benchmark_leakage" -> (CorpusQueries.benchmarkLeakage _),
+    // m127: per-source Kolmogorov–Smirnov drift test on the quality
+    // distribution — exact integer ranks (distributed prefix sum for the
+    // global ECDF), the hypothesis-test companion to the KL drift cards
+    "m127_ks_drift" -> (CorpusQueries.ksDrift _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1527,6 +1531,27 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m127: ranks replayed by row_number over the identical
+    // (floor(q·1e6), doc_id) total order; ECDF ratios and the Smirnov
+    // reference line in the engine's operand order
+    "m127_ks_drift" ->
+      ("WITH " + textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
+        ", q AS (SELECT doc_id, " + QualityExpr + " AS quality FROM base), " +
+        "k AS (SELECT q.doc_id, d.source, CAST(floor(quality * 1000000) AS BIGINT) AS key " +
+        "FROM q JOIN documents d USING (doc_id)), " +
+        "r AS (SELECT source, " +
+        "CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS rc, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY key, doc_id) - 1 AS BIGINT) AS rs, " +
+        "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns, " +
+        "CAST(count(*) OVER () AS BIGINT) AS nt FROM k), " +
+        "t AS (SELECT source, max(ns) AS n_docs, max(nt) AS n_total, " +
+        "max(greatest(" +
+        "CAST(rs + 1 AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(rc + 1 AS DOUBLE) / CAST(nt AS DOUBLE), " +
+        "CAST(rc + 1 AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(rs AS DOUBLE) / CAST(ns AS DOUBLE))) AS ks_stat " +
+        "FROM r GROUP BY 1) " +
+        "SELECT source, n_docs, ks_stat, " +
+        "ks_stat > 1.36 * sqrt((CAST(n_docs AS DOUBLE) + CAST(n_total AS DOUBLE)) / " +
+        "(CAST(n_docs AS DOUBLE) * CAST(n_total AS DOUBLE))) AS drifted FROM t"),
     // m126: the m25 gram chain with bench-doc attribution kept; unleaked
     // items survive the left join with zero counts
     "m126_benchmark_leakage" ->

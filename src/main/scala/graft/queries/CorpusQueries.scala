@@ -1310,6 +1310,55 @@ object CorpusQueries {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  /** Kolmogorov–Smirnov drift test (m127): per source, the KS statistic
+    * between the source's quality-score distribution and the pooled
+    * corpus distribution — sup |F_source − F_corpus| over the sample
+    * points (Smirnov's two-sample statistic, public), with the classical
+    * α=0.05 critical value 1.36·√((n+N)/(n·N)) as the reference line
+    * (stated caveat: source ⊂ pooled overlap makes the line
+    * conservative-reference, not an exact test). The hypothesis-test
+    * companion to the KL drift cards (m55/m116): KL says how far the
+    * token mixture drifted; KS says whether the SCORE distribution shift
+    * is larger than chance.
+    *
+    * Determinism: both ECDFs are ratios of exact integer ranks over the
+    * (floor(q·1e6), doc_id) total order — global rank from the
+    * range-partitioned distributed prefix sum (NEVER a single-partition
+    * window, the m52/m77 machinery), per-source rank from a per-source
+    * window; max over exact-int-derived doubles is order-free.
+    *
+    * Scale shape: one range-partition exchange (the prefix-sum sort) +
+    * one source window exchange; the exchanges carry (doc_id, source,
+    * key) only; the final aggregate is source-sized. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        floor(graft.text.TextOps.profile(col("text")).getField("quality") * lit(1e6))
+          .cast("long").as("key"),
+        lit(1L).as("one"))
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotalsBy(
+      docs, Seq(col("key"), col("doc_id")), "one") // running = 0-based global rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("key"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val totals = ranked.agg(count(lit(1)).as("n_total"))
+    val r = ranked
+      .withColumn("rs", row_number().over(w).cast("long") - 1L)
+      .withColumn("ns", count(lit(1)).over(wAll))
+      .crossJoin(broadcast(totals))
+    val fs1 = (col("rs") + 1L).cast("double") / col("ns").cast("double")
+    val fs0 = col("rs").cast("double") / col("ns").cast("double")
+    val fc = (col("running") + 1L).cast("double") / col("n_total").cast("double")
+    val agg = r.groupBy("source").agg(
+      max("ns").as("n_docs"), max("n_total").as("n_total"),
+      max(greatest(fs1 - fc, fc - fs0)).as("ks_stat"))
+    agg.select(col("source"), col("n_docs"), col("ks_stat"),
+      (col("ks_stat") > lit(1.36) * sqrt(
+        (col("n_docs").cast("double") + col("n_total").cast("double")) /
+          (col("n_docs").cast("double") * col("n_total").cast("double"))))
+        .as("drifted"))
+  }
+
   /** Good–Turing unseen-mass card (m125): per source, the probability
     * mass of tokens NOT yet seen, estimated by the Good–Turing identity
     * P(unseen) ≈ n₁/N (hapax count over token count — Good 1953, public).

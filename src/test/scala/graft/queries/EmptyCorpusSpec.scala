@@ -90,6 +90,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m125_unseen_mass" -> (CorpusQueries.unseenMass _),
     // m126: empty corpus → empty bench and corpus gram sets → empty report
     "m126_benchmark_leakage" -> (CorpusQueries.benchmarkLeakage _),
+    // m127: empty corpus → empty ranked frame → empty test card
+    "m127_ks_drift" -> (CorpusQueries.ksDrift _),
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),

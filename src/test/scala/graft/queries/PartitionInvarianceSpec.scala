@@ -204,6 +204,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m127 KS drift: integer-rank ECDFs identical across partitionings") {
+    // global rank from the range-partitioned prefix sum, per-source rank
+    // from a tie-free window — both pure functions of the total order
+    assertInvariant(CorpusQueries.ksDrift)
+  }
+
   test("m126 benchmark leakage: exact distinct-gram counts identical across partitionings") {
     assertInvariant(CorpusQueries.benchmarkLeakage)
   }

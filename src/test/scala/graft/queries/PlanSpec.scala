@@ -655,6 +655,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m127: the global ECDF comes from the prefix-sum snapshot, not a single-partition window") {
+    val p = plan(CorpusQueries.ksDrift(spark, dir))
+    // the ranked frame is the range-partitioned prefix-sum snapshot
+    p should include("ExistingRDD")
+    // exactly one Window spec: the per-source ranks (partitioned); a
+    // global-ECDF window would be a partitionless sort-everything
+    (p should not).include("Window [row_number() windowspecdefinition(key#")
+    p should include("windowspecdefinition(source#")
+    (p should not).include("SortMergeJoin")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
