@@ -315,6 +315,9 @@ object SparkEntry {
     // distribution — exact integer ranks (distributed prefix sum for the
     // global ECDF), the hypothesis-test companion to the KL drift cards
     "m127_ks_drift" -> (CorpusQueries.ksDrift _),
+    // m128: LSH banding planner — S-curve FP/FN areas per (b, r) split
+    // of the 128-hash budget, weighted argmin; a pure closed-form card
+    "m128_lsh_plan" -> (CorpusQueries.lshPlan _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1531,6 +1534,24 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m128: the divisor table and midpoint grid regenerated literally;
+    // the S-curve fold runs in the identical index order
+    "m128_lsh_plan" ->
+      ("WITH d AS (SELECT b AS bands, 128 // b AS rows_per_band " +
+        "FROM generate_series(1, 128) t(b) WHERE 128 % b = 0), " +
+        "a AS (SELECT bands, rows_per_band, " +
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(0, 199), i -> " +
+        "CASE WHEN (CAST(i AS DOUBLE) + 0.5) / 200.0 < 0.8 THEN " +
+        "1.0 - pow(1.0 - pow((CAST(i AS DOUBLE) + 0.5) / 200.0, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)) " +
+        "ELSE 0.0 END)), (p, q) -> p + q) * 0.005 AS fp_area, " +
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(0, 199), i -> " +
+        "CASE WHEN (CAST(i AS DOUBLE) + 0.5) / 200.0 >= 0.8 THEN " +
+        "1.0 - (1.0 - pow(1.0 - pow((CAST(i AS DOUBLE) + 0.5) / 200.0, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE))) " +
+        "ELSE 0.0 END)), (p, q) -> p + q) * 0.005 AS fn_area " +
+        "FROM d) " +
+        "SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band, " +
+        "fp_area, fn_area, 0.5 * fp_area + 0.5 * fn_area AS cost, " +
+        "row_number() OVER (ORDER BY 0.5 * fp_area + 0.5 * fn_area, bands) = 1 AS best FROM a"),
     // m127: ranks replayed by row_number over the identical
     // (floor(q·1e6), doc_id) total order; ECDF ratios and the Smirnov
     // reference line in the engine's operand order

@@ -1310,6 +1310,14 @@ object CorpusQueries {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  /** LSH banding planner (m128): for the house MinHash budget (128
+    * hashes) at the dedup threshold 0.8, every (bands, rows) split with
+    * its S-curve false-positive/false-negative areas and the weighted
+    * argmin — the design card the audit tier (m85/m98/m99) validates
+    * after the fact. */
+  def lshPlan(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.LshPlanner.plan(s, totalHashes = 128, threshold = 0.8)
+
   /** Kolmogorov–Smirnov drift test (m127): per source, the KS statistic
     * between the source's quality-score distribution and the pooled
     * corpus distribution — sup |F_source − F_corpus| over the sample

@@ -92,6 +92,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "m126_benchmark_leakage" -> (CorpusQueries.benchmarkLeakage _),
     // m127: empty corpus → empty ranked frame → empty test card
     "m127_ks_drift" -> (CorpusQueries.ksDrift _),
+    // m128: data-free design card — must still run (8 rows) on an empty
+    // corpus; asserted separately below since "empty in = rows out" is
+    // its CORRECT degradation
+    // (handled in the dedicated non-empty-card test, not this roster)
     // m101: the single marginal row filters itself out at n = 0
     "m101_gate_agreement" -> (CorpusQueries.gateAgreement _),
     "m102_jl_projection" -> (CorpusQueries.jlNormCard _),
@@ -122,5 +126,11 @@ class EmptyCorpusSpec extends SparkSpec {
     test(s"$name returns empty, not an error, on an empty corpus") {
       fn(spark, emptyDir).count() shouldBe 0L
     }
+  }
+
+  test("m128_lsh_plan is data-free: the full design card even on an empty corpus") {
+    // the planner is a pure function of (H, t) — an empty corpus must
+    // still yield all 8 factorizations of the 128-hash budget
+    CorpusQueries.lshPlan(spark, emptyDir).count() shouldBe 8L
   }
 }
