@@ -318,6 +318,9 @@ object SparkEntry {
     // m128: LSH banding planner — S-curve FP/FN areas per (b, r) split
     // of the 128-hash budget, weighted argmin; a pure closed-form card
     "m128_lsh_plan" -> (CorpusQueries.lshPlan _),
+    // m129: clean-holdout mining — docs sharing no 30-token window with
+    // any other doc; the provably-safe eval-carving candidates
+    "m129_clean_holdout" -> (CorpusQueries.cleanHoldout _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1534,6 +1537,23 @@ object SparkEntry {
     // m78: centroid means and the per-vec distance fold agree with the
     // relational replay to ~1e-15 (rounded @6dp); median/MAD are the
     // quantile_cont parity; the z arithmetic is association-identical.
+    // m129: the m42 window chain with per-doc isolation verdicts;
+    // engine fps are md5 bytes, the oracle's md5 hex — counts only, the
+    // fingerprints never surface
+    "m129_clean_holdout" ->
+      (AugmentedDocs +
+        ", toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) <= 30 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 30), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 30), ' ')) END AS ws FROM toks), " +
+        "f AS (SELECT doc_id, md5(wtext) AS fp FROM (SELECT doc_id, unnest(ws) AS wtext FROM w) x), " +
+        "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
+        "WHERE df >= 2), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM f GROUP BY 1), " +
+        "sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared FROM f JOIN rep USING (fp) GROUP BY 1) " +
+        "SELECT t.doc_id, t.n_windows, coalesce(sh.n_shared, 0) AS n_shared_windows, " +
+        "coalesce(sh.n_shared, 0) = 0 AS isolated FROM tot t LEFT JOIN sh USING (doc_id)"),
     // m128: the divisor table and midpoint grid regenerated literally;
     // the S-curve fold runs in the identical index order
     "m128_lsh_plan" ->

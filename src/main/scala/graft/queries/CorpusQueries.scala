@@ -1310,6 +1310,35 @@ object CorpusQueries {
       percent_rank().over(w).as("pct_rank"))
   }
 
+  /** Clean-holdout mining (m129): certify which documents share NO
+    * 30-token window with any other document — the dedup tier's inverse:
+    * dedup finds copies to drop, this finds the provably-isolated docs
+    * an eval owner can carve into a held-out set knowing the training
+    * corpus cannot contain their text at window granularity (the
+    * document-level complement of m126's benchmark-side accounting).
+    * Runs on the dup-augmented corpus so the planted copy families are
+    * guaranteed NON-isolated. Scale shape: the window fingerprint stream
+    * is pinned (three consumers: per-fp document frequency, per-doc
+    * shared-window counts, per-doc totals); exchanges carry 16-byte fps
+    * and doc ids only; the fp-frequency join is corpus-sized on both
+    * sides (the m42 shape — legitimately a shuffle join). */
+  def cleanHoldout(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmentedDocs(s, dir)
+    val wf = graft.Snapshot.pin(
+      graft.text.RepeatedWindows.windowFingerprintsRaw(aug, w = 30),
+      eager = true)
+    val rep = wf.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("fp")
+    val shared = wf.join(rep, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_windows"))
+    wf.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"),
+        (coalesce(col("n_shared_windows"), lit(0L)) === 0L).as("isolated"))
+  }
+
   /** LSH banding planner (m128): for the house MinHash budget (128
     * hashes) at the dedup threshold 0.8, every (bands, rows) split with
     * its S-curve false-positive/false-negative areas and the weighted

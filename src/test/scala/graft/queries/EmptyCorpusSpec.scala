@@ -92,6 +92,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m126_benchmark_leakage" -> (CorpusQueries.benchmarkLeakage _),
     // m127: empty corpus → empty ranked frame → empty test card
     "m127_ks_drift" -> (CorpusQueries.ksDrift _),
+    // m129: empty corpus → empty window stream → empty verdicts
+    "m129_clean_holdout" -> (CorpusQueries.cleanHoldout _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

@@ -204,6 +204,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.doremiWeights)
   }
 
+  test("m129 clean holdout: exact window counts and verdicts identical across partitionings") {
+    assertInvariant(CorpusQueries.cleanHoldout)
+  }
+
   test("m127 KS drift: integer-rank ECDFs identical across partitionings") {
     // global rank from the range-partitioned prefix sum, per-source rank
     // from a tie-free window — both pure functions of the total order

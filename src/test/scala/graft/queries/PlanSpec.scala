@@ -668,6 +668,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m129: windows fingerprint once at the pin; exchanges carry fps and ids, never text") {
+    val p = plan(CorpusQueries.cleanHoldout(spark, dir))
+    // the window stream is pinned — df/shared/totals all read the
+    // snapshot instead of re-fingerprinting the corpus three times
+    (p should not).include("FileScan parquet")
+    p should include("ExistingRDD")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
