@@ -217,16 +217,42 @@ object Bench {
     // (BENCH_r12: m19 at 2.28 s vs 0.26 committed, both passes slow).
     val benchRef: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
-      try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Map.empty
+      else try {
+        // Real JSON parse scoped to the "queries" object (json4s rides the
+        // Spark classpath): the round-13 regex also captured non-query
+        // numeric fields and couldn't read exponent notation, so a
+        // malformed or hand-edited reference silently misdirected the 3×
+        // guard. Now anything unreadable or scale-mismatched SAYS so.
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
         // The reference only applies at the scale it was measured at — a
         // scale-sweep run at sf1/sf3 against an sf0.1 reference would
         // re-measure every query for nothing.
-        val refSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!refSf.contains(sfDir)) Map.empty
-        else """"([A-Za-z0-9_:]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+        val refSf = j \ "sf" match { case JString(s) => Some(s); case _ => None }
+        if (!refSf.contains(sfDir)) {
+          System.err.println(s"[bench] reference $path is for scale " +
+            s"${refSf.getOrElse("<missing>")}, not $sfDir — 3x guard off")
+          Map.empty
+        } else j \ "queries" match {
+          case JObject(fields) =>
+            fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JDecimal(v)) => k -> v.toDouble
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JLong(v)) => k -> v.toDouble
+            }.toMap
+          case _ =>
+            System.err.println(
+              s"[bench] reference $path has no queries object — 3x guard off")
+            Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] reference $path unreadable (${e.getMessage}) — 3x guard off")
+        Map.empty
+      }
     }
     val statsOut = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -678,9 +678,9 @@ object SparkEntry {
         "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS itot, sum(pw) AS denom, " +
         "CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 0.8) AS BIGINT) AS budget FROM p) " +
         "SELECT source, n_docs, n_tokens, " +
-        "CAST(n_tokens AS DOUBLE) / CAST(itot AS DOUBLE) AS p_raw, " +
-        "pw / denom AS weight, budget, " +
-        "CAST(budget AS DOUBLE) * (pw / denom) AS alloc_tokens, " +
+        "CASE WHEN itot > 0 THEN CAST(n_tokens AS DOUBLE) / CAST(itot AS DOUBLE) END AS p_raw, " +
+        "CASE WHEN denom > 0.0 THEN pw / denom END AS weight, budget, " +
+        "CASE WHEN denom > 0.0 THEN CAST(budget AS DOUBLE) * (pw / denom) END AS alloc_tokens, " +
         "CASE WHEN n_tokens = 0 THEN NULL ELSE " +
         "(CAST(budget AS DOUBLE) * (pw / denom)) / CAST(n_tokens AS DOUBLE) END AS epochs " +
         "FROM p CROSS JOIN t"),
@@ -1574,7 +1574,9 @@ object SparkEntry {
         "row_number() OVER (ORDER BY 0.5 * fp_area + 0.5 * fn_area, bands) = 1 AS best FROM a"),
     // m127: ranks replayed by row_number over the identical
     // (floor(q·1e6), doc_id) total order; ECDF ratios and the Smirnov
-    // reference line in the engine's operand order
+    // reference line in the engine's operand order. The F_c − F_s branch
+    // uses rc/nt (F_c just below the point, where that sup is attained)
+    // — rc+1 would overshoot by the point's own pooled mass
     "m127_ks_drift" ->
       ("WITH " + textStatsBaseOver("(SELECT * FROM documents WHERE text IS NOT NULL)") +
         ", q AS (SELECT doc_id, " + QualityExpr + " AS quality FROM base), " +
@@ -1588,7 +1590,7 @@ object SparkEntry {
         "t AS (SELECT source, max(ns) AS n_docs, max(nt) AS n_total, " +
         "max(greatest(" +
         "CAST(rs + 1 AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(rc + 1 AS DOUBLE) / CAST(nt AS DOUBLE), " +
-        "CAST(rc + 1 AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(rs AS DOUBLE) / CAST(ns AS DOUBLE))) AS ks_stat " +
+        "CAST(rc AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(rs AS DOUBLE) / CAST(ns AS DOUBLE))) AS ks_stat " +
         "FROM r GROUP BY 1) " +
         "SELECT source, n_docs, ks_stat, " +
         "ks_stat > 1.36 * sqrt((CAST(n_docs AS DOUBLE) + CAST(n_total AS DOUBLE)) / " +
@@ -1673,7 +1675,12 @@ object SparkEntry {
     // m120: the raster is the text bytes tiled over 16×12 gray (the m11
     // encoder), so the codec's 8×8 thumb grid samples byte (gy·12//8)·16
     // + 2·gx of the text; gradient-sign bits sum to the 56-bit dHash and
-    // the chunk-bucket join replays the engine's banding exactly
+    // the chunk-bucket join replays the engine's banding exactly.
+    // ASCII-ONLY FIXTURE ASSUMPTION: the engine rasterizes UTF-8 BYTES
+    // (packImages getBytes) while this replay indexes CHARACTERS
+    // (substr/ascii/length) — identical only while the synthetic corpus
+    // is pure ASCII (which the generator guarantees); a non-ASCII corpus
+    // would need octet_length/byte indexing here, not an engine change
     "m120_image_neardups" ->
       (AugmentedDocs +
         ", d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L FROM aug " +
@@ -1725,7 +1732,7 @@ object SparkEntry {
         "g AS (SELECT pos, sum(sv) / CAST(sum(cnt) AS DOUBLE) AS mg FROM sums GROUP BY 1), " +
         "j AS (SELECT s.label, s.pos, sv / CAST(cnt AS DOUBLE) AS m, g.mg, cnt " +
         "FROM sums s JOIN g USING (pos)), " +
-        "a AS (SELECT label, CAST(max(cnt) AS BIGINT) AS n_vecs, " +
+        "a AS (SELECT label, CAST(max(CASE WHEN pos = 0 THEN cnt END) AS BIGINT) AS n_vecs, " +
         "list_sort(list(struct_pack(pos := pos, m := m, mg := mg))) AS bs FROM j GROUP BY 1), " +
         "f AS (SELECT label, n_vecs, " +
         "list_reduce(list_prepend(0.0, list_transform(bs, x -> x.m * x.mg)), (p, q) -> p + q) AS dot, " +

@@ -30,7 +30,8 @@ object TemperatureMix {
 
   /** (source, n_docs, n_tokens, p_raw, weight, budget, alloc_tokens,
     * epochs) — one row per source. `sizes` must carry (source, n_docs,
-    * n_tokens). Sources with zero tokens get NULL epochs (the corpus-wide
+    * n_tokens). Sources with zero tokens get NULL epochs, and an all-zero
+    * corpus gets NULL weight/p_raw/alloc_tokens too (the corpus-wide
     * /0 → null contract). */
   def allocate(sizes: DataFrame, alpha: Double = 0.3,
                budgetFrac: Double = 1.0): DataFrame = {
@@ -41,12 +42,18 @@ object TemperatureMix {
       aggregate(array_sort(collect_list(struct(col("source"), col("pw")))),
         lit(0.0), (acc, x) => acc + x.getField("pw")).as("denom"))
     val tot = col("tot").cast("double")
-    val weight = col("pw") / col("denom")
+    // A corpus where EVERY source has zero tokens makes denom = Σ n^α = 0
+    // and tot = 0: weight/p_raw/alloc are then null (the house /0 → null
+    // convention, matching NeymanAlloc's zero-denominator case), never
+    // NaN. A denom of 0 with any n_tokens > 0 is impossible (that
+    // source's n^α > 0), so the guards only fire on the all-zero corpus.
+    val weight = when(col("denom") > 0.0, col("pw") / col("denom"))
     val budget = floor(tot * budgetFrac).cast("long")
-    val alloc = budget.cast("double") * (col("pw") / col("denom"))
+    val alloc = when(col("denom") > 0.0,
+      budget.cast("double") * (col("pw") / col("denom")))
     p.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / tot).as("p_raw"),
+        when(tot > 0.0, col("n_tokens").cast("double") / tot).as("p_raw"),
         weight.as("weight"),
         budget.as("budget"),
         alloc.as("alloc_tokens"),

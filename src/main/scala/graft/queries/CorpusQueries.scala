@@ -1350,7 +1350,10 @@ object CorpusQueries {
   /** Kolmogorov–Smirnov drift test (m127): per source, the KS statistic
     * between the source's quality-score distribution and the pooled
     * corpus distribution — sup |F_source − F_corpus| over the sample
-    * points (Smirnov's two-sample statistic, public), with the classical
+    * points (Smirnov's two-sample statistic, public — the F_c − F_s
+    * direction evaluates F_c just below the point, where that sup is
+    * attained, so the statistic is exactly sup|F_s − F_c| over the
+    * (key, doc_id) total order), with the classical
     * α=0.05 critical value 1.36·√((n+N)/(n·N)) as the reference line
     * (stated caveat: source ⊂ pooled overlap makes the line
     * conservative-reference, not an exact test). The hypothesis-test
@@ -1386,9 +1389,15 @@ object CorpusQueries {
     val fs1 = (col("rs") + 1L).cast("double") / col("ns").cast("double")
     val fs0 = col("rs").cast("double") / col("ns").cast("double")
     val fc = (col("running") + 1L).cast("double") / col("n_total").cast("double")
+    // F_c just BELOW the evaluated point for the F_c − F_s direction:
+    // that sup is attained just below a source point (F_s constant, F_c
+    // rising between source points), so pairing at-point fc with
+    // just-below fs0 would overshoot by the point's own 1/n_total pooled
+    // mass (round-13 advice). fs1 − fc stays at-point/at-point.
+    val fcBelow = col("running").cast("double") / col("n_total").cast("double")
     val agg = r.groupBy("source").agg(
       max("ns").as("n_docs"), max("n_total").as("n_total"),
-      max(greatest(fs1 - fc, fc - fs0)).as("ks_stat"))
+      max(greatest(fs1 - fc, fcBelow - fs0)).as("ks_stat"))
     agg.select(col("source"), col("n_docs"), col("ks_stat"),
       (col("ks_stat") > lit(1.36) * sqrt(
         (col("n_docs").cast("double") + col("n_total").cast("double")) /

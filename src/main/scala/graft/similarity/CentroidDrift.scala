@@ -31,7 +31,15 @@ object CentroidDrift {
 
   /** (label, n_vecs, cos_to_global, dist_to_global) per group. Cosine is
     * null when either centroid has zero norm (the /0 → null contract);
-    * a single-group corpus reports dist exactly 0. */
+    * a single-group corpus reports dist exactly 0.
+    *
+    * FIXED-DIMENSION CONTRACT: every vector in the input is assumed to
+    * share one dimensionality (the embeddings-table invariant every
+    * similarity operator here relies on). n_vecs is the count of vectors
+    * with a 0th component — exact under the contract and for any ragged
+    * input whose vectors are non-empty; per-dimension means over RAGGED
+    * vectors would still average over differing denominators, which is a
+    * caller error, not a supported mode. */
   def report(vectors: DataFrame, groupCol: String = "label"): DataFrame = {
     val c = vectors
       .filter(col(groupCol).isNotNull && col("vec").isNotNull)
@@ -48,7 +56,10 @@ object CentroidDrift {
       .agg((sum("sv") / sum("cnt").cast("double")).as("mg"))
     val joined = lbl.join(broadcast(glob), Seq("pos"))
       .groupBy("label")
-      .agg(max("cnt").as("n_vecs"),
+      // count at pos = 0, not max over per-pos counts: the max is only
+      // the vector count when all vectors share a length, and the fixed
+      // dimension contract should not be what keeps the COUNT honest.
+      .agg(max(when(col("pos") === 0, col("cnt"))).as("n_vecs"),
         collect_list(struct(col("pos"), col("m"), col("mg"))).as("bs"))
       .withColumn("bs", array_sort(col("bs")))
     def fold(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =

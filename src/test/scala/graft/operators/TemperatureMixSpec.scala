@@ -55,4 +55,15 @@ class TemperatureMixSpec extends SparkSpec {
   test("empty sizes table degrades to an empty card") {
     TemperatureMix.allocate(sizes()).count() shouldBe 0L
   }
+
+  test("an all-zero-token corpus yields NULL weight/p_raw/alloc/epochs, never NaN (the /0 contract)") {
+    val out = bySource(TemperatureMix.allocate(
+      sizes(("a", 1L, 0L), ("b", 2L, 0L)), alpha = 0.3))
+    out.values.foreach { r =>
+      Seq("p_raw", "weight", "alloc_tokens", "epochs").foreach { c =>
+        withClue(c) { r.isNullAt(r.fieldIndex(c)) shouldBe true }
+      }
+      r.getAs[Long]("budget") shouldBe 0L
+    }
+  }
 }
