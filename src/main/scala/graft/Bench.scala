@@ -89,6 +89,9 @@ object Bench {
       .foreach(d => builder.config("spark.graft.checkpointDir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bounded-frame windows are audited + plan-pinned; see the scaladoc
+    // on GraftSession.silenceBoundedWindowWarning for why this is honest.
+    GraftSession.silenceBoundedWindowWarning()
 
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
