@@ -164,7 +164,10 @@ object Bench {
               nlist = 16, m = 8, ksub = 16)._2) },
           timed("asset:bm25post") {
             // the m112 inverted index: tokenize + aggregate, term-sorted
-            materialize(graft.text.Bm25Assets.index(spark, sfDir)._1) }
+            materialize(graft.text.Bm25Assets.index(spark, sfDir)._1) },
+          timed("asset:phash") {
+            // m120's per-image dHash: the one-time PNG decode pass
+            materialize(DedupAssets.imageDHashes(spark, sfDir)) }
         )
         releaseSnapshots()
         rows

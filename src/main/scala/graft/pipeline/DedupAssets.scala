@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, count, length, lit, xxhash64}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import java.nio.file.{Files, Paths}
@@ -220,6 +220,24 @@ object DedupAssets {
     materialized(s, "clusters", dir, Seq("doc_id"))(
       graft.dedup.DedupClusters.components(
         pairs(s, dir).select("doc_a", "doc_b")))
+
+  /** Per-image perceptual hashes (doc_id, simhash) — the PNG decode +
+    * 56-bit dHash pass over the packed image corpus, run once and stored.
+    * The decode is pure codec CPU and linear in images (the worst
+    * wall-clock-growth row of the round-13 scale sweep: 10.1× at 30×
+    * data), exactly the profile the asset layer exists for: fingerprints
+    * are a slowly-changing per-corpus artifact; every consumer (m120's
+    * near-dup pairing today, any future phash dedup tier) reads two longs
+    * per image instead of re-rasterizing. Keyed on the documents
+    * fingerprint because the fixture's images are packed FROM the text —
+    * a real deployment with a media table would pass fpTable/fpCols for
+    * it. */
+  def imageDHashes(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "phash", dir, Seq("doc_id"))(
+      graft.multimodal.Multimodal.dHashes(
+        graft.multimodal.Multimodal.packImages(
+          graft.queries.CorpusQueries.augmentedDocs(s, dir)
+            .filter(col("text").isNotNull && length(col("text")) > 0))))
 
   /** Test hook: drop the per-JVM memo (and fingerprint memo) so a spec can
     * observe a fresh build. Stored files stay on disk; with a stable root

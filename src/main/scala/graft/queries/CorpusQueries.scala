@@ -1479,14 +1479,16 @@ object CorpusQueries {
     * 'zz'-mutated copies perturb only the raster cells that sample byte
     * positions 0/1 mod L, exercising the near-miss band. Blank docs are
     * excluded (every blank renders the same all-zero image — a
-    * degenerate clique, the ingest gate's job to drop). */
-  def imageNearDups(s: SparkSession, dir: String): DataFrame = {
-    val aug = augmentedDocs(s, dir)
-      .filter(col("text").isNotNull && length(col("text")) > 0)
-    val sigs = graft.multimodal.Multimodal.dHashes(
-      graft.multimodal.Multimodal.packImages(aug))
-    graft.dedup.SimHash.nearDuplicatesFromSigs(sigs, maxDist = 4)
-  }
+    * degenerate clique, the ingest gate's job to drop).
+    *
+    * The decode + dHash pass reads the stored per-corpus fingerprint
+    * asset ([[graft.pipeline.DedupAssets.imageDHashes]]) — round 13
+    * re-rasterized every PNG per run (pure codec CPU, the sweep's worst
+    * growth row); steady state is now the pair join over two longs per
+    * image. */
+  def imageNearDups(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SimHash.nearDuplicatesFromSigs(
+      graft.pipeline.DedupAssets.imageDHashes(s, dir), maxDist = 4)
 
   /** Label-noise margins (m122): every labeled vector scored by cosine to
     * its own class centroid vs the best other centroid — negative margin

@@ -145,4 +145,20 @@ class DedupAssetsSpec extends SparkSpec {
     assetRanks.keySet shouldBe directRanks.keySet
     assetRanks.foreach { case (k, v) => v shouldBe directRanks(k) +- 1e-9 }
   }
+
+  test("stored phash asset round-trips the direct decode + dHash pass exactly") {
+    val direct = graft.multimodal.Multimodal.dHashes(
+        graft.multimodal.Multimodal.packImages(
+          CorpusQueries.augmentedDocs(spark, dir)
+            .filter(col("text").isNotNull &&
+              org.apache.spark.sql.functions.length(col("text")) > 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = DedupAssets.imageDHashes(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stored shouldBe direct
+    // the m120 consumer reads the asset: a second call is a plain scan
+    // (same memoized path), and the near-dup query over it stays nonempty
+    DedupAssets.imageDHashes(spark, dir).inputFiles should not be empty
+    CorpusQueries.imageNearDups(spark, dir).count() should be > 0L
+  }
 }
