@@ -321,6 +321,9 @@ object SparkEntry {
     // m129: clean-holdout mining — docs sharing no 30-token window with
     // any other doc; the provably-safe eval-carving candidates
     "m129_clean_holdout" -> (CorpusQueries.cleanHoldout _),
+    // m130: bucketCap drop observability — per (cap, band) dropped
+    // bucket count and row mass for the LSH viral-bucket cap
+    "m130_lsh_bucket_drops" -> (CorpusQueries.lshBucketDrops _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1572,6 +1575,18 @@ object SparkEntry {
         "SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band, " +
         "fp_area, fn_area, 0.5 * fp_area + 0.5 * fn_area AS cost, " +
         "row_number() OVER (ORDER BY 0.5 * fp_area + 0.5 * fn_area, bands) = 1 AS best FROM a"),
+    // m130: the m05 banded-bucket CTE chain up to bsz (bucket sizes per
+    // band — bucket equality ⟺ signature-slice equality, same as m05),
+    // then the cap sweep as a cross join; counts exact, one ratio
+    "m130_lsh_bucket_drops" ->
+      (AugmentedDocs + MinhashCandCtes +
+        ", caps AS (SELECT unnest([3, 1000]) AS bucket_cap) " +
+        "SELECT CAST(bucket_cap AS INT) AS bucket_cap, CAST(band AS INT) AS band, " +
+        "CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "CAST(sum(CASE WHEN c > bucket_cap THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets, " +
+        "CAST(sum(CASE WHEN c > bucket_cap THEN c ELSE 0 END) AS BIGINT) AS dropped_rows, " +
+        "CAST(sum(CASE WHEN c > bucket_cap THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dropped_frac " +
+        "FROM bsz CROSS JOIN caps GROUP BY 1, 2"),
     // m127: ranks replayed by row_number over the identical
     // (floor(q·1e6), doc_id) total order; ECDF ratios and the Smirnov
     // reference line in the engine's operand order. The F_c − F_s branch

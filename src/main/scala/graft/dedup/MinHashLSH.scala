@@ -188,6 +188,45 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Per-band bucketCap drop profile — the "no silent caps" companion to
+    * [[candidatePairs]]: that operator drops viral buckets (size >
+    * bucketCap) by design, which is the right memory bound at web scale
+    * but must be OBSERVABLE, not silent. One row per (bucket_cap, band):
+    * total banded rows, bucket count, dropped buckets, dropped row mass
+    * and its fraction — the number an operator reads next to the m128
+    * banding plan and the m85 recall audit to see how much recall the cap
+    * is currently costing (dropped mass ≈ the only recall the cap can
+    * lose, since a dropped bucket's pairs may still surface via another
+    * band). `bucketCaps` sweeps candidate caps in one pass so a
+    * production card can show the configured cap beside a tighter
+    * what-if.
+    *
+    * Scale shape: the same band-bucket exchange as candidatePairs but
+    * carrying only (band, band_hash) partial COUNTS — no id lists, no
+    * CappedCollect buffer — then a (caps × bands)-bounded aggregate.
+    * Counts are exact longs; dropped_frac is the one double, in fixed
+    * operand order. */
+  def bucketDropReport(docs: DataFrame, textCol: String = "text",
+                       numHashes: Int = 64, bands: Int = 16,
+                       bucketCaps: Seq[Int] = Seq(1000),
+                       seed: Long = 42L): DataFrame = {
+    require(bucketCaps.nonEmpty, "bucketCaps must list at least one cap")
+    val sizes = bandedSignatures(docs, textCol, numHashes, bands, seed)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
+    sizes
+      .select(col("band"), col("c"),
+        explode(array(bucketCaps.map(lit(_)): _*)).as("bucket_cap"))
+      .groupBy("bucket_cap", "band")
+      .agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > col("bucket_cap"), 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(col("c") > col("bucket_cap"), col("c")).otherwise(0L))
+          .as("dropped_rows"))
+      .withColumn("dropped_frac",
+        col("dropped_rows").cast("double") / col("n_rows").cast("double"))
+  }
+
   /** Exact Jaccard over shingle-hash sets for the candidate pairs — the
     * verify stage. The pair table is tiny (bucketCap-bounded), so AQE
     * broadcasts it into each join — which means a bare full-corpus

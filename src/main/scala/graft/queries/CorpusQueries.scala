@@ -1347,6 +1347,20 @@ object CorpusQueries {
   def lshPlan(s: SparkSession, dir: String): DataFrame =
     graft.dedup.LshPlanner.plan(s, totalHashes = 128, threshold = 0.8)
 
+  /** LSH bucketCap drop card (m130): per (cap, band), how many buckets
+    * and how much row mass the viral-bucket cap drops — the observability
+    * row for [[graft.dedup.MinHashLSH.candidatePairs]]'s one deliberate
+    * recall trade ("no silent caps" applied to recall, not just output
+    * size). Swept at the production cap (1000 — drops nothing at fixture
+    * scale, which the card PROVES rather than assumes) and a tight
+    * what-if cap (3 — exercises nonzero drops on the planted-dup corpus,
+    * whose largest band bucket holds 5 docs). m128's planner and m85's
+    * recall audit bracket this card: plan → observe drops → audit
+    * realized recall. */
+  def lshBucketDrops(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.MinHashLSH.bucketDropReport(
+      augmentedDocs(s, dir), bucketCaps = Seq(3, 1000))
+
   /** Kolmogorov–Smirnov drift test (m127): per source, the KS statistic
     * between the source's quality-score distribution and the pooled
     * corpus distribution — sup |F_source − F_corpus| over the sample

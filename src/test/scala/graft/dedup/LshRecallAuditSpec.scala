@@ -81,4 +81,58 @@ class LshRecallAuditSpec extends SparkSpec {
     // the lowest band's cumulative count covers every candidate
     report(report.keySet.min)._3 shouldBe total
   }
+
+  test("bucket drop report: hand-computed profile on a 3-copy clique") {
+    // 3 identical docs share every band bucket; the 4th shares none.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val rows = MinHashLSH.bucketDropReport(docs, bucketCaps = Seq(2, 1000))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    rows.size shouldBe 32 // 2 caps × 16 bands
+    (0 until 16).foreach { band =>
+      // cap 2: the size-3 clique bucket is dropped in EVERY band
+      rows((2, band)) shouldBe ((4L, 2L, 1L, 3L, 0.75))
+      // cap 1000: nothing drops
+      rows((1000, band)) shouldBe ((4L, 2L, 0L, 0L, 0.0))
+    }
+  }
+
+  test("reported drop mass predicts the bucketCap recall gap on a boilerplate-heavy corpus") {
+    // 25 copies of one boilerplate page (the viral-bucket shape: site
+    // chrome, license headers) + 30 mutually-unrelated docs.
+    val boiler = (0 until 25).map(i =>
+      (5000L + i, (0 until 40).map(w => s"boiler$w").mkString(" ")))
+    val distinct = (0 until 30).map(i =>
+      (6000L + i, (0 until 40).map(w => s"doc$i-w$w").mkString(" ")))
+    val fixture = (boiler ++ distinct).toDF("doc_id", "text")
+    val report = MinHashLSH.bucketDropReport(fixture, bucketCaps = Seq(10, 1000))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(4), r.getLong(5))))
+      .toMap
+    // at the loose cap the report certifies ZERO drop — recall gap must be 0
+    (0 until 16).foreach { b => report((1000, b)) shouldBe ((0L, 0L)) }
+    // at cap 10 the 25-copy clique exceeds the cap in every band
+    (0 until 16).foreach { b =>
+      report((10, b))._1 should be >= 1L
+      report((10, b))._2 should be >= 25L
+    }
+    def pairs(cap: Int) =
+      MinHashLSH.candidatePairs(fixture, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(1000)
+    val lost = full -- pairs(10)
+    // the realized recall gap is exactly what the report predicted: the
+    // clique's pairs (only members of dropped buckets can lose pairs)
+    val clique = (for {
+      a <- 5000L until 5025L; b <- (a + 1) until 5025L
+    } yield (a, b)).toSet
+    lost shouldBe clique
+  }
 }

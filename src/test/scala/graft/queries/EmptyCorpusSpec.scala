@@ -94,6 +94,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m127_ks_drift" -> (CorpusQueries.ksDrift _),
     // m129: empty corpus → empty window stream → empty verdicts
     "m129_clean_holdout" -> (CorpusQueries.cleanHoldout _),
+    // m130: empty corpus → no banded signatures → empty drop card
+    "m130_lsh_bucket_drops" -> (CorpusQueries.lshBucketDrops _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

@@ -208,6 +208,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.cleanHoldout)
   }
 
+  test("m130 LSH bucket drops: exact bucket counts identical across partitionings") {
+    // signatures are pure per-row functions; bucket sizes and the cap
+    // comparisons are exact longs — partition layout cannot move them
+    assertInvariant(CorpusQueries.lshBucketDrops)
+  }
+
   test("m127 KS drift: integer-rank ECDFs identical across partitionings") {
     // global rank from the range-partitioned prefix sum, per-source rank
     // from a tie-free window — both pure functions of the total order

@@ -678,6 +678,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m130: drop card shuffles band-bucket COUNTS only — no id lists, no text, no join") {
+    val p = plan(CorpusQueries.lshBucketDrops(spark, dir))
+    // the only corpus-sized exchange carries (band, band_hash) partial
+    // counts; the cap sweep is a generator over the bucket-size table
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CappedCollect")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (exchanges should not).include("ids#")
+  }
+
   test("m114: priority sample never sorts or shuffles the corpus — top-(k+1) heaps, then bounded rows") {
     val p = plan(CorpusQueries.prioritySample(spark, dir))
     // the k-highest selection is per-partition bounded heaps + driver
