@@ -474,7 +474,9 @@ object CorpusQueries {
       keyCol = "doc_id", fractions = SplitFractions)
 
   /** BPE tokenizer-token accounting (m40): train merges on the corpus
-    * sample, then count real tokenizer tokens per document — the number a
+    * word table (distributed — one word-count exchange, see
+    * [[graft.text.Bpe.trainDistributed]]), then count real tokenizer
+    * tokens per document — the number a
     * token-budget mix builder actually needs (m27's whitespace count is
     * the estimate). The merge budget is sized BELOW the corpus's ~31-word
     * vocabulary's full-merge point so the output shows genuine subword
@@ -507,12 +509,17 @@ object CorpusQueries {
     * tokenizer (the production contract — fertility is a property OF a
     * tokenizer, so retraining per report would both double the bounded
     * driver train and risk auditing a different model than the one that
-    * tokenized the corpus). */
+    * tokenized the corpus). Trained DISTRIBUTED since round 14: one
+    * corpus word-count exchange feeds the merge loop, so the pair
+    * statistics track the whole corpus as it grows instead of a fixed
+    * 4096-doc sample (BpeSpec pins trainDistributed ≡ train when the
+    * sample covers the corpus — which also means the captured-model
+    * oracles were unaffected by the switch at fixture scale). */
   private val bpeModels = scala.collection.mutable.Map.empty[String, graft.text.Bpe.Model]
   private def bpeModel(s: SparkSession, dir: String, nMerges: Int = 40): graft.text.Bpe.Model =
     bpeModels.synchronized {
       bpeModels.getOrElseUpdate(s"$dir::$nMerges",
-        graft.text.Bpe.train(Tables.documents(s, dir), nMerges))
+        graft.text.Bpe.trainDistributed(Tables.documents(s, dir), nMerges))
     }
 
   /** Salted skew join (m80): the events table joined to a per-type stats

@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * lowest-rank merge until none applies.
   *
   * Scale shape:
-  *  - TRAIN is driver-side over a BOUNDED deterministic sample (smallest
-  *    xxhash64(doc_id) — the [[graft.similarity.Ivf.train]] recipe): BPE
-  *    statistics saturate quickly, which is why production tokenizers
-  *    train on a corpus slice, never the corpus;
+  *  - TRAIN comes in two modes sharing one merge loop. [[trainDistributed]]
+  *    (production, used by the m40/m79/m88 shared model) touches the
+  *    corpus ONCE — a distributed word-count whose exchange is
+  *    vocabulary-bounded — and merges over the top-`maxWords` word table
+  *    (a count bound, not a corpus fraction: the statistics follow the
+  *    corpus as it grows). [[train]] (dev/prototype) samples a BOUNDED
+  *    deterministic document set (smallest xxhash64(doc_id) — the
+  *    [[graft.similarity.Ivf.train]] recipe); with the sample covering
+  *    the corpus the two are spec-pinned bit-identical;
   *  - the fitted model is the ranked merge list — a few thousand string
   *    pairs shipped in the encode closure like any fitted quantizer;
   *  - ENCODE is embarrassingly parallel: one map over documents, no
@@ -74,10 +79,12 @@ object Bpe {
 
   /** Learn `nMerges` ranked merges from a bounded deterministic sample of
     * `docs`. Words are lowercase whitespace tokens (the corpus contract
-    * shared by every text operator here). */
+    * shared by every text operator here). Dev/prototype trainer — the
+    * production path is [[trainDistributed]], whose pair statistics see
+    * the WHOLE corpus through one distributed word-count instead of a
+    * fixed-size document sample. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
             sampleDocs: Int = 4096): Model = {
-    require(nMerges >= 0, "nMerges must be non-negative")
     val texts = docs.filter(col(textCol).isNotNull)
       .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
       .limit(sampleDocs)
@@ -86,6 +93,55 @@ object Bpe {
     texts.foreach(_.split(" +").foreach { w =>
       if (w.nonEmpty) wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
     })
+    mergeLoop(wordFreq, nMerges)
+  }
+
+  /** Learn `nMerges` ranked merges from the FULL corpus — the production
+    * trainer. The key fact making this cheap: BPE's per-step pair counts
+    * are a pure function of the WORD-FREQUENCY TABLE (Σ over words of
+    * freq × in-word pair occurrences), so the corpus is touched exactly
+    * ONCE — a distributed (word, count) aggregate whose exchange is
+    * vocabulary-bounded after map-side partials — and the merge loop then
+    * runs on that sufficient statistic, never re-scanning documents.
+    * (This is how production tokenizer trainers work: count words
+    * distributed, merge in memory — e.g. the public HuggingFace
+    * tokenizers pipeline.)
+    *
+    * The in-memory table is bounded by `maxWords`: the top-V words by
+    * (count desc, word asc) — a COUNT bound, not a corpus fraction, so
+    * growing the corpus 1000× changes which words qualify, never the
+    * driver footprint. The Zipf tail this drops contributes hapax-scale
+    * pair mass that cannot alter early merge ranks in practice; pass
+    * maxWords = 0 for the uncapped table (test parity, small corpora).
+    * Merge selection is deterministic given the table (max count, ties
+    * to the lexicographically smallest pair), so with maxWords covering
+    * the vocabulary this is BIT-IDENTICAL to [[train]] over the same
+    * documents (spec-pinned). */
+  def trainDistributed(docs: DataFrame, nMerges: Int,
+                       textCol: String = "text",
+                       maxWords: Int = 1 << 16): Model = {
+    val wf = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(lower(trim(col(textCol))), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val capped =
+      if (maxWords > 0) wf.orderBy(col("f").desc, col("w").asc).limit(maxWords)
+      else wf
+    val wordFreq = capped.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mergeLoop(wordFreq, nMerges)
+  }
+
+  /** The shared merge loop over a word-frequency table (the sufficient
+    * statistic for BPE training): repeatedly count adjacent symbol pairs
+    * weighted by word frequency, merge the most frequent (ties to the
+    * lexicographically smallest pair), stop when no pair remains or the
+    * budget is spent. Pure function of the MAP — input iteration order
+    * cannot matter because pair counts aggregate over all words before
+    * any selection. */
+  private def mergeLoop(wordFreq: scala.collection.Map[String, Long],
+                        nMerges: Int): Model = {
+    require(nMerges >= 0, "nMerges must be non-negative")
     var words = wordFreq.iterator.map { case (w, f) => (toSymbols(w), f) }.toVector
     val merges = Vector.newBuilder[(String, String)]
     var step = 0

@@ -44,6 +44,31 @@ class BpeSpec extends SparkSpec {
     Bpe.train(tiny, 100).merges.length shouldBe 2
   }
 
+  test("distributed train is bit-identical to the sampled trainer when the sample covers the corpus") {
+    // the word-frequency table is BPE's sufficient statistic: same table
+    // (full corpus both ways), same merge loop, same model
+    Bpe.trainDistributed(classic, 10).merges shouldBe
+      Bpe.train(classic, 10).merges
+    Bpe.trainDistributed(classic, 10, maxWords = 0).merges shouldBe
+      Bpe.train(classic, 10).merges
+    // and on the real fixture corpus, repartitioned — partition layout
+    // must not move the distributed word counts
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    Bpe.trainDistributed(docs, 40).merges shouldBe Bpe.train(docs, 40).merges
+    Bpe.trainDistributed(docs.repartition(7), 40).merges shouldBe
+      Bpe.trainDistributed(docs, 40).merges
+  }
+
+  test("maxWords caps the driver table by COUNT, deterministically (count desc, word asc)") {
+    // top-1 word is 'newest' (6) — merges learned from it alone
+    val m1 = Bpe.trainDistributed(classic, 10, maxWords = 1)
+    m1.merges shouldBe Bpe.train(
+      Seq((0L, "newest")).toDF("doc_id", "text"), 10).merges
+    // a cap at the vocabulary size is the uncapped model
+    Bpe.trainDistributed(classic, 10, maxWords = 4).merges shouldBe
+      Bpe.trainDistributed(classic, 10, maxWords = 0).merges
+  }
+
   test("tokenStats counts tokenizer tokens, not whitespace words") {
     val model = Bpe.train(classic, nMerges = 10)
     val stats = Bpe.tokenStats(classic, model).collect()
