@@ -126,6 +126,22 @@ object Bench {
     val benchQueries = SparkEntry.queries
       .filter { case (k, _) => subset.forall(_.contains(k)) }
 
+    // Per-query executor stats (see QueryStatsListener): created BEFORE
+    // the asset builds since round 14, so asset rows — the single biggest
+    // line items in the suite — carry the same input/shuffle/spill fields
+    // as every query row, and a round-over-round asset drift is
+    // adjudicable from the record (round-13 verdict ask #1: the
+    // asset:pairs 10.0 → 11.4 s drift could not be judged noise-vs-plan
+    // because asset rows had no stats). DEFAULT ON; set
+    // SPARK_GRAFT_STAGE_STATS=0 to disable.
+    val statsListener =
+      if (sys.env.get("SPARK_GRAFT_STAGE_STATS").forall(_ != "0")) {
+        val l = new QueryStatsListener(spark.sparkContext)
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
+    val statsOut = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     // Asset-build cost, measured COLD before the warm-up pass builds
     // anything: the stored-asset layer (pairs / LSH candidates / clusters /
     // IVF-PQ index) amortizes its one-time build into the first touching
@@ -140,12 +156,15 @@ object Bench {
       if (!benchAssets) Seq.empty
       else {
         def timed(name: String)(body: => Unit): (String, Double) = {
+          statsListener.foreach { l => l.quiesce(); l.reset() }
           val t0 = System.nanoTime()
           try body
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          (name, (System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          statsListener.foreach { l => l.quiesce(); statsOut(name) = l.snapshot }
+          (name, t)
         }
         import graft.pipeline.DedupAssets
         // clusters AFTER pairs: it consumes the stored pair asset, so its
@@ -168,7 +187,33 @@ object Bench {
           timed("asset:phash") {
             // m120's per-image dHash: the one-time PNG decode pass
             materialize(DedupAssets.imageDHashes(spark, sfDir)) }
-        )
+        ) ++ {
+          // stream:ingest — the streaming tier's steady-state number
+          // (round-13 verdict ask #7): one AvailableNow catch-up of the
+          // daily-counts aggregation over a Day_Wise CSV tree exported
+          // from THIS scale's events table. The export is setup (its own
+          // untimed pass, done once per run); the timed row is the
+          // catch-up itself — source listing, watermarked window
+          // aggregation, exactly-once sink — from a fresh checkpoint so
+          // every run replays the whole tree, like every batch row.
+          val streamRoot = java.nio.file.Files
+            .createTempDirectory("graft-bench-stream").toString
+          try {
+            val days = graft.streaming.StreamingIngest.exportDayWiseCsv(
+              Tables.events(spark, sfDir), streamRoot)
+            if (days == 0)
+              System.err.println("[bench] stream:ingest export wrote no days")
+            Seq(timed("stream:ingest") {
+              graft.streaming.StreamingIngest.runAvailableNow(
+                graft.streaming.StreamingIngest.dailyCounts(spark, streamRoot),
+                s"$streamRoot/out", s"$streamRoot/ckpt")
+              ()
+            })
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] stream:ingest setup failed: ${e.getMessage}")
+            Seq.empty
+          }
+        }
         releaseSnapshots()
         rows
       }
@@ -201,19 +246,6 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Per-query executor stats from the LAST measured pass, reported as a
-    // "stats" key in the full-record file. DEFAULT ON since round 13 (set
-    // SPARK_GRAFT_STAGE_STATS=0 to disable): elevated wall-clock rows can
-    // only be adjudicated from the record itself when the record carries
-    // input/shuffle bytes — same bytes as the committed steady state ⇒
-    // host noise, different bytes ⇒ a plan change. The compact stdout
-    // line never carries stats (its 1000-char budget is for timings).
-    val statsListener =
-      if (sys.env.get("SPARK_GRAFT_STAGE_STATS").forall(_ != "0")) {
-        val l = new QueryStatsListener(spark.sparkContext)
-        spark.sparkContext.addSparkListener(l)
-        Some(l)
-      } else None
     // Committed per-query steady-state reference (BENCH_REF.json,
     // override with SPARK_GRAFT_BENCH_REF; missing file = guard off):
     // flat {"query":seconds} written from a clean committed run. A
@@ -260,7 +292,9 @@ object Bench {
         Map.empty
       }
     }
-    val statsOut = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query stats come from the LAST measured pass (the same
+    // statsOut map the asset rows wrote into above); the compact stdout
+    // line never carries stats (its 1000-char budget is for timings).
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var runs = (1 to passes).map { i =>
         statsListener.filter(_ => i == passes).foreach { l =>

@@ -64,4 +64,58 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  /** Materialize a Day_Wise CSV tree (`root/Day_Wise/<date>/event.csv` —
+    * the reference's raw layout, the exact filename
+    * [[graft.io.Sources.rawEventsCsv]]/[[graft.io.Sources.rawEventsStream]]
+    * glob) from the analytics `events` table, so the streaming tier has a
+    * catch-up workload at the SAME scale as the batch queries (the bench's
+    * `stream:ingest` row). The analytics columns map deterministically
+    * onto the raw retail header: ts → event_time/event_date, event_type,
+    * event_id → product_id, user_id, value → price, props → user_session,
+    * id-derived category/brand fills. One repartition-by-day pass writes
+    * one CSV per day (each day's rows hash to one task, so one part file
+    * per `dt=` dir); the driver then renames each part file to
+    * `event.csv` — file-count-bounded work, 30 renames for 30 days.
+    * Returns the number of day partitions. */
+  def exportDayWiseCsv(events: DataFrame, root: String): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = s"$root/.staging"
+    events.select(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ssxxx").as("event_time"),
+        col("event_type"),
+        col("event_id").as("product_id"),
+        (col("user_id") % 100L).as("category_id"),
+        concat(lit("cat."), col("user_id") % 100L).as("category_code"),
+        concat(lit("brand"), col("event_id") % 50L).as("brand"),
+        col("value").as("price"),
+        col("user_id"),
+        col("props").as("user_session"),
+        to_date(col("ts")).as("event_date"))
+      // dt duplicates event_date as the PARTITION key: partitionBy drops
+      // its column from the file, but the raw header carries event_date
+      // as a real trailing column (the reference CSVs do).
+      .withColumn("dt", col("event_date"))
+      .repartition(col("dt"))
+      .write.mode("overwrite").option("header", "true")
+      .partitionBy("dt").csv(staging)
+    var days = 0
+    val stream = Files.list(Paths.get(staging))
+    try stream.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("dt=")) {
+        val day = Paths.get(root, "Day_Wise", name.stripPrefix("dt="))
+        Files.createDirectories(day)
+        val parts = Files.list(p)
+        try parts.forEach { f =>
+          if (f.getFileName.toString.endsWith(".csv")) {
+            Files.move(f, day.resolve("event.csv"),
+              StandardCopyOption.REPLACE_EXISTING)
+            days += 1
+          }
+        } finally parts.close()
+      }
+    } finally stream.close()
+    days
+  }
 }

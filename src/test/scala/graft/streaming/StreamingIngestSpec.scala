@@ -75,4 +75,33 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
     seen shouldBe Array("fp1", "fp2", "fp3")
   }
+
+  test("exported Day_Wise tree: one event.csv per day, streaming counts equal the source aggregation") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val exportRoot = Files.createTempDirectory("graft-stream-export").toString
+    val days = StreamingIngest.exportDayWiseCsv(events, exportRoot)
+    days shouldBe events
+      .select(to_date(col("ts")).as("d")).distinct().count().toInt
+    // the tree has the reference layout (the exact name the readers glob)
+    Files.exists(Paths.get(
+      s"$exportRoot/Day_Wise").toAbsolutePath) shouldBe true
+    // batch read-back through the declared raw schema reconciles row count
+    val batch = Sources.rawEventsCsvAll(spark, exportRoot)
+    batch.count() shouldBe events.count()
+    // and the streaming catch-up over the exported tree equals the
+    // ORIGINAL events aggregation — the bench stream:ingest contract
+    StreamingIngest.runAvailableNow(
+      StreamingIngest.dailyCounts(spark, exportRoot),
+      s"$exportRoot/out", s"$exportRoot/ckpt")
+    val streamed = spark.read.parquet(s"$exportRoot/out")
+      .orderBy("event_date", "event_type")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val direct = events
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(cnt(lit(1)).as("n"))
+      .orderBy("event_date", "event_type")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    streamed shouldBe direct
+  }
 }
