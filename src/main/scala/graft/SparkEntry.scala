@@ -324,6 +324,9 @@ object SparkEntry {
     // m130: bucketCap drop observability — per (cap, band) dropped
     // bucket count and row mass for the LSH viral-bucket cap
     "m130_lsh_bucket_drops" -> (CorpusQueries.lshBucketDrops _),
+    // m131: edit-similarity verify — the order-aware verify style over
+    // the stored LSH candidates (Levenshtein on 512-char prefixes)
+    "m131_edit_similarity" -> (CorpusQueries.editSimilarityPairs _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1575,6 +1578,20 @@ object SparkEntry {
         "SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band, " +
         "fp_area, fn_area, 0.5 * fp_area + 0.5 * fn_area AS cost, " +
         "row_number() OVER (ORDER BY 0.5 * fp_area + 0.5 * fn_area, bands) = 1 AS best FROM a"),
+    // m131: the m05 candidate CTE chain, then DuckDB's own levenshtein —
+    // both engines ship the exact algorithm, so the verify replays
+    // integer-for-integer; substr/length are char-based in both (the
+    // fixture is ASCII, the m120 convention)
+    "m131_edit_similarity" ->
+      (AugmentedDocs + MinhashCandCtes +
+        ", txt AS (SELECT doc_id, substr(lower(text), 1, 512) AS t " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "e AS (SELECT c.doc_a, c.doc_b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist, " +
+        "CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS max_len " +
+        "FROM cand c JOIN txt a ON a.doc_id = c.doc_a JOIN txt b ON b.doc_id = c.doc_b) " +
+        "SELECT doc_a, doc_b, edit_dist, max_len, " +
+        "CASE WHEN max_len > 0 THEN 1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) END AS edit_sim " +
+        "FROM e WHERE (CASE WHEN max_len > 0 THEN 1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) END) >= 0.7"),
     // m130: the m05 banded-bucket CTE chain up to bsz (bucket sizes per
     // band — bucket equality ⟺ signature-slice equality, same as m05),
     // then the cap sweep as a cross join; counts exact, one ratio

@@ -1368,6 +1368,16 @@ object CorpusQueries {
     graft.dedup.MinHashLSH.bucketDropReport(
       augmentedDocs(s, dir), bucketCaps = Seq(3, 1000))
 
+  /** Edit-similarity verify (m131): the ORDER-AWARE third verify style
+    * over the same stored LSH candidates m05/m07 probe — Levenshtein
+    * similarity over 512-char prefixes at θ = 0.7. Planted exact copies
+    * score 1.0; the 'zz'-mutated near-dups land just under; reordered
+    * bag-of-words twins (which Jaccard cannot separate) score LOW here,
+    * which is the point of the tier. */
+  def editSimilarityPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.EditSimilarity.scorePairs(augmentedDocs(s, dir),
+      graft.pipeline.DedupAssets.minhashCandidates(s, dir))
+
   /** Kolmogorov–Smirnov drift test (m127): per source, the KS statistic
     * between the source's quality-score distribution and the pooled
     * corpus distribution — sup |F_source − F_corpus| over the sample

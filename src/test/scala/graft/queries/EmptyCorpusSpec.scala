@@ -96,6 +96,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m129_clean_holdout" -> (CorpusQueries.cleanHoldout _),
     // m130: empty corpus → no banded signatures → empty drop card
     "m130_lsh_bucket_drops" -> (CorpusQueries.lshBucketDrops _),
+    // m131: empty corpus → no candidates → empty verify
+    "m131_edit_similarity" -> (CorpusQueries.editSimilarityPairs _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

@@ -208,6 +208,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.cleanHoldout)
   }
 
+  test("m131 edit similarity: exact integer distances identical across partitionings") {
+    // levenshtein and the prefix lengths are exact ints; the one ratio
+    // is a fixed-order function of them
+    assertInvariant(CorpusQueries.editSimilarityPairs)
+  }
+
   test("m130 LSH bucket drops: exact bucket counts identical across partitionings") {
     // signatures are pure per-row functions; bucket sizes and the cap
     // comparisons are exact longs — partition layout cannot move them

@@ -678,6 +678,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m131: edit verify probes the pinned candidate/text snapshots; raw corpus text never shuffles") {
+    val p = plan(CorpusQueries.editSimilarityPairs(spark, dir))
+    // the stored candidate asset + the pinned 512-char prefix projection
+    p should include("ExistingRDD")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m130: drop card shuffles band-bucket COUNTS only — no id lists, no text, no join") {
     val p = plan(CorpusQueries.lshBucketDrops(spark, dir))
     // the only corpus-sized exchange carries (band, band_hash) partial
