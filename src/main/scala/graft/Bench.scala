@@ -149,9 +149,13 @@ object Bench {
     // cost. These rows surface the other side of that amortization —
     // reported under "assets", NOT added to the query total (the queries
     // measure the steady state, these measure the build). Subset runs skip
-    // it: triage iterations shouldn't pay four corpus passes.
-    val benchAssets =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ASSETS", "1") != "0" && subset.isEmpty
+    // it (triage iterations shouldn't pay the corpus passes) unless
+    // SPARK_GRAFT_BENCH_ASSETS=force — the knob for re-measuring ONE new
+    // asset row without a full sweep.
+    val benchAssets = {
+      val v = sys.env.getOrElse("SPARK_GRAFT_BENCH_ASSETS", "1")
+      v == "force" || (v != "0" && subset.isEmpty)
+    }
     val assetTimes: Seq[(String, Double)] =
       if (!benchAssets) Seq.empty
       else {
@@ -186,7 +190,10 @@ object Bench {
             materialize(graft.text.Bm25Assets.index(spark, sfDir)._1) },
           timed("asset:phash") {
             // m120's per-image dHash: the one-time PNG decode pass
-            materialize(DedupAssets.imageDHashes(spark, sfDir)) }
+            materialize(DedupAssets.imageDHashes(spark, sfDir)) },
+          timed("asset:mediafeat") {
+            // m11's full decode + feature extraction, stored once
+            materialize(DedupAssets.mediaFeatures(spark, sfDir)) }
         ) ++ {
           // stream:ingest — the streaming tier's steady-state number
           // (round-13 verdict ask #7): one AvailableNow catch-up of the

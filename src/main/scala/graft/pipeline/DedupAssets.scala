@@ -239,6 +239,19 @@ object DedupAssets {
           graft.queries.CorpusQueries.augmentedDocs(s, dir)
             .filter(col("text").isNotNull && length(col("text")) > 0))))
 
+  /** Per-media feature table (doc_id, n_bytes, byte_mean, head_hash,
+    * format, width, height, channels, luma_mean) — the full decode +
+    * feature-extraction pass over the packed media corpus, run once and
+    * stored. Same rationale as [[imageDHashes]]: after m120 moved to the
+    * phash asset, m11's per-run decode became the sweep's worst
+    * wall-clock-growth row (21.5× at 30× data, pure codec CPU, linear in
+    * media) — exactly the slowly-changing per-corpus artifact this layer
+    * exists for. Every consumer reads nine scalar columns per media row
+    * instead of re-decoding. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "mediafeat", dir, Seq("doc_id"))(
+      graft.multimodal.Multimodal.pipeline(s, graft.Tables.documents(s, dir)))
+
   /** Test hook: drop the per-JVM memo (and fingerprint memo) so a spec can
     * observe a fresh build. Stored files stay on disk; with a stable root
     * the next call reuses them via the marker. */

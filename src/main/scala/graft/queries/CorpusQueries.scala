@@ -2125,9 +2125,16 @@ object CorpusQueries {
     * function of the text), and the opaque path's byte count and mean
     * (the corpus is ASCII, so bytes are character codes). The
     * encoder-dependent fields (PNG n_bytes, head_hash, thumb) stay
-    * spec-pinned in MultimodalSpec — deflate output is not SQL. */
+    * spec-pinned in MultimodalSpec — deflate output is not SQL.
+    *
+    * Reads the stored per-corpus feature asset
+    * ([[graft.pipeline.DedupAssets.mediaFeatures]]) — after m120 moved
+    * to its phash asset, the per-run decode here was the scale sweep's
+    * worst growth row (21.5× at 30×, pure codec CPU); steady state is
+    * now a nine-column parquet scan, with the build surfaced as the
+    * asset:mediafeat bench row. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.pipeline(s, Tables.documents(s, dir))
+    graft.pipeline.DedupAssets.mediaFeatures(s, dir)
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         col("channels"), col("luma_mean"),
         when(col("format") === "binary", col("n_bytes")).as("opaque_bytes"),

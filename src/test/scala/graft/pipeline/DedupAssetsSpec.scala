@@ -161,4 +161,20 @@ class DedupAssetsSpec extends SparkSpec {
     DedupAssets.imageDHashes(spark, dir).inputFiles should not be empty
     CorpusQueries.imageNearDups(spark, dir).count() should be > 0L
   }
+
+  test("stored media-feature asset round-trips the direct decode pipeline exactly") {
+    val cols = Seq("doc_id", "n_bytes", "byte_mean", "head_hash", "format",
+      "width", "height", "channels", "luma_mean")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> r.toSeq.tail
+    val direct = graft.multimodal.Multimodal
+      .pipeline(spark, graft.Tables.documents(spark, dir))
+      .select(cols.map(col): _*).collect().map(key).toMap
+    val stored = DedupAssets.mediaFeatures(spark, dir)
+      .select(cols.map(col): _*).collect().map(key).toMap
+    stored shouldBe direct
+    // and the m11 consumer over the asset keeps both codec paths populated
+    val m11 = CorpusQueries.multimodalFeatures(spark, dir)
+    m11.filter(col("format") === "png").count() should be > 0L
+    m11.filter(col("format") === "binary").count() should be > 0L
+  }
 }
