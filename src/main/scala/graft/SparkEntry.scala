@@ -327,6 +327,9 @@ object SparkEntry {
     // m131: edit-similarity verify — the order-aware verify style over
     // the stored LSH candidates (Levenshtein on 512-char prefixes)
     "m131_edit_similarity" -> (CorpusQueries.editSimilarityPairs _),
+    // m132: exact per-source token-count quantiles by nearest-rank
+    // selection — no percentile aggregation buffers
+    "m132_source_quantiles" -> (CorpusQueries.sourceTokenQuantiles _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1578,6 +1581,19 @@ object SparkEntry {
         "SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band, " +
         "fp_area, fn_area, 0.5 * fp_area + 0.5 * fn_area AS cost, " +
         "row_number() OVER (ORDER BY 0.5 * fp_area + 0.5 * fn_area, bands) = 1 AS best FROM a"),
+    // m132: the identical nearest-rank arithmetic — row_number over the
+    // same (n_tokens, doc_id) total order, floor over the same IEEE
+    // doubles; values only in the output, so tie-breaks never surface
+    "m132_source_quantiles" ->
+      ("WITH d AS (SELECT source, doc_id, " +
+        "CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT source, n_tokens, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM d), " +
+        "qs AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]) AS q) " +
+        "SELECT source, q, n, n_tokens AS value FROM r CROSS JOIN qs " +
+        "WHERE rn = CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1"),
     // m131: the m05 candidate CTE chain, then DuckDB's own levenshtein —
     // both engines ship the exact algorithm, so the verify replays
     // integer-for-integer; substr/length are char-based in both (the

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group quantiles by nearest-rank selection — the
+  * scale-correct way to compute distribution cards over 100 TB groups.
+  *
+  * Spark's exact `percentile` (and DuckDB's `quantile_cont`) are
+  * AGGREGATES: their buffer holds every value of the group, so a group
+  * with a billion rows materializes a billion-element array in one
+  * task's memory — the same class of scale bug as a single-partition
+  * window. Nearest-rank selection (the classical "type 1" quantile
+  * definition, Hyndman & Fan 1996, public) needs only a per-group
+  * row_number over a hash-partitioned window: the sort is distributed
+  * per group, Spark's window sort spills gracefully, and no value array
+  * ever lives in an aggregation buffer. (A single group so large it
+  * dominates the corpus would graduate to the [[PrefixSum]] range-rank
+  * machinery — the documented escalation path, same as m52/m77.)
+  *
+  * Definition: for quantile q over a group of n values ordered by
+  * (value, tieCol), the reported value has rank floor(q·(n−1)) + 1 —
+  * q=0 is the minimum, q=1 the maximum, q=0.5 the lower median. The
+  * tie column makes the ORDER total, so the selected value is a pure
+  * function of the data (partition-invariant), and the oracle replays
+  * the identical rank arithmetic (floor over the same IEEE doubles).
+  *
+  * One hash exchange on the group key; output is |groups| × |qs| rows.
+  */
+object GroupQuantiles {
+
+  /** (groupCol, q, n, value) per group × quantile. `tieCol` breaks value
+    * ties into a total order (any unique-per-row key works). */
+  def nearestRank(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must list at least one quantile")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]"))
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
+    val wAll = Window.partitionBy(groupCol)
+    val qCol: Column = explode(array(qs.map(lit(_)): _*))
+    // The explode+filter runs INSIDE the post-window stage (generate →
+    // filter pipelines in one pass, nothing materializes |qs|× rows and
+    // no extra exchange) — each row evaluates |qs| rank predicates and
+    // at most |qs| rows per group survive.
+    df.select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col(groupCol), col(valueCol), col("rn"), col("n"), qCol.as("q"))
+      .filter(col("rn") ===
+        floor(col("q") * (col("n") - 1L).cast("double")).cast("long") + 1L)
+      .select(col(groupCol), col("q"), col("n"), col(valueCol).as("value"))
+  }
+}

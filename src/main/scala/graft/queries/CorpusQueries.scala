@@ -1368,6 +1368,23 @@ object CorpusQueries {
     graft.dedup.MinHashLSH.bucketDropReport(
       augmentedDocs(s, dir), bucketCaps = Seq(3, 1000))
 
+  /** Per-source token-count quantile card (m132): exact p0/p25/p50/p75/
+    * p90/p100 of document token counts per source, by nearest-rank
+    * selection over a hash-partitioned window
+    * ([[graft.operators.GroupQuantiles]]) — the scale-correct form of
+    * the distribution card: m35's exact median rides a percentile
+    * AGGREGATE whose buffer holds every group value (fine for its
+    * source-sized card, a scale bug for billion-doc groups); this one
+    * never materializes a value array anywhere. Ties broken by doc_id,
+    * so each reported value is a pure function of the data. */
+  def sourceTokenQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupQuantiles.nearestRank(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          size(split(lower(trim(col("text"))), " +")).cast("long").as("n_tokens")),
+      groupCol = "source", valueCol = "n_tokens", tieCol = "doc_id",
+      qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0))
+
   /** Edit-similarity verify (m131): the ORDER-AWARE third verify style
     * over the same stored LSH candidates m05/m07 probe — Levenshtein
     * similarity over 512-char prefixes at θ = 0.7. Planted exact copies

@@ -98,6 +98,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m130_lsh_bucket_drops" -> (CorpusQueries.lshBucketDrops _),
     // m131: empty corpus → no candidates → empty verify
     "m131_edit_similarity" -> (CorpusQueries.editSimilarityPairs _),
+    // m132: empty corpus → no groups → empty quantile card
+    "m132_source_quantiles" -> (CorpusQueries.sourceTokenQuantiles _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

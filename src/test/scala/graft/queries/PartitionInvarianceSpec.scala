@@ -208,6 +208,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.cleanHoldout)
   }
 
+  test("m132 source quantiles: nearest-rank selections identical across partitionings") {
+    // the (n_tokens, doc_id) order is total, ranks are exact ints, the
+    // target-rank arithmetic is a pure function of (q, n)
+    assertInvariant(CorpusQueries.sourceTokenQuantiles)
+  }
+
   test("m131 edit similarity: exact integer distances identical across partitionings") {
     // levenshtein and the prefix lengths are exact ints; the one ratio
     // is a fixed-order function of them

@@ -678,6 +678,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m132: quantile card uses rank selection, never a percentile aggregation buffer") {
+    val p = plan(CorpusQueries.sourceTokenQuantiles(spark, dir))
+    (p should not).include("percentile")
+    p should include("Window")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m131: edit verify probes the pinned candidate/text snapshots; raw corpus text never shuffles") {
     val p = plan(CorpusQueries.editSimilarityPairs(spark, dir))
     // the stored candidate asset + the pinned 512-char prefix projection
