@@ -148,81 +148,103 @@ object Bench {
     // query, so warm per-query numbers (m14 at 0.05 s) understate first-run
     // cost. These rows surface the other side of that amortization —
     // reported under "assets", NOT added to the query total (the queries
-    // measure the steady state, these measure the build). Subset runs skip
-    // it (triage iterations shouldn't pay the corpus passes) unless
-    // SPARK_GRAFT_BENCH_ASSETS=force — the knob for re-measuring ONE new
-    // asset row without a full sweep.
-    val benchAssets = {
+    // measure the steady state, these measure the build). Subset runs
+    // skip them (triage iterations shouldn't pay the corpus passes);
+    // SPARK_GRAFT_BENCH_ASSETS=force re-runs EVERY asset row regardless,
+    // and a comma-separated row list (e.g. "asset:phash,stream:ingest")
+    // re-runs just those — the knob for re-measuring one new asset row
+    // without a full sweep.
+    val assetFilter: Option[Set[String]] = {
       val v = sys.env.getOrElse("SPARK_GRAFT_BENCH_ASSETS", "1")
-      v == "force" || (v != "0" && subset.isEmpty)
+      if (v == "0") None
+      else if (v == "force") Some(Set.empty)
+      else if (v == "1") { if (subset.isEmpty) Some(Set.empty) else None }
+      else Some(v.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     }
     val assetTimes: Seq[(String, Double)] =
-      if (!benchAssets) Seq.empty
-      else {
-        def timed(name: String)(body: => Unit): (String, Double) = {
-          statsListener.foreach { l => l.quiesce(); l.reset() }
-          val t0 = System.nanoTime()
-          try body
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      assetFilter match {
+        case None => Seq.empty
+        case Some(only) =>
+          def timed(name: String)(body: => Unit): (String, Double) = {
+            statsListener.foreach { l => l.quiesce(); l.reset() }
+            val t0 = System.nanoTime()
+            try body
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+            val t = (System.nanoTime() - t0) / 1e9
+            statsListener.foreach { l => l.quiesce(); statsOut(name) = l.snapshot }
+            (name, t)
           }
-          val t = (System.nanoTime() - t0) / 1e9
-          statsListener.foreach { l => l.quiesce(); statsOut(name) = l.snapshot }
-          (name, t)
-        }
-        import graft.pipeline.DedupAssets
-        // clusters AFTER pairs: it consumes the stored pair asset, so its
-        // row isolates the connected-components cost, not a rebuild.
-        val rows = Seq(
-          timed("asset:pairs") {
-            materialize(DedupAssets.pairsLoose(spark, sfDir)) },
-          timed("asset:lshcand") {
-            materialize(DedupAssets.minhashCandidates(spark, sfDir)) },
-          timed("asset:clusters") {
-            materialize(DedupAssets.clusters(spark, sfDir)) },
-          timed("asset:ivfpq") {
-            // m84's exact params, so the warm pass reuses this build
-            materialize(graft.similarity.AnnAssets.ivfPqIndex(spark, sfDir,
-              graft.queries.CorpusQueries.vectors(spark, sfDir),
-              nlist = 16, m = 8, ksub = 16)._2) },
-          timed("asset:bm25post") {
-            // the m112 inverted index: tokenize + aggregate, term-sorted
-            materialize(graft.text.Bm25Assets.index(spark, sfDir)._1) },
-          timed("asset:phash") {
-            // m120's per-image dHash: the one-time PNG decode pass
-            materialize(DedupAssets.imageDHashes(spark, sfDir)) },
-          timed("asset:mediafeat") {
-            // m11's full decode + feature extraction, stored once
-            materialize(DedupAssets.mediaFeatures(spark, sfDir)) }
-        ) ++ {
-          // stream:ingest — the streaming tier's steady-state number
-          // (round-13 verdict ask #7): one AvailableNow catch-up of the
-          // daily-counts aggregation over a Day_Wise CSV tree exported
-          // from THIS scale's events table. The export is setup (its own
-          // untimed pass, done once per run); the timed row is the
-          // catch-up itself — source listing, watermarked window
-          // aggregation, exactly-once sink — from a fresh checkpoint so
-          // every run replays the whole tree, like every batch row.
-          val streamRoot = java.nio.file.Files
-            .createTempDirectory("graft-bench-stream").toString
-          try {
-            val days = graft.streaming.StreamingIngest.exportDayWiseCsv(
-              Tables.events(spark, sfDir), streamRoot)
-            if (days == 0)
-              System.err.println("[bench] stream:ingest export wrote no days")
-            Seq(timed("stream:ingest") {
-              graft.streaming.StreamingIngest.runAvailableNow(
-                graft.streaming.StreamingIngest.dailyCounts(spark, streamRoot),
-                s"$streamRoot/out", s"$streamRoot/ckpt")
-              ()
-            })
-          } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] stream:ingest setup failed: ${e.getMessage}")
-            Seq.empty
+          import graft.pipeline.DedupAssets
+          // clusters AFTER pairs: it consumes the stored pair asset, so
+          // its row isolates the connected-components cost, not a rebuild.
+          val builds: Seq[(String, () => Unit)] = Seq(
+            "asset:pairs" -> (() =>
+              materialize(DedupAssets.pairsLoose(spark, sfDir))),
+            "asset:lshcand" -> (() =>
+              materialize(DedupAssets.minhashCandidates(spark, sfDir))),
+            "asset:clusters" -> (() =>
+              materialize(DedupAssets.clusters(spark, sfDir))),
+            "asset:ivfpq" -> (() =>
+              // m84's exact params, so the warm pass reuses this build
+              materialize(graft.similarity.AnnAssets.ivfPqIndex(spark, sfDir,
+                graft.queries.CorpusQueries.vectors(spark, sfDir),
+                nlist = 16, m = 8, ksub = 16)._2)),
+            "asset:bm25post" -> (() =>
+              // the m112 inverted index: tokenize + aggregate, term-sorted
+              materialize(graft.text.Bm25Assets.index(spark, sfDir)._1)),
+            "asset:phash" -> (() =>
+              // m120's per-image dHash: the one-time PNG decode pass
+              materialize(DedupAssets.imageDHashes(spark, sfDir))),
+            "asset:mediafeat" -> (() =>
+              // m11's full decode + feature extraction, stored once
+              materialize(DedupAssets.mediaFeatures(spark, sfDir)))
+          )
+          (only -- builds.map(_._1).toSet - "stream:ingest").foreach(u =>
+            System.err.println(s"[bench] unknown asset row in SPARK_GRAFT_BENCH_ASSETS: $u"))
+          val rows = builds.collect {
+            case (name, build) if only.isEmpty || only(name) => timed(name)(build())
+          } ++ {
+            if (only.nonEmpty && !only("stream:ingest")) Seq.empty
+            else {
+              // stream:ingest — the streaming tier's steady-state number
+              // (round-13 verdict ask #7): one AvailableNow catch-up of the
+              // daily-counts aggregation over a Day_Wise CSV tree exported
+              // from THIS scale's events table. The export is setup (its
+              // own untimed pass, done once per run); the timed row is the
+              // catch-up itself — source listing, watermarked window
+              // aggregation, exactly-once sink — from a fresh checkpoint so
+              // every run replays the whole tree, like every batch row.
+              // The whole tree (CSV copy + output + checkpoint) is deleted
+              // afterwards: at sf3 it is a multi-hundred-MB /tmp footprint
+              // per run.
+              val streamRoot = java.nio.file.Files
+                .createTempDirectory("graft-bench-stream")
+              try {
+                val days = graft.streaming.StreamingIngest.exportDayWiseCsv(
+                  Tables.events(spark, sfDir), streamRoot.toString)
+                if (days == 0)
+                  System.err.println("[bench] stream:ingest export wrote no days")
+                Seq(timed("stream:ingest") {
+                  graft.streaming.StreamingIngest.runAvailableNow(
+                    graft.streaming.StreamingIngest.dailyCounts(spark, streamRoot.toString),
+                    s"$streamRoot/out", s"$streamRoot/ckpt")
+                  ()
+                })
+              } catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] stream:ingest setup failed: ${e.getMessage}")
+                Seq.empty
+              } finally {
+                val walk = java.nio.file.Files.walk(streamRoot)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+                  .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+                finally walk.close()
+              }
+            }
           }
-        }
-        releaseSnapshots()
-        rows
+          releaseSnapshots()
+          rows
       }
 
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"

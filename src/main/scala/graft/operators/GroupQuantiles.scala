@@ -36,6 +36,12 @@ object GroupQuantiles {
                   tieCol: String, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty, "qs must list at least one quantile")
     qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]"))
+    // The output schema reuses the names q/n/value, so a group column by
+    // one of those names would collide in the final projection; internal
+    // working columns are __gq_-prefixed so INPUT columns named rn/n/q
+    // are never silently replaced by withColumn.
+    require(!Set("q", "n", "value").contains(groupCol),
+      s"groupCol '$groupCol' collides with an output column name (q/n/value)")
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
     val wAll = Window.partitionBy(groupCol)
     val qCol: Column = explode(array(qs.map(lit(_)): _*))
@@ -44,11 +50,13 @@ object GroupQuantiles {
     // no extra exchange) — each row evaluates |qs| rank predicates and
     // at most |qs| rows per group survive.
     df.select(col(groupCol), col(valueCol), col(tieCol))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .select(col(groupCol), col(valueCol), col("rn"), col("n"), qCol.as("q"))
-      .filter(col("rn") ===
-        floor(col("q") * (col("n") - 1L).cast("double")).cast("long") + 1L)
-      .select(col(groupCol), col("q"), col("n"), col(valueCol).as("value"))
+      .withColumn("__gq_rn", row_number().over(w).cast("long"))
+      .withColumn("__gq_n", count(lit(1)).over(wAll))
+      .select(col(groupCol), col(valueCol), col("__gq_rn"), col("__gq_n"),
+        qCol.as("__gq_q"))
+      .filter(col("__gq_rn") ===
+        floor(col("__gq_q") * (col("__gq_n") - 1L).cast("double")).cast("long") + 1L)
+      .select(col(groupCol), col("__gq_q").as("q"), col("__gq_n").as("n"),
+        col(valueCol).as("value"))
   }
 }

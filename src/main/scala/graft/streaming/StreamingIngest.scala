@@ -104,16 +104,27 @@ object StreamingIngest {
     try stream.forEach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("dt=")) {
-        val day = Paths.get(root, "Day_Wise", name.stripPrefix("dt="))
-        Files.createDirectories(day)
         val parts = Files.list(p)
-        try parts.forEach { f =>
-          if (f.getFileName.toString.endsWith(".csv")) {
-            Files.move(f, day.resolve("event.csv"),
-              StandardCopyOption.REPLACE_EXISTING)
-            days += 1
-          }
-        } finally parts.close()
+        val csvs =
+          try {
+            val b = Vector.newBuilder[java.nio.file.Path]
+            parts.forEach(f =>
+              if (f.getFileName.toString.endsWith(".csv")) b += f)
+            b.result()
+          } finally parts.close()
+        // The repartition-by-day above guarantees one part file per day;
+        // a config that splits outputs anyway (e.g. maxRecordsPerFile)
+        // must FAIL here, not silently keep only the last part's rows.
+        require(csvs.size <= 1,
+          s"$name produced ${csvs.size} part files — one event.csv per day " +
+            "is the layout contract; disable output splitting for the export")
+        csvs.foreach { f =>
+          val day = Paths.get(root, "Day_Wise", name.stripPrefix("dt="))
+          Files.createDirectories(day)
+          Files.move(f, day.resolve("event.csv"),
+            StandardCopyOption.REPLACE_EXISTING)
+          days += 1
+        }
       }
     } finally stream.close()
     days

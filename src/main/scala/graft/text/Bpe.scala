@@ -85,6 +85,7 @@ object Bpe {
     * fixed-size document sample. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
             sampleDocs: Int = 4096): Model = {
+    require(nMerges >= 0, "nMerges must be non-negative") // before any work
     val texts = docs.filter(col(textCol).isNotNull)
       .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
       .limit(sampleDocs)
@@ -120,6 +121,9 @@ object Bpe {
   def trainDistributed(docs: DataFrame, nMerges: Int,
                        textCol: String = "text",
                        maxWords: Int = 1 << 16): Model = {
+    // fail BEFORE the corpus word-count runs, not after (mergeLoop's own
+    // require would only fire once the distributed pass has been paid)
+    require(nMerges >= 0, "nMerges must be non-negative")
     val wf = docs.filter(col(textCol).isNotNull)
       .select(explode(split(lower(trim(col(textCol))), " +")).as("w"))
       .filter(length(col("w")) > 0)

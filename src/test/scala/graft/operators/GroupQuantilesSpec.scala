@@ -48,6 +48,16 @@ class GroupQuantilesSpec extends SparkSpec {
     out(("a", 0.5)) shouldBe ((3L, 5L))
   }
 
+  test("input columns named n/rn/q do not collide with the internals; output-name collisions are rejected") {
+    // valueCol literally named "n": the group count must not replace it
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("g", "id", "n")
+    val out = GroupQuantiles.nearestRank(rows, "g", "n", "id", Seq(1.0)).collect()
+    out.head.getLong(3) shouldBe 20L // the VALUE, not the group size 2
+    an[IllegalArgumentException] should be thrownBy
+      GroupQuantiles.nearestRank(rows.withColumnRenamed("g", "value"),
+        "value", "n", "id", Seq(0.5))
+  }
+
   test("plan: no percentile aggregate, one hash exchange on the group key, generate pipelined") {
     val df = GroupQuantiles.nearestRank(
       Seq(("a", 1L, 1L)).toDF("g", "id", "v"), "g", "v", "id", Seq(0.5))
