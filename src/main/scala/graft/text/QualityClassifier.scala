@@ -44,6 +44,18 @@ import org.apache.spark.sql.functions._
   * — the simplest convex recipe that is exactly replayable; the
   * operator contract (bounded deterministic sample → literal-weights
   * scoring pass) is what carries to a fastText-scale feature set.
+  *
+  * Scale-up path (documented, deliberately not implemented): unlike BPE
+  * — whose pair counts have a finite sufficient statistic (the word
+  * table), hence [[Bpe.trainDistributed]] — logistic GD needs every
+  * (y, f) row every iteration, so a full-corpus trainer would be ~10–20
+  * distributed Newton/IRLS steps, each ONE corpus pass aggregating the
+  * 6-element gradient and 6×6 Hessian (both map-side-combinable). That
+  * changes the optimizer, so its weights would NOT be bit-identical to
+  * this GD loop — and bit-exact replay (the captured-weights oracle +
+  * partition-invariance pin) is the property this trainer exists to
+  * certify. A production gate trained on curated labels would ship the
+  * IRLS variant beside it, not replace it.
   */
 object QualityClassifier {
 
