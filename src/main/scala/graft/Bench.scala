@@ -199,7 +199,10 @@ object Bench {
               materialize(DedupAssets.imageDHashes(spark, sfDir))),
             "asset:mediafeat" -> (() =>
               // m11's full decode + feature extraction, stored once
-              materialize(DedupAssets.mediaFeatures(spark, sfDir)))
+              materialize(DedupAssets.mediaFeatures(spark, sfDir))),
+            "asset:pplbuckets" -> (() =>
+              // the m89 LM + tercile chain feeding m89/m101/m118
+              materialize(DedupAssets.pplBuckets(spark, sfDir)))
           )
           (only -- builds.map(_._1).toSet - "stream:ingest").foreach(u =>
             System.err.println(s"[bench] unknown asset row in SPARK_GRAFT_BENCH_ASSETS: $u"))

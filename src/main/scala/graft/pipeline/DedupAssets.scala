@@ -252,6 +252,18 @@ object DedupAssets {
     materialized(s, "mediafeat", dir, Seq("doc_id"))(
       graft.multimodal.Multimodal.pipeline(s, graft.Tables.documents(s, dir)))
 
+  /** Per-document perplexity terciles (doc_id, source, perplexity,
+    * bucket) — the m89 CCNet head/middle/tail chain (bigram-LM
+    * self-perplexity + per-source rank terciles), run once and stored.
+    * Three consumers (m89, m101's gate agreement, m118's Dawid–Skene)
+    * each re-derived the full LM chain per run before this. Perplexity
+    * is stored as the raw double: parquet round-trips it exactly, so
+    * every consumer (and the m89 oracle hash) sees bit-identical
+    * values. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "pplbuckets", dir, Seq("doc_id"))(
+      graft.queries.CorpusQueries.pplBucketsDirect(s, dir))
+
   /** Test hook: drop the per-JVM memo (and fingerprint memo) so a spec can
     * observe a fresh build. Stored files stay on disk; with a stable root
     * the next call reuses them via the marker. */

@@ -594,22 +594,43 @@ object CorpusQueries {
     graft.text.SpanScrub.keepFirstSpans(
       withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
 
+  /** One trained quality-classifier model per corpus per JVM — the
+    * [[bpeModel]] convention: training is deterministic (md5-ordered
+    * bounded sample + fixed-order GD fold, weights a pure function of
+    * the corpus), so the four consumers (m83 scoring, m86 ROC, m98
+    * calibration, m101/m118 gate fusion) share one train instead of
+    * re-collecting the sample and re-running 2000 GD iterations each.
+    * The no-shared-CAPTURE convention is untouched: every query still
+    * puts the (identical) weights under its OWN key, so each oracle
+    * replays exactly its run's model. QualityClassifierSpec pins the
+    * direct un-memoized train partition-invariant. */
+  private val qcModels = scala.collection.mutable.Map.empty[String, graft.text.QualityClassifier.Model]
+  private def qcModel(s: SparkSession, dir: String): graft.text.QualityClassifier.Model =
+    qcModels.synchronized {
+      qcModels.getOrElseUpdate(dir,
+        graft.text.QualityClassifier.train(Tables.documents(s, dir)))
+    }
+
   /** Learned quality filter (m83): logistic regression distilled from the
     * m02 gate — bounded deterministic training sample, literal-weights
     * scoring pass; the run's weights are captured so the oracle replays
     * scoring end-to-end from the parquet. */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
-    graft.text.QualityClassifier.trainScore(Tables.documents(s, dir),
-      captureKey = Some("m83_quality_classifier"))
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val model = qcModel(s, dir)
+    graft.OracleCapture.put("m83_quality_classifier", model.w.toSeq)
+    graft.text.QualityClassifier.score(Tables.documents(s, dir), model)
+  }
 
   /** Classifier operating curve (m86): confusion counts + TPR/FPR/
-    * precision per logit threshold — how a rollout picks the cut. Trains
-    * its own model instance (deterministic, but captured under its OWN
-    * key per the no-shared-capture convention) and fans each scored row
-    * out to the 9-point threshold grid inside its partition. */
+    * precision per logit threshold — how a rollout picks the cut. Reads
+    * the shared per-corpus model ([[qcModel]] — training is
+    * deterministic, so the weights are identical to a private train) but
+    * captures them under its OWN key per the no-shared-capture
+    * convention, and fans each scored row out to the 9-point threshold
+    * grid inside its partition. */
   def classifierRoc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val model = graft.text.QualityClassifier.train(docs)
+    val model = qcModel(s, dir)
     graft.OracleCapture.put("m86_classifier_roc", model.w.toSeq)
     graft.text.QualityClassifier.rocReport(docs, model)
   }
@@ -617,13 +638,13 @@ object CorpusQueries {
   /** Calibration / reliability card (m98): per predicted-probability
     * decile, mean predicted p vs observed positive rate + per-bin ECE
     * contribution — certifies whether m83's scores are usable as
-    * SAMPLING WEIGHTS (the ROC (m86) only certifies the ranking). Trains
-    * its own model instance, captured under its own key (the no-shared-
-    * capture convention), so the oracle replays scoring + binning from
-    * this run's exact weights. */
+    * SAMPLING WEIGHTS (the ROC (m86) only certifies the ranking). Reads
+    * the shared per-corpus model, captured under its own key (the
+    * no-shared-capture convention), so the oracle replays scoring +
+    * binning from this run's exact weights. */
   def calibration(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val model = graft.text.QualityClassifier.train(docs)
+    val model = qcModel(s, dir)
     graft.OracleCapture.put("m98_calibration", model.w.toSeq)
     graft.text.QualityClassifier.calibrationReport(docs, model)
   }
@@ -739,8 +760,22 @@ object CorpusQueries {
     * by 10^6 in floats, so a value a hair from a .5e-6 boundary could
     * round differently and flip a near-tie doc's tercile.
     * Scale shape: the m43 scoring chain plus one per-source rank window
-    * (the m73/m87 pattern) and a broadcast count table. */
-  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    * (the m73/m87 pattern) and a broadcast count table.
+    *
+    * SERVED FROM THE STORED ASSET since round 14 (the m14/m11
+    * convention): three queries consume these buckets (m89 itself, m101's
+    * gate agreement, m118's Dawid–Skene fusion) and each paid the full
+    * LM chain per run. [[pplBucketsDirect]] is the build body — the
+    * partition-invariance and plan contracts run IT, so neither check
+    * goes vacuous against the memoized stored copy; DedupAssetsSpec pins
+    * stored ≡ direct. Perplexity is stored as the raw double (parquet
+    * doubles round-trip exactly), so the oracle hash is unchanged. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.DedupAssets.pplBuckets(s, dir)
+
+  /** The direct, un-memoized LM + tercile chain — the asset's build body
+    * and the invariance/plan contract target. */
+  private[graft] def pplBucketsDirect(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val scored = graft.text.NgramLm.selfPerplexity(docs, alpha = 0.5)
       .select(col("doc_id"), col("perplexity"))
@@ -774,7 +809,7 @@ object CorpusQueries {
     * out to three pair rows — nothing corpus-sized past the join. */
   def gateAgreement(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val model = graft.text.QualityClassifier.train(docs)
+    val model = qcModel(s, dir)
     graft.OracleCapture.put("m101_gate_agreement", model.w.toSeq)
     val cls = graft.text.QualityClassifier.score(docs, model)
       .select(col("doc_id"), col("label").as("g_rule"), col("pred").as("g_cls"))
@@ -815,7 +850,7 @@ object CorpusQueries {
     * consumers of one corpus-sized gate computation. */
   def dawidSkene(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val model = graft.text.QualityClassifier.train(docs)
+    val model = qcModel(s, dir)
     graft.OracleCapture.put("m118_dawid_skene", model.w.toSeq)
     val cls = graft.text.QualityClassifier.score(docs, model)
       .select(col("doc_id"), col("label").as("g_rule"), col("pred").as("g_cls"))

@@ -162,6 +162,18 @@ class DedupAssetsSpec extends SparkSpec {
     CorpusQueries.imageNearDups(spark, dir).count() should be > 0L
   }
 
+  test("stored ppl-bucket asset round-trips the direct LM chain exactly (doubles bit-identical)") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getString(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getString(3)))
+    val direct = CorpusQueries.pplBucketsDirect(spark, dir)
+      .collect().map(key).toMap
+    val stored = DedupAssets.pplBuckets(spark, dir)
+      .select("doc_id", "source", "perplexity", "bucket")
+      .collect().map(key).toMap
+    stored shouldBe direct // perplexity compared by RAW BITS, not tolerance
+  }
+
   test("stored media-feature asset round-trips the direct decode pipeline exactly") {
     val cols = Seq("doc_id", "n_bytes", "byte_mean", "head_hash", "format",
       "width", "height", "channels", "luma_mean")

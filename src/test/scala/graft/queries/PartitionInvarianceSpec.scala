@@ -134,8 +134,12 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("m83 quality classifier: trained weights AND scores identical across partitionings") {
     // The md5-ordered bounded sample + ascending-doc_id driver fold make
     // the weights bit-identical under any input split; the scoring pass
-    // is then a pure projection of plan literals.
-    assertInvariant(CorpusQueries.qualityClassifier)
+    // is then a pure projection of plan literals. DIRECT un-memoized
+    // trainScore (the m05/m85 convention): the query now reads the
+    // per-corpus qcModel memo, which would reuse the first
+    // partitioning's weights and make this check vacuous.
+    assertInvariant((s, d) =>
+      graft.text.QualityClassifier.trainScore(graft.Tables.documents(s, d)))
   }
 
   test("m85 LSH recall audit: banded recall report identical across partitionings") {
@@ -154,7 +158,9 @@ class PartitionInvarianceSpec extends SparkSpec {
   }
 
   test("m89 perplexity buckets: tercile assignment identical across partitionings") {
-    assertInvariant(CorpusQueries.pplBuckets)
+    // the DIRECT chain — the served query reads the stored asset, which
+    // would reuse the first partitioning's build and go vacuous
+    assertInvariant(CorpusQueries.pplBucketsDirect)
   }
 
   test("m90 span decontamination: rewritten text identical across partitionings") {

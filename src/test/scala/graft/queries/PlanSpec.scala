@@ -366,7 +366,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("m89: rank and per-source count share ONE source exchange; no text in any exchange") {
-    val p = plan(CorpusQueries.pplBuckets(spark, dir))
+    // the DIRECT build chain — the served query is a stored-asset scan
+    // (the m14 convention); this pins the plan the asset BUILD pays
+    val p = plan(CorpusQueries.pplBucketsDirect(spark, dir))
     // the tercile stage: rank window + frame-less count window stacked
     // over a single per-source exchange (the m73/m87 pattern) — a second
     // source exchange would mean the LM chain re-derived per window
