@@ -261,7 +261,12 @@ object DedupAssets {
     * every consumer (and the m89 oracle hash) sees bit-identical
     * values. */
   def pplBuckets(s: SparkSession, dir: String): DataFrame =
-    materialized(s, "pplbuckets", dir, Seq("doc_id"))(
+    // fpCols includes SOURCE: the terciles are ranked per source, so a
+    // corpus whose source labels change (same doc_id/text) must go
+    // stale — the default (doc_id, text) fingerprint would silently
+    // serve the old partitioning's buckets from a stable asset root.
+    materialized(s, "pplbuckets", dir, Seq("doc_id"),
+      fpCols = Seq("doc_id", "text", "source"))(
       graft.queries.CorpusQueries.pplBucketsDirect(s, dir))
 
   /** Test hook: drop the per-JVM memo (and fingerprint memo) so a spec can
