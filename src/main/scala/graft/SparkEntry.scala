@@ -330,6 +330,10 @@ object SparkEntry {
     // m132: exact per-source token-count quantiles by nearest-rank
     // selection — no percentile aggregation buffers
     "m132_source_quantiles" -> (CorpusQueries.sourceTokenQuantiles _),
+    // m133: length-unbounded maximal repeated spans — the suffix-array
+    // exact-substring dedup tier (Lee et al. 2021): suffix-group seeding
+    // at w=10 + per-doc run coalescing, full-extent attribution
+    "m133_maximal_repeats" -> (CorpusQueries.maximalRepeats _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1594,6 +1598,29 @@ object SparkEntry {
         "qs AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]) AS q) " +
         "SELECT source, q, n, n_tokens AS value FROM r CROSS JOIN qs " +
         "WHERE rn = CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1"),
+    // m133: the m42 fingerprint chain at w=10, then gaps-and-islands
+    // (widx − row_number per doc) to coalesce runs into maximal spans;
+    // least(raw span, n_tokens) caps the whole-short-doc windows
+    "m133_maximal_repeats" ->
+      (AugmentedDocs +
+        ", toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM aug WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) <= 10 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(0, len(t) - 10), " +
+        "i -> array_to_string(list_slice(t, i + 1, i + 10), ' ')) END AS ws FROM toks), " +
+        "x AS (SELECT doc_id, unnest(ws) AS wtext, unnest(range(0, len(ws))) AS widx FROM w), " +
+        "f AS (SELECT doc_id, CAST(widx AS BIGINT) AS widx, md5(wtext) AS fp FROM x), " +
+        "rep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY 1) z " +
+        "WHERE df >= 2), " +
+        "fl AS (SELECT doc_id, widx FROM f JOIN rep USING (fp)), " +
+        "r AS (SELECT doc_id, widx, " +
+        "widx - row_number() OVER (PARTITION BY doc_id ORDER BY widx) AS grp FROM fl), " +
+        "nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) " +
+        "SELECT r.doc_id, CAST(min(widx) AS BIGINT) AS span_start, " +
+        "CAST(least(max(widx) - min(widx) + 10, n_tokens) AS BIGINT) AS span_len, " +
+        "CAST(count(*) AS BIGINT) AS n_windows " +
+        "FROM r JOIN nt ON r.doc_id = nt.doc_id GROUP BY r.doc_id, grp, n_tokens"),
     // m131: the m05 candidate CTE chain, then DuckDB's own levenshtein —
     // both engines ship the exact algorithm, so the verify replays
     // integer-for-integer; substr/length are char-based in both (the

@@ -23,6 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.silenceBoundedWindowWarning()
+    GraftSession.silenceSnapshotFreeWarning()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset.contains(name) }

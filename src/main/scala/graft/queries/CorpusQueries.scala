@@ -516,10 +516,14 @@ object CorpusQueries {
     * sample covers the corpus — which also means the captured-model
     * oracles were unaffected by the switch at fixture scale). */
   private val bpeModels = scala.collection.mutable.Map.empty[String, graft.text.Bpe.Model]
+  private[graft] val bpeTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private def bpeModel(s: SparkSession, dir: String, nMerges: Int = 40): graft.text.Bpe.Model =
     bpeModels.synchronized {
-      bpeModels.getOrElseUpdate(s"$dir::$nMerges",
-        graft.text.Bpe.trainDistributed(Tables.documents(s, dir), nMerges))
+      bpeModels.getOrElseUpdate(s"$dir::$nMerges", {
+        val m = graft.text.Bpe.trainDistributed(Tables.documents(s, dir), nMerges)
+        bpeTrainCount.incrementAndGet() // counts SUCCESSFUL trains (spec hook)
+        m
+      })
     }
 
   /** Salted skew join (m80): the events table joined to a per-type stats
@@ -594,22 +598,55 @@ object CorpusQueries {
     graft.text.SpanScrub.keepFirstSpans(
       withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 30)
 
+  /** Length-unbounded maximal repeated spans (m133) over the same
+    * dup-augmented corpus as m42/m82/m97 — the suffix-array dedup tier
+    * (Lee et al. 2021) at w = 10: boilerplate the 30-token window form
+    * cannot see (10–29 tokens) is caught, and every longer repeat is
+    * attributed at its FULL extent as one (start, length) span instead
+    * of a pile of overlapping window rows. */
+  def maximalRepeats(s: SparkSession, dir: String): DataFrame =
+    graft.text.MaximalRepeats.spans(
+      withSyntheticDups(Tables.documents(s, dir), docOff(s, dir)), w = 10)
+
   /** One trained quality-classifier model per corpus per JVM — the
-    * [[bpeModel]] convention: training is deterministic (md5-ordered
-    * bounded sample + fixed-order GD fold, weights a pure function of
-    * the corpus), so the four consumers (m83 scoring, m86 ROC, m98
-    * calibration, m101/m118 gate fusion) share one train instead of
-    * re-collecting the sample and re-running 2000 GD iterations each.
-    * The no-shared-CAPTURE convention is untouched: every query still
-    * puts the (identical) weights under its OWN key, so each oracle
-    * replays exactly its run's model. QualityClassifierSpec pins the
-    * direct un-memoized train partition-invariant. */
+    * [[bpeModel]] convention: training is deterministic (exact
+    * fixed-point gradient sums, weights a pure function of the corpus),
+    * so the four consumers (m83 scoring, m86 ROC, m98 calibration,
+    * m101/m118 gate fusion) share one train instead of re-running the
+    * full GD loop each. Trained DISTRIBUTED since round 15: each
+    * iteration's gradient is one partition-bounded aggregate over the
+    * full cached feature frame, so the model sees EVERY document as the
+    * corpus grows instead of a 4096-doc sample
+    * (QualityClassifierSpec pins trainDistributed ≡ train when the
+    * sample covers the corpus, and partition-invariant). The
+    * no-shared-CAPTURE convention is untouched: every query still puts
+    * the (identical) weights under its OWN key, so each oracle replays
+    * exactly its run's model.
+    *
+    * Memo durability contract (DedupAssetsSpec pins all three for both
+    * model memos): concurrent same-corpus callers serialize on the memo
+    * lock and exactly one trains; a FAILED train never poisons the memo
+    * (getOrElseUpdate stores nothing on throw — the next caller
+    * retrains); staleness is per-JVM ([[resetModelMemos]] ≙ new process
+    * → retrain sees the current corpus), matching the in-JVM
+    * fingerprint memo of [[graft.pipeline.DedupAssets]]. */
   private val qcModels = scala.collection.mutable.Map.empty[String, graft.text.QualityClassifier.Model]
+  private[graft] val qcTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private def qcModel(s: SparkSession, dir: String): graft.text.QualityClassifier.Model =
     qcModels.synchronized {
-      qcModels.getOrElseUpdate(dir,
-        graft.text.QualityClassifier.train(Tables.documents(s, dir)))
+      qcModels.getOrElseUpdate(dir, {
+        val m = graft.text.QualityClassifier.trainDistributed(Tables.documents(s, dir))
+        qcTrainCount.incrementAndGet() // counts SUCCESSFUL trains (spec hook)
+        m
+      })
     }
+
+  /** Test hook (DedupAssetsSpec): drop the per-JVM model memos so a spec
+    * can observe retrain-on-fresh-process semantics. */
+  private[graft] def resetModelMemos(): Unit = {
+    qcModels.synchronized { qcModels.clear() }
+    bpeModels.synchronized { bpeModels.clear() }
+  }
 
   /** Learned quality filter (m83): logistic regression distilled from the
     * m02 gate — bounded deterministic training sample, literal-weights

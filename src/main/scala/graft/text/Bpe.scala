@@ -133,6 +133,22 @@ object Bpe {
       else wf
     val wordFreq = capped.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // No-silent-caps rule (ADVICE r14): when the vocabulary bound binds
+    // (exactly maxWords rows collected — the only way the limit can have
+    // dropped anything), pay one extra vocabulary-bounded aggregate to
+    // SAY what the Zipf tail it cut amounted to, in both words and
+    // frequency mass. Cap not binding (the common fixture case) costs
+    // nothing extra.
+    if (maxWords > 0 && wordFreq.size == maxWords) {
+      val t = wf.agg(count(lit(1)).as("v"), sum(col("f")).as("m")).head()
+      val (vocab, mass) = (t.getLong(0), t.getLong(1))
+      val kept = wordFreq.valuesIterator.sum
+      if (vocab > maxWords)
+        System.err.println(
+          s"[bpe] maxWords=$maxWords bound: dropped ${vocab - maxWords} of " +
+            s"$vocab vocabulary words (${mass - kept} of $mass occurrences, " +
+            f"${(mass - kept).toDouble / mass * 100}%.3f%% of word mass)")
+    }
     mergeLoop(wordFreq, nMerges)
   }
 

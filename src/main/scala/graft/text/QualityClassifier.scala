@@ -14,22 +14,27 @@ import org.apache.spark.sql.functions._
   * pipeline self-contained and the distillation gap measurable).
   *
   * Scale shape (100 TB):
-  *  - TRAINING reads a deterministic bounded sample: features are
-  *    projected in one compiled [[TextOps.profile]] pass, the sample is
-  *    the first `trainCap` rows in md5(doc_id) order — a
-  *    TakeOrderedAndProject (per-partition top-cap, then a cap-sized
-  *    merge on the driver), never a global sort. Driver training state
-  *    is `trainCap × 6` doubles (~200 KB) and the GD loop never touches
-  *    the cluster — the [[Bpe]]/`Ivf.trainCap` bounded-sample contract.
+  *  - TRAINING (production, [[trainDistributed]]) reads the WHOLE
+  *    corpus: features are projected once in one compiled
+  *    [[TextOps.profile]] pass and cached as a 6-doubles-per-doc frame
+  *    (≈50 B/doc — 3 orders of magnitude smaller than the corpus);
+  *    each GD iteration is one distributed aggregate over it whose
+  *    exchange is #partitions × 7 integers. Dev mode ([[train]]) reads
+  *    a deterministic bounded sample instead — the first `trainCap`
+  *    rows in md5(doc_id) order, a TakeOrderedAndProject (per-partition
+  *    top-cap, then a cap-sized merge on the driver), never a global
+  *    sort — and runs the identical loop driver-side: the
+  *    [[Bpe]]/`Ivf.trainCap` bounded-sample contract.
   *  - SCORING is one codegen'd projection pass: the trained weights ride
   *    into the plan as literals (the broadcast-model-in-closure shape),
   *    so the corpus is scanned once, no shuffle, no per-row join.
-  *  - Determinism: the sample is chosen by content-independent hash
-  *    order and the gradient loop folds it in ascending doc_id order, so
-  *    the trained weights are bit-identical under any input partitioning
-  *    — which is what lets the oracle replay scoring from captured
-  *    weights ([[graft.OracleModelSql.qualityClassifier]]) and the spec
-  *    pin partition invariance exactly.
+  *  - Determinism: per-iteration sums are exact fixed-point integers
+  *    (order-independent), and the dev sample is chosen by content-
+  *    independent hash order, so the trained weights are bit-identical
+  *    under any input partitioning in BOTH modes — which is what lets
+  *    the oracle replay scoring from captured weights
+  *    ([[graft.OracleModelSql.qualityClassifier]]) and the spec pin
+  *    partition invariance exactly.
   *
   * Features (all from the one profile struct, each in [0, 1]): the
   * gate's own saturating transforms — length score min(n_words/200, 1),
@@ -41,29 +46,109 @@ import org.apache.spark.sql.functions._
   * language cut — the distillation gap the spec measures. Label: the
   * m02 gate (lang_pred = 'en' AND quality ≥ 0.3). Training is
   * full-batch gradient descent on the regularization-free logistic loss
-  * — the simplest convex recipe that is exactly replayable; the
-  * operator contract (bounded deterministic sample → literal-weights
-  * scoring pass) is what carries to a fastText-scale feature set.
+  * — the simplest convex recipe that is exactly replayable; the default
+  * (iters = 500, lr = 8) carries the same lr·iters mass as the r14
+  * 2000 × 2.0 recipe (measured same final loss and distillation
+  * agreement at sf0.1) while keeping per-iteration loss monotone — the
+  * spec's convergence certificate; fewer, larger steps matter once each
+  * iteration is a distributed barrier.
   *
-  * Scale-up path (documented, deliberately not implemented): unlike BPE
-  * — whose pair counts have a finite sufficient statistic (the word
-  * table), hence [[Bpe.trainDistributed]] — logistic GD needs every
-  * (y, f) row every iteration, so a full-corpus trainer would be ~10–20
-  * distributed Newton/IRLS steps, each ONE corpus pass aggregating the
-  * 6-element gradient and 6×6 Hessian (both map-side-combinable). That
-  * changes the optimizer, so its weights would NOT be bit-identical to
-  * this GD loop — and bit-exact replay (the captured-weights oracle +
-  * partition-invariance pin) is the property this trainer exists to
-  * certify. A production gate trained on curated labels would ship the
-  * IRLS variant beside it, not replace it.
+  * Full-corpus trainer ([[trainDistributed]], the production path since
+  * round 15): the same GD loop with the per-iteration (loss, gradient)
+  * computed as ONE distributed aggregate over the full feature frame —
+  * each partition folds its rows into 7 exact fixed-point accumulators
+  * (quantize each per-row contribution to rint(x·2^53), sum the integers
+  * exactly), so what crosses the wire per iteration is #partitions × 7
+  * integers and the total is bit-identical under ANY partitioning
+  * (integer addition is associative; double addition is not — the same
+  * trick that makes the m98 calibration bins re-association-proof).
+  * [[train]] (dev mode, bounded md5-ordered sample) folds its sample
+  * through the IDENTICAL quantized accumulator, so when the sample
+  * covers the corpus the two trainers are BIT-IDENTICAL — the
+  * [[Bpe.trainDistributed]] ≡ [[Bpe.train]] contract, spec-pinned. The
+  * quantization loses nothing that matters: each contribution is exact
+  * to 2^-53 absolute (≤ one ulp of the largest gradient term), and both
+  * paths apply the same rounding, which is the property the bit-exact
+  * replay (captured-weights oracle + partition-invariance pin) actually
+  * needs. Cross-node caveat: exp/log bit-identity across heterogeneous
+  * JVMs rides the same ln() contract as the LM tier (m43/m95).
   */
 object QualityClassifier {
 
   /** Trained model: weights (bias +: one per feature) and the per-iteration
     * mean training losses (the convergence certificate the spec pins). */
-  final case class Model(w: Array[Double], nTrain: Int, losses: Array[Double])
+  final case class Model(w: Array[Double], nTrain: Long, losses: Array[Double])
 
   val NumFeatures = 5
+
+  /** Fixed-point scale (2^53) for the exact gradient accumulation: every
+    * per-row (loss, gradient) contribution is quantized to
+    * rint(x · 2^53) and summed as integers, so the per-iteration totals
+    * are independent of summation order — the property that makes
+    * [[train]] (driver fold) and [[trainDistributed]] (per-partition
+    * partials) bit-identical, and the distributed trainer partition-
+    * invariant. |loss| ≤ −ln(1e-15) ≈ 34.6 → |q| < 2^59; |e·f| ≤ 1 →
+    * |q| ≤ 2^53. */
+  private val QScale = 9007199254740992.0
+
+  /** Exact order-independent accumulator for quantized contributions:
+    * a fast Long lane flushed into a BigInt before it can overflow
+    * (|lane| ≤ 2^62, |q| < 2^60 → the add itself never overflows). */
+  private final class ExactAcc(k: Int) {
+    private val big = Array.fill(k)(BigInt(0))
+    private val lane = new Array[Long](k)
+    def add(j: Int, q: Long): Unit = {
+      val s = lane(j) + q
+      if (s > (1L << 62) || s < -(1L << 62)) { big(j) += BigInt(s); lane(j) = 0L }
+      else lane(j) = s
+    }
+    def sums: Array[BigInt] = Array.tabulate(k)(j => big(j) + BigInt(lane(j)))
+  }
+
+  /** One row's quantized (loss, gradient) contribution under weights `w`,
+    * folded into `acc` — slot 0 is the clamped log-loss, slots 1..6 the
+    * gradient (bias first). The SINGLE arithmetic path both trainers
+    * share: z left-associated exactly as [[score]]'s literal plan and
+    * the oracle SQL write it. */
+  private def accumulate(acc: ExactAcc, w: Array[Double],
+                         y: Double, f: Array[Double]): Unit = {
+    var z = w(0)
+    var j = 0
+    while (j < NumFeatures) { z += w(j + 1) * f(j); j += 1 }
+    val p = 1.0 / (1.0 + math.exp(-z))
+    // clamped log-loss (p can round to exactly 0/1 late in training)
+    val loss = -(y * math.log(math.max(p, 1e-15)) +
+      (1.0 - y) * math.log(math.max(1.0 - p, 1e-15)))
+    val e = p - y
+    acc.add(0, math.rint(loss * QScale).toLong)
+    acc.add(1, math.rint(e * QScale).toLong)
+    j = 0
+    while (j < NumFeatures) {
+      acc.add(j + 2, math.rint(e * f(j) * QScale).toLong); j += 1
+    }
+  }
+
+  /** The shared full-batch GD loop over an exact per-iteration
+    * (loss, gradient) aggregate — `step` returns the 7 exact integer
+    * sums under the current weights; where it folds them (driver sample
+    * or distributed partitions) is the only difference between the two
+    * trainers. */
+  private def gdLoop(n: Long, iters: Int, lr: Double,
+                     step: Array[Double] => Array[BigInt]): Model = {
+    val w = Array.fill(NumFeatures + 1)(0.0)
+    val losses = Array.fill(iters)(0.0)
+    var it = 0
+    while (it < iters) {
+      val s = step(w)
+      var j = 0
+      while (j <= NumFeatures) {
+        w(j) -= lr / n * (s(j + 1).toDouble / QScale); j += 1
+      }
+      losses(it) = (s(0).toDouble / QScale) / n
+      it += 1
+    }
+    Model(w, n, losses)
+  }
 
   /** Feature + label projection: (doc_id[, keep…], y, f1..f5), one
     * compiled profile pass, null text excluded (no features to score).
@@ -89,53 +174,93 @@ object QualityClassifier {
         stopRatio.as("f5"): _*)
   }
 
-  /** Train on the first `trainCap` docs in md5(doc_id) order (content-
-    * independent, partition-invariant). Full-batch GD, w init 0. */
+  /** DEV trainer: bounded sample (first `trainCap` docs in md5(doc_id)
+    * order — content-independent, partition-invariant), full-batch GD,
+    * w init 0, the exact-accumulator fold. With `trainCap` covering the
+    * corpus this is bit-identical to [[trainDistributed]] at the same
+    * (iters, lr) — spec-pinned. */
   def train(docs: DataFrame, textCol: String = "text", trainCap: Int = 4096,
-            iters: Int = 2000, lr: Double = 2.0): Model = {
+            iters: Int = 500, lr: Double = 8.0): Model = {
     val sample = featuresOf(docs, textCol)
       .withColumn("h", md5(concat(lit("qc:"), col("doc_id").cast("string"))))
       .orderBy(col("h"), col("doc_id"))
       .limit(trainCap)
       .select("doc_id", "y", "f1", "f2", "f3", "f4", "f5")
       .collect() // bounded: ≤ trainCap rows × 7 doubles
-      .map(r => (r.getLong(0), r.getDouble(1),
+      .map(r => (r.getDouble(1),
         Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
           r.getDouble(6))))
-      .sortBy(_._1) // fixed fold order → bit-identical weights
     // Empty corpus → zero model (scores nothing anyway): the operator
     // tier's degrade-to-empty contract (EmptyCorpusSpec), not an error.
     if (sample.isEmpty)
-      return Model(Array.fill(NumFeatures + 1)(0.0), 0, Array.empty)
-    val n = sample.length
-    val w = Array.fill(NumFeatures + 1)(0.0)
-    val losses = Array.fill(iters)(0.0)
-    var it = 0
-    while (it < iters) {
-      val g = Array.fill(NumFeatures + 1)(0.0)
-      var loss = 0.0
-      var i = 0
-      while (i < n) {
-        val (_, y, f) = sample(i)
-        var z = w(0)
-        var j = 0
-        while (j < NumFeatures) { z += w(j + 1) * f(j); j += 1 }
-        val p = 1.0 / (1.0 + math.exp(-z))
-        // clamped log-loss (p can round to exactly 0/1 late in training)
-        loss -= y * math.log(math.max(p, 1e-15)) +
-          (1.0 - y) * math.log(math.max(1.0 - p, 1e-15))
-        val e = p - y
-        g(0) += e
-        j = 0
-        while (j < NumFeatures) { g(j + 1) += e * f(j); j += 1 }
-        i += 1
-      }
-      var j = 0
-      while (j <= NumFeatures) { w(j) -= lr / n * g(j); j += 1 }
-      losses(it) = loss / n
-      it += 1
-    }
-    Model(w, n, losses)
+      return Model(Array.fill(NumFeatures + 1)(0.0), 0L, Array.empty)
+    gdLoop(sample.length.toLong, iters, lr, { w =>
+      val acc = new ExactAcc(NumFeatures + 2)
+      sample.foreach { case (y, f) => accumulate(acc, w, y, f) }
+      acc.sums
+    })
+  }
+
+  /** PRODUCTION trainer: the same GD loop with each iteration's
+    * (loss, gradient) computed as one distributed aggregate over the
+    * FULL feature frame. The frame (6 doubles + label per doc) is
+    * projected once and cached; per iteration each partition folds its
+    * rows into the 7-slot exact accumulator and ships the integer sums —
+    * #partitions × 7 numbers cross the wire, nothing corpus-sized moves,
+    * and the total is bit-identical under any partitioning. At 100 TB
+    * this is the trainer that sees every document instead of a 4096-doc
+    * sample; on a 5k-doc fixture it is spec-pinned bit-identical to
+    * [[train]] with `trainCap` ≥ corpus. The driver-side collect is
+    * partition-count-bounded (the [[graft.operators.PrefixSum]] rule). */
+  /** Feature rows per cached partition (2M rows ≈ 100 MB at ~48 B/row):
+    * the cached frame is partitioned by ITS OWN size, never the corpus
+    * layout — the projection collapses each document to 6 doubles, so
+    * inheriting the corpus's partition count would pay 2000 × that many
+    * task schedulings to iterate over near-empty partitions (measured
+    * 39 s → ~4 s at fixture scale). A 10^10-doc corpus still gets
+    * ~5,000 partitions; a 5k-doc fixture gets 1. */
+  private val TrainRowsPerPartition = 1L << 21
+
+  def trainDistributed(docs: DataFrame, textCol: String = "text",
+                       iters: Int = 500, lr: Double = 8.0): Model = {
+    val raw = featuresOf(docs, textCol)
+      .select("y", "f1", "f2", "f3", "f4", "f5")
+      .rdd
+      .map(r => (r.getDouble(0),
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = raw.count()
+      if (n == 0L)
+        return Model(Array.fill(NumFeatures + 1)(0.0), 0L, Array.empty)
+      val parts = math.min(raw.getNumPartitions.toLong,
+        (n - 1) / TrainRowsPerPartition + 1).toInt
+      // Re-cache at the frame-sized partitioning (one pass over raw's
+      // cached blocks), so every GD iteration schedules `parts` tasks
+      // against locally-cached partitions — not the corpus's layout.
+      val rdd =
+        if (parts < raw.getNumPartitions)
+          raw.coalesce(parts)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else raw
+      try {
+        gdLoop(n, iters, lr, { w =>
+          val wSnap = w.clone() // the closure must ship THIS iteration's w
+          val partials = rdd.mapPartitions { it =>
+            val acc = new ExactAcc(NumFeatures + 2)
+            it.foreach { case (y, f) => accumulate(acc, wSnap, y, f) }
+            Iterator.single(acc.sums)
+          }.collect() // ≤ #partitions rows × 7 BigInts
+          val tot = Array.fill(NumFeatures + 2)(BigInt(0))
+          partials.foreach { p =>
+            var j = 0
+            while (j < tot.length) { tot(j) += p(j); j += 1 }
+          }
+          tot
+        })
+      } finally if (!(rdd eq raw)) rdd.unpersist(blocking = false)
+    } finally raw.unpersist(blocking = false)
   }
 
   /** Score every doc with the trained weights as plan literals: one

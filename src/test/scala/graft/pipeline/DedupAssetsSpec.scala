@@ -174,6 +174,113 @@ class DedupAssetsSpec extends SparkSpec {
     stored shouldBe direct // perplexity compared by RAW BITS, not tolerance
   }
 
+  test("a crashed build never publishes: no marker, no path, next caller rebuilds") {
+    // Crash mid-publish (round-14 verdict ask #4): the build body throws
+    // after the call is committed to writing — the final path must never
+    // exist half-written (atomic temp-dir publish), the failure must not
+    // poison the memo, and the NEXT caller must rebuild successfully.
+    val root = java.nio.file.Files.createTempDirectory("graft-crash-root")
+    sys.props("graft.dedup.assetRoot") = root.toString
+    try {
+      var attempts = 0
+      def asset(fail: Boolean) = DedupAssets.materialized(
+        spark, "spec-crash", "kc", Seq("doc_id")) {
+        attempts += 1
+        if (fail) sys.error("simulated crash mid-build")
+        Seq((1L, 2L)).toDF("doc_id", "cluster_id")
+      }
+      an[Exception] should be thrownBy asset(fail = true)
+      // nothing published: no spec-crash path carries a completion marker
+      val published = java.nio.file.Files.list(root).iterator()
+      var sawComplete = false
+      while (published.hasNext) {
+        val p = published.next()
+        if (p.getFileName.toString.startsWith("spec-crash") &&
+            java.nio.file.Files.exists(p.resolve("_GRAFT_OK")))
+          sawComplete = true
+      }
+      sawComplete shouldBe false
+      asset(fail = false).count() shouldBe 1
+      attempts shouldBe 2 // the failure was retried, not served
+    } finally {
+      sys.props.remove("graft.dedup.assetRoot")
+      DedupAssets.reset()
+    }
+  }
+
+  test("asset:phash and asset:mediafeat go stale when the corpus changes (fingerprint invalidation)") {
+    // The round-14 memo assets' staleness contract, pinned per asset by
+    // NAME: both fingerprint (doc_id, text) — the images are packed FROM
+    // the text — so a text change must rebuild, same-content re-reads
+    // must reuse the marker.
+    val root = java.nio.file.Files.createTempDirectory("graft-stale-root")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-stale-corpus")
+    val base = spark.read.parquet(s"$dir/documents.parquet").limit(30).cache()
+    base.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    sys.props("graft.dedup.assetRoot") = root.toString
+    try {
+      val phash1 = DedupAssets.imageDHashes(spark, corpus.toString)
+        .inputFiles.toSeq
+      val feat1 = DedupAssets.mediaFeatures(spark, corpus.toString)
+        .inputFiles.toSeq
+      // same corpus, fresh "JVM": both served from the stored paths
+      DedupAssets.reset()
+      DedupAssets.imageDHashes(spark, corpus.toString)
+        .inputFiles.toSeq shouldBe phash1
+      DedupAssets.mediaFeatures(spark, corpus.toString)
+        .inputFiles.toSeq shouldBe feat1
+      // text mutation at unchanged doc_ids → new fingerprint → new paths
+      base.select(col("doc_id"),
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" mutated")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+      DedupAssets.reset()
+      val phash2 = DedupAssets.imageDHashes(spark, corpus.toString)
+        .inputFiles.toSeq
+      val feat2 = DedupAssets.mediaFeatures(spark, corpus.toString)
+        .inputFiles.toSeq
+      phash2 should not be phash1
+      feat2 should not be feat1
+    } finally {
+      sys.props.remove("graft.dedup.assetRoot")
+      DedupAssets.reset()
+      base.unpersist()
+    }
+  }
+
+  test("asset:qcmodel memo — concurrent consumers train exactly once; a failed train never poisons") {
+    CorpusQueries.resetModelMemos()
+    val before = CorpusQueries.qcTrainCount.get()
+    // a consumer pointed at a corpus that does not exist fails its train
+    // — and must leave the memo empty, not cache the failure or a junk model
+    an[Exception] should be thrownBy
+      CorpusQueries.qualityClassifier(spark, "/nonexistent-corpus-dir").count()
+    val threads = (1 to 3).map(_ => new Thread(() => {
+      CorpusQueries.qualityClassifier(spark, dir).count(); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    // exactly ONE successful train across the three concurrent consumers
+    CorpusQueries.qcTrainCount.get() - before shouldBe 1
+    // fresh "JVM" (reset) → the staleness contract: retrain, don't reuse
+    CorpusQueries.resetModelMemos()
+    CorpusQueries.qualityClassifier(spark, dir).count()
+    CorpusQueries.qcTrainCount.get() - before shouldBe 2
+  }
+
+  test("asset:bpemodel memo — concurrent consumers train exactly once; reset retrains") {
+    CorpusQueries.resetModelMemos()
+    val before = CorpusQueries.bpeTrainCount.get()
+    val threads = (1 to 3).map(_ => new Thread(() => {
+      CorpusQueries.tokenizerFertility(spark, dir).count(); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    CorpusQueries.bpeTrainCount.get() - before shouldBe 1
+    CorpusQueries.resetModelMemos()
+    CorpusQueries.tokenizerFertility(spark, dir).count()
+    CorpusQueries.bpeTrainCount.get() - before shouldBe 2
+  }
+
   test("stored media-feature asset round-trips the direct decode pipeline exactly") {
     val cols = Seq("doc_id", "n_bytes", "byte_mean", "head_hash", "format",
       "width", "height", "channels", "luma_mean")

@@ -100,6 +100,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m131_edit_similarity" -> (CorpusQueries.editSimilarityPairs _),
     // m132: empty corpus → no groups → empty quantile card
     "m132_source_quantiles" -> (CorpusQueries.sourceTokenQuantiles _),
+    // m133: empty corpus → no suffix groups → no spans
+    "m133_maximal_repeats" -> (CorpusQueries.maximalRepeats _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

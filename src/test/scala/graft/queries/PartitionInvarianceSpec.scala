@@ -226,6 +226,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.editSimilarityPairs)
   }
 
+  test("m133 maximal repeats: span extents identical across partitionings") {
+    // fingerprints are pure per-row functions, distinct-doc counts exact,
+    // and the gaps-and-islands grouping is a pure function of each doc's
+    // flagged-position SET — task order cannot move a span boundary
+    assertInvariant(CorpusQueries.maximalRepeats)
+  }
+
   test("m130 LSH bucket drops: exact bucket counts identical across partitionings") {
     // signatures are pure per-row functions; bucket sizes and the cap
     // comparisons are exact longs — partition layout cannot move them

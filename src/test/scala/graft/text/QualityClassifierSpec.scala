@@ -47,6 +47,35 @@ class QualityClassifierSpec extends SparkSpec {
     QualityClassifier.train(planted.coalesce(1)).w.toSeq shouldBe base
   }
 
+  test("trainDistributed ≡ train when the sample covers the corpus (bit-identical)") {
+    // Same (iters, lr), sample cap ≥ corpus: the exact fixed-point
+    // gradient sums make the driver fold and the per-partition partials
+    // the SAME integers, so weights AND losses match to the bit — the
+    // Bpe.trainDistributed ≡ Bpe.train contract.
+    val dev = QualityClassifier.train(planted, trainCap = 4096, iters = 40)
+    val dist = QualityClassifier.trainDistributed(planted, iters = 40)
+    dist.w.toSeq shouldBe dev.w.toSeq
+    dist.losses.toSeq shouldBe dev.losses.toSeq
+    dist.nTrain shouldBe dev.nTrain
+  }
+
+  test("trainDistributed is partition-invariant (bit-identical weights)") {
+    val base = QualityClassifier.trainDistributed(planted, iters = 40).w.toSeq
+    QualityClassifier.trainDistributed(planted.repartition(13), iters = 40)
+      .w.toSeq shouldBe base
+    QualityClassifier.trainDistributed(planted.coalesce(1), iters = 40)
+      .w.toSeq shouldBe base
+  }
+
+  test("trainDistributed on an empty corpus degrades to the zero model") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = QualityClassifier.trainDistributed(noDocs, iters = 10)
+    m.nTrain shouldBe 0L
+    m.w.toSeq shouldBe Seq.fill(QualityClassifier.NumFeatures + 1)(0.0)
+    m.losses.length shouldBe 0
+  }
+
   test("trainCap bounds the sample and training still stands up") {
     val m = QualityClassifier.train(planted, trainCap = 32)
     m.nTrain shouldBe 32

@@ -40,6 +40,33 @@ QUERIES=$(sbt -batch "runMain graft.tools.LedgerCounts" 2>/dev/null |
   grep -oE 'graft-ledger queries=[0-9]+' | grep -oE '[0-9]+')
 [[ -n "$QUERIES" ]] || { echo "could not parse query count" >&2; exit 1; }
 
+# Correctness-gate coverage assertion (round-14 verdict ask #8): the newest
+# CORRECTNESS_r*.json must hold EXACTLY one row per registered query — a
+# query registered but never oracle-checked (or a stale gate file) fails
+# the ledger run instead of slipping through. Mid-round lag (a query added
+# since the driver's last gate run) is the one legitimate mismatch: set
+# GRAFT_LEDGER_ALLOW_LAG=1 to downgrade the failure to a warning.
+# Demonstrated failure (injected mismatch, 2026-08-15):
+#   $ python3 - # remove one row from a copy of CORRECTNESS_r14.json
+#   $ tools/update_ledger.sh /tmp/test.log
+#   correctness gate CORRECTNESS_r14.json has 174 rows vs 175 registered
+#   queries - a registered query is missing from the gate record
+#   (exit 1, README/COVERAGE untouched)
+CORR_FILE=$(ls -1 CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -1 || true)
+if [[ -n "$CORR_FILE" ]]; then
+  CORR_N=$(python3 -c "import json;print(len(json.load(open('$CORR_FILE'))))")
+  if [[ "$CORR_N" != "$QUERIES" ]]; then
+    MSG="correctness gate $CORR_FILE has $CORR_N rows vs $QUERIES registered queries - a registered query is missing from the gate record"
+    if [[ "${GRAFT_LEDGER_ALLOW_LAG:-0}" == "1" ]]; then
+      echo "WARNING (lag allowed): $MSG" >&2
+    else
+      echo "$MSG" >&2
+      echo "(set GRAFT_LEDGER_ALLOW_LAG=1 only for queries added since the last driver gate run)" >&2
+      exit 1
+    fi
+  fi
+fi
+
 patch() { # patch FILE REGEX REPLACEMENT — demand exactly one matching line
   local file=$1 re=$2 rep=$3
   local hits
