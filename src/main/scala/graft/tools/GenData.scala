@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   * no RNG state: the generation itself is the 100 TB shape (a fleet can
   * produce any slice independently).
   *
-  * Usage: runMain graft.tools.GenData <outDir> <multiplier>
-  * (multiplier 1.0 = sf0.1 sizes; 10.0 = sf1).
+  * Usage: runMain graft.tools.GenData <outDir> <multiplier> [zipf]
+  * (multiplier 1.0 = sf0.1 sizes; 10.0 = sf1). The optional third arg
+  * `zipf` switches the DOCUMENT SOURCE MIX from uniform over src0..19
+  * to a Zipf(s ≈ 1.54) law — P(src_k) ∝ 1/(k+1)^s, head:tail ratio
+  * 20^s = 100:1 — the skewed-source fixture for the scale sweep: every
+  * uniform-source claim (per-source aggregations, DSIR's source
+  * weighting, the drift cards) re-measured under the source imbalance a
+  * real crawl mix actually has. Same text/lang/dup-family generation,
+  * same row counts — ONLY the source label distribution moves, so a
+  * bench row's delta vs the uniform run isolates the skew response.
   */
 object GenData {
 
@@ -34,9 +42,23 @@ object GenData {
   private def gauss(salt: Int): Column =
     sqrt(lit(-2.0) * log(lit(1.0) - u(salt))) * cos(lit(2.0 * math.Pi) * u(salt + 7919))
 
+  /** Zipf source picker: inverse-CDF over the 20 cumulative masses
+    * (driver-side constants), applied to the same u(33) uniform the
+    * uniform mix hashes from — deterministic per doc id. */
+  private def zipfSource(uCol: Column, nSrc: Int = 20, s: Double = 1.54): Column = {
+    val mass = (1 to nSrc).map(k => 1.0 / math.pow(k, s))
+    val total = mass.sum
+    val cum = mass.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    // src0 gets the head mass; the final otherwise catches u up to 1.0
+    var c: Column = when(uCol < cum(0), "src0")
+    (1 until nSrc - 1).foreach(k => c = c.when(uCol < cum(k), s"src$k"))
+    c.otherwise(s"src${nSrc - 1}")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft-sf1")
     val mult = args.lift(1).map(_.toDouble).getOrElse(10.0)
+    val zipf = args.lift(2).contains("zipf")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -180,13 +202,19 @@ object GenData {
             .otherwise(concat(lit("f"), col("fam"), lit("w"),
               pmod(xxhash64(col("fam"), i), lit(famWords))))), " ").as("text"),
         lit("en").as("lang"),
-        concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(33)), lit(20))).as("source"))
+        (if (zipf)
+          zipfSource(pmod(xxhash64(col("doc_id"), lit(33)), lit(1000000L))
+            .cast("double") / 1e6)
+        else concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(33)), lit(20))))
+          .as("source"))
       .withColumn("n_chars", length(col("text")))
     write("documents", spark.range(nDocs).select(
       col("id").as("doc_id"),
       textCol.as("text"),
       langCol.as("lang"),
-      concat(lit("src"), pmod(xxhash64(col("id"), lit(33)), lit(20))).as("source"))
+      (if (zipf) zipfSource(u(33))
+       else concat(lit("src"), pmod(xxhash64(col("id"), lit(33)), lit(20))))
+        .as("source"))
       .withColumn("n_chars", length(col("text")))
       .unionByName(famDocs))
 
