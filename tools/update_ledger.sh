@@ -46,10 +46,10 @@ QUERIES=$(sbt -batch "runMain graft.tools.LedgerCounts" 2>/dev/null |
 # the ledger run instead of slipping through. Mid-round lag (a query added
 # since the driver's last gate run) is the one legitimate mismatch: set
 # GRAFT_LEDGER_ALLOW_LAG=1 to downgrade the failure to a warning.
-# Demonstrated failure (injected mismatch, 2026-08-15):
-#   $ python3 - # remove one row from a copy of CORRECTNESS_r14.json
-#   $ tools/update_ledger.sh /tmp/test.log
-#   correctness gate CORRECTNESS_r14.json has 174 rows vs 175 registered
+# Demonstrated failure (real mismatch, 2026-08-15 — m133 registered
+# mid-round, CORRECTNESS_r14 still has 175 rows):
+#   $ tools/update_ledger.sh /tmp/sbt-test-r15a.log
+#   correctness gate CORRECTNESS_r14.json has 175 rows vs 176 registered
 #   queries - a registered query is missing from the gate record
 #   (exit 1, README/COVERAGE untouched)
 CORR_FILE=$(ls -1 CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -1 || true)
