@@ -334,6 +334,10 @@ object SparkEntry {
     // exact-substring dedup tier (Lee et al. 2021): suffix-group seeding
     // at w=10 + per-doc run coalescing, full-extent attribution
     "m133_maximal_repeats" -> (CorpusQueries.maximalRepeats _),
+    // m134: m87's stratified split via the range-partitioned grouped
+    // rank (GroupedRanks) — the skew escalation the round-15 Zipf
+    // fixture called for; byte-identical to m87, shares its oracle
+    "m134_stratified_split_ranged" -> (CorpusQueries.stratifiedSplitRanged _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1891,6 +1895,18 @@ object SparkEntry {
         "TRUE AS deflate_ok FROM documents WHERE text IS NOT NULL"),
     // m79's oracle is generated from the captured merge list
     // (OracleModelSql.bpeFertility — full fertility-report replay).
+    // m134: the range-partitioned escalation is semantically IDENTICAL
+    // to m87 (ranks a pure function of the same md5 total order), so it
+    // replays against the same SQL — the m103/m112 shared-oracle shape
+    "m134_stratified_split_ranged" ->
+      ("WITH d AS (SELECT doc_id, source FROM documents), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), " +
+        "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS rk FROM d) " +
+        "SELECT r.doc_id, r.source, r.rk, " +
+        "CASE WHEN r.rk < floor(CAST(n AS DOUBLE) * 0.8) THEN 'train' " +
+        "WHEN r.rk < floor(CAST(n AS DOUBLE) * 0.8) + floor(CAST(n AS DOUBLE) * 0.1) THEN 'val' " +
+        "ELSE 'test' END AS split FROM r JOIN c USING (source)"),
     "m87_stratified_split" ->
       ("WITH d AS (SELECT doc_id, source FROM documents), " +
         "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), " +

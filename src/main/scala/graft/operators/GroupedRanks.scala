@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed PER-GROUP dense ranking without a per-group window task —
+  * the [[PrefixSum]] two-pass scheme generalized from one global order to
+  * a keyed family of orders.
+  *
+  * `Window.partitionBy(group).orderBy(...)` funnels each group through
+  * ONE task: fine when groups are balanced, but under a real source mix
+  * (Zipf — the round-15 skew fixture measured head:tail = 102:1) the head
+  * group's whole stratum lands in a single sort task, and its max task
+  * size tracks that group linearly. This operator removes the cliff:
+  *
+  *  1. range-partition by (group, orderCols...) and sort within
+  *     partitions — each partition holds a contiguous slice of the
+  *     (group, key) order, so a big group SPANS partitions instead of
+  *     owning one;
+  *  2. per partition, count rows per group (one tiny job; a group spans
+  *     contiguous partitions, so the driver sees ≤ #partitions + #groups
+  *     rows — the [[PrefixSum]] bounded-driver-state contract);
+  *  3. prefix-sum each group's counts across partitions into per-
+  *     (partition, group) starting offsets + per-group totals, broadcast
+  *     both;
+  *  4. stream each partition once: rank = group offset + local position,
+  *     and the group's total rides along (consumers like the stratified
+  *     split need n for their cut arithmetic — deriving it here is free
+  *     and saves the count-window pass).
+  *
+  * Determinism: identical to the window form whenever (orderCols) is a
+  * total order within each group — ranks are a pure function of the
+  * order, not the partitioning (StratifiedSplitSpec pins the ranged
+  * split bit-identical to the window split). Same eager contract and
+  * snapshot policy as [[PrefixSum]]: the ranged frame is pinned so both
+  * passes read one partitioning, and the session sweep releases it.
+  */
+object GroupedRanks {
+
+  /** Append `rankCol` (0-based dense rank of the row within its
+    * `groupCol` group, ordered by `orderCols`) and `countCol` (the
+    * group's total row count). `orderCols` must totally order rows
+    * within each group (include a unique tie-break). */
+  def withRankAndCount(df: DataFrame, groupCol: String,
+                       orderCols: Seq[Column],
+                       rankCol: String = "rk",
+                       countCol: String = "n"): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.Snapshot.pin(df
+      .repartitionByRange(p, col(groupCol) +: orderCols: _*)
+      .sortWithinPartitions(col(groupCol) +: orderCols: _*), eager = true)
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    // partials: (pid, group, count) — ≤ #partitions + #groups rows since
+    // each group is contiguous across the range partitioning
+    val partials = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        counts.update(g, counts.getOrElse(g, 0L) + 1L)
+      }
+      counts.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    // per-group prefix over ascending pid → per-(pid, group) offsets
+    val totals = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets = Array.fill(p)(Map.empty[Any, Long])
+    partials.sortBy(_._1).foreach { case (pid, g, c) =>
+      val before = totals.getOrElse(g, 0L)
+      offsets(pid) = offsets(pid) + (g -> before)
+      totals.update(g, before + c)
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTot = spark.sparkContext.broadcast(totals.toMap)
+    // Range-partition index, not task id (the PrefixSum coalesce caveat).
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value(pid)
+      val tot = bcTot.value
+      var started = false
+      var cur: Any = null
+      var acc = 0L
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) { started = true; cur = g; acc = off(g) }
+        val rk = acc
+        acc += 1L
+        Row.fromSeq(r.toSeq :+ rk :+ tot(g))
+      }
+    }
+    spark.createDataFrame(out, ranged.schema
+      .add(rankCol, LongType, nullable = false)
+      .add(countCol, LongType, nullable = false))
+  }
+}

@@ -1938,6 +1938,33 @@ object CorpusQueries {
       .select("doc_id", "source", "rk", "split")
   }
 
+  /** Exact stratified split, RANGE-PARTITIONED form (m134): the
+    * documented skew escalation of m87, promoted to a certified query
+    * after the round-15 Zipf fixture measured m87's per-source window as
+    * the one row whose max task tracks the head source linearly
+    * (BENCH_sf1.md "Skewed-source fixture"). Identical semantics and
+    * output to m87 — same md5 order, same floor(n·f) cuts, SHARES m87's
+    * oracle SQL — but ranks come from
+    * [[graft.operators.GroupedRanks.withRankAndCount]]: the head source
+    * spans many range partitions instead of owning one sort task, and
+    * the per-source count rides out of the same pass (no count window).
+    * StratifiedSplitSpec pins the two forms bit-identical, including on
+    * a skewed fixture. */
+  def stratifiedSplitRanged(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ranked = graft.operators.GroupedRanks.withRankAndCount(
+      d, "source",
+      Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")))
+    val nTrain = floor(col("n") * lit(0.8))
+    val nVal = floor(col("n") * lit(0.1))
+    ranked
+      .withColumn("split",
+        when(col("rk") < nTrain, "train")
+          .when(col("rk") < nTrain + nVal, "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "rk", "split")
+  }
+
   /** Incremental near-dup admission (m72): the planted copies
     * (doc_id ≥ off) arrive as the "new batch" and probe the original
     * corpus's inverted shingle index — only (batch, indexed) pairs. The

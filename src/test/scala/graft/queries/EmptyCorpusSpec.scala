@@ -102,6 +102,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m132_source_quantiles" -> (CorpusQueries.sourceTokenQuantiles _),
     // m133: empty corpus → no suffix groups → no spans
     "m133_maximal_repeats" -> (CorpusQueries.maximalRepeats _),
+    // m134: empty corpus → empty partials → empty ranked frame
+    "m134_stratified_split_ranged" -> (CorpusQueries.stratifiedSplitRanged _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

@@ -226,6 +226,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.editSimilarityPairs)
   }
 
+  test("m134 ranged stratified split: grouped ranks identical across partitionings") {
+    // the rank is a pure function of the (source, md5, doc_id) total
+    // order — range bounds and partition count only move WHERE the
+    // prefix offsets cut, never what any row's offset+position sums to
+    assertInvariant(CorpusQueries.stratifiedSplitRanged)
+  }
+
   test("m133 maximal repeats: span extents identical across partitionings") {
     // fingerprints are pure per-row functions, distinct-doc counts exact,
     // and the gaps-and-islands grouping is a pure function of each doc's
