@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone (timestamp/date math parity, SURVEY §7.4.6);
   *  - AQE on (runtime coalescing + skew-join splitting, DESIGN §3);
   *  - graft native expressions registered via SparkSessionExtensions;
-  *  - ANSI left at the Spark 4 default (on) — the operators are written
-  *    to it (`try_element_at`, overflow-safe minhash arithmetic).
+  *  - ANSI pinned ON explicitly (round 15; previously left at the
+  *    Spark 4 default) — the operators are written to it
+  *    (`try_element_at`, overflow-safe minhash arithmetic), and the
+  *    pin makes that contract immune to ambient conf or a future
+  *    default drift.
   *
   * The harness mains (Verify/Bench) build their own sessions to the
   * driver's contract; this factory is the library entry point.
@@ -22,6 +25,7 @@ object GraftSession {
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Build (or reuse) the session and make sure the extensions are live
