@@ -229,7 +229,11 @@ object Bench {
             "asset:bpemodel" -> (() => {
               // the m40/m79/m88 shared model's exact parameters
               graft.text.Bpe.trainDistributed(
-                Tables.documents(spark, sfDir), nMerges = 40); () })
+                Tables.documents(spark, sfDir), nMerges = 40); () }),
+            "asset:unimodel" -> (() => {
+              // the m135 shared model's exact parameters
+              graft.text.UnigramLm.train(
+                Tables.documents(spark, sfDir)); () })
           )
           (only -- builds.map(_._1).toSet - "stream:ingest").foreach(u =>
             System.err.println(s"[bench] unknown asset row in SPARK_GRAFT_BENCH_ASSETS: $u"))

@@ -394,6 +394,60 @@ object OracleModelSql {
       "FROM docs d LEFT JOIN agg a USING (doc_id)) "
   }
 
+  /** m135: full unigram-Viterbi ENCODE replay over the captured
+    * (piece, cost) table — the [[bpeEncodeCtes]] convention for the
+    * OTHER tokenizer: per distinct word, a recursive CTE carries the DP
+    * best-array forward one character per iteration (a LIST of
+    * (cost, n_tokens) structs), each new entry the lexicographic
+    * (cost, n_tokens, split-point) minimum over the ≤ maxPieceLen
+    * in-vocabulary suffix pieces — the EXACT left-to-right additions and
+    * tie-break [[graft.text.UnigramLm.viterbiTokens]] performs, over the
+    * same captured double literals, so counts replay bit-for-bit. The
+    * out-of-vocab single-char fallback (UnkCost) is unreachable on the
+    * training corpus (required chars come from the uncapped word table)
+    * but both engines carry it identically. EM TRAINING stays
+    * spec-pinned, the m40 convention. */
+  def unigramTokenStats(pieces: Seq[(String, Double)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    // ::DOUBLE on every cost: DuckDB would otherwise infer a DECIMAL
+    // type from the first literal and fail or round the rest
+    val pv = pieces.map { case (p, c) => s"('${esc(p)}', ${lit(c)}::DOUBLE)" }
+      .mkString(", ")
+    "WITH RECURSIVE " +
+      s"pieces(p, c) AS (VALUES $pv), " +
+      "docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(trim(text)) AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "wx AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+      "unnest(string_split_regex(t, ' +')) AS w FROM docs) x WHERE w <> ''), " +
+      "words AS (SELECT DISTINCT w FROM wx), " +
+      "dp(w, i, best) AS (" +
+      "SELECT w, 0, [{'c': 0.0::DOUBLE, 'nt': CAST(0 AS BIGINT)}] FROM words " +
+      "UNION ALL " +
+      "SELECT w, i + 1, list_append(best, coalesce(" +
+      // candidate pieces ending at char i+1: scan the (vocab-bounded)
+      // piece table — piece p of length l starts at 0-based j = i+1-l,
+      // i.e. 1-based list index i+2-l; ties on (cost, n_tokens, j asc)
+      "(SELECT {'c': best[i + 2 - len(p.p)].c + p.c, " +
+      "'nt': best[i + 2 - len(p.p)].nt + 1} " +
+      "FROM pieces p " +
+      "WHERE len(p.p) <= i + 1 AND p.p = substr(w, i + 2 - len(p.p), len(p.p)) " +
+      "ORDER BY best[i + 2 - len(p.p)].c + p.c, " +
+      "best[i + 2 - len(p.p)].nt + 1, i + 1 - len(p.p) LIMIT 1), " +
+      s"{'c': best[i + 1].c + ${lit(graft.text.UnigramLm.UnkCost)}, " +
+      "'nt': best[i + 1].nt + 1})) " +
+      "FROM dp WHERE i < len(w)), " +
+      "tok AS (SELECT w, best[len(w) + 1].nt AS n_tok FROM dp WHERE i = len(w)), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_uni FROM wx JOIN tok USING (w) GROUP BY 1), " +
+      "perdoc AS (SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
+      "CAST(length(d.t) AS BIGINT) AS n_chars, coalesce(a.n_uni, 0) AS n_uni " +
+      "FROM docs d LEFT JOIN agg a USING (doc_id)) " +
+      "SELECT doc_id, n_words, n_chars, n_uni AS n_uni_tokens, " +
+      "CASE WHEN n_words = 0 THEN 0.0 " +
+      "ELSE CAST(n_uni AS DOUBLE) / CAST(n_words AS DOUBLE) END AS uni_per_word " +
+      "FROM perdoc"
+  }
+
   /** m88: vocabulary-usage curve — encode replayed by the same recursive
     * CTE as m40, then the corpus token counts, ranks and cumulative
     * shares re-derived from the word-frequency table. */
@@ -640,5 +694,7 @@ object OracleModelSql {
       OracleCapture.get[Seq[Double]]("m118_dawid_skene")
         .map(w => "m118_dawid_skene" -> dawidSkene(w)).toMap ++
       OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
-        .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap
+        .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap ++
+      OracleCapture.get[Seq[(String, Double)]]("m135_unigram_tokens")
+        .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap
 }

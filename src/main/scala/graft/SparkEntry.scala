@@ -338,6 +338,10 @@ object SparkEntry {
     // rank (GroupedRanks) — the skew escalation the round-15 Zipf
     // fixture called for; byte-identical to m87, shares its oracle
     "m134_stratified_split_ranged" -> (CorpusQueries.stratifiedSplitRanged _),
+    // m135: unigram-LM tokenizer accounting (Kudo 2018 / SentencePiece)
+    // — EM-trained piece vocabulary, Viterbi token counts; the other
+    // tokenizer family beside m40's BPE (captured-pieces oracle replay)
+    "m135_unigram_tokens" -> (CorpusQueries.unigramTokens _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)

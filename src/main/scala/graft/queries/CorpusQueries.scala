@@ -526,6 +526,34 @@ object CorpusQueries {
       })
     }
 
+  /** One trained unigram-LM tokenizer per corpus per JVM — the
+    * [[bpeModel]] convention for the OTHER tokenizer family. Training
+    * is deterministic (sorted word-table EM fold), so the memo serves
+    * every consumer the weights a private train would produce. */
+  private val uniModels = scala.collection.mutable.Map.empty[String, graft.text.UnigramLm.Model]
+  private[graft] val uniTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def uniModel(s: SparkSession, dir: String): graft.text.UnigramLm.Model =
+    uniModels.synchronized {
+      uniModels.getOrElseUpdate(dir, {
+        val m = graft.text.UnigramLm.train(Tables.documents(s, dir))
+        uniTrainCount.incrementAndGet() // counts SUCCESSFUL trains (spec hook)
+        m
+      })
+    }
+
+  /** Unigram-LM tokenizer accounting (m135): per-document Viterbi token
+    * counts under the EM-trained SentencePiece-style unigram model
+    * (Kudo 2018) — the m40 report shape for the OTHER tokenizer family,
+    * so a mix builder can budget T5/Llama-style corpora next to
+    * GPT-style ones. The run's (piece, cost) table is captured and the
+    * oracle replays the Viterbi DP bit-for-bit
+    * ([[graft.OracleModelSql.unigramTokenStats]]). */
+  def unigramTokens(s: SparkSession, dir: String): DataFrame = {
+    val model = uniModel(s, dir)
+    graft.OracleCapture.put("m135_unigram_tokens", model.pieces)
+    graft.text.UnigramLm.tokenStats(Tables.documents(s, dir), model)
+  }
+
   /** Salted skew join (m80): the events table joined to a per-type stats
     * dim THROUGH [[graft.operators.SkewJoin.saltedJoin]] — event_type
     * has 4 values over millions of rows, the textbook viral key. The
@@ -646,6 +674,7 @@ object CorpusQueries {
   private[graft] def resetModelMemos(): Unit = {
     qcModels.synchronized { qcModels.clear() }
     bpeModels.synchronized { bpeModels.clear() }
+    uniModels.synchronized { uniModels.clear() }
   }
 
   /** Learned quality filter (m83): logistic regression distilled from the

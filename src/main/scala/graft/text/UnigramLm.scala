@@ -1,0 +1,275 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer (Kudo 2018, "Subword Regularization";
+  * the SentencePiece unigram trainer, public) — the OTHER standard
+  * subword tokenizer beside BPE ([[Bpe]]): instead of a ranked merge
+  * list, the model is a piece vocabulary with probabilities, trained by
+  * EM over the segmentation lattice, and encoding is the Viterbi best
+  * segmentation. T5/Llama-family pipelines budget in unigram tokens the
+  * way GPT-family pipelines budget in BPE tokens, so a mix builder that
+  * can only count one of them can't serve both.
+  *
+  * Scale shape — the [[Bpe.trainDistributed]] contract:
+  *  - TRAIN touches the corpus ONCE: a distributed (word, count)
+  *    aggregate whose exchange is vocabulary-bounded (top-`maxWords` by
+  *    count — a count bound, not a corpus fraction); seeding, EM and
+  *    pruning then run on that sufficient statistic (unigram EM's
+  *    expected counts are freq-weighted sums over DISTINCT words — the
+  *    word table is exact, not an approximation);
+  *  - the fitted model is a few hundred (piece, cost) pairs shipped in
+  *    the encode closure like any fitted quantizer;
+  *  - ENCODE is embarrassingly parallel: one map over documents, no
+  *    shuffle, per-partition word→count memo (Zipf amortization).
+  *
+  * Fidelity to the paper, stated plainly: seeding uses the frequent
+  * substrings of the word table (score = Σ freq × in-word occurrences)
+  * rather than the ESA suffix-array enumeration; pruning keeps the
+  * top-`vocabSize` pieces by trained probability (required single chars
+  * always kept) rather than the per-piece likelihood-loss ranking; EM
+  * runs a fixed iteration count. These are documented simplifications
+  * of the same public algorithm family — the lattice EM, the
+  * probability model and the Viterbi encode are the paper's.
+  *
+  * Determinism: the word table is collected in (count desc, word asc)
+  * order, EM folds words in sorted order with log-sum-exp in fixed
+  * j-ascending order, and Viterbi tie-breaks on the exact
+  * (cost, n_tokens, split-point) tuple — the model is a pure function
+  * of the corpus, and encode is a pure function of (model, word). The
+  * DuckDB oracle replays ENCODE from the captured (piece, cost) table
+  * (a recursive-CTE Viterbi DP with the identical left-to-right
+  * additions and tie-break); EM training stays spec-pinned, the m40
+  * convention ("only merge TRAINING stays spec-pinned").
+  */
+object UnigramLm {
+
+  /** Per-char cost for characters outside the vocabulary (the
+    * SentencePiece `unk` convention). Unreachable by construction on
+    * the training corpus — required chars are derived from the UNCAPPED
+    * word table — but a NEW corpus encoded under a stored model can
+    * contain novel characters; both engines apply the identical
+    * fallback, so the replay agrees even when it fires. */
+  val UnkCost = 1e6
+
+  /** Fitted model: (piece, cost) with cost = −ln p; `maxLen` bounds the
+    * Viterbi window. */
+  final case class Model(pieces: Seq[(String, Double)]) {
+    @transient lazy val cost: Map[String, Double] = pieces.toMap
+    @transient lazy val maxLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max
+  }
+
+  /** Train on the full corpus: one vocabulary-bounded distributed word
+    * count, then seed → EM → prune → EM on the word table. */
+  def train(docs: DataFrame, vocabSize: Int = 200, maxPieceLen: Int = 8,
+            emIters: Int = 4, seedCap: Int = 5000,
+            textCol: String = "text", maxWords: Int = 1 << 16): Model = {
+    require(vocabSize > 0 && maxPieceLen > 0 && emIters >= 0)
+    val wf = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(lower(trim(col(textCol))), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Required chars from the UNCAPPED table (vocab-bounded job on the
+      // cached aggregate): encode coverage for every corpus word, even
+      // ones the count cap drops from the EM statistics.
+      val requiredChars = wf
+        .select(explode(split(col("w"), "")).as("c")).distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty).sorted
+      val table = wf.orderBy(col("f").desc, col("w").asc).limit(maxWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1) // fixed EM fold order
+      trainOnWordTable(table, requiredChars, vocabSize, maxPieceLen,
+        emIters, seedCap)
+    } finally { wf.unpersist(blocking = false); () }
+  }
+
+  /** The driver-side trainer over the word-frequency sufficient
+    * statistic (exposed for spec fixtures). */
+  private[text] def trainOnWordTable(table: Seq[(String, Long)],
+                                     requiredChars: Seq[String],
+                                     vocabSize: Int, maxPieceLen: Int,
+                                     emIters: Int, seedCap: Int): Model = {
+    if (table.isEmpty) return Model(Seq.empty)
+    // -- seed: frequent substrings (len 2..maxPieceLen), integer scores
+    val seedScore = scala.collection.mutable.HashMap.empty[String, Long]
+    table.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 2
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val s = w.substring(i, i + l)
+          seedScore.update(s, seedScore.getOrElse(s, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val charScore = scala.collection.mutable.HashMap.empty[String, Long]
+    table.foreach { case (w, f) =>
+      w.foreach { ch =>
+        val s = ch.toString
+        charScore.update(s, charScore.getOrElse(s, 0L) + f)
+      }
+    }
+    requiredChars.foreach(c => charScore.getOrElseUpdate(c, 1L))
+    val seeds = seedScore.toSeq.sortBy { case (s, n) => (-n, s) }.take(seedCap)
+    // initial probabilities ∝ integer scores
+    var probs: Map[String, Double] = {
+      val all = charScore.toSeq ++ seeds
+      val tot = all.iterator.map(_._2).sum.toDouble
+      all.iterator.map { case (s, n) => s -> n / tot }.toMap
+    }
+    val required = requiredChars.toSet
+
+    def emPass(ps: Map[String, Double]): Map[String, Double] = {
+      val expected = scala.collection.mutable.HashMap.empty[String, Double]
+      val maxL = math.min(maxPieceLen, ps.keysIterator.map(_.length).max)
+      table.foreach { case (w, f) =>
+        val n = w.length
+        // log-forward / log-backward over the segmentation lattice,
+        // fixed j-ascending fold (log-sum-exp with max subtraction)
+        val la = Array.fill(n + 1)(Double.NegativeInfinity); la(0) = 0.0
+        val lb = Array.fill(n + 1)(Double.NegativeInfinity); lb(n) = 0.0
+        def lse(xs: Array[Double], k: Int): Double = {
+          var m = Double.NegativeInfinity
+          var j = 0
+          while (j < k) { if (xs(j) > m) m = xs(j); j += 1 }
+          if (m == Double.NegativeInfinity) m
+          else {
+            var s = 0.0; j = 0
+            while (j < k) { s += math.exp(xs(j) - m); j += 1 }
+            m + math.log(s)
+          }
+        }
+        val buf = new Array[Double](maxL)
+        var i = 1
+        while (i <= n) {
+          var k = 0
+          var j = math.max(0, i - maxL)
+          while (j < i) {
+            ps.get(w.substring(j, i)).foreach { p =>
+              buf(k) = la(j) + math.log(p); k += 1
+            }
+            j += 1
+          }
+          la(i) = lse(buf, k)
+          i += 1
+        }
+        var jj = n - 1
+        while (jj >= 0) {
+          var k = 0
+          var i2 = jj + 1
+          while (i2 <= math.min(n, jj + maxL)) {
+            ps.get(w.substring(jj, i2)).foreach { p =>
+              buf(k) = math.log(p) + lb(i2); k += 1
+            }
+            i2 += 1
+          }
+          lb(jj) = lse(buf, k)
+          jj -= 1
+        }
+        val z = la(n)
+        if (z != Double.NegativeInfinity) {
+          var j2 = 0
+          while (j2 < n) {
+            var i3 = j2 + 1
+            while (i3 <= math.min(n, j2 + maxL)) {
+              val s = w.substring(j2, i3)
+              ps.get(s).foreach { p =>
+                val post = math.exp(la(j2) + math.log(p) + lb(i3) - z)
+                expected.update(s, expected.getOrElse(s, 0.0) + post * f)
+              }
+              i3 += 1
+            }
+            j2 += 1
+          }
+        }
+      }
+      // M-step: normalize; required chars floored so coverage survives
+      required.foreach(c =>
+        expected.update(c, math.max(expected.getOrElse(c, 0.0), 1e-9)))
+      val kept = expected.toSeq.filter(_._2 > 0.0)
+      val tot = kept.sortBy(_._1).iterator.map(_._2).sum // fixed sum order
+      kept.iterator.map { case (s, e) => s -> e / tot }.toMap
+    }
+
+    var it = 0
+    while (it < emIters) { probs = emPass(probs); it += 1 }
+    // -- prune to vocabSize: required chars + top multi-char pieces
+    val multi = probs.toSeq.filter { case (s, _) => !required.contains(s) }
+      .sortBy { case (s, p) => (-p, s) }
+      .take(math.max(0, vocabSize - required.size))
+    probs = (required.toSeq.sorted.map(c => c -> probs.getOrElse(c, 1e-9)) ++
+      multi).toMap
+    // settle probabilities on the pruned vocabulary
+    probs = emPass(probs)
+    probs = emPass(probs)
+    Model(probs.toSeq.sortBy(_._1)
+      .map { case (s, p) => s -> -math.log(p) })
+  }
+
+  /** Viterbi best segmentation's token count for one word — the exact
+    * contract the DuckDB replay mirrors: left-to-right DP, candidate
+    * cost best(j) + cost(piece(j, i)) (UnkCost for an out-of-vocab
+    * single char), ties broken on the (cost, n_tokens, j) tuple with
+    * strict improvement while scanning j ascending. */
+  def viterbiTokens(word: String, model: Model): Int = {
+    val n = word.length
+    if (n == 0) return 0
+    val maxL = math.max(1, math.min(model.maxLen, n))
+    val cost = new Array[Double](n + 1)
+    val ntok = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bc = Double.PositiveInfinity
+      var bn = Int.MaxValue
+      var j = math.max(0, i - maxL)
+      while (j < i) {
+        val pc = model.cost.get(word.substring(j, i)) match {
+          case Some(c) => c
+          case None => if (i - j == 1) UnkCost else Double.NaN
+        }
+        if (!pc.isNaN) {
+          val c = cost(j) + pc
+          val nt = ntok(j) + 1
+          if (c < bc || (c == bc && nt < bn)) { bc = c; bn = nt }
+        }
+        j += 1
+      }
+      cost(i) = bc; ntok(i) = bn
+      i += 1
+    }
+    ntok(n)
+  }
+
+  /** Per-document tokenizer accounting under the unigram model:
+    * (doc_id, n_words, n_chars, n_uni_tokens, uni_per_word) — the m40
+    * report shape, so BPE and unigram budgets diff column-for-column.
+    * One shuffle-free pass; model rides the closure; per-partition word
+    * memo. */
+  def tokenStats(docs: DataFrame, model: Model,
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val narrowed = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id").cast("long"), lower(trim(col(textCol))))
+      .as[(Long, String)]
+    narrowed.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map { case (id, text) =>
+        val ws = text.split(" +").filter(_.nonEmpty)
+        var uni = 0L
+        ws.foreach { w =>
+          uni += memo.getOrElseUpdate(w, viterbiTokens(w, model))
+        }
+        val nWords = ws.length.toLong
+        (id, nWords, text.length.toLong, uni,
+          if (nWords == 0) 0.0 else uni.toDouble / nWords)
+      }
+    }.toDF("doc_id", "n_words", "n_chars", "n_uni_tokens", "uni_per_word")
+  }
+}

@@ -281,6 +281,19 @@ class DedupAssetsSpec extends SparkSpec {
     CorpusQueries.bpeTrainCount.get() - before shouldBe 2
   }
 
+  test("asset:unimodel memo — concurrent consumers train exactly once; reset retrains") {
+    CorpusQueries.resetModelMemos()
+    val before = CorpusQueries.uniTrainCount.get()
+    val threads = (1 to 3).map(_ => new Thread(() => {
+      CorpusQueries.unigramTokens(spark, dir).count(); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    CorpusQueries.uniTrainCount.get() - before shouldBe 1
+    CorpusQueries.resetModelMemos()
+    CorpusQueries.unigramTokens(spark, dir).count()
+    CorpusQueries.uniTrainCount.get() - before shouldBe 2
+  }
+
   test("stored media-feature asset round-trips the direct decode pipeline exactly") {
     val cols = Seq("doc_id", "n_bytes", "byte_mean", "head_hash", "format",
       "width", "height", "channels", "luma_mean")

@@ -233,6 +233,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.stratifiedSplitRanged)
   }
 
+  test("m135 unigram tokens: Viterbi counts identical across partitionings") {
+    // the model memo would mask a sensitivity — train directly per
+    // partitioning: word table collected in (count desc, word asc)
+    // order, EM folds sorted words, Viterbi is per-word pure
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m2 = graft.text.UnigramLm.train(docs.repartition(2), vocabSize = 60, emIters = 2)
+    val m13 = graft.text.UnigramLm.train(docs.repartition(13), vocabSize = 60, emIters = 2)
+    m13.pieces shouldBe m2.pieces
+    rows(graft.text.UnigramLm.tokenStats(docs.repartition(13), m2)) shouldBe
+      rows(graft.text.UnigramLm.tokenStats(docs.coalesce(1), m2))
+  }
+
   test("m133 maximal repeats: span extents identical across partitionings") {
     // fingerprints are pure per-row functions, distinct-doc counts exact,
     // and the gaps-and-islands grouping is a pure function of each doc's
