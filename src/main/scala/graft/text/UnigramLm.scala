@@ -82,6 +82,19 @@ object UnigramLm {
       val table = wf.orderBy(col("f").desc, col("w").asc).limit(maxWords)
         .collect().map(r => (r.getString(0), r.getLong(1)))
         .sortBy(_._1) // fixed EM fold order
+      // No-silent-caps rule (the Bpe.trainDistributed convention): when
+      // the vocabulary bound binds, SAY what the Zipf tail it cut
+      // amounted to — one aggregate over the cached vocab-bounded table.
+      if (table.length == maxWords) {
+        val t = wf.agg(count(lit(1)).as("v"), sum(col("f")).as("m")).head()
+        val (vocab, mass) = (t.getLong(0), t.getLong(1))
+        val kept = table.iterator.map(_._2).sum
+        if (vocab > maxWords)
+          System.err.println(
+            s"[unigram] maxWords=$maxWords bound: dropped ${vocab - maxWords} " +
+              s"of $vocab vocabulary words (${mass - kept} of $mass " +
+              f"occurrences, ${(mass - kept).toDouble / mass * 100}%.3f%% of word mass)")
+      }
       trainOnWordTable(table, requiredChars, vocabSize, maxPieceLen,
         emIters, seedCap)
     } finally { wf.unpersist(blocking = false); () }
