@@ -407,7 +407,27 @@ object OracleModelSql {
     * training corpus (required chars come from the uncapped word table)
     * but both engines carry it identically. EM TRAINING stays
     * spec-pinned, the m40 convention. */
-  def unigramTokenStats(pieces: Seq[(String, Double)]): String = {
+  def unigramTokenStats(pieces: Seq[(String, Double)]): String =
+    unigramEncodeCtes(pieces) +
+      "SELECT doc_id, n_words, n_chars, n_uni AS n_uni_tokens, " +
+      "CASE WHEN n_words = 0 THEN 0.0 " +
+      "ELSE CAST(n_uni AS DOUBLE) / CAST(n_words AS DOUBLE) END AS uni_per_word " +
+      "FROM perdoc"
+
+  /** m136: the per-source fertility report under the unigram model —
+    * the [[bpeFertility]] shape for the other tokenizer family, sharing
+    * [[unigramEncodeCtes]]'s Viterbi replay. */
+  def unigramFertility(pieces: Seq[(String, Double)]): String =
+    unigramEncodeCtes(pieces) +
+      "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(p.n_words) AS BIGINT) AS total_words, " +
+      "CAST(sum(p.n_uni) AS BIGINT) AS total_uni_tokens, " +
+      "CAST(sum(p.n_uni) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) AS fertility, " +
+      "CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_uni) AS DOUBLE) AS chars_per_token " +
+      "FROM perdoc p JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source " +
+      "FROM documents) s USING (doc_id) GROUP BY 1"
+
+  private def unigramEncodeCtes(pieces: Seq[(String, Double)]): String = {
     def esc(s: String) = s.replace("'", "''")
     // ::DOUBLE on every cost: DuckDB would otherwise infer a DECIMAL
     // type from the first literal and fail or round the rest
@@ -441,11 +461,7 @@ object OracleModelSql {
       "CAST(sum(n_tok) AS BIGINT) AS n_uni FROM wx JOIN tok USING (w) GROUP BY 1), " +
       "perdoc AS (SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
       "CAST(length(d.t) AS BIGINT) AS n_chars, coalesce(a.n_uni, 0) AS n_uni " +
-      "FROM docs d LEFT JOIN agg a USING (doc_id)) " +
-      "SELECT doc_id, n_words, n_chars, n_uni AS n_uni_tokens, " +
-      "CASE WHEN n_words = 0 THEN 0.0 " +
-      "ELSE CAST(n_uni AS DOUBLE) / CAST(n_words AS DOUBLE) END AS uni_per_word " +
-      "FROM perdoc"
+      "FROM docs d LEFT JOIN agg a USING (doc_id)) "
   }
 
   /** m88: vocabulary-usage curve — encode replayed by the same recursive
@@ -696,5 +712,7 @@ object OracleModelSql {
       OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
         .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m135_unigram_tokens")
-        .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap
+        .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap ++
+      OracleCapture.get[Seq[(String, Double)]]("m136_unigram_fertility")
+        .filter(_.nonEmpty).map(ps => "m136_unigram_fertility" -> unigramFertility(ps)).toMap
 }

@@ -342,6 +342,9 @@ object SparkEntry {
     // — EM-trained piece vocabulary, Viterbi token counts; the other
     // tokenizer family beside m40's BPE (captured-pieces oracle replay)
     "m135_unigram_tokens" -> (CorpusQueries.unigramTokens _),
+    // m136: per-source fertility under the unigram model — the m79
+    // report for the other tokenizer family (captured-pieces replay)
+    "m136_unigram_fertility" -> (CorpusQueries.unigramFertility _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)

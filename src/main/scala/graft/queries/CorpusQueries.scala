@@ -554,6 +554,29 @@ object CorpusQueries {
     graft.text.UnigramLm.tokenStats(Tables.documents(s, dir), model)
   }
 
+  /** Unigram-tokenizer fertility report (m136): per-source
+    * tokens-per-word and chars-per-token under the m135 shared unigram
+    * model — the m79 report for the other tokenizer family, so the two
+    * tokenizers' per-source budgets sit side by side. Reads the shared
+    * per-corpus model, captures it under its OWN key (the
+    * no-shared-capture convention). One partial-agg exchange on source;
+    * the encode pass is m135's memoized map. */
+  def unigramFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = uniModel(s, dir)
+    graft.OracleCapture.put("m136_unigram_fertility", model.pieces)
+    graft.text.UnigramLm.tokenStats(docs, model)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_uni_tokens")).as("total_uni_tokens"),
+        (sum(col("n_uni_tokens")).cast("double") /
+          sum(col("n_words")).cast("double")).as("fertility"),
+        (sum(col("n_chars")).cast("double") /
+          sum(col("n_uni_tokens")).cast("double")).as("chars_per_token"))
+  }
+
   /** Salted skew join (m80): the events table joined to a per-type stats
     * dim THROUGH [[graft.operators.SkewJoin.saltedJoin]] — event_type
     * has 4 values over millions of rows, the textbook viral key. The

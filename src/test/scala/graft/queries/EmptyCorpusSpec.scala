@@ -106,6 +106,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m134_stratified_split_ranged" -> (CorpusQueries.stratifiedSplitRanged _),
     // m135: empty corpus → empty word table → empty model → empty stats
     "m135_unigram_tokens" -> (CorpusQueries.unigramTokens _),
+    // m136: empty stats → empty per-source report
+    "m136_unigram_fertility" -> (CorpusQueries.unigramFertility _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

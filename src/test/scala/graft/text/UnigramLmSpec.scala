@@ -72,6 +72,25 @@ class UnigramLmSpec extends SparkSpec {
     out.values.foreach { case (nw, nu) => nu should be >= nw }
   }
 
+  test("fertility report: ≥ 1 per source, arithmetic consistent with token stats") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val rep = graft.queries.CorpusQueries
+      .unigramFertility(spark, sf("sf0.001")).collect()
+    rep should not be empty
+    rep.foreach { r =>
+      val (tw, tu) = (r.getAs[Long]("total_words"), r.getAs[Long]("total_uni_tokens"))
+      tu should be >= tw // a word can't segment to < 1 token
+      r.getAs[Double]("fertility") shouldBe tu.toDouble / tw
+    }
+    // source-summed totals reconcile with the per-doc stats frame (the
+    // report must lose no rows to its source join)
+    val m = UnigramLm.train(docs, vocabSize = 200)
+    val perDoc = UnigramLm.tokenStats(docs, m)
+      .agg(sum("n_words"), sum("n_uni_tokens")).head()
+    rep.map(_.getAs[Long]("total_words")).sum shouldBe perDoc.getLong(0)
+    rep.map(_.getAs[Long]("total_uni_tokens")).sum shouldBe perDoc.getLong(1)
+  }
+
   test("empty corpus degrades to the empty model") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     UnigramLm.train(noDocs).pieces shouldBe empty
