@@ -216,13 +216,13 @@ object Bench {
             "asset:pplbuckets" -> (() =>
               // the m89 LM + tercile chain feeding m89/m101/m118
               materialize(DedupAssets.pplBuckets(spark, sfDir))),
-            // The two DRIVER-SIDE model trains behind per-corpus memos:
-            // their one-time cost is otherwise invisible (whichever
-            // consumer runs first cold pays it in the warm-up pass, and
-            // min-of-2 erases it) — the same accounting the stored-asset
-            // rows exist for. Timed as a fresh un-memoized train, with
-            // the memo's exact production parameters (both distributed
-            // since r14/r15).
+            // The three DRIVER-SIDE model trains behind per-corpus memos
+            // (classifier, BPE, unigram): their one-time cost is
+            // otherwise invisible (whichever consumer runs first cold
+            // pays it in the warm-up pass, and min-of-2 erases it) — the
+            // same accounting the stored-asset rows exist for. Each is
+            // timed as a fresh un-memoized train with the memo's exact
+            // production parameters.
             "asset:qcmodel" -> (() => {
               graft.text.QualityClassifier.trainDistributed(
                 Tables.documents(spark, sfDir)); () }),

@@ -443,18 +443,27 @@ object OracleModelSql {
       "dp(w, i, best) AS (" +
       "SELECT w, 0, [{'c': 0.0::DOUBLE, 'nt': CAST(0 AS BIGINT)}] FROM words " +
       "UNION ALL " +
-      "SELECT w, i + 1, list_append(best, coalesce(" +
+      "SELECT w, i + 1, list_append(best, " +
       // candidate pieces ending at char i+1: scan the (vocab-bounded)
       // piece table — piece p of length l starts at 0-based j = i+1-l,
-      // i.e. 1-based list index i+2-l; ties on (cost, n_tokens, j asc)
-      "(SELECT {'c': best[i + 2 - len(p.p)].c + p.c, " +
-      "'nt': best[i + 2 - len(p.p)].nt + 1} " +
+      // i.e. 1-based list index i+2-l — UNIONed with the unk single-char
+      // candidate so it COMPETES in the same (cost, n_tokens, j) min,
+      // exactly like the Scala DP's candidate set (an earlier coalesce
+      // form only fell back to unk when no piece matched, which diverges
+      // on OOV-char inputs under a stored model — review r15). When the
+      // char IS in vocab the unk row can never win (UnkCost dwarfs any
+      // real piece cost at the same j), so on the training corpus the
+      // sets are indistinguishable; ties on (cost, n_tokens, j asc).
+      "(SELECT {'c': cc, 'nt': cn} FROM (" +
+      "SELECT best[i + 2 - len(p.p)].c + p.c AS cc, " +
+      "best[i + 2 - len(p.p)].nt + 1 AS cn, " +
+      "i + 1 - len(p.p) AS cj " +
       "FROM pieces p " +
       "WHERE len(p.p) <= i + 1 AND p.p = substr(w, i + 2 - len(p.p), len(p.p)) " +
-      "ORDER BY best[i + 2 - len(p.p)].c + p.c, " +
-      "best[i + 2 - len(p.p)].nt + 1, i + 1 - len(p.p) LIMIT 1), " +
-      s"{'c': best[i + 1].c + ${lit(graft.text.UnigramLm.UnkCost)}, " +
-      "'nt': best[i + 1].nt + 1})) " +
+      "UNION ALL " +
+      s"SELECT best[i + 1].c + ${lit(graft.text.UnigramLm.UnkCost)}, " +
+      "best[i + 1].nt + 1, i" +
+      ") cands ORDER BY cc, cn, cj LIMIT 1)) " +
       "FROM dp WHERE i < len(w)), " +
       "tok AS (SELECT w, best[len(w) + 1].nt AS n_tok FROM dp WHERE i = len(w)), " +
       "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +

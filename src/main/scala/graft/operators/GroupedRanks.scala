@@ -48,6 +48,24 @@ object GroupedRanks {
                        countCol: String = "n"): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
+    // Group values are map keys on the driver and stream-compared on
+    // executors, so the column type must have VALUE equality at the
+    // external-row level. BinaryType surfaces as Array[Byte] (reference
+    // equality — offsets would never be found again on the second pass)
+    // and nested containers can embed the same problem; reject them
+    // loudly instead of mis-ranking. Group on a hex/string projection
+    // of such a column instead.
+    df.schema(groupCol).dataType match {
+      case _: org.apache.spark.sql.types.BinaryType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType =>
+        throw new IllegalArgumentException(
+          s"GroupedRanks: group column '$groupCol' has a type without " +
+            "external value equality (binary/array/map/struct) — project " +
+            "it to a string/atomic key first")
+      case _ => ()
+    }
     val ranged = graft.Snapshot.pin(df
       .repartitionByRange(p, col(groupCol) +: orderCols: _*)
       .sortWithinPartitions(col(groupCol) +: orderCols: _*), eager = true)

@@ -124,41 +124,12 @@ object Bpe {
     // fail BEFORE the corpus word-count runs, not after (mergeLoop's own
     // require would only fire once the distributed pass has been paid)
     require(nMerges >= 0, "nMerges must be non-negative")
-    // The word table is PERSISTED across the two consumers below (the
-    // top-maxWords collect and, when the cap binds, the drop-mass
-    // report): it is vocabulary-bounded — cheap to cache — and caching
-    // it means the corpus-sized tokenize/scan underneath runs exactly
-    // once, preserving the "corpus touched ONCE" contract even when the
-    // cap report fires.
-    val wf = docs.filter(col(textCol).isNotNull)
-      .select(explode(split(lower(trim(col(textCol))), " +")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val capped =
-        if (maxWords > 0) wf.orderBy(col("f").desc, col("w").asc).limit(maxWords)
-        else wf
-      val wordFreq = capped.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // No-silent-caps rule (ADVICE r14): when the vocabulary bound binds
-      // (exactly maxWords rows collected — the only way the limit can
-      // have dropped anything), SAY what the Zipf tail it cut amounted
-      // to, in both words and frequency mass — one aggregate over the
-      // cached vocab-bounded table. Cap not binding (the common fixture
-      // case) costs nothing extra.
-      if (maxWords > 0 && wordFreq.size == maxWords) {
-        val t = wf.agg(count(lit(1)).as("v"), sum(col("f")).as("m")).head()
-        val (vocab, mass) = (t.getLong(0), t.getLong(1))
-        val kept = wordFreq.valuesIterator.sum
-        if (vocab > maxWords)
-          System.err.println(
-            s"[bpe] maxWords=$maxWords bound: dropped ${vocab - maxWords} of " +
-              s"$vocab vocabulary words (${mass - kept} of $mass occurrences, " +
-              f"${(mass - kept).toDouble / mass * 100}%.3f%% of word mass)")
-      }
-      mergeLoop(wordFreq, nMerges)
-    } finally wf.unpersist(blocking = false)
+    // Word table + cap + drop-mass report shared with the unigram
+    // trainer — [[WordTables.withCapped]] owns the "corpus touched
+    // ONCE" contract and the no-silent-caps rule (ADVICE r14).
+    WordTables.withCapped(docs, textCol, maxWords, "bpe") { (_, table) =>
+      mergeLoop(table.toMap, nMerges)
+    }
   }
 
   /** The shared merge loop over a word-frequency table (the sufficient

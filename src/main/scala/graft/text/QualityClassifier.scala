@@ -239,11 +239,17 @@ object QualityClassifier {
       // Re-cache at the frame-sized partitioning (one pass over raw's
       // cached blocks), so every GD iteration schedules `parts` tasks
       // against locally-cached partitions — not the corpus's layout.
+      // raw's cache is released as soon as the re-cache materializes:
+      // holding BOTH copies through 500 iterations would double the
+      // cached feature-frame footprint for no reader (review r15).
       val rdd =
-        if (parts < raw.getNumPartitions)
-          raw.coalesce(parts)
+        if (parts < raw.getNumPartitions) {
+          val r = raw.coalesce(parts)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else raw
+          r.count() // materialize from raw's cache, then drop raw
+          raw.unpersist(blocking = false)
+          r
+        } else raw
       try {
         gdLoop(n, iters, lr, { w =>
           val wSnap = w.clone() // the closure must ship THIS iteration's w

@@ -67,37 +67,22 @@ object UnigramLm {
             emIters: Int = 4, seedCap: Int = 5000,
             textCol: String = "text", maxWords: Int = 1 << 16): Model = {
     require(vocabSize > 0 && maxPieceLen > 0 && emIters >= 0)
-    val wf = docs.filter(col(textCol).isNotNull)
-      .select(explode(split(lower(trim(col(textCol))), " +")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // Required chars from the UNCAPPED table (vocab-bounded job on the
-      // cached aggregate): encode coverage for every corpus word, even
-      // ones the count cap drops from the EM statistics.
+    // Word table + cap + drop-mass report shared with the BPE trainer
+    // ([[WordTables.withCapped]] — one implementation of the corpus
+    // tokenization contract and the no-silent-caps rule).
+    WordTables.withCapped(docs, textCol, maxWords, "unigram") { (wf, rows) =>
+      // Required chars from the UNCAPPED (persisted) table: encode
+      // coverage for every corpus word, even ones the count cap drops
+      // from the EM statistics.
       val requiredChars = wf
         .select(explode(split(col("w"), "")).as("c")).distinct()
         .collect().map(_.getString(0)).filter(_.nonEmpty).sorted
-      val table = wf.orderBy(col("f").desc, col("w").asc).limit(maxWords)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1) // fixed EM fold order
-      // No-silent-caps rule (the Bpe.trainDistributed convention): when
-      // the vocabulary bound binds, SAY what the Zipf tail it cut
-      // amounted to — one aggregate over the cached vocab-bounded table.
-      if (table.length == maxWords) {
-        val t = wf.agg(count(lit(1)).as("v"), sum(col("f")).as("m")).head()
-        val (vocab, mass) = (t.getLong(0), t.getLong(1))
-        val kept = table.iterator.map(_._2).sum
-        if (vocab > maxWords)
-          System.err.println(
-            s"[unigram] maxWords=$maxWords bound: dropped ${vocab - maxWords} " +
-              s"of $vocab vocabulary words (${mass - kept} of $mass " +
-              f"occurrences, ${(mass - kept).toDouble / mass * 100}%.3f%% of word mass)")
-      }
-      trainOnWordTable(table, requiredChars, vocabSize, maxPieceLen,
-        emIters, seedCap)
-    } finally { wf.unpersist(blocking = false); () }
+      trainOnWordTable(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          rows.sortBy(_._1)), // fixed EM fold order
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(requiredChars),
+        vocabSize, maxPieceLen, emIters, seedCap)
+    }
   }
 
   /** The driver-side trainer over the word-frequency sufficient
