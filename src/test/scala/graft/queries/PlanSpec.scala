@@ -696,6 +696,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m133: maximal repeats shuffle 16-byte fps and positions; window text never leaves its doc") {
+    val p = plan(CorpusQueries.maximalRepeats(spark, dir))
+    // the pinned window-fingerprint snapshot feeds both consumers
+    p should include("ExistingRDD")
+    // run coalescing is a DOC-PARTITIONED window over flagged positions
+    p should include("Window")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (exchanges should not).include("wtext")
+  }
+
+  test("m134: ranged split plans no window exchange and no corpus sort — ranks come from the range pass") {
+    val p = plan(CorpusQueries.stratifiedSplitRanged(spark, dir))
+    (p should not).include("Window")
+    // the ranked frame is the pinned range-partitioned snapshot
+    p should include("ExistingRDD")
+  }
+
+  test("m135: unigram token accounting is one shuffle-free memoized map — zero exchanges") {
+    val p = plan(CorpusQueries.unigramTokens(spark, dir))
+    (p should not).include("Exchange")
+  }
+
   test("m130: drop card shuffles band-bucket COUNTS only — no id lists, no text, no join") {
     val p = plan(CorpusQueries.lshBucketDrops(spark, dir))
     // the only corpus-sized exchange carries (band, band_hash) partial
