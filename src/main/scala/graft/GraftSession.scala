@@ -80,11 +80,44 @@ object GraftSession {
     * blanket WARN on every such unpersist because it cannot know the
     * block is dead — here that is proved by construction (Bench/Verify
     * release only BETWEEN queries) and pinned by SnapshotModeSpec, so
-    * the per-run flood is noise, not signal. The logger is the concrete
-    * RDD class (Spark's Logging uses the instance class); snapshot
-    * internals are always MapPartitionsRDDs. */
-  def silenceSnapshotFreeWarning(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    * the per-run flood is noise, not signal.
+    *
+    * Scoped to the MESSAGE, not the logger level (ADVICE r15: a level
+    * cut on the class logger would swallow every other WARN
+    * MapPartitionsRDD can emit): a DENY filter matching the exact
+    * caveat text is attached to a dedicated LoggerConfig for the
+    * concrete RDD class (Spark's Logging uses the instance class;
+    * snapshot internals are always MapPartitionsRDDs), additive so any
+    * OTHER message from that class still reaches the root appender at
+    * its inherited level. */
+  def silenceSnapshotFreeWarning(): Unit = {
+    import org.apache.logging.log4j.core.{Filter, LogEvent}
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val filter = new org.apache.logging.log4j.core.filter.AbstractFilter(
+      Filter.Result.DENY, Filter.Result.NEUTRAL) {
+      private def deny(s: String): Filter.Result =
+        if (s != null && s.contains("was locally checkpointed")) onMatch
+        else onMismatch
+      override def filter(event: LogEvent): Filter.Result = {
+        val m = event.getMessage
+        deny(if (m == null) null else m.getFormattedMessage)
+      }
+    }
+    val existing = cfg.getLoggerConfig(name)
+    val target =
+      if (existing.getName == name) existing
+      else {
+        // no config for this class yet: create one that inherits the
+        // effective level and stays additive (events still flow to root)
+        val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
+          name, existing.getLevel, true)
+        cfg.addLogger(name, fresh)
+        fresh
+      }
+    target.addFilter(filter)
+    ctx.updateLoggers()
+  }
 }

@@ -422,8 +422,10 @@ object OracleModelSql {
       "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(p.n_words) AS BIGINT) AS total_words, " +
       "CAST(sum(p.n_uni) AS BIGINT) AS total_uni_tokens, " +
-      "CAST(sum(p.n_uni) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) AS fertility, " +
-      "CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_uni) AS DOUBLE) AS chars_per_token " +
+      "CASE WHEN sum(p.n_words) = 0 THEN 0.0 " +
+      "ELSE CAST(sum(p.n_uni) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) END AS fertility, " +
+      "CASE WHEN sum(p.n_uni) = 0 THEN 0.0 " +
+      "ELSE CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_uni) AS DOUBLE) END AS chars_per_token " +
       "FROM perdoc p JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source " +
       "FROM documents) s USING (doc_id) GROUP BY 1"
 
@@ -461,7 +463,7 @@ object OracleModelSql {
       "FROM pieces p " +
       "WHERE len(p.p) <= i + 1 AND p.p = substr(w, i + 2 - len(p.p), len(p.p)) " +
       "UNION ALL " +
-      s"SELECT best[i + 1].c + ${lit(graft.text.UnigramLm.UnkCost)}, " +
+      s"SELECT best[i + 1].c + ${lit(graft.text.UnigramLm.UnkCost)}::DOUBLE, " +
       "best[i + 1].nt + 1, i" +
       ") cands ORDER BY cc, cn, cj LIMIT 1)) " +
       "FROM dp WHERE i < len(w)), " +
@@ -506,8 +508,10 @@ object OracleModelSql {
       "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(p.n_words) AS BIGINT) AS total_words, " +
       "CAST(sum(p.n_bpe) AS BIGINT) AS total_bpe_tokens, " +
-      "CAST(sum(p.n_bpe) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) AS fertility, " +
-      "CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_bpe) AS DOUBLE) AS chars_per_token " +
+      "CASE WHEN sum(p.n_words) = 0 THEN 0.0 " +
+      "ELSE CAST(sum(p.n_bpe) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) END AS fertility, " +
+      "CASE WHEN sum(p.n_bpe) = 0 THEN 0.0 " +
+      "ELSE CAST(sum(p.n_chars) AS DOUBLE) / CAST(sum(p.n_bpe) AS DOUBLE) END AS chars_per_token " +
       "FROM perdoc p JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source " +
       "FROM documents) s USING (doc_id) GROUP BY 1"
 

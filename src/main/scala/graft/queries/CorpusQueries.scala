@@ -565,17 +565,30 @@ object CorpusQueries {
     val docs = Tables.documents(s, dir)
     val model = uniModel(s, dir)
     graft.OracleCapture.put("m136_unigram_fertility", model.pieces)
-    graft.text.UnigramLm.tokenStats(docs, model)
-      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    fertilityOver(graft.text.UnigramLm.tokenStats(docs, model), docs,
+      tokCol = "n_uni_tokens", totalName = "total_uni_tokens")
+  }
+
+  /** Shared per-source fertility aggregation for the two tokenizer
+    * families (m79 BPE, m136 unigram): tokens-per-word and
+    * chars-per-token from a per-doc (n_words, n_chars, tokCol) stats
+    * frame. 0/0 guards (ADVICE r15): a source of all-whitespace docs has
+    * zero words/tokens, and NaN rows hash/compare inconsistently in the
+    * verify gate — report 0.0, mirrored in the oracle SQL
+    * ([[graft.OracleModelSql.bpeFertility]]/[[graft.OracleModelSql.unigramFertility]]). */
+  private[graft] def fertilityOver(stats: DataFrame, docs: DataFrame,
+                                   tokCol: String, totalName: String): DataFrame =
+    stats.join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),
-        sum(col("n_uni_tokens")).as("total_uni_tokens"),
-        (sum(col("n_uni_tokens")).cast("double") /
-          sum(col("n_words")).cast("double")).as("fertility"),
-        (sum(col("n_chars")).cast("double") /
-          sum(col("n_uni_tokens")).cast("double")).as("chars_per_token"))
-  }
+        sum(col(tokCol)).as(totalName),
+        when(sum(col("n_words")) === 0L, lit(0.0))
+          .otherwise(sum(col(tokCol)).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"),
+        when(sum(col(tokCol)) === 0L, lit(0.0))
+          .otherwise(sum(col("n_chars")).cast("double") /
+            sum(col(tokCol)).cast("double")).as("chars_per_token"))
 
   /** Salted skew join (m80): the events table joined to a per-type stats
     * dim THROUGH [[graft.operators.SkewJoin.saltedJoin]] — event_type
@@ -601,16 +614,8 @@ object CorpusQueries {
     * with the merge list captured for the oracle replay. */
   def tokenizerFertilityRaw(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    graft.text.Bpe.tokenStats(docs, bpeModel(s, dir))
-      .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("total_words"),
-        sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
-        (sum(col("n_bpe_tokens")).cast("double") /
-          sum(col("n_words")).cast("double")).as("fertility"),
-        (sum(col("n_chars")).cast("double") /
-          sum(col("n_bpe_tokens")).cast("double")).as("chars_per_token"))
+    fertilityOver(graft.text.Bpe.tokenStats(docs, bpeModel(s, dir)), docs,
+      tokCol = "n_bpe_tokens", totalName = "total_bpe_tokens")
   }
 
   /** m79 driver query: the RAW fertility report, fully hash-checked —

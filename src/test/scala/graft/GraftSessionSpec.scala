@@ -21,4 +21,32 @@ class GraftSessionSpec extends SparkSpec {
     s.conf.get("spark.sql.session.timeZone") shouldBe "UTC"
     s.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
   }
+
+  test("snapshot-free suppression denies ONLY the localCheckpoint caveat (ADVICE r15)") {
+    GraftSession.silenceSnapshotFreeWarning()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val lc = ctx.getConfiguration.getLoggerConfig(name)
+    // a DEDICATED config exists for the class (not the root fallback),
+    // stays additive, and its filter is message-scoped, not a level cut
+    lc.getName shouldBe name
+    lc.isAdditive shouldBe true
+    val filter = lc.getFilter
+    filter should not be null
+    def eventWith(msg: String) =
+      org.apache.logging.log4j.core.impl.Log4jLogEvent.newBuilder()
+        .setLoggerName(name)
+        .setLevel(org.apache.logging.log4j.Level.WARN)
+        .setMessage(new org.apache.logging.log4j.message.SimpleMessage(msg))
+        .build()
+    filter.filter(eventWith(
+      "RDD 42 was locally checkpointed, its lineage has been truncated " +
+        "and it can no longer be recomputed after unpersisting")) shouldBe
+      org.apache.logging.log4j.core.Filter.Result.DENY
+    // any OTHER warning from the same class passes through untouched
+    filter.filter(eventWith(
+      "Some unrelated warning about this RDD")) shouldBe
+      org.apache.logging.log4j.core.Filter.Result.NEUTRAL
+  }
 }

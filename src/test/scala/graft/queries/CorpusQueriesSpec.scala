@@ -24,6 +24,30 @@ class CorpusQueriesSpec extends SparkSpec {
     many should be <= few
   }
 
+  test("fertility report: an all-whitespace source yields 0.0, never NaN (ADVICE r15)") {
+    // One real source plus one whose docs are whitespace-only: the empty
+    // source has zero words AND zero tokens, so both ratios hit 0/0 —
+    // the guard must report 0.0 (NaN rows hash inconsistently in the
+    // verify gate). Same helper serves m79 (BPE) and m136 (unigram).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog", "real"),
+      (2L, "a fine day for a walk in the park", "real"),
+      (3L, "   ", "blank"),
+      (4L, " ", "blank")).toDF("doc_id", "text", "source")
+    val model = graft.text.UnigramLm.train(docs)
+    val out = CorpusQueries.fertilityOver(
+      graft.text.UnigramLm.tokenStats(docs, model), docs,
+      tokCol = "n_uni_tokens", totalName = "total_uni_tokens")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (nBlank, wBlank, tBlank, fBlank, cBlank) = out("blank")
+    (nBlank, wBlank, tBlank) shouldBe ((2L, 0L, 0L))
+    fBlank shouldBe 0.0 // not NaN
+    cBlank shouldBe 0.0
+    val (_, wReal, tReal, fReal, _) = out("real")
+    fReal shouldBe tReal.toDouble / wReal +- 1e-12
+  }
+
   test("packSplitLeaks: naive packing demonstrably mixes splits; counts are consistent") {
     val rows = CorpusQueries.packSplitLeaks(spark, sf("sf0.001")).collect()
     rows.length should be > 0
