@@ -47,10 +47,15 @@ import graft.Snapshot.SnapshotOps
   *
   * Scale shape (100 TB):
   *  - window text never leaves its document: the only exchange carries
-  *    (16-byte fp, doc_id, position) — the [[RepeatedWindows]] topology;
+  *    (16-byte fp, doc_id, position, n_tokens) — the [[RepeatedWindows]]
+  *    topology;
   *  - the fingerprint relation is snapshot-pinned (it feeds the group
   *    pass and the join-back; recomputing the window pass twice was the
   *    dominant cost of the lazy form);
+  *  - ONE corpus scan total: the short-span cap reads `n_tokens` off the
+  *    pinned window pass (toks.length is in hand there anyway) instead
+  *    of re-tokenizing every document into a second corpus-sized join
+  *    input — a whole scan per run saved at 100 TB (round-15 verdict);
   *  - run coalescing is a window function PARTITIONED BY doc_id over the
   *    flagged positions only — bounded by the true repetition mass, and
   *    never a global window;
@@ -69,7 +74,7 @@ object MaximalRepeats {
             textCol: String = "text"): DataFrame = {
     require(w > 0, "w must be positive")
     require(minDocs > 1, "minDocs must be > 1 (1 flags every position)")
-    val windows = RepeatedWindows.windowFingerprintsRaw(docs, w, textCol)
+    val windows = RepeatedWindows.windowFingerprintsRawWithLen(docs, w, textCol)
       .pinned(true)
     val repeated = windows
       .select("fp", "doc_id").distinct()
@@ -77,7 +82,7 @@ object MaximalRepeats {
       .filter(col("df") >= minDocs)
       .select("fp")
     val flagged = windows.join(repeated, Seq("fp"))
-      .select(col("doc_id"), col("window_idx"))
+      .select(col("doc_id"), col("window_idx"), col("n_tokens"))
     // Gaps-and-islands: consecutive repeated positions share
     // (window_idx − row_number) — each island is one maximal span.
     val byDoc = Window.partitionBy("doc_id").orderBy("window_idx")
@@ -87,18 +92,16 @@ object MaximalRepeats {
       .agg(min(col("window_idx")).as("span_start"),
         (max(col("window_idx")) - min(col("window_idx")) + lit(w.toLong))
           .as("raw_len"),
-        count(lit(1)).as("n_windows"))
-    // Whole-short-doc windows (n_tokens ≤ w) report their true length,
-    // not w: cap by the document's token count (same tokenizer as the
-    // window pass; a no-op for every regular span since max window_idx
-    // ≤ n_tokens − w).
-    val nTok = docs.filter(col(textCol).isNotNull)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        size(split(lower(trim(col(textCol))), " +")).cast("long")
-          .as("n_tokens"))
-    runs.join(nTok, Seq("doc_id"))
+        count(lit(1)).as("n_windows"),
+        // Whole-short-doc windows (n_tokens ≤ w) report their true
+        // length, not w: cap by the document's token count, constant per
+        // doc and carried on every window row by the pinned pass (max =
+        // that constant) — a no-op for every regular span since max
+        // window_idx ≤ n_tokens − w. No second corpus scan, no join.
+        max(col("n_tokens")).as("n_tokens"))
       .select(col("doc_id"), col("span_start"),
         least(col("raw_len"), col("n_tokens")).as("span_len"),
         col("n_windows"))
+    runs
   }
 }

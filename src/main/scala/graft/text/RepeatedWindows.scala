@@ -64,7 +64,23 @@ object RepeatedWindows {
     * both exchanges; `lower(hex(fp))` restores the oracle's hex form on
     * the (repetition-mass-bounded) output. */
   def windowFingerprintsRaw(docs: DataFrame, w: Int,
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text"): DataFrame =
+    // narrow projection of the WithLen pass; the drop happens BEFORE any
+    // consumer pins/shuffles, so [[flag]]'s snapshot stays 3 columns
+    windowFingerprintsRawWithLen(docs, w, textCol)
+      .select("doc_id", "window_idx", "fp")
+
+  /** [[windowFingerprintsRaw]] plus the document's token count on every
+    * row: (doc_id, window_idx, fp BINARY, n_tokens). `toks.length` is in
+    * hand inside the compiled pass anyway, and a consumer that needs
+    * per-doc lengths (the m133 short-span cap) would otherwise pay a
+    * SECOND full-corpus tokenize + a corpus-sized join — a whole scan
+    * per run at 100 TB (round-15 verdict). Cost: +8 bytes per window row
+    * in the consumer's snapshot; [[flag]]'s hot path keeps the narrower
+    * relation. n_tokens equals `size(split(lower(trim(text)), " +"))`
+    * exactly (same tokenizer, differential-spec pinned). */
+  def windowFingerprintsRawWithLen(docs: DataFrame, w: Int,
+                                   textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col(textCol).isNotNull)
@@ -78,8 +94,9 @@ object RepeatedWindows {
         }
         it.flatMap { case (docId, text) =>
           val toks = sparkTrim(text).toLowerCase(java.util.Locale.ROOT).split(" +")
+          val n = toks.length.toLong
           if (toks.length <= w) {
-            Iterator((docId, 0L, fpOf(toks.mkString(" "))))
+            Iterator((docId, 0L, fpOf(toks.mkString(" ")), n))
           } else {
             Iterator.range(0, toks.length - w + 1).map { i =>
               val sb = new java.lang.StringBuilder(w * 8)
@@ -89,12 +106,12 @@ object RepeatedWindows {
                 sb.append(toks(j))
                 j += 1
               }
-              (docId, i.toLong, fpOf(sb.toString))
+              (docId, i.toLong, fpOf(sb.toString), n)
             }
           }
         }
       }
-      .toDF("doc_id", "window_idx", "fp")
+      .toDF("doc_id", "window_idx", "fp", "n_tokens")
   }
 
   /** Hex-fingerprint view of [[windowFingerprintsRaw]] — the public

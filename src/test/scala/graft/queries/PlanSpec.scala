@@ -705,6 +705,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     (exchanges should not).include("text#")
     (exchanges should not).include("wtext")
+    // ONE corpus scan total (round-15 verdict): the short-span cap reads
+    // n_tokens off the pinned window pass — no second tokenize of the
+    // documents parquet anywhere in the plan, and no corpus-sized
+    // join-back for lengths (the only join is the flagged-fp semi shape)
+    (p should not).include("Scan parquet")
   }
 
   test("m134: ranged split plans no window exchange and no corpus sort — ranks come from the range pass") {

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class RepeatedWindowsSpec extends SparkSpec {
   import spark.implicits._
@@ -73,5 +74,33 @@ class RepeatedWindowsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy RepeatedWindows.flag(docs, 0)
     an[IllegalArgumentException] should be thrownBy
       RepeatedWindows.flag(docs, 3, minDocs = 1)
+  }
+
+  test("differential: WithLen n_tokens ≡ size(split(lower(trim(text)), ' +')), real corpus + edges") {
+    // The m133 short-span cap reads n_tokens off the window pass instead
+    // of a second corpus tokenize (round-15 verdict) — this pin is what
+    // makes that substitution safe: the compiled pass's toks.length must
+    // equal the Column tokenizer on every document, including whitespace
+    // edge cases (empty-after-trim splits to one '' token → 1).
+    val real = graft.Tables.documents(spark, sf("sf0.001")).limit(200)
+    val edges = Seq(
+      (90001L, "  leading and trailing  "),
+      (90002L, "   "),
+      (90003L, ""),
+      (90004L, "short"),
+      (90005L, "a\tb tab inside one token")
+    ).toDF("doc_id", "text")
+    val docs = real.select("doc_id", "text").unionByName(edges)
+    val got = RepeatedWindows.windowFingerprintsRawWithLen(docs, 5)
+      .select("doc_id", "n_tokens").distinct()
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+          .split(lower(trim(col("text"))), " +")).cast("long"))
+      .distinct().as[(Long, Long)].collect().sorted.toSeq
+    got shouldBe want
+    // n_tokens is constant per document (one value per doc_id)
+    got.map(_._1).distinct.length shouldBe got.length
   }
 }
