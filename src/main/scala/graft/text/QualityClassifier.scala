@@ -81,29 +81,18 @@ object QualityClassifier {
 
   val NumFeatures = 5
 
-  /** Fixed-point scale (2^53) for the exact gradient accumulation: every
-    * per-row (loss, gradient) contribution is quantized to
-    * rint(x · 2^53) and summed as integers, so the per-iteration totals
-    * are independent of summation order — the property that makes
+  /** Fixed-point scale (2^53) for the exact gradient accumulation
+    * ([[FixedPointGd.QScale]] — shared with the m137 language-ID
+    * trainer): every per-row (loss, gradient) contribution is quantized
+    * to rint(x · 2^53) and summed as integers, so the per-iteration
+    * totals are independent of summation order — the property that makes
     * [[train]] (driver fold) and [[trainDistributed]] (per-partition
     * partials) bit-identical, and the distributed trainer partition-
     * invariant. |loss| ≤ −ln(1e-15) ≈ 34.6 → |q| < 2^59; |e·f| ≤ 1 →
     * |q| ≤ 2^53. */
-  private val QScale = 9007199254740992.0
+  private val QScale = FixedPointGd.QScale
 
-  /** Exact order-independent accumulator for quantized contributions:
-    * a fast Long lane flushed into a BigInt before it can overflow
-    * (|lane| ≤ 2^62, |q| < 2^60 → the add itself never overflows). */
-  private final class ExactAcc(k: Int) {
-    private val big = Array.fill(k)(BigInt(0))
-    private val lane = new Array[Long](k)
-    def add(j: Int, q: Long): Unit = {
-      val s = lane(j) + q
-      if (s > (1L << 62) || s < -(1L << 62)) { big(j) += BigInt(s); lane(j) = 0L }
-      else lane(j) = s
-    }
-    def sums: Array[BigInt] = Array.tabulate(k)(j => big(j) + BigInt(lane(j)))
-  }
+  private type ExactAcc = FixedPointGd.ExactAcc
 
   /** One row's quantized (loss, gradient) contribution under weights `w`,
     * folded into `acc` — slot 0 is the clamped log-loss, slots 1..6 the
@@ -128,25 +117,20 @@ object QualityClassifier {
     }
   }
 
-  /** The shared full-batch GD loop over an exact per-iteration
-    * (loss, gradient) aggregate — `step` returns the 7 exact integer
-    * sums under the current weights; where it folds them (driver sample
-    * or distributed partitions) is the only difference between the two
-    * trainers. */
-  private def gdLoop(n: Long, iters: Int, lr: Double,
+  /** The shared full-batch GD loop ([[FixedPointGd.loop]]) over an exact
+    * per-iteration (loss, gradient) aggregate — `step` returns the 7
+    * exact integer sums under the current weights; where it folds them
+    * (driver sample or distributed partitions) is the only difference
+    * between the two trainers. Early stop (round-15 verdict ask #3):
+    * the loop exits once an iteration's exact loss drop × stopInv ≤
+    * the total drop so far, [[FixedPointGd.StopPatience]] consecutive
+    * times — a pure BigInt rule over integers BOTH trainers compute
+    * identically, so the bit-identity contract survives the stop.
+    * stopInv = 0 runs the full budget (the spec's reference). */
+  private def gdLoop(n: Long, iters: Int, lr: Double, stopInv: Long,
                      step: Array[Double] => Array[BigInt]): Model = {
-    val w = Array.fill(NumFeatures + 1)(0.0)
-    val losses = Array.fill(iters)(0.0)
-    var it = 0
-    while (it < iters) {
-      val s = step(w)
-      var j = 0
-      while (j <= NumFeatures) {
-        w(j) -= lr / n * (s(j + 1).toDouble / QScale); j += 1
-      }
-      losses(it) = (s(0).toDouble / QScale) / n
-      it += 1
-    }
+    val (w, losses) =
+      FixedPointGd.loop(n, NumFeatures + 1, iters, lr, stopInv, step)
     Model(w, n, losses)
   }
 
@@ -180,7 +164,8 @@ object QualityClassifier {
     * corpus this is bit-identical to [[trainDistributed]] at the same
     * (iters, lr) — spec-pinned. */
   def train(docs: DataFrame, textCol: String = "text", trainCap: Int = 4096,
-            iters: Int = 500, lr: Double = 8.0): Model = {
+            iters: Int = 500, lr: Double = 8.0,
+            stopInv: Long = FixedPointGd.DefaultStopInv): Model = {
     val sample = featuresOf(docs, textCol)
       .withColumn("h", md5(concat(lit("qc:"), col("doc_id").cast("string"))))
       .orderBy(col("h"), col("doc_id"))
@@ -194,7 +179,7 @@ object QualityClassifier {
     // tier's degrade-to-empty contract (EmptyCorpusSpec), not an error.
     if (sample.isEmpty)
       return Model(Array.fill(NumFeatures + 1)(0.0), 0L, Array.empty)
-    gdLoop(sample.length.toLong, iters, lr, { w =>
+    gdLoop(sample.length.toLong, iters, lr, stopInv, { w =>
       val acc = new ExactAcc(NumFeatures + 2)
       sample.foreach { case (y, f) => accumulate(acc, w, y, f) }
       acc.sums
@@ -222,7 +207,8 @@ object QualityClassifier {
   private val TrainRowsPerPartition = 1L << 21
 
   def trainDistributed(docs: DataFrame, textCol: String = "text",
-                       iters: Int = 500, lr: Double = 8.0): Model = {
+                       iters: Int = 500, lr: Double = 8.0,
+                       stopInv: Long = FixedPointGd.DefaultStopInv): Model = {
     val raw = featuresOf(docs, textCol)
       .select("y", "f1", "f2", "f3", "f4", "f5")
       .rdd
@@ -251,7 +237,7 @@ object QualityClassifier {
           r
         } else raw
       try {
-        gdLoop(n, iters, lr, { w =>
+        gdLoop(n, iters, lr, stopInv, { w =>
           val wSnap = w.clone() // the closure must ship THIS iteration's w
           val partials = rdd.mapPartitions { it =>
             val acc = new ExactAcc(NumFeatures + 2)
