@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-group quantiles by nearest-rank selection — the
@@ -12,12 +11,20 @@ import org.apache.spark.sql.functions._
   * with a billion rows materializes a billion-element array in one
   * task's memory — the same class of scale bug as a single-partition
   * window. Nearest-rank selection (the classical "type 1" quantile
-  * definition, Hyndman & Fan 1996, public) needs only a per-group
-  * row_number over a hash-partitioned window: the sort is distributed
-  * per group, Spark's window sort spills gracefully, and no value array
-  * ever lives in an aggregation buffer. (A single group so large it
-  * dominates the corpus would graduate to the [[PrefixSum]] range-rank
-  * machinery — the documented escalation path, same as m52/m77.)
+  * definition, Hyndman & Fan 1996, public) needs only a per-group rank
+  * over a total order.
+  *
+  * Ranks come from [[GroupedRanks]] (round 16; previously a
+  * `Window.partitionBy(group)` pair): the round-15 Zipf fixture
+  * (head:tail 102:1) proved the per-group window's max sort task tracks
+  * the HEAD group linearly — the m87 cliff, fixed there by the
+  * range-partitioned rank (m134, max task 141× smaller on identical
+  * input). Here the same escalation applies: the (group, value, tie)
+  * order is range-partitioned so a big group SPANS partitions instead
+  * of owning one task, and the group count rides along for free
+  * (removing the second frame-less count window too). Output identical
+  * to the window form — ranks are a pure function of the total order,
+  * not the partitioning (GroupQuantilesSpec pins byte-identity).
   *
   * Definition: for quantile q over a group of n values ordered by
   * (value, tieCol), the reported value has rank floor(q·(n−1)) + 1 —
@@ -26,7 +33,8 @@ import org.apache.spark.sql.functions._
   * function of the data (partition-invariant), and the oracle replays
   * the identical rank arithmetic (floor over the same IEEE doubles).
   *
-  * One hash exchange on the group key; output is |groups| × |qs| rows.
+  * One range exchange on (group, value, tie); output is
+  * |groups| × |qs| rows.
   */
 object GroupQuantiles {
 
@@ -42,18 +50,18 @@ object GroupQuantiles {
     // are never silently replaced by withColumn.
     require(!Set("q", "n", "value").contains(groupCol),
       s"groupCol '$groupCol' collides with an output column name (q/n/value)")
-    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
-    val wAll = Window.partitionBy(groupCol)
+    val ranked = GroupedRanks.withRankAndCount(
+      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      groupCol, Seq(col(valueCol), col(tieCol)),
+      rankCol = "__gq_rk", countCol = "__gq_n")
     val qCol: Column = explode(array(qs.map(lit(_)): _*))
-    // The explode+filter runs INSIDE the post-window stage (generate →
+    // The explode+filter runs in the post-rank projection (generate →
     // filter pipelines in one pass, nothing materializes |qs|× rows and
     // no extra exchange) — each row evaluates |qs| rank predicates and
     // at most |qs| rows per group survive.
-    df.select(col(groupCol), col(valueCol), col(tieCol))
-      .withColumn("__gq_rn", row_number().over(w).cast("long"))
-      .withColumn("__gq_n", count(lit(1)).over(wAll))
-      .select(col(groupCol), col(valueCol), col("__gq_rn"), col("__gq_n"),
-        qCol.as("__gq_q"))
+    ranked
+      .select(col(groupCol), col(valueCol),
+        (col("__gq_rk") + 1L).as("__gq_rn"), col("__gq_n"), qCol.as("__gq_q"))
       .filter(col("__gq_rn") ===
         floor(col("__gq_q") * (col("__gq_n") - 1L).cast("double")).cast("long") + 1L)
       .select(col(groupCol), col("__gq_q").as("q"), col("__gq_n").as("n"),

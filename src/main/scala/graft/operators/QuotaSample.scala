@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
   * a per-partition bounded heap keeps at most `cap` candidates per group
   * per input partition (memory: groups-in-partition × cap keys, no text
   * carried), so the shuffle moves at most cap × partitions rows per group
-  * instead of the whole group. The exact window then runs over that
+  * instead of the whole group. The exact ranking then runs over that
   * skeleton — same answer as the naive plan (the global top-cap of a
   * group is contained in the union of its per-partition top-caps), with
   * the full-width payload joined back only for the winners.
+  *
+  * Per-group ranks (both the skeleton rank here and the data-dependent
+  * target rank in [[temperatureRebalance]]) come from
+  * [[GroupedRanks]] since round 16 — the round-15 Zipf fixture
+  * (head:tail 102:1) proved a `Window.partitionBy(group)` funnels the
+  * head group's whole stratum through one sort task (the m87 cliff,
+  * fixed by the range-partitioned rank, m134); outputs are byte-
+  * identical to the window form (QuotaSampleSpec/TemperatureMixSpec pin
+  * it) because ranks are a pure function of the (md5, key) total order.
   */
 object QuotaSample {
 
@@ -61,12 +70,14 @@ object QuotaSample {
     }
 
     // Exact final ranking over the pruned skeleton (≤ cap × partitions
-    // rows per group — small by construction).
-    val w = Window.partitionBy("grp").orderBy(col("ord"), col("key"))
-    pruned.toDF("grp", "key", "ord")
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= cap)
-      .select(col("key").as(keyCol), col("grp").as(groupCol), col("rk"))
+    // rows per group — bounded, but at warehouse partition counts still
+    // worth the range-partitioned rank: no single task owns a group).
+    GroupedRanks.withRankAndCount(pruned.toDF("grp", "key", "ord"),
+        "grp", Seq(col("ord"), col("key")),
+        rankCol = "__qs_rk", countCol = "__qs_n")
+      .filter(col("__qs_rk") < cap.toLong)
+      .select(col("key").as(keyCol), col("grp").as(groupCol),
+        (col("__qs_rk") + 1L).as("rk"))
   }
 
   /** Temperature-smoothed source rebalance — the mix-building step between
@@ -81,12 +92,15 @@ object QuotaSample {
     * (correctly rounded, engine-portable — deliberately NOT pow, whose
     * libm rounding varies); selection is rank-by-md5 as in [[quotaSample]].
     *
-    * Scale shape: group counts are one partial-aggregated exchange; the
-    * target table is |groups| rows and broadcast; ranking shuffles
-    * (group, key, md5) triples only — never payloads. The heap prune does
-    * not apply (targets are data-dependent, not a small constant), so the
-    * rank window sorts each group's key skeleton; at warehouse scale the
-    * narrow projection is what keeps that sort cheap. */
+    * Scale shape: the heap prune does not apply (targets are
+    * data-dependent, not a small constant), so EVERY key ranks — which
+    * is exactly where the per-group window cliff bites under a Zipf mix
+    * and why the rank is the range-partitioned [[GroupedRanks]] pass:
+    * one range exchange of (group, key, md5) triples (never payloads),
+    * no task owns a whole group, and the per-group counts the targets
+    * need come out of the same pass (the separate groupBy-count
+    * exchange of the window form is gone). The target table is |groups|
+    * rows and broadcast. */
   /** `⌈√(n · min_n)⌉` as a long. Each operand is cast to double BEFORE the
     * multiply: two ~1e10 group counts overflow long×long (>9.2e18) at
     * exactly the warehouse scale this targets — ANSI mode would kill the
@@ -97,23 +111,26 @@ object QuotaSample {
 
   def temperatureRebalance(df: DataFrame, groupCol: String,
                            keyCol: String): DataFrame = {
-    // Group key cast to string HERE, identically to the ranking side below
-    // — both join keys must be built the same way, not left to implicit
-    // coercion (a native/string mismatch would ride a silent cast).
-    val counts = df.groupBy(col(groupCol).cast("string").as("grp"))
-      .agg(count(lit(1)).as("n"))
+    // Group key cast to string ONCE here — the ranked frame feeds both
+    // the target derivation and the selection, so the join keys are
+    // built the same way by construction.
+    val ranked = GroupedRanks.withRankAndCount(
+      df.select(col(groupCol).cast("string").as("grp"),
+        col(keyCol).cast("long").as("key"),
+        md5(col(keyCol).cast("string").cast("binary")).as("ord")),
+      "grp", Seq(col("ord"), col("key")),
+      rankCol = "__qs_rk", countCol = "__qs_n")
+    // Per-group counts ride out of the rank pass (one distinct over the
+    // |groups|-sized (grp, n) projection) — no second corpus aggregate.
+    val counts = ranked.select(col("grp"), col("__qs_n").as("n")).distinct()
     val minN = counts.agg(min(col("n")).as("min_n"))
     val targets = counts.crossJoin(broadcast(minN))
       .select(col("grp"), temperatureTarget(col("n"), col("min_n")).as("target"))
-    val w = Window.partitionBy("grp").orderBy(col("ord"), col("key"))
-    df.select(col(groupCol).cast("string").as("grp"),
-        col(keyCol).cast("long").as("key"),
-        md5(col(keyCol).cast("string").cast("binary")).as("ord"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    ranked
       .join(broadcast(targets), Seq("grp"))
-      .filter(col("rk") <= col("target"))
-      .select(col("key").as(keyCol), col("grp").as(groupCol), col("rk"),
-        col("target"))
+      .filter(col("__qs_rk") < col("target")) // 0-based rk < target ≡ rank ≤ target
+      .select(col("key").as(keyCol), col("grp").as(groupCol),
+        (col("__qs_rk") + 1L).as("rk"), col("target"))
   }
 
   /** Token-budget variant: keep rows per group, in the same deterministic

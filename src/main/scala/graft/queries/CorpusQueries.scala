@@ -1440,10 +1440,19 @@ object CorpusQueries {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         graft.text.TextOps.profile(col("text")).getField("quality").as("quality"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy(floor(col("quality") * lit(1e6)).cast("long"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"), col("quality"),
-      percent_rank().over(w).as("pct_rank"))
+    // percent_rank via the range-partitioned GroupedRanks pass (round 16;
+    // was Window.partitionBy(source) — the zipf-fixture head-task cliff).
+    // The (floor(q·1e6), doc_id) order is total (doc_id unique), so RANK
+    // ≡ row_number ≡ rk+1 and percent_rank = rk / (n−1) divides the
+    // identical integers Spark's window form divides — byte-identical
+    // (QualityPercentilesSpec pins it); n = 1 → 0.0, Spark's convention.
+    graft.operators.GroupedRanks.withRankAndCount(docs, "source",
+        Seq(floor(col("quality") * lit(1e6)).cast("long"), col("doc_id")),
+        rankCol = "__qp_rk", countCol = "__qp_n")
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("__qp_n") === 1L, lit(0.0))
+          .otherwise(col("__qp_rk").cast("double") /
+            (col("__qp_n") - 1L).cast("double")).as("pct_rank"))
   }
 
   /** Clean-holdout mining (m129): certify which documents share NO

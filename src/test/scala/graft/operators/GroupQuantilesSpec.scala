@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class GroupQuantilesSpec extends SparkSpec {
@@ -58,12 +59,40 @@ class GroupQuantilesSpec extends SparkSpec {
         "value", "n", "id", Seq(0.5))
   }
 
-  test("plan: no percentile aggregate, one hash exchange on the group key, generate pipelined") {
+  test("plan: no percentile aggregate, ranks from the ranged pass, generate pipelined") {
     val df = GroupQuantiles.nearestRank(
       Seq(("a", 1L, 1L)).toDF("g", "id", "v"), "g", "v", "id", Seq(0.5))
     val p = df.queryExecution.executedPlan.toString
     (p should not).include("percentile")
-    p should include("Window")
+    // round 16: ranks come from the range-partitioned GroupedRanks pass
+    // (pinned snapshot), not a per-group window sort task
+    (p should not).include("Window")
+    p should include("ExistingRDD")
     p should include("Generate")
+  }
+
+  test("ranged form equals the window reference on a skewed fixture (byte-identical)") {
+    // Round 16 escalation pin (the m87/m134 convention): ranks are a
+    // pure function of the (value, tie) total order, so the selected
+    // quantile rows must match the row_number/count window form exactly
+    // — verified on a skewed group mix with value ties.
+    val rows = (0 until 700).map(i => ("head", i.toLong, (i % 37).toLong)) ++
+      (700 until 760).map(i => ("mid", i.toLong, (i % 11).toLong)) ++
+      (760 until 765).map(i => ("tail", i.toLong, 3L))
+    val df = rows.toDF("g", "id", "v").repartition(13)
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = GroupQuantiles.nearestRank(df, "g", "v", "id", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val wAll = Window.partitionBy("g")
+    val want = df.select(col("g"), col("v"), col("id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("g"), col("v"), col("rn"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("rn") ===
+        floor(col("q") * (col("n") - 1L).cast("double")).cast("long") + 1L)
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getLong(3), r.getLong(1))).toSet
+    got shouldBe want
   }
 }

@@ -85,6 +85,43 @@ class QuotaSampleSpec extends SparkSpec {
     target shouldBe math.ceil(math.sqrt(2.0e10 * 1.5e10)).toLong // 17320508076
   }
 
+  test("temperatureRebalance: ranged form equals the window reference (skewed groups)") {
+    // Round 16 swapped the per-group rank window (plus its separate
+    // count aggregate) for the GroupedRanks pass; selection is a pure
+    // function of the (md5, key) order, so the kept set, ranks and
+    // targets must match the window form exactly — on a skewed mix,
+    // where the escalation matters.
+    val df = ((0 until 600).map(i => (i.toLong, "head")) ++
+      (600 until 640).map(i => (i.toLong, "mid")) ++
+      (640 until 646).map(i => (i.toLong, "tail")))
+      .toDF("doc_id", "domain").repartition(11)
+    def windowForm: Set[(Long, String, Long, Long)] = {
+      val counts = df.groupBy(col("domain").cast("string").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      val minN = counts.agg(min(col("n")).as("min_n"))
+      val targets = counts.crossJoin(broadcast(minN))
+        .select(col("grp"),
+          ceil(sqrt(col("n").cast("double") * col("min_n").cast("double")))
+            .cast("long").as("target"))
+      val w = Window.partitionBy("grp").orderBy(col("ord"), col("key"))
+      df.select(col("domain").cast("string").as("grp"),
+          col("doc_id").cast("long").as("key"),
+          md5(col("doc_id").cast("string").cast("binary")).as("ord"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(targets), Seq("grp"))
+        .filter(col("rk") <= col("target"))
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("grp"),
+          r.getAs[Long]("rk"), r.getAs[Long]("target"))).toSet
+    }
+    val got = QuotaSample.temperatureRebalance(df, "domain", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+        r.getAs[Long]("rk"), r.getAs[Long]("target"))).toSet
+    got shouldBe windowForm
+    // and the skew actually engaged: head downsampled toward √(600·6)=60
+    got.count(_._2 == "head").toLong shouldBe math.ceil(math.sqrt(600.0 * 6.0)).toLong
+    got.count(_._2 == "tail") shouldBe 6
+  }
+
   test("temperatureRebalance: numeric group column joins symmetrically") {
     // Both sides of the targets join must build the string key the same
     // way — a native-vs-string mismatch would ride implicit coercion.

@@ -156,11 +156,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("ReadSchema: struct<text:string,source:string>")
   }
 
-  test("m34: temperature mix scans only doc_id; the targets join broadcasts") {
+  test("m34: temperature mix ranks via the ranged pass; the targets join broadcasts") {
     val df = CorpusQueries.temperatureMix(spark, dir)
     df.collect() // let AQE finalize strategies
     val p = df.queryExecution.executedPlan.toString
-    p should include("ReadSchema: struct<doc_id:bigint>") // domain derives from it
+    // round 16: the per-domain rank window is gone — ranks and group
+    // counts both come out of the pinned GroupedRanks pass (the doc_id-
+    // only scan now sits inside that pass's snapshot derivation)
+    (p should not).include("Window")
+    p should include("ExistingRDD")
     p should include("BroadcastHashJoin")
   }
 
@@ -618,10 +622,12 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("media#")
   }
 
-  test("m121: one source exchange serves the calibration window; no text in exchanges") {
+  test("m121: percentiles ride the ranged rank pass — no per-source window, no text in exchanges") {
     val p = plan(CorpusQueries.qualityPercentiles(spark, dir))
-    "Exchange hashpartitioning\\(source#".r.findAllIn(p).size shouldBe 1
-    p should include("Window")
+    // round 16: the per-source percent_rank window (head-task cliff on
+    // the zipf fixture) is replaced by the pinned GroupedRanks pass
+    (p should not).include("Window")
+    p should include("ExistingRDD")
     (p should not).include("SortMergeJoin")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     (exchanges should not).include("text#")
@@ -680,10 +686,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
-  test("m132: quantile card uses rank selection, never a percentile aggregation buffer") {
+  test("m132: quantile card uses ranged rank selection — no percentile buffer, no per-group window task") {
     val p = plan(CorpusQueries.sourceTokenQuantiles(spark, dir))
     (p should not).include("percentile")
-    p should include("Window")
+    // ranks come from the range-partitioned GroupedRanks pass (round 16):
+    // the pinned ranged snapshot replaces the per-group window whose max
+    // sort task tracked the head source linearly on the zipf fixture
+    (p should not).include("Window")
+    p should include("ExistingRDD")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     (exchanges should not).include("text#")
   }

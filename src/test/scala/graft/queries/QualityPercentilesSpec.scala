@@ -24,6 +24,29 @@ class QualityPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("ranged form is byte-identical to the percent_rank window form (m87/m134 convention)") {
+    // Round 16 swapped the per-source percent_rank window for the
+    // range-partitioned GroupedRanks pass; ranks are a pure function of
+    // the (floor(q·1e6), doc_id) total order, so every pct_rank double
+    // must match the window form bit-for-bit.
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.profile(col("text")).getField("quality").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(floor(col("quality") * lit(1e6)).cast("long"), col("doc_id"))
+    val windowForm = docs
+      .select(col("doc_id"), percent_rank().over(w).as("pct_rank"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val ranged = CorpusQueries.qualityPercentiles(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))).toMap
+    ranged shouldBe windowForm
+  }
+
   test("the same raw score calibrates differently across sources") {
     // a mid-quality doc sits at different percentiles in a clean vs a
     // noisy source — the point of per-source calibration
