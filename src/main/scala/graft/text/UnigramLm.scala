@@ -26,12 +26,19 @@ import org.apache.spark.sql.functions._
   *
   * Fidelity to the paper, stated plainly: seeding uses the frequent
   * substrings of the word table (score = Σ freq × in-word occurrences)
-  * rather than the ESA suffix-array enumeration; pruning keeps the
-  * top-`vocabSize` pieces by trained probability (required single chars
-  * always kept) rather than the per-piece likelihood-loss ranking; EM
-  * runs a fixed iteration count. These are documented simplifications
-  * of the same public algorithm family — the lattice EM, the
-  * probability model and the Viterbi encode are the paper's.
+  * rather than the ESA suffix-array enumeration; EM runs a fixed
+  * iteration count. Pruning is the paper's LIKELIHOOD-LOSS ranking
+  * (round 16; previously a documented prune-by-probability
+  * simplification): each multi-char piece is scored by how much the
+  * corpus Viterbi likelihood degrades if it is removed —
+  * freq(piece) × (altCost(piece) − cost(piece)), where freq comes from
+  * Viterbi-segmenting the word table under the current model and
+  * altCost is the best segmentation of the piece's own string WITHOUT
+  * its full-span candidate (the SentencePiece prune statistic; both are
+  * computable on the driver from the same vocab-bounded sufficient
+  * statistic) — so a piece that merely HAS high probability but is
+  * always re-derivable from cheap sub-pieces no longer crowds out a
+  * piece that is load-bearing. Required single chars are always kept.
   *
   * Determinism: the word table is collected in (count desc, word asc)
   * order, EM folds words in sorted order with log-sum-exp in fixed
@@ -90,7 +97,8 @@ object UnigramLm {
   private[text] def trainOnWordTable(table: Seq[(String, Long)],
                                      requiredChars: Seq[String],
                                      vocabSize: Int, maxPieceLen: Int,
-                                     emIters: Int, seedCap: Int): Model = {
+                                     emIters: Int, seedCap: Int,
+                                     pruneByLoss: Boolean = true): Model = {
     if (table.isEmpty) return Model(Seq.empty)
     // -- seed: frequent substrings (len 2..maxPieceLen), integer scores
     val seedScore = scala.collection.mutable.HashMap.empty[String, Long]
@@ -197,18 +205,134 @@ object UnigramLm {
 
     var it = 0
     while (it < emIters) { probs = emPass(probs); it += 1 }
-    // -- prune to vocabSize: required chars + top multi-char pieces
-    val multi = probs.toSeq.filter { case (s, _) => !required.contains(s) }
-      .sortBy { case (s, p) => (-p, s) }
-      .take(math.max(0, vocabSize - required.size))
-    probs = (required.toSeq.sorted.map(c => c -> probs.getOrElse(c, 1e-9)) ++
-      multi).toMap
-    // settle probabilities on the pruned vocabulary
+    // -- prune to vocabSize (Kudo's likelihood-loss prune; class
+    // scaladoc): ITERATIVELY drop the ≤25% of multi-char pieces whose
+    // removal costs the corpus Viterbi likelihood least, re-settling
+    // probabilities between rounds. Iterative (SentencePiece's shrink
+    // loop), not single-shot, because the single-removal statistic
+    // assumes the REST of the vocab survives: on ("abab"×50, "cd"×30)
+    // with one multi slot, a single-shot prune keeps "cd" believing
+    // "abab" re-derives from "ab"+"ab" — and then drops "ab" in the
+    // same stroke (measured 2× worse corpus cost than prune-by-prob);
+    // shrinking 25% per round lets the statistic see each round's
+    // actual survivors. All driver-side over the word table: freqs from
+    // one Viterbi pass over the (sorted) table per round, alt-costs
+    // from a per-piece Viterbi over the piece's own ≤ maxPieceLen chars.
+    val targetMulti = math.max(0, vocabSize - required.size)
+    def rebuild(multi: Seq[(String, Double)]): Map[String, Double] =
+      (required.toSeq.sorted.map(c => c -> probs.getOrElse(c, 1e-9)) ++
+        multi).toMap
+    if (!pruneByLoss) {
+      // the pre-round-16 reference ranking (prune once by probability) —
+      // kept for the spec's divergence pin
+      probs = rebuild(probs.toSeq.filter { case (s, _) => !required.contains(s) }
+        .sortBy { case (s, p) => (-p, s) }.take(targetMulti))
+    } else {
+      var multiCount = probs.keysIterator.count(s => !required.contains(s))
+      while (multiCount > targetMulti) {
+        val keepN = math.max(targetMulti, (multiCount * 3) / 4)
+        val costNow: Map[String, Double] =
+          probs.iterator.map { case (s, p) => s -> -math.log(p) }.toMap
+        val maxLNow = math.min(maxPieceLen, probs.keysIterator.map(_.length).max)
+        val freq = scala.collection.mutable.HashMap.empty[String, Long]
+        table.foreach { case (w, f) =>
+          viterbiPieces(w, costNow, maxLNow, excludeFullSpan = false).foreach { s =>
+            freq.update(s, freq.getOrElse(s, 0L) + f)
+          }
+        }
+        val kept = probs.keysIterator.filter(s => !required.contains(s))
+          .map { s =>
+            val fr = freq.getOrElse(s, 0L)
+            val loss =
+              if (fr == 0L) 0.0 // never on any Viterbi path: free to drop
+              else {
+                // best segmentation of s itself WITHOUT its full-span
+                // candidate; unk single-char fallback keeps it finite
+                val alt = viterbiCost(s, costNow, maxLNow, excludeFullSpan = true)
+                fr.toDouble * (alt - costNow(s))
+              }
+            (s, loss)
+          }
+          .toSeq
+          .sortBy { case (s, l) => (-l, s) }
+          .take(keepN)
+          .map { case (s, _) => s -> probs(s) }
+        probs = emPass(rebuild(kept)) // re-settle before the next round
+        multiCount = keepN
+      }
+    }
+    // settle probabilities on the final vocabulary
     probs = emPass(probs)
     probs = emPass(probs)
     Model(probs.toSeq.sortBy(_._1)
       .map { case (s, p) => s -> -math.log(p) })
   }
+
+  /** Shared Viterbi DP core — the exact candidate set and
+    * (cost, n_tokens, j) tie rules of [[viterbiTokens]], with
+    * back-pointers, plus `excludeFullSpan`: drop the single candidate
+    * covering the whole string, which is the "segment the piece without
+    * itself" form the loss-based prune scores alternatives with.
+    * Returns (cost array, back-pointer array); an unreachable end state
+    * (only possible under exclusion on a 1-char string) carries
+    * +∞ cost and back-pointer −1. */
+  private def viterbiDp(word: String, cost: Map[String, Double], maxLen: Int,
+                        excludeFullSpan: Boolean): (Array[Double], Array[Int]) = {
+    val n = word.length
+    val maxL = math.max(1, math.min(maxLen, n))
+    val c = new Array[Double](n + 1)
+    val ntok = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bc = Double.PositiveInfinity
+      var bn = Int.MaxValue
+      var bj = -1
+      var j = math.max(0, i - maxL)
+      while (j < i) {
+        if (!(excludeFullSpan && j == 0 && i == n)) {
+          val pc = cost.get(word.substring(j, i)) match {
+            case Some(x) => x
+            case None => if (i - j == 1) UnkCost else Double.NaN
+          }
+          if (!pc.isNaN) {
+            val cc = c(j) + pc
+            val nt = ntok(j) + 1
+            if (cc < bc || (cc == bc && nt < bn)) { bc = cc; bn = nt; bj = j }
+          }
+        }
+        j += 1
+      }
+      c(i) = bc; ntok(i) = bn; back(i) = bj
+      i += 1
+    }
+    (c, back)
+  }
+
+  /** Viterbi best segmentation as the piece list (for the prune's freq
+    * statistic); Nil for an empty or unreachable string. */
+  private def viterbiPieces(word: String, cost: Map[String, Double],
+                            maxLen: Int, excludeFullSpan: Boolean): Seq[String] = {
+    if (word.isEmpty) return Nil
+    val (_, back) = viterbiDp(word, cost, maxLen, excludeFullSpan)
+    if (back(word.length) < 0) return Nil
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    var i = word.length
+    while (i > 0) {
+      val j = back(i)
+      buf.prepend(word.substring(j, i))
+      i = j
+    }
+    buf.toList
+  }
+
+  /** Viterbi best segmentation cost (+∞ when unreachable under
+    * exclusion — such a piece is irreplaceable and never pruned).
+    * private[text] so the prune spec can score vocabularies with it. */
+  private[text] def viterbiCost(word: String, cost: Map[String, Double],
+                                maxLen: Int, excludeFullSpan: Boolean): Double =
+    if (word.isEmpty) 0.0
+    else viterbiDp(word, cost, maxLen, excludeFullSpan)._1(word.length)
 
   /** Viterbi best segmentation's token count for one word — the exact
     * contract the DuckDB replay mirrors: left-to-right DP, candidate

@@ -47,6 +47,47 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("loss-based prune keeps the irreplaceable piece a probability prune drops (Kudo's statistic)") {
+    // (aaaa × 90, xyz × 10) with ONE multi-char slot: "aa" has the higher
+    // trained probability, but "aaaa" re-derives cheaply from required
+    // 'a' chars while "xyz" without its own piece pays three singles —
+    // the likelihood-loss ranking must keep "xyz", and the vocabulary it
+    // picks must cost the corpus strictly less than the prob-pruned one.
+    val table = Seq(("aaaa", 90L), ("xyz", 10L))
+    val chars = Seq("a", "x", "y", "z")
+    def totalCost(m: UnigramLm.Model): Double =
+      table.map { case (w, f) =>
+        f * UnigramLm.viterbiCost(w, m.cost, m.maxLen, excludeFullSpan = false)
+      }.sum
+    val byLoss = UnigramLm.trainOnWordTable(table, chars, vocabSize = 5,
+      maxPieceLen = 4, emIters = 4, seedCap = 100)
+    val byProb = UnigramLm.trainOnWordTable(table, chars, vocabSize = 5,
+      maxPieceLen = 4, emIters = 4, seedCap = 100, pruneByLoss = false)
+    byLoss.pieces.map(_._1).filter(_.length > 1) shouldBe Seq("xyz")
+    byProb.pieces.map(_._1).filter(_.length > 1) shouldBe Seq("aa")
+    totalCost(byLoss) should be < totalCost(byProb) / 2.0
+  }
+
+  test("iterative prune never scores worse than the probability prune on co-dependent vocabularies") {
+    // ("abab" × 50, "cd" × 30), one multi slot: a SINGLE-SHOT loss prune
+    // would keep "cd" believing "abab" re-derives from "ab"+"ab" — and
+    // then drop "ab" in the same stroke (measured 2× worse corpus cost).
+    // The iterative shrink re-scores against each round's actual
+    // survivors and lands on the optimal "abab".
+    val table = Seq(("abab", 50L), ("cd", 30L))
+    val chars = Seq("a", "b", "c", "d")
+    def totalCost(m: UnigramLm.Model): Double =
+      table.map { case (w, f) =>
+        f * UnigramLm.viterbiCost(w, m.cost, m.maxLen, excludeFullSpan = false)
+      }.sum
+    val byLoss = UnigramLm.trainOnWordTable(table, chars, vocabSize = 5,
+      maxPieceLen = 4, emIters = 4, seedCap = 100)
+    val byProb = UnigramLm.trainOnWordTable(table, chars, vocabSize = 5,
+      maxPieceLen = 4, emIters = 4, seedCap = 100, pruneByLoss = false)
+    byLoss.pieces.map(_._1).filter(_.length > 1) shouldBe Seq("abab")
+    totalCost(byLoss) should be <= totalCost(byProb)
+  }
+
   test("trained model is bit-identical under repartitioning (pure function of the corpus)") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val a = UnigramLm.train(docs, vocabSize = 60, emIters = 2).pieces
