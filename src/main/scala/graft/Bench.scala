@@ -233,7 +233,13 @@ object Bench {
             "asset:unimodel" -> (() => {
               // the m135 shared model's exact parameters
               graft.text.UnigramLm.train(
-                Tables.documents(spark, sfDir)); () })
+                Tables.documents(spark, sfDir)); () }),
+            "asset:langmodel" -> (() => {
+              // the m137/m67 shared language-ID model: distributed GD
+              // over the planted labeled block (its exact parameters)
+              graft.text.LangId.train(
+                graft.queries.CorpusQueries.syntheticLangDocs(spark,
+                  graft.queries.CorpusQueries.docOff(spark, sfDir))); () })
           )
           (only -- builds.map(_._1).toSet - "stream:ingest").foreach(u =>
             System.err.println(s"[bench] unknown asset row in SPARK_GRAFT_BENCH_ASSETS: $u"))
@@ -358,7 +364,7 @@ object Bench {
     // Per-query stats come from the LAST measured pass (the same
     // statsOut map the asset rows wrote into above); the compact stdout
     // line never carries stats (its 1000-char budget is for timings).
-    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstResults = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var runs = (1 to passes).map { i =>
         statsListener.filter(_ => i == passes).foreach { l =>
           l.quiesce(); l.reset()
@@ -410,6 +416,35 @@ object Bench {
       val good = runs.filter(_._2)
       val t = (if (good.nonEmpty) good else runs).map(_._1).min
       (name, t, good.size == runs.size)
+    }
+    // End-of-suite requeue (round-16 verdict ask #2): the in-place
+    // re-measure above adds at most ~4 back-to-back passes, so a
+    // host-load window spanning a few minutes corrupts the row anyway
+    // (BENCH_r15: ~25 rows at 1.5-5x steady state in consecutive
+    // alphabetical clusters). Rows whose final min STILL exceeds 3x the
+    // committed reference get ONE more measurement after the whole
+    // suite has run — separated by the remaining suite's wall-clock,
+    // which is what outlasts a multi-minute transient. A genuine plan
+    // regression measures the same elevated value here and the record
+    // keeps it; the row is then adjudicated against its flat shuffle
+    // stats (DESIGN.md §8).
+    val results = {
+      val flagged = firstResults.collect {
+        case (name, t, ok)
+          if ok && benchRef.get(name).exists(r => t > 3 * r && t > 0.2) => name
+      }.toSet
+      if (flagged.isEmpty) firstResults
+      else {
+        System.err.println("[bench] end-of-suite requeue (still >3x committed): " +
+          flagged.toSeq.sorted.mkString(", "))
+        firstResults.map {
+          case (name, t, ok) if flagged(name) =>
+            val (t2, ok2) = timeOne(name, benchQueries(name))
+            releaseSnapshots()
+            (name, if (ok2) math.min(t, t2) else t, ok)
+          case r => r
+        }
+      }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -693,6 +693,88 @@ object OracleModelSql {
       "CAST(l1 / (l1 + l0) >= 0.5 AS BIGINT) AS ds_label FROM post"
   }
 
+  /** m137/m67: replay the trained language-ID SCORING pass from the
+    * captured quantized weights — grams via correlated
+    * unnest(generate_series) + substr, buckets via the identical
+    * md5-first-48-bits arithmetic (('0x' ∥ hex12)::BIGINT % D), per-doc
+    * per-class z as EXACT integer sums against a D-row VALUES weight
+    * table, argmax/margin by (z DESC, class ASC) ranking — bit-for-bit
+    * the [[graft.text.LangId.score]] closure, including the planted
+    * labeled block regenerated from the same (phrase, 1 + i % 3)
+    * formula. Training stays spec-pinned (the m40/m83 convention). */
+  private def langIdCtes(classes: Seq[String],
+                         wq: Seq[Seq[Long]], off: Long): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val k = classes.size
+    val d = graft.text.LangId.D
+    val wcols = (0 until k).map(c => s"w$c").mkString(", ")
+    val wrows = (0 until d).map { i =>
+      (i.toString +: (0 until k).map(c => wq(c)(i).toString))
+        .mkString("(", ", ", ")")
+    }.mkString(", ")
+    val phrases = graft.text.LangId.PlantedPhrases
+    val caseLang = phrases.zipWithIndex
+      .map { case ((l, _), j) => s"WHEN $j THEN '${esc(l)}'" }
+      .mkString(s"CASE i % ${phrases.size} ", " ", " END")
+    val casePhrase = phrases.zipWithIndex
+      .map { case ((_, p), j) => s"WHEN $j THEN '${esc(p)} '" }
+      .mkString(s"CASE i % ${phrases.size} ", " ", " END")
+    val sums = (0 until k).map(c => s"sum(w.w$c) AS s$c").mkString(", ")
+    val zrows = classes.zipWithIndex.map { case (cls, c) =>
+      s"SELECT doc_id, n_grams, $c AS c, '${esc(cls)}' AS cls, " +
+        s"s$c AS z FROM zs"
+    }.mkString(" UNION ALL ")
+    s"WITH wt(idx, $wcols) AS (VALUES $wrows), " +
+      s"planted AS (SELECT CAST($off + i AS BIGINT) AS doc_id, " +
+      s"$caseLang AS lang, trim(repeat($casePhrase, 1 + i % 3)) AS text " +
+      s"FROM range(${graft.text.LangId.PlantedCount}) t(i)), " +
+      "corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text " +
+      "FROM documents WHERE text IS NOT NULL " +
+      "UNION ALL SELECT doc_id, lang, text FROM planted), " +
+      "docs AS (SELECT doc_id, lang, " +
+      "regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t FROM corpus), " +
+      "pos AS (SELECT doc_id, n, t, " +
+      "unnest(generate_series(1, len(t) - n + 1)) AS i " +
+      "FROM docs, (VALUES (2), (3), (4)) ns(n)), " +
+      "grams AS (SELECT doc_id, CAST(('0x' || " +
+      "substr(md5(substr(t, CAST(i AS INTEGER), n)), 1, 12)) AS BIGINT) " +
+      s"% $d AS idx FROM pos), " +
+      "zs AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      s"$sums FROM grams g JOIN wt w USING (idx) GROUP BY 1), " +
+      s"zrows AS ($zrows), " +
+      "rk AS (SELECT doc_id, n_grams, c, cls, z, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY z DESC, c ASC) AS r " +
+      "FROM zrows), " +
+      "pick AS (SELECT a.doc_id, a.n_grams, a.cls AS pred_lang, " +
+      "coalesce((CAST(a.z - b.z AS DOUBLE) / 4294967296.0) / " +
+      "CAST(a.n_grams AS DOUBLE), 0.0) AS margin " +
+      "FROM rk a LEFT JOIN rk b ON b.doc_id = a.doc_id AND b.r = 2 " +
+      "WHERE a.r = 1), " +
+      "scored AS (SELECT d.doc_id, d.lang, " +
+      "coalesce(p.pred_lang, 'unknown') AS pred_lang, " +
+      "coalesce(p.margin, 0.0) AS margin, " +
+      "coalesce(p.n_grams, CAST(0 AS BIGINT)) AS n_grams " +
+      "FROM docs d LEFT JOIN pick p USING (doc_id)) "
+  }
+
+  def langIdScore(classes: Seq[String],
+                  wq: Seq[Seq[Long]], off: Long): String =
+    langIdCtes(classes, wq, off) +
+      "SELECT doc_id, lang, pred_lang, margin, n_grams FROM scored"
+
+  def langIdConfusion(classes: Seq[String],
+                      wq: Seq[Seq[Long]], off: Long): String =
+    langIdCtes(classes, wq, off) +
+      ", c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM scored GROUP BY 1, 2), " +
+      "tt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total " +
+      "FROM c GROUP BY 1) " +
+      "SELECT c.lang, c.pred_lang, c.n_docs, tt.lang_total, " +
+      "CAST(c.n_docs AS DOUBLE) / CAST(tt.lang_total AS DOUBLE) AS share " +
+      "FROM c JOIN tt USING (lang)"
+
+  private type LangCap = (Seq[String], Seq[Seq[Long]], Long)
+
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
       OracleCapture.get[(Ivf.Model, Long)]("m33_semantic_dedup").map { case (m, off) =>
@@ -727,5 +809,11 @@ object OracleModelSql {
       OracleCapture.get[Seq[(String, Double)]]("m135_unigram_tokens")
         .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m136_unigram_fertility")
-        .filter(_.nonEmpty).map(ps => "m136_unigram_fertility" -> unigramFertility(ps)).toMap
+        .filter(_.nonEmpty).map(ps => "m136_unigram_fertility" -> unigramFertility(ps)).toMap ++
+      OracleCapture.get[LangCap]("m137_langid_score")
+        .filter(_._1.nonEmpty).map { case (cl, wq, off) =>
+          "m137_langid_score" -> langIdScore(cl, wq, off) }.toMap ++
+      OracleCapture.get[LangCap]("m67_lang_confusion")
+        .filter(_._1.nonEmpty).map { case (cl, wq, off) =>
+          "m67_lang_confusion" -> langIdConfusion(cl, wq, off) }.toMap
 }

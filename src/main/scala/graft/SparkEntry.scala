@@ -157,6 +157,8 @@ object SparkEntry {
     "m64_systematic_sample" -> (CorpusQueries.systematicSample _),
     "m65_padding_waste" -> (CorpusQueries.paddingWaste _),
     "m66_dedup_keep_best" -> (CorpusQueries.dedupKeepBest _),
+    // m67: lang tags vs the TRAINED classifier (re-pointed at m137's
+    // model in round 16; captured-weights oracle replay)
     "m67_lang_confusion" -> (CorpusQueries.langConfusion _),
     "m68_quality_calibration" -> (CorpusQueries.qualityCalibration _),
     "m69_length_outliers" -> (CorpusQueries.lengthOutliers _),
@@ -345,6 +347,12 @@ object SparkEntry {
     // m136: per-source fertility under the unigram model — the m79
     // report for the other tokenizer family (captured-pieces replay)
     "m136_unigram_fertility" -> (CorpusQueries.unigramFertility _),
+    // m137: trained char-n-gram language-ID (CCNet/fastText-style) —
+    // multinomial LR over md5-hashed 2..4-grams via the exact
+    // fixed-point distributed GD; labels from the planted per-language
+    // block; scoring replayed from the captured quantized weights
+    // (OracleModelSql.langIdScore); training spec-pinned (LangIdSpec)
+    "m137_langid_score" -> (CorpusQueries.langIdScore _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -2000,19 +2008,10 @@ object SparkEntry {
         "FROM q JOIN oov USING (doc_id)) " +
         "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, avg(quality) AS mean_quality, " +
         "avg(oov_rate) AS mean_oov_rate FROM j GROUP BY 1"),
-    // m67: replays the m01/m02 LangExpr over a lang-carrying stats base.
-    "m67_lang_confusion" ->
-      ("WITH base AS (SELECT lang, " +
-        "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words, " +
-        "len(list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t IN (" +
-        "'the','a','an','of','to','and','in','is','it','that','for','on','with','as'))) AS n_stopwords " +
-        "FROM documents), " +
-        "p AS (SELECT lang, " + LangExpr + " AS lang_pred FROM base), " +
-        "c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2), " +
-        "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM c GROUP BY 1) " +
-        "SELECT c.lang, c.lang_pred, c.n_docs, t.lang_total, " +
-        "CAST(c.n_docs AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS share " +
-        "FROM c JOIN t USING (lang)"),
+    // m67 is CAPTURED since round 16 (re-pointed at the m137 trained
+    // classifier — OracleModelSql.langIdConfusion over the run's
+    // quantized weights); the heuristic LangExpr stays covered by
+    // m01/m02.
     // m66: cluster closure (m17's recursive CTE) × vocab quality (m24's
     // OOV rate over the SAME augmented corpus); survivor rank rides exact
     // integer-ratio doubles, so the float order is engine-identical.

@@ -703,6 +703,57 @@ object CorpusQueries {
     qcModels.synchronized { qcModels.clear() }
     bpeModels.synchronized { bpeModels.clear() }
     uniModels.synchronized { uniModels.clear() }
+    langModels.synchronized { langModels.clear() }
+  }
+
+  /** The planted per-language labeled set (m137/m67): 300 docs, 60 per
+    * language, text = trim(repeat(phrase ∥ ' ', 1 + i % 3)) over
+    * [[graft.text.LangId.PlantedPhrases]] — deterministic and replayed
+    * verbatim by the oracle's range()-generated CTE. The fixture role of
+    * a curated labeled corpus (Wikipedia/Tatoeba-style) in a real
+    * deployment; ids sit at docOff so they never collide with corpus or
+    * dup-augmentation ids. */
+  private[graft] def syntheticLangDocs(s: SparkSession, off: Long): DataFrame = {
+    import s.implicits._
+    val phrases = graft.text.LangId.PlantedPhrases
+    (0 until graft.text.LangId.PlantedCount).map { i =>
+      val (lang, phrase) = phrases(i % phrases.size)
+      (off + i, lang, ((phrase + " ") * (1 + i % 3)).trim)
+    }.toDF("doc_id", "lang", "text")
+  }
+
+  /** One trained language-ID model per corpus per JVM (the [[qcModel]]
+    * memo convention — training is deterministic, so the two consumers
+    * (m137 scoring, m67 confusion card) share one distributed train). */
+  private val langModels = scala.collection.mutable.Map.empty[String, graft.text.LangId.Model]
+  private def langModel(s: SparkSession, dir: String): graft.text.LangId.Model =
+    langModels.synchronized {
+      langModels.getOrElseUpdate(dir,
+        graft.text.LangId.train(syntheticLangDocs(s, docOff(s, dir))))
+    }
+
+  /** The m137/m67 scoring corpus: every real doc plus the planted
+    * labeled block. */
+  private def langCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "lang", "text")
+      .unionByName(syntheticLangDocs(s, docOff(s, dir)))
+
+  private def langCapture(s: SparkSession, dir: String,
+                          key: String): graft.text.LangId.Model = {
+    val model = langModel(s, dir)
+    graft.OracleCapture.put(key,
+      (model.classes.toSeq, model.quantized.map(_.toSeq).toSeq, docOff(s, dir)))
+    model
+  }
+
+  /** Trained language-ID scoring (m137): the char-n-gram multinomial LR
+    * ([[graft.text.LangId]]) over real + planted docs — (doc_id, lang,
+    * pred_lang, margin, n_grams). The run's quantized weights are
+    * captured so the oracle replays scoring end-to-end from the parquet
+    * (the m83 recipe, K classes wide). */
+  def langIdScore(s: SparkSession, dir: String): DataFrame = {
+    val model = langCapture(s, dir, "m137_langid_score")
+    graft.text.LangId.score(langCorpus(s, dir), model)
   }
 
   /** Learned quality filter (m83): logistic regression distilled from the
@@ -2152,21 +2203,24 @@ object CorpusQueries {
   }
 
   /** Language-ID confusion crosstab (m67): declared `lang` column vs the
-    * n-gram/stopword heuristic's prediction, with per-language share —
-    * the QA table for the m02 gate itself (how much non-English leaks
-    * through, how much English it drops). One partial-agg exchange on
-    * (lang, lang_pred); the totals join is language-count-sized and
-    * broadcast. */
+    * TRAINED classifier's prediction (re-pointed at m137's model in
+    * round 16; previously the en/other stopword heuristic), with
+    * per-language share — the QA table for the LID tier: the real
+    * corpus rows expose that the declared tags sit on language-free
+    * text, the planted rows pin the diagonal. One partial-agg exchange
+    * on (lang, pred_lang); the totals join is language-count-sized and
+    * broadcast. Reads the shared per-corpus model, captured under its
+    * OWN key (the no-shared-capture convention). */
   def langConfusion(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.documents(s, dir)
-      .select(col("lang"), TextOps.profile(col("text")).as("p"))
-      .select(col("lang"), col("p.lang_pred").as("lang_pred"))
-    val counts = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    val model = langCapture(s, dir, "m67_lang_confusion")
+    val p = graft.text.LangId.score(langCorpus(s, dir), model)
+      .select(col("lang"), col("pred_lang"))
+    val counts = p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
     val totals = counts.groupBy("lang").agg(sum(col("n_docs")).as("lang_total"))
     counts.join(broadcast(totals), Seq("lang"))
       .withColumn("share",
         col("n_docs").cast("double") / col("lang_total").cast("double"))
-      .select("lang", "lang_pred", "n_docs", "lang_total", "share")
+      .select("lang", "pred_lang", "n_docs", "lang_total", "share")
   }
 
   /** Padding-waste report (m65): per-source accounting of what naive

@@ -130,7 +130,17 @@ class CorpusQueriesSpec extends SparkSpec {
       ofLang.map(_.getDouble(4)).sum shouldBe 1.0 +- 1e-9
       ofLang.map(_.getLong(2)).sum shouldBe ofLang.head.getLong(3)
     }
-    rows.map(_.getString(1)).distinct.toSet.subsetOf(Set("en", "unknown")) shouldBe true
+    // since round 16 the card reads the TRAINED m137 classifier:
+    // predictions range over its class list (plus 'unknown' for
+    // gram-less docs), and the planted block pins ≥ 60 on-diagonal
+    // docs per language
+    val classes = graft.text.LangId.PlantedPhrases.map(_._1).toSet
+    rows.map(_.getString(1)).distinct.toSet
+      .subsetOf(classes + "unknown") shouldBe true
+    classes.foreach { l =>
+      rows.filter(r => r.getString(0) == l && r.getString(1) == l)
+        .map(_.getLong(2)).sum should be >= 60L
+    }
   }
 
   test("qualityCalibration: buckets partition the corpus and means stay in range") {

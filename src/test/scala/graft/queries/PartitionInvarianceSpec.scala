@@ -384,6 +384,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.readability)
   }
 
+  test("m137 langid: trained scores identical across partitionings (direct train per run)") {
+    // train directly per partitioning (the memo would mask a
+    // sensitivity — the m135 discipline): exact fixed-point gradients
+    // make the weights partition-invariant, scoring is integer-exact
+    assertInvariant { (s, d) =>
+      val model = graft.text.LangId.train(
+        CorpusQueries.syntheticLangDocs(s, CorpusQueries.docOff(s, d)))
+      graft.text.LangId.score(
+        graft.Tables.documents(s, d).select("doc_id", "lang", "text")
+          .unionByName(CorpusQueries.syntheticLangDocs(s, CorpusQueries.docOff(s, d))),
+        model)
+    }
+  }
+
   test("m106/m107 dup mass: component closure and integer masses identical across partitionings") {
     // direct chain (the m99 discipline) — the asset-backed query would
     // reuse the first partitioning's stored cluster build

@@ -722,6 +722,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Scan parquet")
   }
 
+  test("m137: langid scoring is one shuffle-free pass — model in the closure, zero exchanges") {
+    val p = plan(CorpusQueries.langIdScore(spark, dir))
+    // scan ∪ planted local block → compiled scoring map: nothing
+    // corpus-sized moves, no join, no aggregation anywhere
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    // only (doc_id, lang, text) is read for the pass
+    p should include("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
+  }
+
   test("m134: ranged split plans no window exchange and no corpus sort — ranks come from the range pass") {
     val p = plan(CorpusQueries.stratifiedSplitRanged(spark, dir))
     (p should not).include("Window")

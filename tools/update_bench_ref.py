@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Regenerate BENCH_REF.json from a designated clean bench run — with the
+same no-silent-drift discipline update_ledger.sh enforces for query
+counts (round-16 verdict ask #8).
+
+Usage:
+  python3 tools/update_bench_ref.py <run.json> [--note "why rows moved"]
+                                    [--ref BENCH_REF.json] [--dry-run]
+
+<run.json> is a full-fidelity Bench record (SPARK_GRAFT_BENCH_OUT file:
+{"queries": {...}, "sf": ..., "failures": [...]}) measured on a quiet
+host. The tool:
+
+  * REFUSES (exit 1) when any existing row moved by more than 1.5x in
+    either direction unless --note explains it — a reference refresh
+    must never silently absorb a regression (or silently erase one);
+    the note and the per-row old->new values are appended to the
+    "changes" ledger inside BENCH_REF.json itself.
+  * REFUSES when the run's scale differs from the reference's, when the
+    run recorded failures, or when a previously-referenced query is
+    missing from the run (a registry change needs --note too).
+  * New queries are added freely (listed); unchanged/small-drift rows
+    are refreshed in place.
+"""
+import argparse
+import datetime
+import json
+import sys
+
+DRIFT = 1.5
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run")
+    ap.add_argument("--note", default=None)
+    ap.add_argument("--ref", default="BENCH_REF.json")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+
+    with open(args.run) as f:
+        run = json.load(f)
+    with open(args.ref) as f:
+        ref = json.load(f)
+
+    problems = []
+    if run.get("sf") != ref.get("sf"):
+        problems.append(
+            f"scale mismatch: run sf={run.get('sf')!r} vs ref sf={ref.get('sf')!r}")
+    failures = run.get("failures") or []
+    if failures:
+        problems.append(f"run recorded failures: {failures}")
+    if problems:
+        for p in problems:
+            print(f"REFUSE: {p}", file=sys.stderr)
+        return 1
+
+    old = ref.get("queries", {})
+    new = run.get("queries", {})
+
+    moved = {}
+    for name, t_old in sorted(old.items()):
+        if name not in new:
+            moved[name] = [t_old, None]  # removed query: needs a note too
+            continue
+        t_new = new[name]
+        lo, hi = sorted((max(t_old, 1e-9), max(t_new, 1e-9)))
+        if hi / lo > DRIFT:
+            moved[name] = [t_old, t_new]
+    added = sorted(set(new) - set(old))
+
+    if moved and not args.note:
+        print(f"REFUSE: {len(moved)} row(s) moved >{DRIFT}x (or vanished) "
+              "and no --note was given:", file=sys.stderr)
+        for name, (a, b) in sorted(moved.items()):
+            print(f"  {name}: {a} -> {b}", file=sys.stderr)
+        print("Re-run with --note 'reason' to record the change in the "
+              "reference's ledger.", file=sys.stderr)
+        return 1
+
+    out = {
+        "sf": ref.get("sf"),
+        "note": ref.get(
+            "note",
+            "per-query steady-state reference for Bench's 3x guard; "
+            "refresh via tools/update_bench_ref.py"),
+        "queries": {k: new[k] for k in sorted(new)},
+    }
+    changes = list(ref.get("changes", []))
+    if moved:
+        changes.append({
+            "date": datetime.date.today().isoformat(),
+            "note": args.note,
+            "rows": {k: moved[k] for k in sorted(moved)},
+        })
+    if changes:
+        out["changes"] = changes
+
+    print(f"rows: {len(old)} -> {len(new)} "
+          f"(added {len(added)}, moved>{DRIFT}x {len(moved)})")
+    for name in added:
+        print(f"  added {name}: {new[name]}")
+    for name, (a, b) in sorted(moved.items()):
+        print(f"  moved {name}: {a} -> {b}")
+    if args.dry_run:
+        print("dry run — reference not written")
+        return 0
+    with open(args.ref, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(f"wrote {args.ref}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
