@@ -120,8 +120,12 @@ object QuotaSample {
         md5(col(keyCol).cast("string").cast("binary")).as("ord")),
       "grp", Seq(col("ord"), col("key")),
       rankCol = "__qs_rk", countCol = "__qs_n")
-    // Per-group counts ride out of the rank pass (one distinct over the
-    // |groups|-sized (grp, n) projection) — no second corpus aggregate.
+    // Per-group counts come off the rank pass's n column: the distinct
+    // still reads one (grp, n) pair per INPUT row (partial-aggregated,
+    // |groups|-sized output) — the win over the window form's separate
+    // groupBy-count is that it re-reads the pinned ranged snapshot
+    // instead of re-projecting (and re-hashing) the source frame, not
+    // that the exchange disappears.
     val counts = ranked.select(col("grp"), col("__qs_n").as("n")).distinct()
     val minN = counts.agg(min(col("n")).as("min_n"))
     val targets = counts.crossJoin(broadcast(minN))

@@ -711,8 +711,10 @@ object CorpusQueries {
     * [[graft.text.LangId.PlantedPhrases]] — deterministic and replayed
     * verbatim by the oracle's range()-generated CTE. The fixture role of
     * a curated labeled corpus (Wikipedia/Tatoeba-style) in a real
-    * deployment; ids sit at docOff so they never collide with corpus or
-    * dup-augmentation ids. */
+    * deployment. Callers pass [[langOff]] (3·docOff) as the id base:
+    * [[withSyntheticDups]] plants its copies at [docOff, docOff+50) and
+    * [2·docOff, 2·docOff+50), so the 300-doc block at 3·docOff is the
+    * first range no other fixture occupies (review r16). */
   private[graft] def syntheticLangDocs(s: SparkSession, off: Long): DataFrame = {
     import s.implicits._
     val phrases = graft.text.LangId.PlantedPhrases
@@ -722,6 +724,12 @@ object CorpusQueries {
     }.toDF("doc_id", "lang", "text")
   }
 
+  /** The planted language block's id base: the first fixture range
+    * [[withSyntheticDups]] does not occupy (it uses docOff and
+    * 2·docOff). */
+  private[graft] def langOff(s: SparkSession, dir: String): Long =
+    3 * docOff(s, dir)
+
   /** One trained language-ID model per corpus per JVM (the [[qcModel]]
     * memo convention — training is deterministic, so the two consumers
     * (m137 scoring, m67 confusion card) share one distributed train). */
@@ -729,20 +737,20 @@ object CorpusQueries {
   private def langModel(s: SparkSession, dir: String): graft.text.LangId.Model =
     langModels.synchronized {
       langModels.getOrElseUpdate(dir,
-        graft.text.LangId.train(syntheticLangDocs(s, docOff(s, dir))))
+        graft.text.LangId.train(syntheticLangDocs(s, langOff(s, dir))))
     }
 
   /** The m137/m67 scoring corpus: every real doc plus the planted
     * labeled block. */
   private def langCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "lang", "text")
-      .unionByName(syntheticLangDocs(s, docOff(s, dir)))
+      .unionByName(syntheticLangDocs(s, langOff(s, dir)))
 
   private def langCapture(s: SparkSession, dir: String,
                           key: String): graft.text.LangId.Model = {
     val model = langModel(s, dir)
     graft.OracleCapture.put(key,
-      (model.classes.toSeq, model.quantized.map(_.toSeq).toSeq, docOff(s, dir)))
+      (model.classes.toSeq, model.quantized.map(_.toSeq).toSeq, langOff(s, dir)))
     model
   }
 

@@ -111,14 +111,31 @@ object LangId {
       w.map(wc => Array.tabulate(D)(i => math.rint(wc(i) * QScale32).toLong))
   }
 
-  /** Spark-`trim`-compatible normalization: strip ASCII spaces, Unicode
-    * lowercase, collapse runs of spaces — the semantics of
-    * `regexp_replace(lower(trim(text)), ' +', ' ')`, which is what the
-    * oracle SQL applies. */
-  private[text] def normalize(s: String): String =
-    RepeatedWindows.sparkTrim(s)
-      .toLowerCase(java.util.Locale.ROOT)
-      .replaceAll(" +", " ")
+  /** Normalization matched to the ORACLE's semantics, codepoint by
+    * codepoint: strip ASCII spaces at the ends, SIMPLE per-codepoint
+    * lowercase (`Character.toLowerCase(int)` — exactly DuckDB
+    * `lower()`'s utf8proc mapping; Java's full-string `toLowerCase`
+    * would diverge on special-casing chars like İ → "i̇" where DuckDB
+    * yields "i"), collapse runs of ASCII spaces — the semantics of
+    * `regexp_replace(lower(trim(text)), ' +', ' ')` in DuckDB. */
+  private[text] def normalize(s: String): String = {
+    val t = RepeatedWindows.sparkTrim(s)
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    var lastSpace = false
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp == ' ') {
+        if (!lastSpace) sb.append(' ')
+        lastSpace = true
+      } else {
+        lastSpace = false
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+    }
+    sb.toString
+  }
 
   /** Feature bucket of one gram: first 48 bits of md5(UTF-8 bytes) mod
     * [[D]] — replayed in SQL as ('0x' || substr(md5(g), 1, 12))::BIGINT
@@ -134,16 +151,31 @@ object LangId {
   }
 
   /** Fold every 2..4-gram bucket of `t` into `f`; returns the gram
-    * count. */
+    * count. Gram boundaries are CODEPOINTS, not UTF-16 units — DuckDB's
+    * substr/len count codepoints, and a UTF-16-based gram would split
+    * surrogate pairs on astral chars (getBytes then yields '?' and
+    * every downstream bucket diverges). The substring is taken at the
+    * codepoint's UTF-16 offsets, so its UTF-8 bytes (and md5) equal the
+    * oracle's md5(substr(t, i, n)). */
   private def eachGram(md: java.security.MessageDigest, t: String)
                       (f: Int => Unit): Long = {
+    // offsets(k) = UTF-16 index where codepoint k starts
+    val offsets = new Array[Int](t.codePointCount(0, t.length) + 1)
+    var k = 0
+    var i = 0
+    while (i < t.length) {
+      offsets(k) = i
+      k += 1
+      i += Character.charCount(t.codePointAt(i))
+    }
+    offsets(k) = t.length
     var n = 0L
     Ns.foreach { len =>
-      var i = 0
-      while (i + len <= t.length) {
-        f(bucketOf(md, t.substring(i, i + len)))
+      var j = 0
+      while (j + len <= k) {
+        f(bucketOf(md, t.substring(offsets(j), offsets(j + len))))
         n += 1L
-        i += 1
+        j += 1
       }
     }
     n

@@ -31,6 +31,27 @@ class LangIdSpec extends SparkSpec {
     LangId.normalize("   ") shouldBe ""
   }
 
+  test("unicode semantics match the oracle: simple per-codepoint lower, codepoint gram boundaries") {
+    // DuckDB lower('İ') = 'i' (utf8proc SIMPLE case mapping); Java's
+    // full-string toLowerCase would give 'i̇' (2 codepoints) and every
+    // downstream gram would diverge — the normalization must use the
+    // per-codepoint simple mapping (review r16).
+    LangId.normalize("İ") shouldBe "i"
+    LangId.normalize("STRASSE ẞ") shouldBe "strasse ß"
+    // gram boundaries count CODEPOINTS (DuckDB substr/len), never UTF-16
+    // units: an astral char is ONE gram position, not a split surrogate
+    // pair. n_grams for cp codepoints = Σ_{len∈2..4} max(0, cp − len + 1).
+    val model = LangId.train(labeled, iters = 20)
+    val docs = Seq(
+      (1L, "xx", "a😀b"), // a😀b → 3 codepoints → 2+1+0 = 3 grams
+      (2L, "xx", "😀😁") // 😀😁 → 2 codepoints → 1 gram
+    ).toDF("doc_id", "lang", "text")
+    val out = LangId.score(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_grams")).toMap
+    out(1L) shouldBe 3L
+    out(2L) shouldBe 1L
+  }
+
   test("trains to perfect separation on the labeled set; margins are positive") {
     val model = LangId.train(labeled)
     model.classes.toSeq shouldBe LangId.PlantedPhrases.map(_._1)
