@@ -81,6 +81,17 @@ object MaximalRepeats {
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("fp")
+    // Join strategy left to AQE deliberately, with the trade measured
+    // both ways at gen-100 (BENCH_sf1.md round-16 section): once the
+    // repeated-fp set outgrows broadcast, AQE plans a sort-merge join
+    // whose sort side is the FULL window relation; a SHUFFLE_HASH hint
+    // on the fp side removes that sort (12.7 → 10.6 s, −25% disk spill
+    // at gen-100) — but a HINTED side is never broadcast-converted, so
+    // the same hint costs +20% at fixture scale where broadcast wins.
+    // The escalation is therefore CONDITIONAL by nature (flip when the
+    // fp set's size stats cross broadcast range) and stays documented
+    // rather than hard-coded until a corpus with genuine corpus-scale
+    // repetition mass needs it.
     val flagged = windows.join(repeated, Seq("fp"))
       .select(col("doc_id"), col("window_idx"), col("n_tokens"))
     // Gaps-and-islands: consecutive repeated positions share
