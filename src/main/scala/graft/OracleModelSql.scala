@@ -475,6 +475,57 @@ object OracleModelSql {
       "FROM docs d LEFT JOIN agg a USING (doc_id)) "
   }
 
+  /** m139: full WordPiece MaxMatch-encode replay over the captured piece
+    * vocabulary — the [[bpeEncodeCtes]] convention for the THIRD
+    * tokenizer family. Greedy longest-match is a simpler recursion than
+    * m135's Viterbi: per distinct word, each step probes the captured
+    * vocabulary for the LONGEST piece matching at the cursor (bare at
+    * the word start, ##-stripped nets flagged `is_cont` elsewhere —
+    * `max(netlen)` is the greedy choice, and an equal-length match is
+    * the identical piece, so no tie exists), advances by that length,
+    * or fails the WHOLE word to one [UNK] — exactly
+    * [[graft.text.WordPiece.encodeWord]]'s loop. substr beyond the word
+    * end returns a short string that can't equal a longer net, so the
+    * probe self-bounds. TRAINING (likelihood-scored merges) stays
+    * spec-pinned, the m40 convention. */
+  def wordPieceStats(pieces: Seq[String]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val pv = pieces.map { p =>
+      val cont = p.startsWith(graft.text.WordPiece.Cont)
+      val net = if (cont) p.substring(graft.text.WordPiece.Cont.length) else p
+      s"(${if (cont) "TRUE" else "FALSE"}, '${esc(net)}', ${net.length})"
+    }.mkString(", ")
+    "WITH RECURSIVE " +
+      s"vocab(is_cont, net, netlen) AS (VALUES $pv), " +
+      "docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(trim(text)) AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "wx AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+      "unnest(string_split_regex(t, ' +')) AS w FROM docs) x WHERE w <> ''), " +
+      "words AS (SELECT DISTINCT w FROM wx), " +
+      "enc(w, pos, ntok, unk) AS (" +
+      "SELECT w, 1, CAST(0 AS BIGINT), FALSE FROM words " +
+      "UNION ALL " +
+      "SELECT e.w, " +
+      "CASE WHEN e.bl IS NULL THEN len(e.w) + 1 ELSE e.pos + e.bl END, " +
+      "CASE WHEN e.bl IS NULL THEN CAST(1 AS BIGINT) ELSE e.ntok + 1 END, " +
+      "e.bl IS NULL " +
+      "FROM (SELECT w, pos, ntok, " +
+      "(SELECT max(v.netlen) FROM vocab v WHERE v.is_cont = (pos > 1) " +
+      "AND v.net = substr(w, pos, v.netlen)) AS bl " +
+      "FROM enc WHERE pos <= len(w) AND NOT unk) e), " +
+      "fin AS (SELECT w, ntok, CASE WHEN unk THEN 1 ELSE 0 END AS u " +
+      "FROM enc WHERE pos > len(w)), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(f.ntok) AS BIGINT) AS n_wp, CAST(sum(f.u) AS BIGINT) AS n_unk " +
+      "FROM wx JOIN fin f USING (w) GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
+      "coalesce(a.n_wp, 0) AS n_wp_tokens, " +
+      "coalesce(a.n_unk, 0) AS n_unk_words, " +
+      "CASE WHEN coalesce(a.n_words, 0) = 0 THEN 0.0 " +
+      "ELSE CAST(a.n_wp AS DOUBLE) / CAST(a.n_words AS DOUBLE) END AS wp_per_word " +
+      "FROM docs d LEFT JOIN agg a USING (doc_id)"
+  }
+
   /** m88: vocabulary-usage curve — encode replayed by the same recursive
     * CTE as m40, then the corpus token counts, ranks and cumulative
     * shares re-derived from the word-frequency table. */
@@ -806,6 +857,8 @@ object OracleModelSql {
         .map(w => "m118_dawid_skene" -> dawidSkene(w)).toMap ++
       OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
         .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap ++
+      OracleCapture.get[Seq[String]]("m139_wordpiece_tokens")
+        .filter(_.nonEmpty).map(ps => "m139_wordpiece_tokens" -> wordPieceStats(ps)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m135_unigram_tokens")
         .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m136_unigram_fertility")

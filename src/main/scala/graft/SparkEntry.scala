@@ -353,6 +353,16 @@ object SparkEntry {
     // block; scoring replayed from the captured quantized weights
     // (OracleModelSql.langIdScore); training spec-pinned (LangIdSpec)
     "m137_langid_score" -> (CorpusQueries.langIdScore _),
+    // m138: interpolated Kneser–Ney bigram self-perplexity — the
+    // smoothing the CCNet/KenLM perplexity-filter canon ships
+    // (continuation-count backoff, counts-of-counts discount); one
+    // tier above m43's add-α LM
+    "m138_kneser_ney" -> (CorpusQueries.kneserNeyPerplexity _),
+    // m139: WordPiece tokenizer accounting (Schuster & Nakajima 2012 /
+    // BERT) — likelihood-scored merges, greedy longest-match encode
+    // with [UNK] fallback; the THIRD tokenizer family beside m40's BPE
+    // and m135's unigram-LM (captured-vocabulary oracle replay)
+    "m139_wordpiece_tokens" -> (CorpusQueries.wordPieceTokenStats _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1523,6 +1533,29 @@ object SparkEntry {
     "m43_lm_perplexity" ->
       (LmPerplexityCtes +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m138: interpolated Kneser–Ney on the SAME bigram count table —
+    // context/continuation N1+ tables are re-aggregations of `c`, the
+    // discount is the counts-of-counts estimate n1/(n1+2·n2), and every
+    // arithmetic step mirrors KneserNey.scoreAgainst's operation order
+    // (left-assoc products, greatest-clips) so the doubles agree at the
+    // gate's 6-dp rounding exactly like m43's add-α chain does.
+    "m138_kneser_ney" ->
+      (BigramLmCtes +
+        ", ctxk AS (SELECT a, sum(cab) AS ca, CAST(count(*) AS DOUBLE) AS nf FROM c GROUP BY 1), " +
+        "cont AS (SELECT b, CAST(count(*) AS DOUBLE) AS nb FROM c GROUP BY 1), " +
+        "gd AS (SELECT CAST(count(*) AS DOUBLE) AS dd, " +
+        "CAST(count(*) FILTER (WHERE cab = 1) AS DOUBLE) AS n1, " +
+        "CAST(count(*) FILTER (WHERE cab = 2) AS DOUBLE) AS n2, " +
+        "CAST(count(DISTINCT b) AS DOUBLE) AS t FROM c), " +
+        "gk AS (SELECT dd, t, vs, " +
+        "CASE WHEN n1 + 2.0 * n2 > 0.0 THEN n1 / (n1 + 2.0 * n2) ELSE 0.0 END AS disc " +
+        "FROM gd CROSS JOIN v), " +
+        "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "-avg(ln(greatest(cab - disc, 0.0) / ca + disc * nf / ca * " +
+        "(greatest(nb - disc, 0.0) / dd + disc * t / dd / vs))) AS cross_entropy " +
+        "FROM g JOIN c USING (a, b) JOIN ctxk USING (a) JOIN cont USING (b) " +
+        "CROSS JOIN gk GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
     // m89: CCNet-style head/middle/tail — rank-based terciles on an
     // INTEGER sort key, floor(ppl*1e6): an IEEE multiply + floor on the
     // identical double (m43's hash check proves the engines share ppl)
@@ -2400,16 +2433,23 @@ object SparkEntry {
   // graft.text.TextOps (same regexes, same double-arithmetic order).
   /** The m43 bigram-LM chain up to per-doc cross-entropy (`h`) — shared
     * by the m43 report and the m89 bucket assignment. */
-  private[graft] val LmPerplexityCtes: String =
+  /** Shared bigram-LM oracle prefix — the corpus tokenized by the house
+    * rule, per-doc bigram stream `g`, count table `c` and vocabulary
+    * 1-row `v`; the add-α (m43) and Kneser–Ney (m138) chains both build
+    * on it so the tokenization contract can never drift between them. */
+  private[graft] val BigramLmCtes: String =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
       "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
       "p AS (SELECT doc_id, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b FROM w), " +
       "g AS (SELECT doc_id, a, b FROM p WHERE b IS NOT NULL), " +
       "c AS (SELECT a, b, count(*) AS cab FROM g GROUP BY 1, 2), " +
-      "ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +
       "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
-      "(SELECT a AS tok FROM c UNION SELECT b FROM c)), " +
+      "(SELECT a AS tok FROM c UNION SELECT b FROM c))"
+
+  private[graft] val LmPerplexityCtes: String =
+    BigramLmCtes +
+      ", ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +
       "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
       "-avg(ln((cab + 0.5) / (ca + 0.5 * vs))) AS cross_entropy " +
       "FROM g JOIN c USING (a, b) JOIN ctx USING (a) CROSS JOIN v GROUP BY doc_id) "

@@ -526,6 +526,37 @@ object CorpusQueries {
       })
     }
 
+  /** WordPiece tokenizer-token accounting (m139): train likelihood-scored
+    * merges on the corpus word table (distributed — the shared
+    * [[graft.text.WordTables]] contract), then count MaxMatch tokens and
+    * [UNK] fallbacks per document — the closed-vocabulary budget card
+    * the BERT-family pipelines read. The merge budget sits below the
+    * fixture vocabulary's full-merge point (the m40 sizing rule) so the
+    * output shows genuine subword structure. TRAINING stays spec-pinned
+    * (WordPieceSpec — likelihood merge order, MaxMatch, the UNK path);
+    * the finished run's piece vocabulary is captured so the oracle
+    * replays greedy longest-match encode itself in a DuckDB recursive
+    * CTE ([[graft.OracleModelSql.wordPieceStats]]). */
+  def wordPieceTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = wpModel(s, dir)
+    graft.OracleCapture.put("m139_wordpiece_tokens", model.pieces)
+    graft.text.WordPiece.tokenStats(docs, model)
+  }
+
+  /** One trained WordPiece model per corpus per JVM — the [[bpeModel]]
+    * convention for the third tokenizer family. */
+  private val wpModels = scala.collection.mutable.Map.empty[String, graft.text.WordPiece.Model]
+  private[graft] val wpTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def wpModel(s: SparkSession, dir: String, nMerges: Int = 30): graft.text.WordPiece.Model =
+    wpModels.synchronized {
+      wpModels.getOrElseUpdate(s"$dir::$nMerges", {
+        val m = graft.text.WordPiece.trainDistributed(Tables.documents(s, dir), nMerges)
+        wpTrainCount.incrementAndGet() // counts SUCCESSFUL trains (spec hook)
+        m
+      })
+    }
+
   /** One trained unigram-LM tokenizer per corpus per JVM — the
     * [[bpeModel]] convention for the OTHER tokenizer family. Training
     * is deterministic (sorted word-table EM fold), so the memo serves
@@ -895,6 +926,14 @@ object CorpusQueries {
     * would be pruned (the α backoff absorbs the pruned mass). */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.NgramLm.selfPerplexity(Tables.documents(s, dir), alpha = 0.5)
+
+  /** Interpolated Kneser–Ney self-perplexity (m138): the smoothing the
+    * public perplexity-filter canon ships (CCNet's KenLM models) —
+    * continuation-count backoff with the counts-of-counts discount, one
+    * tier above m43's add-α. minCount stays 1 so the oracle replays the
+    * full count table (the m43 convention). */
+  def kneserNeyPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.KneserNey.selfPerplexity(Tables.documents(s, dir))
 
   /** Gopher rule card (m91): the MassiveText per-document rule battery —
     * rule bits + AND verdict, one projection pass. */

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney bigram LM — the smoothing the public
+  * perplexity-filter canon actually ships (CCNet's KenLM models are
+  * modified-KN; Kneser & Ney 1995, Chen & Goodman 1998, public). m43's
+  * add-α LM answers "is this doc noise"; KN answers it with the
+  * statistically right backoff: a word's unigram weight is how many
+  * DISTINCT contexts it completes (continuation count), not its raw
+  * frequency — "francisco" is frequent but follows only "san", so KN
+  * stops it from inflating unseen-bigram scores the way raw-frequency
+  * backoff does.
+  *
+  * Model (bigram interpolated KN over the count table c(a,b)):
+  *   p(b|a)   = max(c(ab) − D, 0)/c(a·) + λ(a)·p_cont(b)
+  *   λ(a)     = D · N1+(a·) / c(a·)              (mass the discount freed)
+  *   p_cont(b)= max(N1+(·b) − D, 0)/N1+(··) + D·T/N1+(··) · 1/V
+  *   D        = n1 / (n1 + 2·n2)                 (Ries estimate from the
+  *              counts-of-counts; Chen & Goodman eq. 26 — n1/n2 = #bigram
+  *              types seen once/twice)
+  * with N1+(a·)/N1+(·b) the distinct-continuation/context counts,
+  * N1+(··) the distinct-bigram-type total, T = |{b : N1+(·b) > 0}|, and
+  * V the full token vocabulary (both slots) supplying the uniform base
+  * the recursion terminates at. Every level sums to exactly 1 over its
+  * support (spec-pinned): the discount clip never bites below zero
+  * because realized counts are ≥ 1 ≥ D, and the freed mass is by
+  * construction what the interpolation weight redistributes.
+  *
+  * Edges (documented, spec-pinned): n2 = 0 makes D = 1 — singleton
+  * bigrams then carry zero direct mass and back off entirely, which is
+  * the estimator's own verdict, not a failure; unseen CONTEXT scores
+  * p_cont(b) outright (interpolation weight 1); a token never seen in
+  * the second slot still gets the uniform leak D·T/(N1+(··)·V) > 0
+  * whenever D > 0, so held-out scoring stays finite everywhere the
+  * token is in-vocabulary. Fully out-of-vocabulary tokens take the same
+  * 1/V uniform (improper by Σ ≤ 1 + V'/V, the standard open-vocabulary
+  * concession — KenLM's explicit <unk> plays this role).
+  *
+  * Scale shape (100 TB) — identical to [[NgramLm]], by construction:
+  * the corpus is touched twice (count pass + score pass, the documented
+  * recompute-over-materialize call shared with m32/m43); every KN
+  * statistic — context mass, both N1+ tables, the counts-of-counts
+  * discount, T, V — is a re-aggregation of the bigram COUNT table,
+  * never of text; the scalar statistics ride one broadcast 1-row frame;
+  * and the score join's broadcast-vs-shuffle choice is left to AQE (the
+  * LineDedup lesson: a minCount-pruned LM broadcasts, a raw crawl's
+  * full table must not be forced to).
+  */
+object KneserNey {
+
+  /** Score `docs` against a trained bigram count table: (doc_id,
+    * n_bigrams, cross_entropy, perplexity) under interpolated KN.
+    * Docs with < 2 tokens have no bigrams and are absent (the m43
+    * contract). */
+  def scoreAgainst(docs: DataFrame, counts: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    // Per-context statistics: mass c(a·) and distinct continuations
+    // N1+(a·) — one re-aggregation of the count table.
+    val ctx = counts.groupBy("a")
+      .agg(sum("cab").as("ca"), count(lit(1)).as("n1p_fwd"))
+    // Per-continuation statistic: distinct contexts N1+(·b).
+    val cont = counts.groupBy("b").agg(count(lit(1)).as("n1p_bwd"))
+    // Scalar statistics in ONE 1-row frame (no driver action, no
+    // literals baked at plan time — the m43 vocab convention): the
+    // distinct-bigram total N1+(··), the counts-of-counts discount,
+    // T, and the vocabulary size.
+    val vocab = counts
+      .select(explode(array(col("a"), col("b"))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val glob = counts.agg(
+        count(lit(1)).cast("double").as("dd"),
+        sum(when(col("cab") === 1L, 1L).otherwise(0L)).cast("double").as("n1"),
+        sum(when(col("cab") === 2L, 1L).otherwise(0L)).cast("double").as("n2"),
+        countDistinct(col("b")).cast("double").as("t"))
+      .crossJoin(vocab)
+      // D = n1/(n1 + 2 n2); an empty count table (no bigrams anywhere)
+      // never reaches the division because the score join below is
+      // empty too — guard anyway so the plan holds no 0/0 under ANSI.
+      .withColumn("disc",
+        when(col("n1") + lit(2.0) * col("n2") > 0.0,
+          col("n1") / (col("n1") + lit(2.0) * col("n2"))).otherwise(lit(0.0)))
+
+    val d = col("disc")
+    // Continuation probability — the KN unigram level, discounted once
+    // more toward the uniform 1/V base (the recursion's last stop).
+    val pCont =
+      greatest(coalesce(col("n1p_bwd").cast("double"), lit(0.0)) - d, lit(0.0)) / col("dd") +
+        d * col("t") / col("dd") / col("v")
+    // Bigram level: seen context interpolates; unseen context IS the
+    // continuation distribution (weight 1).
+    val seenCtx = col("ca").isNotNull
+    val caD = col("ca").cast("double")
+    val p = when(seenCtx,
+        greatest(coalesce(col("cab").cast("double"), lit(0.0)) - d, lit(0.0)) / caD +
+          d * col("n1p_fwd").cast("double") / caD * pCont)
+      .otherwise(pCont)
+
+    NgramLm.gramsOf(docs, textCol)
+      .join(counts, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(cont, Seq("b"), "left")
+      .crossJoin(broadcast(glob))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-avg(log(p))).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+  }
+
+  /** Self-perplexity: train and score on the same corpus — the
+    * no-external-LM quality gate under the canon smoothing. Every gram
+    * is realized, so no backoff branch can hit a zero: the output is
+    * finite by construction. */
+  def selfPerplexity(docs: DataFrame, textCol: String = "text",
+                     minCount: Long = 1L): DataFrame =
+    scoreAgainst(docs, NgramLm.bigramCounts(docs, textCol, minCount), textCol)
+}

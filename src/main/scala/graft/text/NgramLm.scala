@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  private def gramsOf(docs: DataFrame, textCol: String): DataFrame = {
+  private[text] def gramsOf(docs: DataFrame, textCol: String): DataFrame = {
     val toks = split(lower(trim(col(textCol))), " +")
     docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"), toks.as("t"))

@@ -744,6 +744,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Exchange")
   }
 
+  test("m138: KN exchanges carry gram keys and count partials, never text; scalars broadcast") {
+    val p = plan(CorpusQueries.kneserNeyPerplexity(spark, dir))
+    // every KN statistic is a re-aggregation of the bigram count table:
+    // the corpus-sized exchanges carry (a, b) keys with map-side partial
+    // counts, and the 1-row discount/vocab frame rides a broadcast —
+    // document text never shuffles
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
+  test("m139: WordPiece token accounting is one shuffle-free memoized map — zero exchanges") {
+    val p = plan(CorpusQueries.wordPieceTokenStats(spark, dir))
+    (p should not).include("Exchange")
+  }
+
   test("m130: drop card shuffles band-bucket COUNTS only — no id lists, no text, no join") {
     val p = plan(CorpusQueries.lshBucketDrops(spark, dir))
     // the only corpus-sized exchange carries (band, band_hash) partial

@@ -1,0 +1,113 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KneserNeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // Hand-computed reference: corpus {"a b a", "a b c"}.
+  // Bigrams: (a,b)×2, (b,a), (b,c) → 3 types, N1+(··)=3.
+  // Counts-of-counts: n1=2 (ba, bc), n2=1 (ab) → D = 2/(2+2) = 0.5.
+  // T = |{b,a,c}| = 3 distinct continuations; V = |{a,b,c}| = 3.
+  // N1+(·x) = 1 for each of a, b, c →
+  //   p_cont(x) = (1−0.5)/3 + 0.5·3/3·(1/3) = 1/3 for every x (uniform).
+  // Contexts: c(a·)=2 with N1+(a·)=1; c(b·)=2 with N1+(b·)=2.
+  //   p(b|a) = (2−0.5)/2 + 0.5·1/2·(1/3) = 3/4 + 1/12 = 5/6
+  //   p(a|b) = (1−0.5)/2 + 0.5·2/2·(1/3) = 1/4 + 1/6  = 5/12
+  //   p(c|b) = 5/12 (same counts as (b,a))
+  private val pAB = 5.0 / 6
+  private val pBA = 5.0 / 12
+  private val pBC = 5.0 / 12
+
+  test("self-perplexity matches the hand-computed interpolated KN model") {
+    val out = KneserNey.selfPerplexity(docs((1L, "a b a"), (2L, "a b c")))
+      .orderBy("doc_id").collect()
+    val h1 = -(math.log(pAB) + math.log(pBA)) / 2
+    val h2 = -(math.log(pAB) + math.log(pBC)) / 2
+    out(0).getAs[Long]("n_bigrams") shouldBe 2
+    out(0).getAs[Double]("cross_entropy") shouldBe h1 +- 1e-12
+    out(0).getAs[Double]("perplexity") shouldBe math.exp(h1) +- 1e-12
+    out(1).getAs[Double]("cross_entropy") shouldBe h2 +- 1e-12
+  }
+
+  test("each seen context's distribution sums to exactly 1 over the vocabulary") {
+    // Σ_b p(b|a) = 1 for every seen context a — the property the
+    // discount/interpolation algebra exists to guarantee. Enumerate
+    // the full V×V grid by scoring every 2-token doc "x y".
+    val corpus = docs((1L, "a b a"), (2L, "a b c"))
+    val lm = NgramLm.bigramCounts(corpus)
+    val vocab = Seq("a", "b", "c")
+    val grid = for {
+      (x, i) <- vocab.zipWithIndex; (y, j) <- vocab.zipWithIndex
+    } yield ((i * vocab.size + j).toLong, s"$x $y")
+    val p = KneserNey.scoreAgainst(docs(grid: _*), lm)
+      .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    for ((x, i) <- vocab.zipWithIndex) {
+      val mass = vocab.indices.map(j => p((i * vocab.size + j).toLong)).sum
+      withClue(s"context $x: ") { mass shouldBe 1.0 +- 1e-12 }
+    }
+    // The continuation level sums to 1 too: unseen contexts score
+    // p_cont directly, and here p_cont is uniform 1/3 by symmetry.
+    val pcont = KneserNey.scoreAgainst(docs((99L, "z a")), lm)
+      .select(exp(-col("cross_entropy"))).as[Double].head()
+    pcont shouldBe 1.0 / 3 +- 1e-12
+  }
+
+  test("held-out backoff ladder: unseen bigram, unseen context, OOV continuation") {
+    val lm = NgramLm.bigramCounts(docs((1L, "a b a"), (2L, "a b c")))
+    // "a c": seen context a, unseen bigram → λ(a)·p_cont(c) = 0.5·1/2·1/3 = 1/12.
+    // "z a": unseen context → p_cont(a) = 1/3.
+    // "a z": OOV continuation → λ(a)·(uniform leak) = 1/4 · (0.5·3/3/3) = 1/24.
+    val out = KneserNey.scoreAgainst(
+      docs((1L, "a c"), (2L, "z a"), (3L, "a z")), lm)
+      .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    out(1L) shouldBe 1.0 / 12 +- 1e-12
+    out(2L) shouldBe 1.0 / 3 +- 1e-12
+    out(3L) shouldBe 1.0 / 24 +- 1e-12
+  }
+
+  test("n2 = 0 edge: discount 1 drops singleton mass to backoff, stays finite") {
+    // Corpus "x y": one bigram type, count 1 → n1=1, n2=0, D=1.
+    // p_cont(y) = max(1−1,0)/1 + 1·1/1·(1/2) = 1/2;
+    // p(y|x)   = max(1−1,0)/1 + 1·1/1·(1/2) = 1/2.
+    val out = KneserNey.selfPerplexity(docs((1L, "x y"))).collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("cross_entropy") shouldBe -math.log(0.5) +- 1e-12
+  }
+
+  test("KN separates boilerplate from novel text like the add-α gate") {
+    val corpus = docs(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "buy now buy now buy now buy now"),
+      (3L, "buy now buy now buy now buy now"),
+      (4L, "quarterly glacier permits lapsed unexpectedly"))
+    val byDoc = KneserNey.selfPerplexity(corpus)
+      .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    byDoc(1L) should be < byDoc(4L)
+    byDoc.values.foreach(_ should be >= 1.0)
+  }
+
+  test("scores are invariant to input partitioning") {
+    val corpus = docs(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog"), (4L, "on and on and on"))
+    val base = KneserNey.selfPerplexity(corpus)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val re = KneserNey.selfPerplexity(corpus.repartition(7))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    re.keySet shouldBe base.keySet
+    base.foreach { case (k, v) => re(k) shouldBe v +- 1e-12 }
+  }
+
+  test("docs with fewer than two tokens are absent (the m43 contract)") {
+    val out = KneserNey.selfPerplexity(
+      docs((1L, "solo"), (2L, ""), (3L, "a pair here")))
+      .select("doc_id").as[Long].collect()
+    out.toSet shouldBe Set(3L)
+  }
+}

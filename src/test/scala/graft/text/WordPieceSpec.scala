@@ -1,0 +1,80 @@
+package graft.text
+
+import graft.SparkSpec
+
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The textbook corpus (the public HuggingFace tokenizers course's
+  // WordPiece walkthrough): word frequencies hug:10 pug:5 pun:12 bun:4
+  // hugs:5. Initial splits give piece freqs h:15 ##u:36 ##g:20 ##n:16
+  // p:17 b:4 ##s:5 and pair scores
+  //   (##g,##s) = 5/(20·5) = 1/20   ← strictly best
+  //   every other pair        = 1/36,
+  // so merge 1 is "##gs". After it every remaining pair scores exactly
+  // 1/36; the deterministic tie-break (lexicographically smallest pair)
+  // picks ("##u","##g") → merge 2 is "##ug".
+  private def corpus = Seq(
+    (1L, Seq.fill(10)("hug").mkString(" ")),
+    (2L, Seq.fill(5)("pug").mkString(" ")),
+    (3L, Seq.fill(12)("pun").mkString(" ")),
+    (4L, Seq.fill(4)("bun").mkString(" ")),
+    (5L, Seq.fill(5)("hugs").mkString(" "))).toDF("doc_id", "text")
+
+  test("trains the textbook merge sequence with the likelihood score") {
+    val m = WordPiece.trainDistributed(corpus, nMerges = 2, maxWords = 0)
+    m.pieces shouldBe Vector(
+      "##g", "##n", "##s", "##u", "b", "h", "p", // sorted alphabet
+      "##gs", "##ug")                             // merges in rank order
+  }
+
+  test("MaxMatch encode: longest piece first, continuation prefix, UNK fallback") {
+    val m = WordPiece.trainDistributed(corpus, nMerges = 2, maxWords = 0)
+    WordPiece.encodeWord("hugs", m) shouldBe Vector("h", "##ug", "##s")
+    WordPiece.encodeWord("hug", m) shouldBe Vector("h", "##ug")
+    WordPiece.encodeWord("bun", m) shouldBe Vector("b", "##u", "##n")
+    // 'm' is not in the alphabet → the WHOLE word fails to [UNK], even
+    // though 'un' would have matched further in (the BERT contract).
+    WordPiece.encodeWord("mun", m) shouldBe Vector(WordPiece.Unk)
+    // word-initial '##u' must NOT match bare position 0: 'u' alone has
+    // no bare piece, so "ug" is [UNK] despite ##ug existing.
+    WordPiece.encodeWord("ug", m) shouldBe Vector(WordPiece.Unk)
+  }
+
+  test("tokenStats counts tokens and UNK words per document") {
+    val m = WordPiece.trainDistributed(corpus, nMerges = 2, maxWords = 0)
+    val docs = Seq((1L, "hugs bun mun"), (2L, ""), (3L, "pun pun")).toDF("doc_id", "text")
+    val out = WordPiece.tokenStats(docs, m).orderBy("doc_id").collect()
+    // hugs=3 tokens, bun=3, mun=[UNK]=1 → 7 tokens, 1 unk word.
+    out(0).getAs[Long]("n_words") shouldBe 3
+    out(0).getAs[Long]("n_wp_tokens") shouldBe 7
+    out(0).getAs[Long]("n_unk_words") shouldBe 1
+    out(0).getAs[Double]("wp_per_word") shouldBe (7.0 / 3) +- 1e-12
+    // empty doc: present with zero counts (the m40 contract).
+    out(1).getAs[Long]("n_words") shouldBe 0
+    out(1).getAs[Double]("wp_per_word") shouldBe 0.0
+    out(2).getAs[Long]("n_wp_tokens") shouldBe 2 * 3
+    out(2).getAs[Long]("n_unk_words") shouldBe 0
+  }
+
+  test("training is invariant to input partitioning") {
+    val a = WordPiece.trainDistributed(corpus, nMerges = 4, maxWords = 0)
+    val b = WordPiece.trainDistributed(corpus.repartition(7), nMerges = 4, maxWords = 0)
+    b.pieces shouldBe a.pieces
+  }
+
+  test("merge budget beyond the pair supply stops at exhaustion") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = WordPiece.trainDistributed(tiny, nMerges = 50, maxWords = 0)
+    // alphabet {##b, a} + the single possible merge "ab".
+    m.pieces shouldBe Vector("##b", "a", "ab")
+    WordPiece.encodeWord("ab", m) shouldBe Vector("ab")
+  }
+
+  test("empty corpus yields an empty model and every word encodes to UNK") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = WordPiece.trainDistributed(empty, nMerges = 3, maxWords = 0)
+    m.pieces shouldBe Vector.empty
+    WordPiece.encodeWord("x", m) shouldBe Vector(WordPiece.Unk)
+  }
+}
