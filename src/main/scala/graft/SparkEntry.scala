@@ -363,6 +363,12 @@ object SparkEntry {
     // with [UNK] fallback; the THIRD tokenizer family beside m40's BPE
     // and m135's unigram-LM (captured-vocabulary oracle replay)
     "m139_wordpiece_tokens" -> (CorpusQueries.wordPieceTokenStats _),
+    // m140: HyperLogLog per-source shingle-cardinality card (Flajolet
+    // 2007) — the mergeable bounded-state distinct the 100 TB tier uses
+    // where exact distinct is a corpus-sized exchange; registers and
+    // the estimate replay bit-for-bit (dyadic register sums are exact
+    // doubles), certified against the exact count per source
+    "m140_hll_cardinality" -> (CorpusQueries.hllCardinality _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1556,6 +1562,39 @@ object SparkEntry {
         "FROM g JOIN c USING (a, b) JOIN ctxk USING (a) JOIN cont USING (b) " +
         "CROSS JOIN gk GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m140: the register table AND the estimate recomputed from scratch
+    // — the m105 shingle CTEs (shared tokenization contract), the m137
+    // md5-hex12 48-bit hash, bucket/rho by exact integer ops (bin() is
+    // the minimal binary string in both engines — no float log2), and
+    // the register sum Σ2^-rho is a sum of dyadics ≥ 2^-37 bounded by
+    // 2^12, EXACT in a double regardless of order — so raw estimate and
+    // the linear-counting branch selection are bit-identical
+    // cross-engine; ln/division differences vanish at the 6-dp gate.
+    "m140_hll_cardinality" ->
+      ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT DISTINCT source, gram FROM " +
+        "(SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "hs AS (SELECT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h FROM gd), " +
+        "rb AS (SELECT source, h // 68719476736 AS bucket, h % 68719476736 AS rest FROM hs), " +
+        "rr AS (SELECT source, bucket, " +
+        "max(CASE WHEN rest = 0 THEN 37 ELSE 37 - length(bin(rest)) END) AS rho " +
+        "FROM rb GROUP BY 1, 2), " +
+        "pe AS (SELECT source, CAST(count(*) AS BIGINT) AS registers_hit, " +
+        "sum(power(2.0, -rho)) AS sp FROM rr GROUP BY 1), " +
+        "es AS (SELECT source, registers_hit, " +
+        s"${graft.operators.HyperLogLog.AlphaM2} / (sp + CAST(4096 - registers_hit AS DOUBLE)) AS raw FROM pe), " +
+        "fin AS (SELECT source, registers_hit, " +
+        "CASE WHEN raw <= 10240.0 AND registers_hit < 4096 " +
+        "THEN 4096.0 * ln(4096.0 / CAST(4096 - registers_hit AS DOUBLE)) " +
+        "ELSE raw END AS hll_estimate FROM es), " +
+        "ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct " +
+        "FROM hs GROUP BY 1) " +
+        "SELECT f.source, x.exact_distinct, f.registers_hit, f.hll_estimate, " +
+        "(f.hll_estimate - CAST(x.exact_distinct AS DOUBLE)) / CAST(x.exact_distinct AS DOUBLE) AS rel_err " +
+        "FROM fin f JOIN ex x USING (source)"),
     // m89: CCNet-style head/middle/tail — rank-based terciles on an
     // INTEGER sort key, floor(ppl*1e6): an IEEE multiply + floor on the
     // identical double (m43's hash check proves the engines share ppl)

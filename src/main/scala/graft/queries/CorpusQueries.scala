@@ -935,6 +935,31 @@ object CorpusQueries {
   def kneserNeyPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.KneserNey.selfPerplexity(Tables.documents(s, dir))
 
+  /** HLL cardinality card (m140): per-source distinct 3-shingle count by
+    * HyperLogLog sketch vs exact — the error card certifying the sketch
+    * the 100 TB tier substitutes for exact distinct (groups × 4096
+    * integer registers on the wire instead of every distinct hash). The
+    * exact side rides the same 48-bit md5 hash so both engines count
+    * the identical value set. */
+  def hllCardinality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HyperLogLog
+    val hashed = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "")
+      .select(col("source"), HyperLogLog.hash48(col("gram")).as("h"))
+    val est = HyperLogLog.estimate(
+      HyperLogLog.registers(hashed, Seq("source"), col("h")), Seq("source"))
+    val exact = hashed.groupBy("source")
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("registers_hit"),
+        col("hll_estimate"),
+        ((col("hll_estimate") - col("exact_distinct")) / col("exact_distinct"))
+          .as("rel_err"))
+  }
+
   /** Gopher rule card (m91): the MassiveText per-document rule battery —
     * rule bits + AND verdict, one projection pass. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =

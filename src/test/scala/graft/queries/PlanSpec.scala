@@ -762,6 +762,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Exchange")
   }
 
+  test("m140: HLL exchanges carry (source, bucket, rho) and hash longs — never gram text") {
+    val p = plan(CorpusQueries.hllCardinality(spark, dir))
+    // shingling and hashing are map-side; the register exchange is
+    // bounded by sources × 4096 integer rows (max partial-aggregates),
+    // and the exact side two-phase-distincts over the 8-byte hash
+    p should include("partial_max")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("gram#")
+    (exchanges should not).include("text#")
+  }
+
   test("m130: drop card shuffles band-bucket COUNTS only — no id lists, no text, no join") {
     val p = plan(CorpusQueries.lshBucketDrops(spark, dir))
     // the only corpus-sized exchange carries (band, band_hash) partial
