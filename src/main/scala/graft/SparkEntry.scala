@@ -369,6 +369,11 @@ object SparkEntry {
     // the estimate replay bit-for-bit (dyadic register sums are exact
     // doubles), certified against the exact count per source
     "m140_hll_cardinality" -> (CorpusQueries.hllCardinality _),
+    // m141: Luhn-verified credit-card detection (ISO/IEC 7812 checksum
+    // over 13–19-digit runs) — the Dolma/ROOTS PII tier beyond m20's
+    // regex scrub; planted valid/invalid/short fixtures, zero-exchange
+    // projection, checksum replayed digit-for-digit in SQL
+    "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1595,6 +1600,28 @@ object SparkEntry {
         "SELECT f.source, x.exact_distinct, f.registers_hit, f.hll_estimate, " +
         "(f.hll_estimate - CAST(x.exact_distinct AS DOUBLE)) / CAST(x.exact_distinct AS DOUBLE) AS rel_err " +
         "FROM fin f JOIN ex x USING (source)"),
+    // m141: the augmentation (pure function of doc_id) replayed verbatim,
+    // then the same candidate regex (no lookarounds — Java regex and RE2
+    // agree on it) and the Luhn fold digit-for-digit: 1-based positions
+    // over the reversed stripped digits, odd plain, even doubled −9.
+    "m141_cc_luhn" ->
+      ("WITH d AS (SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 0 THEN ' pay 4111 1111 1111 1111 today' " +
+        "WHEN 1 THEN ' ref 4111-1111-1111-1112 attached' " +
+        "ELSE ' order 123456 confirmed' END AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c0 AS (SELECT doc_id, list_filter(" +
+        "regexp_extract_all(t, '[0-9][0-9 -]{11,22}[0-9]'), " +
+        "s -> length(regexp_replace(s, '[ -]', '', 'g')) BETWEEN 13 AND 19) AS cands FROM d) " +
+        "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates, " +
+        "CAST(len(list_filter(cands, s -> list_sum(list_transform(" +
+        "generate_series(1, length(regexp_replace(s, '[ -]', '', 'g'))), " +
+        "i -> CASE WHEN i % 2 = 1 " +
+        "THEN ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48 " +
+        "ELSE CASE WHEN 2 * (ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48) > 9 " +
+        "THEN 2 * (ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48) - 9 " +
+        "ELSE 2 * (ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48) END END)) " +
+        "% 10 = 0)) AS BIGINT) AS n_cc_valid FROM c0"),
     // m89: CCNet-style head/middle/tail — rank-based terciles on an
     // INTEGER sort key, floor(ppl*1e6): an IEEE multiply + floor on the
     // identical double (m43's hash check proves the engines share ppl)

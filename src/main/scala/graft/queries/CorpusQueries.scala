@@ -98,6 +98,27 @@ object CorpusQueries {
   def piiRedact(s: SparkSession, dir: String): DataFrame =
     graft.text.PiiRedact.redact(withSyntheticPii(Tables.documents(s, dir)))
 
+  /** Deterministic card-number augmentation for m141 — a pure function
+    * of doc_id (the withSyntheticPii recipe), replayed verbatim in the
+    * oracle SQL: a Luhn-VALID test PAN with space separators (doc_id ≡ 0
+    * mod 3), the same PAN's last digit bumped → Luhn-INVALID with
+    * hyphens (≡ 1), or a digit run below candidate length (≡ 2) — so
+    * the corpus carries positives, checksum-negatives and
+    * length-negatives in known proportion. */
+  def withSyntheticCards(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" pay 4111 1111 1111 1111 today"))
+          .when(col("doc_id") % 3 === 1, lit(" ref 4111-1111-1111-1112 attached"))
+          .otherwise(lit(" order 123456 confirmed"))))
+
+  /** Luhn-verified card detection (m141): per doc, digit runs in the
+    * 13–19-digit range and the Luhn-valid subset — the Dolma/ROOTS-style
+    * PII tier beyond m20's regex scrub (checksum validation kills the
+    * order-id/serial false positives). Zero-exchange projection. */
+  def ccLuhn(s: SparkSession, dir: String): DataFrame =
+    graft.text.Luhn.cardCounts(withSyntheticCards(Tables.documents(s, dir)))
+
   /** Per-source quota sample, cap 7 (m21) — two-phase pruned sampler. */
   def sourceQuotaSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.QuotaSample.quotaSample(

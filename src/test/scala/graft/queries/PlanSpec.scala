@@ -773,6 +773,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m141: Luhn card detection is a zero-exchange codegen'd projection — no UDF") {
+    val p = plan(CorpusQueries.ccLuhn(spark, dir))
+    (p should not).include("Exchange")
+    (p should not).include("BatchEvalPython")
+    (p should not).include("ScalaUDF")
+  }
+
   test("m130: drop card shuffles band-bucket COUNTS only — no id lists, no text, no join") {
     val p = plan(CorpusQueries.lshBucketDrops(spark, dir))
     // the only corpus-sized exchange carries (band, band_hash) partial

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Merge a subset bench run's rows into a committed sweep record.
+
+Usage: merge_bench_rows.py SUBSET_JSON TARGET_JSON
+
+Previous rounds merged new queries' scale points into the BENCH_sf1*
+records by hand ("identical subset protocol"); this makes the merge
+mechanical and total-consistent: every query/asset/stats row from the
+subset run replaces (or adds) the same-named row in the target, and the
+headline `value` is adjusted by the delta so the total still equals the
+sum of its rows' history. The target's metadata (sf, warm, passes) is
+left untouched — the subset run must have been taken with the same
+protocol on the same fixture dir (asserted on `sf`).
+"""
+import json, sys
+
+def main():
+    sub_p, tgt_p = sys.argv[1], sys.argv[2]
+    sub = json.load(open(sub_p))
+    tgt = json.load(open(tgt_p))
+    assert sub.get("sf") == tgt.get("sf"), \
+        f"fixture mismatch: subset {sub.get('sf')} vs target {tgt.get('sf')}"
+    delta = 0.0
+    for q, t in sub.get("queries", {}).items():
+        delta += t - tgt["queries"].get(q, 0.0)
+        tgt["queries"][q] = t
+    for a, t in (sub.get("assets") or {}).items():
+        tgt.setdefault("assets", {})[a] = t
+    for k, v in (sub.get("stats") or {}).items():
+        tgt.setdefault("stats", {})[k] = v
+    tgt["value"] = round(tgt["value"] + delta, 3)
+    with open(tgt_p, "w") as f:
+        json.dump(tgt, f)
+    print(f"merged {len(sub.get('queries', {}))} query rows "
+          f"(+{len((sub.get('assets') or {}))} assets) into {tgt_p}; "
+          f"total {tgt['value']}s (delta {delta:+.3f}s)")
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,13 @@
 Spark library): for each query output under <outDir>, run the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf parquet tables,
 canonicalize both frames (column-name sort, row sort, 6-dp double rounding)
-and diff. Usage: oracle_check.py <sfDir> <outDir> [query ...]
+and diff. Usage: oracle_check.py [--json FILE] <sfDir> <outDir> [query ...]
+
+--json FILE additionally writes the driver-format correctness record
+(per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
+so a mid-round local full-gate run can commit a CORRECTNESS_r*.json that
+matches the registered query set (the update_ledger.sh coverage
+assertion) instead of lagging until the driver's round-end run.
 """
 import json, sys, glob, os
 import duckdb, pandas as pd, numpy as np
@@ -24,8 +30,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -33,20 +44,29 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    record = {}
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": 0, "oracle_rows": 0,
+               "err": None}
+        record[name] = rec
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISS  {name}: no spark output")
+            rec["err"] = "no spark output"
             n_bad += 1
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
         want = canon(con.sql(oracle[name]).df())
-        if list(got.columns) != list(want.columns):
+        rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+        rec["schema_match"] = list(got.columns) == list(want.columns)
+        rec["rows_match"] = len(got) == len(want)
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_bad += 1
-        elif len(got) != len(want):
+        elif not rec["rows_match"]:
             print(f"FAIL  {name}: rows {len(got)} != {len(want)}")
             n_bad += 1
         elif not got.equals(want):
@@ -61,8 +81,13 @@ def main():
                 print(f"      {c}: got {g} want {w}")
             n_bad += 1
         else:
+            rec["hash_match"] = True
             print(f"ok    {name} ({len(got)} rows)")
             n_ok += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {json_out} ({len(record)} rows)")
     print(f"== {n_ok} ok, {n_bad} failing")
     sys.exit(1 if n_bad else 0)
 
