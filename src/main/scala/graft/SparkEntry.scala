@@ -374,6 +374,11 @@ object SparkEntry {
     // regex scrub; planted valid/invalid/short fixtures, zero-exchange
     // projection, checksum replayed digit-for-digit in SQL
     "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
+    // m142: MODIFIED Kneser–Ney (Chen & Goodman 1998, the KenLM
+    // default): per-count discounts D1/D2/D3+ estimated from the
+    // counts-of-counts, per-context type-count interpolation weights —
+    // the faithful form of the m138 smoothing tier
+    "m142_modified_kn" -> (CorpusQueries.modifiedKnPerplexity _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1565,6 +1570,36 @@ object SparkEntry {
         "-avg(ln(greatest(cab - disc, 0.0) / ca + disc * nf / ca * " +
         "(greatest(nb - disc, 0.0) / dd + disc * t / dd / vs))) AS cross_entropy " +
         "FROM g JOIN c USING (a, b) JOIN ctxk USING (a) JOIN cont USING (b) " +
+        "CROSS JOIN gk GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m142: modified KN on the same shared prefix — per-count discounts
+    // D1/D2/D3+ with the clip/degrade guards mirrored branch-for-branch,
+    // per-context type counts t1/t2/t3 feeding the interpolation weight,
+    // continuation level identical to m138's.
+    "m142_modified_kn" ->
+      (BigramLmCtes +
+        ", ctxm AS (SELECT a, sum(cab) AS ca, " +
+        "CAST(count(*) FILTER (WHERE cab = 1) AS DOUBLE) AS t1, " +
+        "CAST(count(*) FILTER (WHERE cab = 2) AS DOUBLE) AS t2, " +
+        "CAST(count(*) FILTER (WHERE cab >= 3) AS DOUBLE) AS t3 FROM c GROUP BY 1), " +
+        "cont AS (SELECT b, CAST(count(*) AS DOUBLE) AS nb FROM c GROUP BY 1), " +
+        "gd AS (SELECT CAST(count(*) AS DOUBLE) AS dd, " +
+        "CAST(count(*) FILTER (WHERE cab = 1) AS DOUBLE) AS n1, " +
+        "CAST(count(*) FILTER (WHERE cab = 2) AS DOUBLE) AS n2, " +
+        "CAST(count(*) FILTER (WHERE cab = 3) AS DOUBLE) AS n3, " +
+        "CAST(count(*) FILTER (WHERE cab = 4) AS DOUBLE) AS n4, " +
+        "CAST(count(DISTINCT b) AS DOUBLE) AS t FROM c), " +
+        "gy AS (SELECT *, CASE WHEN n1 + 2.0 * n2 > 0.0 " +
+        "THEN n1 / (n1 + 2.0 * n2) ELSE 0.0 END AS y FROM gd CROSS JOIN v), " +
+        "gk AS (SELECT dd, t, vs, y, y AS disc, " +
+        "CASE WHEN n1 > 0.0 THEN greatest(1.0 - 2.0 * y * n2 / n1, 0.0) ELSE 0.0 END AS d1, " +
+        "CASE WHEN n2 > 0.0 THEN greatest(2.0 - 3.0 * y * n3 / n2, 0.0) ELSE 0.0 END AS d2, " +
+        "CASE WHEN n3 > 0.0 THEN greatest(3.0 - 4.0 * y * n4 / n3, 0.0) ELSE y END AS d3 FROM gy), " +
+        "h AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "-avg(ln(greatest(cab - (CASE WHEN cab = 1 THEN d1 WHEN cab = 2 THEN d2 ELSE d3 END), 0.0) / ca + " +
+        "(d1 * t1 + d2 * t2 + d3 * t3) / ca * " +
+        "(greatest(nb - disc, 0.0) / dd + disc * t / dd / vs))) AS cross_entropy " +
+        "FROM g JOIN c USING (a, b) JOIN ctxm USING (a) JOIN cont USING (b) " +
         "CROSS JOIN gk GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
     // m140: the register table AND the estimate recomputed from scratch

@@ -956,6 +956,12 @@ object CorpusQueries {
   def kneserNeyPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.KneserNey.selfPerplexity(Tables.documents(s, dir))
 
+  /** MODIFIED Kneser–Ney self-perplexity (m142): the KenLM default —
+    * per-count discounts D1/D2/D3+ from the counts-of-counts (Chen &
+    * Goodman 1998), one tier above m138's single-discount form. */
+  def modifiedKnPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.KneserNey.modifiedSelfPerplexity(Tables.documents(s, dir))
+
   /** HLL cardinality card (m140): per-source distinct 3-shingle count by
     * HyperLogLog sketch vs exact — the error card certifying the sketch
     * the 100 TB tier substitutes for exact distinct (groups × 4096

@@ -115,4 +115,96 @@ object KneserNey {
   def selfPerplexity(docs: DataFrame, textCol: String = "text",
                      minCount: Long = 1L): DataFrame =
     scoreAgainst(docs, NgramLm.bigramCounts(docs, textCol, minCount), textCol)
+
+  /** MODIFIED Kneser–Ney (Chen & Goodman 1998 §3, the KenLM default) —
+    * per-count discounts instead of m138's single D:
+    *   Y  = n1/(n1 + 2·n2)
+    *   D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3
+    *   λ(a) = (D1·N1(a·) + D2·N2(a·) + D3+·N3+(a·)) / c(a·)
+    * with n_k the count-of-counts and Nk(a·) the per-context type
+    * counts at count k. Discounts are clipped at 0 (the standard
+    * guard), and each undefined ratio degrades deterministically:
+    * n1 = 0 → D1 := 0 (no singleton types exist for it to apply to),
+    * n2 = 0 → D2 := 0 (likewise), n3 = 0 with c ≥ 3 types present →
+    * D3+ := Y (the single-discount estimate — a documented engineering
+    * fallback for tiny corpora; Chen & Goodman assume n3 > 0). Because
+    * λ(a) redistributes exactly what the clipped discounts removed,
+    * Σ_b p(b|a) = 1 per seen context holds for EVERY guard branch
+    * (spec-pinned). The continuation level is m138's unchanged —
+    * modified discounts at the top level only, a documented
+    * simplification (full mKN also modifies lower orders).
+    *
+    * Scale shape identical to [[scoreAgainst]]: four count-of-count
+    * scalars and three per-context type counts are re-aggregations of
+    * the bigram COUNT table; nothing new touches text. */
+  def modifiedScoreAgainst(docs: DataFrame, counts: DataFrame,
+                           textCol: String = "text"): DataFrame = {
+    val ctx = counts.groupBy("a").agg(
+      sum("cab").as("ca"),
+      count(lit(1)).as("n1p_fwd"),
+      sum(when(col("cab") === 1L, 1L).otherwise(0L)).cast("double").as("t1"),
+      sum(when(col("cab") === 2L, 1L).otherwise(0L)).cast("double").as("t2"),
+      sum(when(col("cab") >= 3L, 1L).otherwise(0L)).cast("double").as("t3"))
+    val cont = counts.groupBy("b").agg(count(lit(1)).as("n1p_bwd"))
+    val vocab = counts
+      .select(explode(array(col("a"), col("b"))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val glob = counts.agg(
+        count(lit(1)).cast("double").as("dd"),
+        sum(when(col("cab") === 1L, 1L).otherwise(0L)).cast("double").as("n1"),
+        sum(when(col("cab") === 2L, 1L).otherwise(0L)).cast("double").as("n2"),
+        sum(when(col("cab") === 3L, 1L).otherwise(0L)).cast("double").as("n3"),
+        sum(when(col("cab") === 4L, 1L).otherwise(0L)).cast("double").as("n4"),
+        countDistinct(col("b")).cast("double").as("t"))
+      .crossJoin(vocab)
+      .withColumn("y",
+        when(col("n1") + lit(2.0) * col("n2") > 0.0,
+          col("n1") / (col("n1") + lit(2.0) * col("n2"))).otherwise(lit(0.0)))
+      .withColumn("d1",
+        when(col("n1") > 0.0,
+          greatest(lit(1.0) - lit(2.0) * col("y") * col("n2") / col("n1"), lit(0.0)))
+          .otherwise(lit(0.0)))
+      .withColumn("d2",
+        when(col("n2") > 0.0,
+          greatest(lit(2.0) - lit(3.0) * col("y") * col("n3") / col("n2"), lit(0.0)))
+          .otherwise(lit(0.0)))
+      .withColumn("d3",
+        when(col("n3") > 0.0,
+          greatest(lit(3.0) - lit(4.0) * col("y") * col("n4") / col("n3"), lit(0.0)))
+          .otherwise(col("y")))
+      // the continuation level keeps m138's single discount
+      .withColumn("disc", col("y"))
+
+    val d = col("disc")
+    val pCont =
+      greatest(coalesce(col("n1p_bwd").cast("double"), lit(0.0)) - d, lit(0.0)) / col("dd") +
+        d * col("t") / col("dd") / col("v")
+    val caD = col("ca").cast("double")
+    val lam = (col("d1") * col("t1") + col("d2") * col("t2") +
+      col("d3") * col("t3")) / caD
+    val cD = coalesce(col("cab").cast("double"), lit(0.0))
+    val dOfC = when(cD === 0.0, lit(0.0))
+      .when(cD === 1.0, col("d1"))
+      .when(cD === 2.0, col("d2"))
+      .otherwise(col("d3"))
+    val p = when(col("ca").isNotNull,
+        greatest(cD - dOfC, lit(0.0)) / caD + lam * pCont)
+      .otherwise(pCont)
+
+    NgramLm.gramsOf(docs, textCol)
+      .join(counts, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(cont, Seq("b"), "left")
+      .crossJoin(broadcast(glob))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-avg(log(p))).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+  }
+
+  /** Modified-KN self-perplexity — [[selfPerplexity]] under the KenLM
+    * default discounts. */
+  def modifiedSelfPerplexity(docs: DataFrame, textCol: String = "text",
+                             minCount: Long = 1L): DataFrame =
+    modifiedScoreAgainst(docs, NgramLm.bigramCounts(docs, textCol, minCount), textCol)
 }

@@ -110,4 +110,60 @@ class KneserNeySpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     out.toSet shouldBe Set(3L)
   }
+
+  // ---- modified KN (m142) ----
+
+  // Same 2-doc fixture under Chen & Goodman's per-count discounts:
+  // n1=2, n2=1, n3=n4=0 → Y=0.5, D1 = 1−2·0.5·(1/2) = 0.5,
+  // D2 = 2−3·0.5·(0/1) = 2 (the doubleton fully discounts — no mass
+  // evidence above count 2), D3+ falls back to Y (n3=0 guard).
+  // λ(a) = D2·1/2 = 1 → p(b|a) = 0 + 1·(1/3) = 1/3;
+  // λ(b) = D1·2/2 = 0.5 → p(a|b) = (1−0.5)/2 + 0.5·(1/3) = 5/12.
+  test("modified KN matches the hand-computed per-count discounts") {
+    val out = KneserNey.modifiedSelfPerplexity(docs((1L, "a b a"), (2L, "a b c")))
+      .orderBy("doc_id").collect()
+    val h = -(math.log(1.0 / 3) + math.log(5.0 / 12)) / 2
+    out(0).getAs[Double]("cross_entropy") shouldBe h +- 1e-12
+    out(1).getAs[Double]("cross_entropy") shouldBe h +- 1e-12
+  }
+
+  test("modified KN sums to exactly 1 per seen context, including the D2 clip branch") {
+    // counts: (a,a):4 (a,b):3 (b,a):2 (a,c):1 (c,b):1 (b,c):1 (d,a):1
+    // (a,d):1 → n1=5 n2=1 n3=1 n4=1, Y=5/7, D1=5/7,
+    // D2 = 2−3·(5/7) = −1/7 → CLIPPED to 0, D3+ = 3−4·(5/7) = 1/7.
+    val corpus = docs((1L, "a a a a a"), (2L, "a b a b a b"),
+      (3L, "a c b c"), (4L, "d a d"))
+    val lm = NgramLm.bigramCounts(corpus)
+    val vocab = Seq("a", "b", "c", "d")
+    val grid = for {
+      (x, i) <- vocab.zipWithIndex; (y, j) <- vocab.zipWithIndex
+    } yield ((i * vocab.size + j).toLong, s"$x $y")
+    val p = KneserNey.modifiedScoreAgainst(docs(grid: _*), lm)
+      .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    for ((x, i) <- vocab.zipWithIndex) {
+      val mass = vocab.indices.map(j => p((i * vocab.size + j).toLong)).sum
+      withClue(s"context $x: ") { mass shouldBe 1.0 +- 1e-12 }
+    }
+  }
+
+  test("on an all-singleton corpus modified KN equals interpolated KN (both discounts = 1)") {
+    val corpus = docs((1L, "p q r"), (2L, "s t u"), (3L, "v w x"))
+    val a = KneserNey.selfPerplexity(corpus)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val b = KneserNey.modifiedSelfPerplexity(corpus)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    b.keySet shouldBe a.keySet
+    a.foreach { case (k, v) => b(k) shouldBe v +- 1e-12 }
+  }
+
+  test("modified KN is invariant to input partitioning") {
+    val corpus = docs((1L, "a a a a a"), (2L, "a b a b a b"),
+      (3L, "a c b c"), (4L, "d a d"))
+    val base = KneserNey.modifiedSelfPerplexity(corpus)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val re = KneserNey.modifiedSelfPerplexity(corpus.repartition(7))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    base.foreach { case (k, v) => re(k) shouldBe v +- 1e-12 }
+  }
 }
