@@ -488,7 +488,30 @@ object OracleModelSql {
     * end returns a short string that can't equal a longer net, so the
     * probe self-bounds. TRAINING (likelihood-scored merges) stays
     * spec-pinned, the m40 convention. */
-  def wordPieceStats(pieces: Seq[String]): String = {
+  def wordPieceStats(pieces: Seq[String]): String =
+    wordPieceEncodeCtes(pieces) +
+      "SELECT doc_id, n_words, n_wp AS n_wp_tokens, n_unk AS n_unk_words, " +
+      "CASE WHEN n_words = 0 THEN 0.0 " +
+      "ELSE CAST(n_wp AS DOUBLE) / CAST(n_words AS DOUBLE) END AS wp_per_word " +
+      "FROM perdoc"
+
+  /** m143: the per-source fertility + UNK-rate report under the shared
+    * WordPiece model — the m79/m136 report for the third tokenizer
+    * family, sharing [[wordPieceEncodeCtes]]'s MaxMatch replay. */
+  def wordPieceFertility(pieces: Seq[String]): String =
+    wordPieceEncodeCtes(pieces) +
+      "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(p.n_words) AS BIGINT) AS total_words, " +
+      "CAST(sum(p.n_wp) AS BIGINT) AS total_wp_tokens, " +
+      "CAST(sum(p.n_unk) AS BIGINT) AS total_unk_words, " +
+      "CASE WHEN sum(p.n_words) = 0 THEN 0.0 " +
+      "ELSE CAST(sum(p.n_wp) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) END AS fertility, " +
+      "CASE WHEN sum(p.n_words) = 0 THEN 0.0 " +
+      "ELSE CAST(sum(p.n_unk) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE) END AS unk_rate " +
+      "FROM perdoc p JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source " +
+      "FROM documents) s USING (doc_id) GROUP BY 1"
+
+  private def wordPieceEncodeCtes(pieces: Seq[String]): String = {
     def esc(s: String) = s.replace("'", "''")
     val pv = pieces.map { p =>
       val cont = p.startsWith(graft.text.WordPiece.Cont)
@@ -517,13 +540,10 @@ object OracleModelSql {
       "FROM enc WHERE pos > len(w)), " +
       "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
       "CAST(sum(f.ntok) AS BIGINT) AS n_wp, CAST(sum(f.u) AS BIGINT) AS n_unk " +
-      "FROM wx JOIN fin f USING (w) GROUP BY 1) " +
-      "SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
-      "coalesce(a.n_wp, 0) AS n_wp_tokens, " +
-      "coalesce(a.n_unk, 0) AS n_unk_words, " +
-      "CASE WHEN coalesce(a.n_words, 0) = 0 THEN 0.0 " +
-      "ELSE CAST(a.n_wp AS DOUBLE) / CAST(a.n_words AS DOUBLE) END AS wp_per_word " +
-      "FROM docs d LEFT JOIN agg a USING (doc_id)"
+      "FROM wx JOIN fin f USING (w) GROUP BY 1), " +
+      "perdoc AS (SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
+      "coalesce(a.n_wp, 0) AS n_wp, coalesce(a.n_unk, 0) AS n_unk " +
+      "FROM docs d LEFT JOIN agg a USING (doc_id)) "
   }
 
   /** m88: vocabulary-usage curve — encode replayed by the same recursive
@@ -859,6 +879,8 @@ object OracleModelSql {
         .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap ++
       OracleCapture.get[Seq[String]]("m139_wordpiece_tokens")
         .filter(_.nonEmpty).map(ps => "m139_wordpiece_tokens" -> wordPieceStats(ps)).toMap ++
+      OracleCapture.get[Seq[String]]("m143_wordpiece_fertility")
+        .filter(_.nonEmpty).map(ps => "m143_wordpiece_fertility" -> wordPieceFertility(ps)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m135_unigram_tokens")
         .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m136_unigram_fertility")

@@ -379,6 +379,10 @@ object SparkEntry {
     // counts-of-counts, per-context type-count interpolation weights —
     // the faithful form of the m138 smoothing tier
     "m142_modified_kn" -> (CorpusQueries.modifiedKnPerplexity _),
+    // m143: per-source WordPiece fertility + UNK rate under the m139
+    // shared model — the m79/m136 report for the third tokenizer
+    // family; unk_rate is the closed-vocabulary drift signal
+    "m143_wordpiece_fertility" -> (CorpusQueries.wordPieceFertility _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)

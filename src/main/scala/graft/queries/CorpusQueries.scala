@@ -565,6 +565,32 @@ object CorpusQueries {
     graft.text.WordPiece.tokenStats(docs, model)
   }
 
+  /** Per-source WordPiece fertility + UNK rate (m143): the m79/m136
+    * report for the third tokenizer family, under the SAME shared model
+    * as m139 — fertility is a property OF a tokenizer (the m40/m79
+    * contract), and the UNK rate is the closed-vocabulary signal the
+    * other two families don't have: a source with rising unk_rate is
+    * drifting outside the trained alphabet. One partial-agg source
+    * exchange over m139's shuffle-free encode. */
+  def wordPieceFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = wpModel(s, dir)
+    graft.OracleCapture.put("m143_wordpiece_fertility", model.pieces)
+    graft.text.WordPiece.tokenStats(docs, model)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_wp_tokens")).as("total_wp_tokens"),
+        sum(col("n_unk_words")).as("total_unk_words"),
+        when(sum(col("n_words")) === 0L, lit(0.0))
+          .otherwise(sum(col("n_wp_tokens")).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"),
+        when(sum(col("n_words")) === 0L, lit(0.0))
+          .otherwise(sum(col("n_unk_words")).cast("double") /
+            sum(col("n_words")).cast("double")).as("unk_rate"))
+  }
+
   /** One trained WordPiece model per corpus per JVM — the [[bpeModel]]
     * convention for the third tokenizer family. */
   private val wpModels = scala.collection.mutable.Map.empty[String, graft.text.WordPiece.Model]

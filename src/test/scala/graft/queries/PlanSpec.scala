@@ -771,6 +771,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Exchange")
   }
 
+  test("m143: WordPiece fertility is one partial-agg source exchange over the shuffle-free encode") {
+    val p = plan(CorpusQueries.wordPieceFertility(spark, dir))
+    p should include("partial_count")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m140: HLL exchanges carry (source, bucket, rho) and hash longs — never gram text") {
     val p = plan(CorpusQueries.hllCardinality(spark, dir))
     // shingling and hashing are map-side; the register exchange is

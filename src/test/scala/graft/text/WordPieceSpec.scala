@@ -71,6 +71,29 @@ class WordPieceSpec extends SparkSpec {
     WordPiece.encodeWord("ab", m) shouldBe Vector("ab")
   }
 
+  test("per-source fertility and UNK rate reconcile with the per-doc frame") {
+    // train on the textbook corpus; score a corpus with a known-vocab
+    // source and an out-of-alphabet source
+    val m = WordPiece.trainDistributed(corpus, nMerges = 2, maxWords = 0)
+    val scored = Seq(
+      (1L, "hugs hug", "in"),    // 3 + 2 tokens, 0 unk
+      (2L, "bun pun", "in"),     // 3 + 3 tokens, 0 unk
+      (3L, "mun zap", "out"),    // both [UNK]
+      (4L, "hug mun", "out")     // 2 tokens + [UNK]
+    ).toDF("doc_id", "text", "source")
+    val perDoc = WordPiece.tokenStats(scored, m)
+      .join(scored.select("doc_id", "source"), Seq("doc_id"))
+    val agg = perDoc.groupBy("source").agg(
+      org.apache.spark.sql.functions.sum("n_wp_tokens").as("wp"),
+      org.apache.spark.sql.functions.sum("n_unk_words").as("unk"),
+      org.apache.spark.sql.functions.sum("n_words").as("w"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    agg("in") shouldBe ((11L, 0L, 4L))
+    agg("out") shouldBe ((5L, 3L, 4L))  // (1+1) + (2+1) tokens; 3 unk words
+    // fertility/unk_rate as the m143 card computes them
+    (agg("out")._2.toDouble / agg("out")._3) shouldBe 0.75 +- 1e-12
+  }
+
   test("empty corpus yields an empty model and every word encodes to UNK") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m = WordPiece.trainDistributed(empty, nMerges = 3, maxWords = 0)
