@@ -108,6 +108,19 @@ class EmptyCorpusSpec extends SparkSpec {
     "m135_unigram_tokens" -> (CorpusQueries.unigramTokens _),
     // m136: empty stats → empty per-source report
     "m136_unigram_fertility" -> (CorpusQueries.unigramFertility _),
+    // m138/m142: empty count table → the 1-row discount/vocab aggregate
+    // (all zeros) cross-joins onto zero gram rows — no division ever
+    // evaluates per-row, so no NaN can surface
+    "m138_kneser_ney" -> (CorpusQueries.kneserNeyPerplexity _),
+    "m142_modified_kn" -> (CorpusQueries.modifiedKnPerplexity _),
+    // m139/m143: empty word table → alphabet-less model → zero docs to
+    // encode; the fertility card aggregates over zero rows
+    "m139_wordpiece_tokens" -> (CorpusQueries.wordPieceTokenStats _),
+    "m143_wordpiece_fertility" -> (CorpusQueries.wordPieceFertility _),
+    // m140: no shingles → no registers → no per-source estimate rows
+    "m140_hll_cardinality" -> (CorpusQueries.hllCardinality _),
+    // m141: the augmentation filters on non-null text first → zero rows
+    "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m128: data-free design card — must still run (8 rows) on an empty
     // corpus; asserted separately below since "empty in = rows out" is
     // its CORRECT degradation

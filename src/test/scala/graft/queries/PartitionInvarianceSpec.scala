@@ -102,6 +102,27 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(CorpusQueries.containmentPairs)
   }
 
+  test("m140 HLL card bit-identical across partitionings (exact dyadic register sums)") {
+    // the design claim made executable: Σ2^-rho is a sum of dyadics
+    // ≥ 2^-37 bounded by 2^12 — EXACT in a double in any order — so the
+    // estimate (and even the linear-counting branch choice) cannot move
+    // with partitioning; registers are max-merged (commutative)
+    assertInvariant(CorpusQueries.hllCardinality)
+  }
+
+  test("m139 WordPiece token counts bit-identical across partitionings") {
+    assertInvariant(CorpusQueries.wordPieceTokenStats)
+  }
+
+  test("m143 WordPiece fertility bit-identical across partitionings") {
+    // long sums + one division of exact integers per source
+    assertInvariant(CorpusQueries.wordPieceFertility)
+  }
+
+  test("m141 Luhn card counts bit-identical across partitionings") {
+    assertInvariant(CorpusQueries.ccLuhn)
+  }
+
   test("m17 dedup cluster labels identical across partitionings") {
     assertInvariant((s, d) => graft.dedup.DedupClusters.components(
       graft.dedup.NgramJaccard.invertedIndexPairs(
