@@ -488,7 +488,7 @@ object OracleModelSql {
     * end returns a short string that can't equal a longer net, so the
     * probe self-bounds. TRAINING (likelihood-scored merges) stays
     * spec-pinned, the m40 convention. */
-  def wordPieceStats(pieces: Seq[String]): String =
+  def wordPieceStats(pieces: Seq[(Boolean, String)]): String =
     wordPieceEncodeCtes(pieces) +
       "SELECT doc_id, n_words, n_wp AS n_wp_tokens, n_unk AS n_unk_words, " +
       "CASE WHEN n_words = 0 THEN 0.0 " +
@@ -498,7 +498,7 @@ object OracleModelSql {
   /** m143: the per-source fertility + UNK-rate report under the shared
     * WordPiece model — the m79/m136 report for the third tokenizer
     * family, sharing [[wordPieceEncodeCtes]]'s MaxMatch replay. */
-  def wordPieceFertility(pieces: Seq[String]): String =
+  def wordPieceFertility(pieces: Seq[(Boolean, String)]): String =
     wordPieceEncodeCtes(pieces) +
       "SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(p.n_words) AS BIGINT) AS total_words, " +
@@ -511,11 +511,16 @@ object OracleModelSql {
       "FROM perdoc p JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source " +
       "FROM documents) s USING (doc_id) GROUP BY 1"
 
-  private def wordPieceEncodeCtes(pieces: Seq[String]): String = {
+  private def wordPieceEncodeCtes(pieces: Seq[(Boolean, String)]): String = {
     def esc(s: String) = s.replace("'", "''")
-    val pv = pieces.map { p =>
-      val cont = p.startsWith(graft.text.WordPiece.Cont)
-      val net = if (cont) p.substring(graft.text.WordPiece.Cont.length) else p
+    // pieces are STRUCTURALLY typed (isCont, net) — no string-prefix
+    // classification, so '#'-bearing corpora can't alias a bare piece
+    // with a continuation piece (review r16); net ≥ 1 char by the Model
+    // construction, which is what guarantees the recursive cursor below
+    // always advances — asserted here because a zero-length net would
+    // turn the replay into a non-terminating query, not a wrong answer.
+    require(pieces.forall(_._2.nonEmpty), "WordPiece net must be non-empty")
+    val pv = pieces.map { case (cont, net) =>
       s"(${if (cont) "TRUE" else "FALSE"}, '${esc(net)}', ${net.length})"
     }.mkString(", ")
     "WITH RECURSIVE " +
@@ -877,9 +882,9 @@ object OracleModelSql {
         .map(w => "m118_dawid_skene" -> dawidSkene(w)).toMap ++
       OracleCapture.get[Seq[(String, String)]]("m88_token_coverage")
         .filter(_.nonEmpty).map(ms => "m88_token_coverage" -> bpeTokenCoverage(ms)).toMap ++
-      OracleCapture.get[Seq[String]]("m139_wordpiece_tokens")
+      OracleCapture.get[Seq[(Boolean, String)]]("m139_wordpiece_tokens")
         .filter(_.nonEmpty).map(ps => "m139_wordpiece_tokens" -> wordPieceStats(ps)).toMap ++
-      OracleCapture.get[Seq[String]]("m143_wordpiece_fertility")
+      OracleCapture.get[Seq[(Boolean, String)]]("m143_wordpiece_fertility")
         .filter(_.nonEmpty).map(ps => "m143_wordpiece_fertility" -> wordPieceFertility(ps)).toMap ++
       OracleCapture.get[Seq[(String, Double)]]("m135_unigram_tokens")
         .filter(_.nonEmpty).map(ps => "m135_unigram_tokens" -> unigramTokenStats(ps)).toMap ++

@@ -1641,26 +1641,9 @@ object SparkEntry {
         "FROM fin f JOIN ex x USING (source)"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
-    // agree on it) and the Luhn fold digit-for-digit: 1-based positions
-    // over the reversed stripped digits, odd plain, even doubled −9.
-    "m141_cc_luhn" ->
-      ("WITH d AS (SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT) " +
-        "WHEN 0 THEN ' pay 4111 1111 1111 1111 today' " +
-        "WHEN 1 THEN ' ref 4111-1111-1111-1112 attached' " +
-        "ELSE ' order 123456 confirmed' END AS t " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "c0 AS (SELECT doc_id, list_filter(" +
-        "regexp_extract_all(t, '[0-9][0-9 -]{11,22}[0-9]'), " +
-        "s -> length(regexp_replace(s, '[ -]', '', 'g')) BETWEEN 13 AND 19) AS cands FROM d) " +
-        "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates, " +
-        "CAST(len(list_filter(cands, s -> list_sum(list_transform(" +
-        "generate_series(1, length(regexp_replace(s, '[ -]', '', 'g'))), " +
-        "i -> CASE WHEN i % 2 = 1 " +
-        "THEN ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48 " +
-        "ELSE CASE WHEN 2 * (ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48) > 9 " +
-        "THEN 2 * (ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48) - 9 " +
-        "ELSE 2 * (ascii(substr(reverse(regexp_replace(s, '[ -]', '', 'g')), i, 1)) - 48) END END)) " +
-        "% 10 = 0)) AS BIGINT) AS n_cc_valid FROM c0"),
+    // agree on it), the same block-aligned window scan, and the Luhn
+    // fold digit-for-digit — built in CcLuhnOracle below.
+    "m141_cc_luhn" -> CcLuhnOracle,
     // m89: CCNet-style head/middle/tail — rank-based terciles on an
     // INTEGER sort key, floor(ppl*1e6): an IEEE multiply + floor on the
     // identical double (m43's hash check proves the engines share ppl)
@@ -2538,6 +2521,37 @@ object SparkEntry {
   // graft.text.TextOps (same regexes, same double-arithmetic order).
   /** The m43 bigram-LM chain up to per-doc cross-entropy (`h`) — shared
     * by the m43 report and the m89 bucket assignment. */
+  /** m141 oracle: the doc_id-mod-3 card augmentation replayed verbatim,
+    * then graft.text.Luhn's detection recomputed — maximal digit runs,
+    * ≥ 13-digit candidate gate, and the separator-block-aligned window
+    * scan: a run is valid when ANY contiguous block span totals 13–19
+    * digits and passes the Luhn fold (1-based positions over the
+    * reversed digits, odd plain, even doubled −9 — the exact engine
+    * arithmetic). Built compositionally because the span scan nests
+    * four lambda levels (run → span start → span end → digit). */
+  private[graft] val CcLuhnOracle: String = {
+    val bl = "list_filter(string_split_regex(s, '[ -]+'), b -> length(b) > 0)"
+    val ds = s"array_to_string(($bl)[i:j], '')"
+    def dig = s"(ascii(substr(reverse($ds), p, 1)) - 48)"
+    val luhn = s"list_sum(list_transform(generate_series(1, length($ds)), p -> " +
+      s"CASE WHEN p % 2 = 1 THEN $dig " +
+      s"ELSE CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9 " +
+      s"ELSE 2 * $dig END END)) % 10 = 0"
+    val window = s"length($ds) BETWEEN 13 AND 19 AND $luhn"
+    val valid = s"len(list_filter(generate_series(1, len($bl)), i -> " +
+      s"len(list_filter(generate_series(i, len($bl)), j -> $window)) > 0)) > 0"
+    "WITH d AS (SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 0 THEN ' pay 4111 1111 1111 1111 today' " +
+      "WHEN 1 THEN ' ref 4111-1111-1111-1112 attached' " +
+      "ELSE ' order 123456 confirmed' END AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "c0 AS (SELECT doc_id, list_filter(" +
+      "regexp_extract_all(t, '[0-9][0-9 -]{11,38}[0-9]'), " +
+      "s -> length(regexp_replace(s, '[ -]', '', 'g')) >= 13) AS cands FROM d) " +
+      "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates, " +
+      s"CAST(len(list_filter(cands, s -> $valid)) AS BIGINT) AS n_cc_valid FROM c0"
+  }
+
   /** Shared bigram-LM oracle prefix — the corpus tokenized by the house
     * rule, per-doc bigram stream `g`, count table `c` and vocabulary
     * 1-row `v`; the add-α (m43) and Kneser–Ney (m138) chains both build

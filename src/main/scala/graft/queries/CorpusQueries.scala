@@ -782,6 +782,7 @@ object CorpusQueries {
     bpeModels.synchronized { bpeModels.clear() }
     uniModels.synchronized { uniModels.clear() }
     langModels.synchronized { langModels.clear() }
+    wpModels.synchronized { wpModels.clear() }
   }
 
   /** The planted per-language labeled set (m137/m67): 300 docs, 60 per

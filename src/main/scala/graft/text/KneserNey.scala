@@ -75,9 +75,10 @@ object KneserNey {
         sum(when(col("cab") === 2L, 1L).otherwise(0L)).cast("double").as("n2"),
         countDistinct(col("b")).cast("double").as("t"))
       .crossJoin(vocab)
-      // D = n1/(n1 + 2 n2); an empty count table (no bigrams anywhere)
-      // never reaches the division because the score join below is
-      // empty too — guard anyway so the plan holds no 0/0 under ANSI.
+      // D = n1/(n1 + 2 n2), guarded so the plan holds no 0/0 under
+      // ANSI. (An empty count table is handled at the cross join: the
+      // scalar frame filters to dd > 0, so empty model → empty scores
+      // even for held-out docs arriving through the LEFT gram join.)
       .withColumn("disc",
         when(col("n1") + lit(2.0) * col("n2") > 0.0,
           col("n1") / (col("n1") + lit(2.0) * col("n2"))).otherwise(lit(0.0)))
@@ -101,7 +102,13 @@ object KneserNey {
       .join(counts, Seq("a", "b"), "left")
       .join(ctx, Seq("a"), "left")
       .join(cont, Seq("b"), "left")
-      .crossJoin(broadcast(glob))
+      // An EMPTY count table makes every denominator (dd, v) zero and
+      // would NaN every held-out score through the LEFT gram join —
+      // the contract is instead "empty model → empty scores" (the
+      // empty-corpus convention): filtering the 1-row scalar frame to
+      // dd > 0 collapses the cross join, and with it the output, to
+      // zero rows (review r16).
+      .crossJoin(broadcast(glob.filter(col("dd") > 0.0)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (-avg(log(p))).as("cross_entropy"))
@@ -195,7 +202,8 @@ object KneserNey {
       .join(counts, Seq("a", "b"), "left")
       .join(ctx, Seq("a"), "left")
       .join(cont, Seq("b"), "left")
-      .crossJoin(broadcast(glob))
+      // empty model → empty scores, the scoreAgainst contract (above)
+      .crossJoin(broadcast(glob.filter(col("dd") > 0.0)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (-avg(log(p))).as("cross_entropy"))

@@ -294,6 +294,22 @@ class DedupAssetsSpec extends SparkSpec {
     CorpusQueries.uniTrainCount.get() - before shouldBe 2
   }
 
+  test("WordPiece model memo — concurrent consumers train exactly once; reset retrains") {
+    CorpusQueries.resetModelMemos()
+    val before = CorpusQueries.wpTrainCount.get()
+    val threads = (1 to 3).map(_ => new Thread(() => {
+      CorpusQueries.wordPieceTokenStats(spark, dir).count(); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    CorpusQueries.wpTrainCount.get() - before shouldBe 1
+    // the fertility card shares the memoized model — no second train
+    CorpusQueries.wordPieceFertility(spark, dir).count()
+    CorpusQueries.wpTrainCount.get() - before shouldBe 1
+    CorpusQueries.resetModelMemos()
+    CorpusQueries.wordPieceTokenStats(spark, dir).count()
+    CorpusQueries.wpTrainCount.get() - before shouldBe 2
+  }
+
   test("stored media-feature asset round-trips the direct decode pipeline exactly") {
     val cols = Seq("doc_id", "n_bytes", "byte_mean", "head_hash", "format",
       "width", "height", "channels", "luma_mean")

@@ -111,6 +111,14 @@ class KneserNeySpec extends SparkSpec {
     out.toSet shouldBe Set(3L)
   }
 
+  test("scoring against an EMPTY model yields empty output, never NaN") {
+    // held-out docs arrive through the LEFT gram join, so without the
+    // dd > 0 scalar-frame filter every score would be NaN (review r16)
+    val emptyLm = NgramLm.bigramCounts(docs())
+    KneserNey.scoreAgainst(docs((1L, "a b c")), emptyLm).count() shouldBe 0
+    KneserNey.modifiedScoreAgainst(docs((1L, "a b c")), emptyLm).count() shouldBe 0
+  }
+
   // ---- modified KN (m142) ----
 
   // Same 2-doc fixture under Chen & Goodman's per-count discounts:

@@ -23,9 +23,12 @@ class WordPieceSpec extends SparkSpec {
 
   test("trains the textbook merge sequence with the likelihood score") {
     val m = WordPiece.trainDistributed(corpus, nMerges = 2, maxWords = 0)
-    m.pieces shouldBe Vector(
-      "##g", "##n", "##s", "##u", "b", "h", "p", // sorted alphabet
+    m.displayPieces shouldBe Vector(
+      "##g", "##n", "##s", "##u", "b", "h", "p", // display-sorted alphabet
       "##gs", "##ug")                             // merges in rank order
+    // classes are structural, not string prefixes
+    m.bare shouldBe Set("b", "h", "p")
+    m.contNets shouldBe Set("g", "n", "s", "u", "gs", "ug")
   }
 
   test("MaxMatch encode: longest piece first, continuation prefix, UNK fallback") {
@@ -67,8 +70,28 @@ class WordPieceSpec extends SparkSpec {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = WordPiece.trainDistributed(tiny, nMerges = 50, maxWords = 0)
     // alphabet {##b, a} + the single possible merge "ab".
-    m.pieces shouldBe Vector("##b", "a", "ab")
+    m.displayPieces shouldBe Vector("##b", "a", "ab")
     WordPiece.encodeWord("ab", m) shouldBe Vector("ab")
+  }
+
+  test("'#'-bearing words cannot alias bare and continuation pieces (typed classes)") {
+    // Word "#ab": bare '#', continuations ##a, ##b — a corpus of
+    // markdown-ish tokens. The nets 'a'/'b' exist only as
+    // CONTINUATIONS, so a word STARTING with 'a' must be [UNK] even
+    // though the string "##a"-as-display exists; under string-prefix
+    // classification (review r16) this aliased and diverged from the
+    // oracle. Merges on this corpus can even produce a piece whose
+    // display form is literally "##" (bare '#' + ##'#') — nets stay
+    // non-empty by construction, so the replay cursor always advances.
+    val docs = Seq((1L, "#ab #ab ##c")).toDF("doc_id", "text")
+    val m = WordPiece.trainDistributed(docs, nMerges = 0, maxWords = 0)
+    m.bare shouldBe Set("#")
+    m.contNets shouldBe Set("#", "a", "b", "c")
+    WordPiece.encodeWord("#ab", m) shouldBe Vector("#", "##a", "##b")
+    WordPiece.encodeWord("ab", m) shouldBe Vector(WordPiece.Unk)
+    val merged = WordPiece.trainDistributed(docs, nMerges = 3, maxWords = 0)
+    merged.pieces.foreach { case (_, net) => net should not be empty }
+    WordPiece.encodeWord("##c", merged).head should not be empty
   }
 
   test("per-source fertility and UNK rate reconcile with the per-doc frame") {
