@@ -383,6 +383,10 @@ object SparkEntry {
     // shared model — the m79/m136 report for the third tokenizer
     // family; unk_rate is the closed-vocabulary drift signal
     "m143_wordpiece_fertility" -> (CorpusQueries.wordPieceFertility _),
+    // m144: TRIGRAM interpolated Kneser–Ney — the order-3 recursion
+    // (trigram discounts, continuation-count lower order, m138 unigram
+    // termination); the order public KenLM configs start at
+    "m144_trigram_kn" -> (CorpusQueries.trigramKnPerplexity _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1606,6 +1610,42 @@ object SparkEntry {
         "FROM g JOIN c USING (a, b) JOIN ctxm USING (a) JOIN cont USING (b) " +
         "CROSS JOIN gk GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m144: the order-3 KN chain from scratch — trigram stream via two
+    // leads, c' = per-(b,c) trigram-TYPE counts, every statistic a
+    // re-aggregation of c3, arithmetic mirrored left-assoc like m138.
+    "m144_trigram_kn" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+        "tri AS (SELECT doc_id, w AS a, " +
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b, " +
+        "lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS c FROM w), " +
+        "g AS (SELECT doc_id, a, b, c FROM tri WHERE b IS NOT NULL AND c IS NOT NULL), " +
+        "c3 AS (SELECT a, b, c, count(*) AS cabc FROM g GROUP BY 1, 2, 3), " +
+        "ctx3 AS (SELECT a, b, sum(cabc) AS cab, CAST(count(*) AS DOUBLE) AS nf3 " +
+        "FROM c3 GROUP BY 1, 2), " +
+        "cp AS (SELECT b, c, CAST(count(*) AS BIGINT) AS cbc FROM c3 GROUP BY 1, 2), " +
+        "ctx2 AS (SELECT b, sum(cbc) AS cb, CAST(count(*) AS DOUBLE) AS nf2 FROM cp GROUP BY 1), " +
+        "cont2 AS (SELECT c, CAST(count(*) AS DOUBLE) AS nb2 FROM cp GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
+        "(SELECT a AS tok FROM c3 UNION SELECT b FROM c3 UNION SELECT c FROM c3)), " +
+        "g3 AS (SELECT CAST(count(*) FILTER (WHERE cabc = 1) AS DOUBLE) AS n13, " +
+        "CAST(count(*) FILTER (WHERE cabc = 2) AS DOUBLE) AS n23 FROM c3), " +
+        "g2 AS (SELECT CAST(count(*) AS DOUBLE) AS dd2, " +
+        "CAST(count(*) FILTER (WHERE cbc = 1) AS DOUBLE) AS n12, " +
+        "CAST(count(*) FILTER (WHERE cbc = 2) AS DOUBLE) AS n22, " +
+        "CAST(count(DISTINCT c) AS DOUBLE) AS t2 FROM cp), " +
+        "gk AS (SELECT dd2, t2, vs, " +
+        "CASE WHEN n13 + 2.0 * n23 > 0.0 THEN n13 / (n13 + 2.0 * n23) ELSE 0.0 END AS d3, " +
+        "CASE WHEN n12 + 2.0 * n22 > 0.0 THEN n12 / (n12 + 2.0 * n22) ELSE 0.0 END AS d2 " +
+        "FROM g3 CROSS JOIN g2 CROSS JOIN v), " +
+        "h AS (SELECT doc_id, count(*) AS n_trigrams, " +
+        "-avg(ln(greatest(cabc - d3, 0.0) / cab + d3 * nf3 / cab * " +
+        "(greatest(cbc - d2, 0.0) / cb + d2 * nf2 / cb * " +
+        "(greatest(nb2 - d2, 0.0) / dd2 + d2 * t2 / dd2 / vs)))) AS cross_entropy " +
+        "FROM g JOIN c3 USING (a, b, c) JOIN ctx3 USING (a, b) JOIN cp USING (b, c) " +
+        "JOIN ctx2 USING (b) JOIN cont2 USING (c) CROSS JOIN gk GROUP BY doc_id) " +
+        "SELECT doc_id, n_trigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
     // m140: the register table AND the estimate recomputed from scratch
     // — the m105 shingle CTEs (shared tokenization contract), the m137
     // md5-hex12 48-bit hash, bucket/rho by exact integer ops (bin() is

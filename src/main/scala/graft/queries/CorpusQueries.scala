@@ -989,6 +989,13 @@ object CorpusQueries {
   def modifiedKnPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.KneserNey.modifiedSelfPerplexity(Tables.documents(s, dir))
 
+  /** Trigram interpolated KN self-perplexity (m144): the order the
+    * public KenLM configurations actually start at — trigram discounts
+    * over the trigram table, lower order on CONTINUATION counts
+    * (c'(bc) = N1+(·bc)), terminating at the m138 unigram level. */
+  def trigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.KneserNey.trigramSelfPerplexity(Tables.documents(s, dir))
+
   /** HLL cardinality card (m140): per-source distinct 3-shingle count by
     * HyperLogLog sketch vs exact — the error card certifying the sketch
     * the 100 TB tier substitutes for exact distinct (groups × 4096

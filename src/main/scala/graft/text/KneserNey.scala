@@ -215,4 +215,119 @@ object KneserNey {
   def modifiedSelfPerplexity(docs: DataFrame, textCol: String = "text",
                              minCount: Long = 1L): DataFrame =
     modifiedScoreAgainst(docs, NgramLm.bigramCounts(docs, textCol, minCount), textCol)
+
+  /** Per-doc trigram stream (a, b, c) — the order-3 [[NgramLm.gramsOf]]:
+    * one zip over three shifted slices, codegen projection, no window. */
+  private[text] def trigramsOf(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), " +")
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(zip_with(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 2),
+          slice(col("t"), lit(2), size(col("t")) - 2),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        slice(col("t"), lit(3), size(col("t")) - 2),
+        (ab, c) => struct(ab.getField("a").as("a"), ab.getField("b").as("b"), c.as("c"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("c").isNotNull)
+  }
+
+  /** Trigram count table (a, b, c, cabc) — the order-3 LM sufficient
+    * statistic (minCount prunes the singleton tail at scale, the
+    * bigramCounts convention). */
+  def trigramCounts(docs: DataFrame, textCol: String = "text",
+                    minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    trigramsOf(docs, textCol)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("cabc"))
+      .filter(col("cabc") >= minCount)
+  }
+
+  /** TRIGRAM interpolated Kneser–Ney (the order the public KenLM
+    * configurations actually start at; Chen & Goodman 1998's recursion,
+    * one level above [[scoreAgainst]]):
+    *   p(c|ab) = max(c(abc) − D₃, 0)/c(ab·) + λ(ab)·p₂(c|b)
+    * where the LOWER order runs on CONTINUATION counts — c'(bc) =
+    * N1+(·bc) = |{a : c(abc) > 0}| — and p₂ is EXACTLY the [[scoreAgainst]]
+    * bigram construction over that c' table (its own discount D₂ from
+    * c''s counts-of-counts, continuation-count unigram level, uniform
+    * 1/V termination). Each level's interpolation weight redistributes
+    * exactly the mass its discount removed, so Σ_c p(c|ab) = 1 per seen
+    * context (spec-pinned). Backoff ladder: unseen (a,b) context →
+    * p₂(c|b) outright; unseen b → the continuation unigram; OOV → the
+    * uniform leak. Empty model → empty scores (the dd > 0 contract).
+    *
+    * Scale shape: the corpus is touched twice (trigram count + score,
+    * the m43 convention); EVERY lower-order statistic — c', both
+    * context-mass tables, all N1+ tables, both discounts, T, V — is a
+    * re-aggregation of the trigram COUNT table, never of text; the two
+    * scalar frames ride one broadcast row; score joins left to AQE. */
+  def trigramScoreAgainst(docs: DataFrame, counts3: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    // order-3 statistics
+    val ctx3 = counts3.groupBy("a", "b")
+      .agg(sum("cabc").as("cab"), count(lit(1)).as("nf3"))
+    // continuation-count bigram table c'(bc) = N1+(·bc)
+    val cp = counts3.groupBy("b", "c").agg(count(lit(1)).cast("long").as("cbc"))
+    val ctx2 = cp.groupBy("b").agg(sum("cbc").as("cb"), count(lit(1)).as("nf2"))
+    val cont2 = cp.groupBy("c").agg(count(lit(1)).as("nb2"))
+    val vocab = counts3
+      .select(explode(array(col("a"), col("b"), col("c"))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val glob = counts3.agg(
+        sum(when(col("cabc") === 1L, 1L).otherwise(0L)).cast("double").as("n1_3"),
+        sum(when(col("cabc") === 2L, 1L).otherwise(0L)).cast("double").as("n2_3"))
+      .crossJoin(cp.agg(
+        count(lit(1)).cast("double").as("dd2"),
+        sum(when(col("cbc") === 1L, 1L).otherwise(0L)).cast("double").as("n1_2"),
+        sum(when(col("cbc") === 2L, 1L).otherwise(0L)).cast("double").as("n2_2"),
+        countDistinct(col("c")).cast("double").as("t2")))
+      .crossJoin(vocab)
+      .withColumn("d3",
+        when(col("n1_3") + lit(2.0) * col("n2_3") > 0.0,
+          col("n1_3") / (col("n1_3") + lit(2.0) * col("n2_3"))).otherwise(lit(0.0)))
+      .withColumn("d2",
+        when(col("n1_2") + lit(2.0) * col("n2_2") > 0.0,
+          col("n1_2") / (col("n1_2") + lit(2.0) * col("n2_2"))).otherwise(lit(0.0)))
+
+    val d3 = col("d3"); val d2 = col("d2")
+    // unigram continuation level over c' (the m138 construction)
+    val pc =
+      greatest(coalesce(col("nb2").cast("double"), lit(0.0)) - d2, lit(0.0)) / col("dd2") +
+        d2 * col("t2") / col("dd2") / col("v")
+    // bigram level over c' — seen b interpolates, unseen b IS pc
+    val cbD = col("cb").cast("double")
+    val p2 = when(col("cb").isNotNull,
+        greatest(coalesce(col("cbc").cast("double"), lit(0.0)) - d2, lit(0.0)) / cbD +
+          d2 * col("nf2").cast("double") / cbD * pc)
+      .otherwise(pc)
+    // trigram level — seen (a,b) interpolates, unseen context IS p2
+    val cabD = col("cab").cast("double")
+    val p3 = when(col("cab").isNotNull,
+        greatest(coalesce(col("cabc").cast("double"), lit(0.0)) - d3, lit(0.0)) / cabD +
+          d3 * col("nf3").cast("double") / cabD * p2)
+      .otherwise(p2)
+
+    trigramsOf(docs, textCol)
+      .join(counts3, Seq("a", "b", "c"), "left")
+      .join(ctx3, Seq("a", "b"), "left")
+      .join(cp, Seq("b", "c"), "left")
+      .join(ctx2, Seq("b"), "left")
+      .join(cont2, Seq("c"), "left")
+      // empty model → empty scores, the scoreAgainst contract
+      .crossJoin(broadcast(glob.filter(col("dd2") > 0.0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-avg(log(p3))).as("cross_entropy"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+  }
+
+  /** Trigram-KN self-perplexity — the order-3 no-external-LM gate.
+    * Docs with < 3 tokens have no trigrams and are absent. */
+  def trigramSelfPerplexity(docs: DataFrame, textCol: String = "text",
+                            minCount: Long = 1L): DataFrame =
+    trigramScoreAgainst(docs, trigramCounts(docs, textCol, minCount), textCol)
 }

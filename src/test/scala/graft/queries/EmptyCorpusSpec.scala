@@ -113,6 +113,7 @@ class EmptyCorpusSpec extends SparkSpec {
     // evaluates per-row, so no NaN can surface
     "m138_kneser_ney" -> (CorpusQueries.kneserNeyPerplexity _),
     "m142_modified_kn" -> (CorpusQueries.modifiedKnPerplexity _),
+    "m144_trigram_kn" -> (CorpusQueries.trigramKnPerplexity _),
     // m139/m143: empty word table → alphabet-less model → zero docs to
     // encode; the fertility card aggregates over zero rows
     "m139_wordpiece_tokens" -> (CorpusQueries.wordPieceTokenStats _),

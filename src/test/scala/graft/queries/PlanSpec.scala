@@ -766,6 +766,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m144: trigram-KN exchanges carry gram keys and count partials, never text") {
+    val p = plan(CorpusQueries.trigramKnPerplexity(spark, dir))
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m139: WordPiece token accounting is one shuffle-free memoized map — zero exchanges") {
     val p = plan(CorpusQueries.wordPieceTokenStats(spark, dir))
     (p should not).include("Exchange")

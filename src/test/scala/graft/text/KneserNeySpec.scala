@@ -165,6 +165,65 @@ class KneserNeySpec extends SparkSpec {
     a.foreach { case (k, v) => b(k) shouldBe v +- 1e-12 }
   }
 
+  // ---- trigram KN (m144) ----
+
+  // Hand-computed on "a b a b a": trigrams (a,b,a)×2, (b,a,b) →
+  // n1=1, n2=1 → D₃ = 1/3. Continuation table c' = {(b,a):1, (a,b):1}
+  // → D₂ = 1 (all singletons), t2 = 2, V = 2, p_c(·) = 0.5 uniform,
+  // p₂(a|b) = p₂(b|a) = 0 + 1·0.5 = 0.5.
+  //   p₃(a|ab) = (2−1/3)/2 + (1/3)(1/2)·0.5 = 11/12
+  //   p₃(b|ba) = (1−1/3)/1 + (1/3)(1/1)·0.5 = 5/6
+  test("trigram KN matches the hand-computed order-3 recursion") {
+    val out = KneserNey.trigramSelfPerplexity(docs((1L, "a b a b a"))).collect()
+    out.length shouldBe 1
+    val h = -(math.log(11.0 / 12) + math.log(5.0 / 6) + math.log(11.0 / 12)) / 3
+    out(0).getAs[Long]("n_trigrams") shouldBe 3
+    out(0).getAs[Double]("cross_entropy") shouldBe h +- 1e-12
+    out(0).getAs[Double]("perplexity") shouldBe math.exp(h) +- 1e-12
+  }
+
+  test("trigram KN sums to exactly 1 per seen (a,b) context") {
+    val corpus = docs((1L, "a b a b a"))
+    val lm = KneserNey.trigramCounts(corpus)
+    // Σ_c p₃(c|ab) over V = {a,b}: seen continuation 11/12 + backed-off
+    // 1/12 (λ₃·p₂(b|b) = (1/6)·0.5) = 1; same for context (b,a).
+    val p = KneserNey.trigramScoreAgainst(
+      docs((1L, "a b a"), (2L, "a b b"), (3L, "b a a"), (4L, "b a b")), lm)
+      .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    (p(1L) + p(2L)) shouldBe 1.0 +- 1e-12
+    (p(3L) + p(4L)) shouldBe 1.0 +- 1e-12
+  }
+
+  test("trigram backoff ladder: unseen trigram context → p₂; unseen bigram context → continuation") {
+    val lm = KneserNey.trigramCounts(docs((1L, "a b a b a")))
+    val p = KneserNey.trigramScoreAgainst(
+      docs((1L, "x a b"), (2L, "x y a")), lm)
+      .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    p(1L) shouldBe 0.5 +- 1e-12 // p₂(b|a)
+    p(2L) shouldBe 0.5 +- 1e-12 // p_c(a)
+  }
+
+  test("trigram KN: docs with fewer than three tokens are absent; empty model → empty") {
+    val lm = KneserNey.trigramCounts(docs((1L, "a b a b a")))
+    KneserNey.trigramScoreAgainst(docs((1L, "a b"), (2L, "solo")), lm)
+      .count() shouldBe 0
+    KneserNey.trigramScoreAgainst(docs((1L, "a b c")),
+      KneserNey.trigramCounts(docs())).count() shouldBe 0
+  }
+
+  test("trigram KN is invariant to input partitioning") {
+    val corpus = docs((1L, "the cat sat on the mat"), (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog sat"), (4L, "on and on and on it went"))
+    val base = KneserNey.trigramSelfPerplexity(corpus)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val re = KneserNey.trigramSelfPerplexity(corpus.repartition(7))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    re.keySet shouldBe base.keySet
+    base.foreach { case (k, v) => re(k) shouldBe v +- 1e-12 }
+  }
+
   test("modified KN is invariant to input partitioning") {
     val corpus = docs((1L, "a a a a a"), (2L, "a b a b a b"),
       (3L, "a c b c"), (4L, "d a d"))
