@@ -387,6 +387,10 @@ object SparkEntry {
     // (trigram discounts, continuation-count lower order, m138 unigram
     // termination); the order public KenLM configs start at
     "m144_trigram_kn" -> (CorpusQueries.trigramKnPerplexity _),
+    // m145: trigram MODIFIED KN — the per-count D1/D2/D3+ ladder at
+    // order 3, the config public KenLM defaults to; one flag on the
+    // unified order-n recursion (round-17 verdict ask #1)
+    "m145_modified_trigram_kn" -> (CorpusQueries.modifiedTrigramKnPerplexity _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1613,34 +1617,38 @@ object SparkEntry {
     // m144: the order-3 KN chain from scratch — trigram stream via two
     // leads, c' = per-(b,c) trigram-TYPE counts, every statistic a
     // re-aggregation of c3, arithmetic mirrored left-assoc like m138.
+    // (prefix shared with m145 — the one-recursion discipline holds on
+    // the oracle side too)
     "m144_trigram_kn" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
-        "tri AS (SELECT doc_id, w AS a, " +
-        "lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b, " +
-        "lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS c FROM w), " +
-        "g AS (SELECT doc_id, a, b, c FROM tri WHERE b IS NOT NULL AND c IS NOT NULL), " +
-        "c3 AS (SELECT a, b, c, count(*) AS cabc FROM g GROUP BY 1, 2, 3), " +
-        "ctx3 AS (SELECT a, b, sum(cabc) AS cab, CAST(count(*) AS DOUBLE) AS nf3 " +
-        "FROM c3 GROUP BY 1, 2), " +
-        "cp AS (SELECT b, c, CAST(count(*) AS BIGINT) AS cbc FROM c3 GROUP BY 1, 2), " +
-        "ctx2 AS (SELECT b, sum(cbc) AS cb, CAST(count(*) AS DOUBLE) AS nf2 FROM cp GROUP BY 1), " +
-        "cont2 AS (SELECT c, CAST(count(*) AS DOUBLE) AS nb2 FROM cp GROUP BY 1), " +
-        "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
-        "(SELECT a AS tok FROM c3 UNION SELECT b FROM c3 UNION SELECT c FROM c3)), " +
-        "g3 AS (SELECT CAST(count(*) FILTER (WHERE cabc = 1) AS DOUBLE) AS n13, " +
-        "CAST(count(*) FILTER (WHERE cabc = 2) AS DOUBLE) AS n23 FROM c3), " +
-        "g2 AS (SELECT CAST(count(*) AS DOUBLE) AS dd2, " +
-        "CAST(count(*) FILTER (WHERE cbc = 1) AS DOUBLE) AS n12, " +
-        "CAST(count(*) FILTER (WHERE cbc = 2) AS DOUBLE) AS n22, " +
-        "CAST(count(DISTINCT c) AS DOUBLE) AS t2 FROM cp), " +
-        "gk AS (SELECT dd2, t2, vs, " +
+      (TrigramLmCtes +
+        ", gk AS (SELECT dd2, t2, vs, " +
         "CASE WHEN n13 + 2.0 * n23 > 0.0 THEN n13 / (n13 + 2.0 * n23) ELSE 0.0 END AS d3, " +
         "CASE WHEN n12 + 2.0 * n22 > 0.0 THEN n12 / (n12 + 2.0 * n22) ELSE 0.0 END AS d2 " +
         "FROM g3 CROSS JOIN g2 CROSS JOIN v), " +
         "h AS (SELECT doc_id, count(*) AS n_trigrams, " +
         "-avg(ln(greatest(cabc - d3, 0.0) / cab + d3 * nf3 / cab * " +
+        "(greatest(cbc - d2, 0.0) / cb + d2 * nf2 / cb * " +
+        "(greatest(nb2 - d2, 0.0) / dd2 + d2 * t2 / dd2 / vs)))) AS cross_entropy " +
+        "FROM g JOIN c3 USING (a, b, c) JOIN ctx3 USING (a, b) JOIN cp USING (b, c) " +
+        "JOIN ctx2 USING (b) JOIN cont2 USING (c) CROSS JOIN gk GROUP BY doc_id) " +
+        "SELECT doc_id, n_trigrams, cross_entropy, exp(cross_entropy) AS perplexity FROM h"),
+    // m145: trigram MODIFIED KN — the same shared prefix, the per-count
+    // D1/D2/D3+ ladder (clip/degrade guards mirrored branch-for-branch,
+    // Y = the trigram single-discount estimate) at the top level only;
+    // bigram/unigram levels identical to m144's.
+    "m145_modified_trigram_kn" ->
+      (TrigramLmCtes +
+        ", gy AS (SELECT *, CASE WHEN n13 + 2.0 * n23 > 0.0 " +
+        "THEN n13 / (n13 + 2.0 * n23) ELSE 0.0 END AS y " +
+        "FROM g3 CROSS JOIN g2 CROSS JOIN v), " +
+        "gk AS (SELECT dd2, t2, vs, y, " +
+        "CASE WHEN n12 + 2.0 * n22 > 0.0 THEN n12 / (n12 + 2.0 * n22) ELSE 0.0 END AS d2, " +
+        "CASE WHEN n13 > 0.0 THEN greatest(1.0 - 2.0 * y * n23 / n13, 0.0) ELSE 0.0 END AS md1, " +
+        "CASE WHEN n23 > 0.0 THEN greatest(2.0 - 3.0 * y * n33 / n23, 0.0) ELSE 0.0 END AS md2, " +
+        "CASE WHEN n33 > 0.0 THEN greatest(3.0 - 4.0 * y * n43 / n33, 0.0) ELSE y END AS md3 FROM gy), " +
+        "h AS (SELECT doc_id, count(*) AS n_trigrams, " +
+        "-avg(ln(greatest(cabc - (CASE WHEN cabc = 1 THEN md1 WHEN cabc = 2 THEN md2 ELSE md3 END), 0.0) / cab + " +
+        "(md1 * tm1 + md2 * tm2 + md3 * tm3) / cab * " +
         "(greatest(cbc - d2, 0.0) / cb + d2 * nf2 / cb * " +
         "(greatest(nb2 - d2, 0.0) / dd2 + d2 * t2 / dd2 / vs)))) AS cross_entropy " +
         "FROM g JOIN c3 USING (a, b, c) JOIN ctx3 USING (a, b) JOIN cp USING (b, c) " +
@@ -2559,8 +2567,6 @@ object SparkEntry {
 
   // Shared DuckDB SQL fragments for the M8 oracles — kept in lockstep with
   // graft.text.TextOps (same regexes, same double-arithmetic order).
-  /** The m43 bigram-LM chain up to per-doc cross-entropy (`h`) — shared
-    * by the m43 report and the m89 bucket assignment. */
   /** m141 oracle: the doc_id-mod-3 card augmentation replayed verbatim,
     * then graft.text.Luhn's detection recomputed — maximal digit runs,
     * ≥ 13-digit candidate gate, and the separator-block-aligned window
@@ -2606,6 +2612,43 @@ object SparkEntry {
       "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
       "(SELECT a AS tok FROM c UNION SELECT b FROM c))"
 
+  /** Shared trigram-KN oracle prefix (m144/m145): the trigram stream
+    * `g` via two leads, raw count table `c3`, context stats `ctx3`
+    * (mass, distinct continuations, and the per-count type counts
+    * tm1/tm2/tm3 the modified ladder needs), continuation-count bigram
+    * table `cp` with its own `ctx2`/`cont2`, vocabulary `v`, and the
+    * counts-of-counts scalars `g3` (n13..n43) / `g2` — every statistic
+    * a re-aggregation of `c3`, arithmetic mirrored left-assoc. */
+  private[graft] val TrigramLmCtes: String =
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "w AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS ord FROM toks), " +
+      "tri AS (SELECT doc_id, w AS a, " +
+      "lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS b, " +
+      "lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS c FROM w), " +
+      "g AS (SELECT doc_id, a, b, c FROM tri WHERE b IS NOT NULL AND c IS NOT NULL), " +
+      "c3 AS (SELECT a, b, c, count(*) AS cabc FROM g GROUP BY 1, 2, 3), " +
+      "ctx3 AS (SELECT a, b, sum(cabc) AS cab, CAST(count(*) AS DOUBLE) AS nf3, " +
+      "CAST(count(*) FILTER (WHERE cabc = 1) AS DOUBLE) AS tm1, " +
+      "CAST(count(*) FILTER (WHERE cabc = 2) AS DOUBLE) AS tm2, " +
+      "CAST(count(*) FILTER (WHERE cabc >= 3) AS DOUBLE) AS tm3 " +
+      "FROM c3 GROUP BY 1, 2), " +
+      "cp AS (SELECT b, c, CAST(count(*) AS BIGINT) AS cbc FROM c3 GROUP BY 1, 2), " +
+      "ctx2 AS (SELECT b, sum(cbc) AS cb, CAST(count(*) AS DOUBLE) AS nf2 FROM cp GROUP BY 1), " +
+      "cont2 AS (SELECT c, CAST(count(*) AS DOUBLE) AS nb2 FROM cp GROUP BY 1), " +
+      "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
+      "(SELECT a AS tok FROM c3 UNION SELECT b FROM c3 UNION SELECT c FROM c3)), " +
+      "g3 AS (SELECT CAST(count(*) FILTER (WHERE cabc = 1) AS DOUBLE) AS n13, " +
+      "CAST(count(*) FILTER (WHERE cabc = 2) AS DOUBLE) AS n23, " +
+      "CAST(count(*) FILTER (WHERE cabc = 3) AS DOUBLE) AS n33, " +
+      "CAST(count(*) FILTER (WHERE cabc = 4) AS DOUBLE) AS n43 FROM c3), " +
+      "g2 AS (SELECT CAST(count(*) AS DOUBLE) AS dd2, " +
+      "CAST(count(*) FILTER (WHERE cbc = 1) AS DOUBLE) AS n12, " +
+      "CAST(count(*) FILTER (WHERE cbc = 2) AS DOUBLE) AS n22, " +
+      "CAST(count(DISTINCT c) AS DOUBLE) AS t2 FROM cp)"
+
+  /** The m43 bigram-LM chain up to per-doc cross-entropy (`h`) — shared
+    * by the m43 report and the m89 bucket assignment. */
   private[graft] val LmPerplexityCtes: String =
     BigramLmCtes +
       ", ctx AS (SELECT a, sum(cab) AS ca FROM c GROUP BY 1), " +

@@ -996,6 +996,13 @@ object CorpusQueries {
   def trigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
     graft.text.KneserNey.trigramSelfPerplexity(Tables.documents(s, dir))
 
+  /** Trigram MODIFIED KN self-perplexity (m145): order 3 with the
+    * per-count D1/D2/D3+ discount ladder at the trigram level — the
+    * configuration public KenLM actually defaults to (modified KN at
+    * order 3–5), now one flag on the unified order-n recursion. */
+  def modifiedTrigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.KneserNey.modifiedTrigramSelfPerplexity(Tables.documents(s, dir))
+
   /** HLL cardinality card (m140): per-source distinct 3-shingle count by
     * HyperLogLog sketch vs exact — the error card certifying the sketch
     * the 100 TB tier substitutes for exact distinct (groups × 4096

@@ -36,8 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object Luhn {
 
-  /** Maximal-ish digit runs with optional single separators, 13–40
-    * chars; real gating happens on the block-aligned digit windows. */
+  /** Maximal-ish digit runs with space/hyphen separators (separator RUNS
+    * are tolerated — the block split collapses them, so '4111  -  1111…'
+    * detects like the single-separator form), 13–40 chars; real gating
+    * happens on the block-aligned digit windows. */
   val CandidateRe = "[0-9][0-9 -]{11,38}[0-9]"
 
   private def digitsOnly(s: Column): Column = regexp_replace(s, "[ -]", "")

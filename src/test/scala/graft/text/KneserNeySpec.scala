@@ -233,4 +233,94 @@ class KneserNeySpec extends SparkSpec {
       .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
     base.foreach { case (k, v) => re(k) shouldBe v +- 1e-12 }
   }
+
+  // ---- trigram MODIFIED KN (m145) + per-order discount edges ----
+
+  // Hand-computed on "a b a b a": trigram counts (a,b,a):2, (b,a,b):1 →
+  // n1=1, n2=1, n3=n4=0 → Y = 1/3, D1 = 1−2·(1/3)·(1/1) = 1/3,
+  // D2 = 2−3·(1/3)·(0/1) = 2, D3+ = Y = 1/3 (the n3=0 fallback).
+  // Context (a,b): c=2, one doubleton type → λ = D2·1/2 = 1 →
+  //   p(a|ab) = max(2−2,0)/2 + 1·p₂(a|b) = 0.5  (lower levels = m144's).
+  // Context (b,a): c=1, one singleton type → λ = D1·1/1 = 1/3 →
+  //   p(b|ba) = (1−1/3)/1 + (1/3)·0.5 = 5/6.
+  test("trigram modified KN matches the hand-computed D-ladder") {
+    val out = KneserNey.modifiedTrigramSelfPerplexity(docs((1L, "a b a b a")))
+      .collect()
+    out.length shouldBe 1
+    val h = -(math.log(0.5) + math.log(5.0 / 6) + math.log(0.5)) / 3
+    out(0).getAs[Long]("n_trigrams") shouldBe 3
+    out(0).getAs[Double]("cross_entropy") shouldBe h +- 1e-12
+    out(0).getAs[Double]("perplexity") shouldBe math.exp(h) +- 1e-12
+  }
+
+  test("trigram modified KN sums to exactly 1 per seen (a,b) context") {
+    val lm = KneserNey.trigramCounts(docs((1L, "a b a b a")))
+    // Σ_c p(c|ab) = 0.5 (seen a) + λ(ab)·p₂(b|b) = 0.5 + 1·0.5 = 1;
+    // Σ_c p(c|ba) = 5/6 + λ(ba)·p₂(a|a) = 5/6 + (1/3)·0.5 = 1.
+    val p = KneserNey.modifiedTrigramScoreAgainst(
+      docs((1L, "a b a"), (2L, "a b b"), (3L, "b a a"), (4L, "b a b")), lm)
+      .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    (p(1L) + p(2L)) shouldBe 1.0 +- 1e-12
+    (p(3L) + p(4L)) shouldBe 1.0 +- 1e-12
+  }
+
+  test("discount edges n1=0 and n4=0: Y=0 zeroes D1, D3+ = 3 fully discounts count-3 grams") {
+    // "a b a b a b a": trigram counts (a,b,a):3, (b,a,b):2 → n1=0 (Y=0,
+    // D1:=0 — no singleton types), n2=1 (D2 = 2−0 = 2), n3=1, n4=0
+    // (D3+ = 3−0 = 3). Every realized trigram is then FULLY discounted
+    // (c − D_c = 0 at c = 2 and 3), λ = 1 for both contexts, and the
+    // score is pure backoff: p₂ = 0.5 everywhere → ce = ln 2, finite.
+    val out = KneserNey.modifiedTrigramSelfPerplexity(
+      docs((1L, "a b a b a b a"))).collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("cross_entropy") shouldBe math.log(2.0) +- 1e-12
+  }
+
+  test("discount edge n2=0 at the top level: Y=1, D2:=0, full backoff stays finite") {
+    // "p q r s": both trigrams singletons → n1=2, n2=0 → Y = 1,
+    // D1 = 1−2·1·(0/2) = 1, D2 := 0 (guard), D3+ = Y = 1. Singleton
+    // contexts: λ = D1 = 1 → pure backoff to the (all-singleton) bigram
+    // level, itself fully discounted → the continuation/uniform floor.
+    val out = KneserNey.modifiedTrigramSelfPerplexity(docs((1L, "p q r s")))
+      .collect()
+    out.length shouldBe 1
+    val ce = out(0).getAs[Double]("cross_entropy")
+    ce.isNaN shouldBe false
+    ce.isInfinite shouldBe false
+    out(0).getAs[Double]("perplexity") should be >= 1.0
+  }
+
+  test("trigram modified KN is invariant to input partitioning") {
+    val corpus = docs((1L, "the cat sat on the mat"), (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog sat"), (4L, "on and on and on it went"))
+    val base = KneserNey.modifiedTrigramSelfPerplexity(corpus)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val re = KneserNey.modifiedTrigramSelfPerplexity(corpus.repartition(7))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    re.keySet shouldBe base.keySet
+    base.foreach { case (k, v) => re(k) shouldBe v +- 1e-12 }
+  }
+
+  // ---- order-n reachability (the unified recursion one octave up) ----
+
+  test("order 4 is reachable: sums to 1 per seen context, both discount styles") {
+    // "a b a b a b": 4-grams (a,b,a,b):2, (b,a,b,a):1 — the m144
+    // fixture's shape one order up. Σ_w p₄(w|aba) over V = {a,b} = 1.
+    val corpus = docs((1L, "a b a b a b"))
+    for (modified <- Seq(false, true)) {
+      val lm = KneserNey.ngramCounts(corpus, "text", 4)
+      val held = docs((1L, "a b a a"), (2L, "a b a b"))
+      val scored = KneserNey.selfPerplexityN(corpus, 4, modified).collect()
+      scored.length shouldBe 1
+      scored(0).getAs[Long]("n_4grams") shouldBe 3
+      scored(0).getAs[Double]("perplexity") should be >= 1.0
+      withClue(s"modified=$modified: ") {
+        val p = KneserNey.scoreAgainstN(held, lm, 4, modified)
+          .select(col("doc_id"), exp(-col("cross_entropy")).as("p"))
+          .as[(Long, Double)].collect().toMap
+        (p(1L) + p(2L)) shouldBe 1.0 +- 1e-12
+      }
+    }
+  }
 }

@@ -20,20 +20,24 @@ def main():
     tgt = json.load(open(tgt_p))
     assert sub.get("sf") == tgt.get("sf"), \
         f"fixture mismatch: subset {sub.get('sf')} vs target {tgt.get('sf')}"
-    delta = 0.0
+    # a partially-failing subset run must not silently contribute its
+    # (time-to-failure) timings to a committed sweep record
+    assert not sub.get("failures"), \
+        f"subset run recorded failures: {sub['failures']} — not merging"
     for q, t in sub.get("queries", {}).items():
-        delta += t - tgt["queries"].get(q, 0.0)
         tgt["queries"][q] = t
     for a, t in (sub.get("assets") or {}).items():
         tgt.setdefault("assets", {})[a] = t
     for k, v in (sub.get("stats") or {}).items():
         tgt.setdefault("stats", {})[k] = v
-    tgt["value"] = round(tgt["value"] + delta, 3)
+    # recompute from the rows rather than accumulating rounded deltas —
+    # repeated merges must keep value == sum(queries) exactly
+    tgt["value"] = round(sum(tgt["queries"].values()), 3)
     with open(tgt_p, "w") as f:
         json.dump(tgt, f)
     print(f"merged {len(sub.get('queries', {}))} query rows "
           f"(+{len((sub.get('assets') or {}))} assets) into {tgt_p}; "
-          f"total {tgt['value']}s (delta {delta:+.3f}s)")
+          f"total {tgt['value']}s")
 
 if __name__ == "__main__":
     main()
