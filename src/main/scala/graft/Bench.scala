@@ -225,6 +225,19 @@ object Bench {
             "asset:mediafeat" -> (() =>
               // m11's full decode + feature extraction, stored once
               materialize(DedupAssets.mediaFeatures(spark, sfDir))),
+            // ngramcounts BEFORE pplbuckets: the bucket build consumes
+            // the stored count asset, so its row isolates the tercile
+            // chain, not a count rebuild (the clusters-after-pairs rule)
+            "asset:ngramcounts2" -> (() =>
+              // the LM tier's shared bigram count table (m43/m89/m124/
+              // m138/m142 consumers)
+              materialize(DedupAssets.ngramCounts(spark, sfDir, 2))),
+            "asset:ngramcounts3" -> (() =>
+              // the order-3 table (m144/m145)
+              materialize(DedupAssets.ngramCounts(spark, sfDir, 3))),
+            "asset:ngramcounts2ref" -> (() =>
+              // m124's clean-reference LM
+              materialize(DedupAssets.refBigramCounts(spark, sfDir))),
             "asset:pplbuckets" -> (() =>
               // the m89 LM + tercile chain feeding m89/m101/m118
               materialize(DedupAssets.pplBuckets(spark, sfDir))),

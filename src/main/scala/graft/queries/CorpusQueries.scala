@@ -971,37 +971,51 @@ object CorpusQueries {
   /** Bigram-LM self-perplexity (m43): add-α cross-entropy per document —
     * the statistic CCNet-style quality gates threshold on. minCount stays
     * 1 here so the oracle replays exactly; at 100 TB the singleton tail
-    * would be pruned (the α backoff absorbs the pruned mass). */
+    * would be pruned (the α backoff absorbs the pruned mass).
+    *
+    * SERVED FROM THE SHARED COUNT ASSET since round 17 (`asset:
+    * ngramcounts2`, [[graft.pipeline.DedupAssets.ngramCounts]]): the
+    * whole LM tier (m43/m89/m124/m138/m142/m144/m145) reads one stored
+    * count table per (corpus fingerprint, order) instead of each query
+    * re-tokenizing and re-counting the corpus — counts are exact
+    * longs/strings, so every consumer's hash is unchanged (pinned
+    * stored ≡ direct in DedupAssetsSpec). */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.NgramLm.selfPerplexity(Tables.documents(s, dir), alpha = 0.5)
+    graft.text.NgramLm.scoreAgainst(Tables.documents(s, dir),
+      graft.pipeline.DedupAssets.ngramCounts(s, dir, 2), alpha = 0.5)
 
   /** Interpolated Kneser–Ney self-perplexity (m138): the smoothing the
     * public perplexity-filter canon ships (CCNet's KenLM models) —
     * continuation-count backoff with the counts-of-counts discount, one
     * tier above m43's add-α. minCount stays 1 so the oracle replays the
-    * full count table (the m43 convention). */
+    * full count table (the m43 convention); counts from the shared
+    * asset (the m43 note). */
   def kneserNeyPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.selfPerplexity(Tables.documents(s, dir))
+    graft.text.KneserNey.scoreAgainst(Tables.documents(s, dir),
+      graft.pipeline.DedupAssets.ngramCounts(s, dir, 2))
 
   /** MODIFIED Kneser–Ney self-perplexity (m142): the KenLM default —
     * per-count discounts D1/D2/D3+ from the counts-of-counts (Chen &
     * Goodman 1998), one tier above m138's single-discount form. */
   def modifiedKnPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.modifiedSelfPerplexity(Tables.documents(s, dir))
+    graft.text.KneserNey.modifiedScoreAgainst(Tables.documents(s, dir),
+      graft.pipeline.DedupAssets.ngramCounts(s, dir, 2))
 
   /** Trigram interpolated KN self-perplexity (m144): the order the
     * public KenLM configurations actually start at — trigram discounts
     * over the trigram table, lower order on CONTINUATION counts
     * (c'(bc) = N1+(·bc)), terminating at the m138 unigram level. */
   def trigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.trigramSelfPerplexity(Tables.documents(s, dir))
+    graft.text.KneserNey.trigramScoreAgainst(Tables.documents(s, dir),
+      graft.pipeline.DedupAssets.ngramCounts(s, dir, 3))
 
   /** Trigram MODIFIED KN self-perplexity (m145): order 3 with the
     * per-count D1/D2/D3+ discount ladder at the trigram level — the
     * configuration public KenLM actually defaults to (modified KN at
     * order 3–5), now one flag on the unified order-n recursion. */
   def modifiedTrigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.modifiedTrigramSelfPerplexity(Tables.documents(s, dir))
+    graft.text.KneserNey.modifiedTrigramScoreAgainst(Tables.documents(s, dir),
+      graft.pipeline.DedupAssets.ngramCounts(s, dir, 3))
 
   /** HLL cardinality card (m140): per-source distinct 3-shingle count by
     * HyperLogLog sketch vs exact — the error card certifying the sketch
@@ -1062,7 +1076,10 @@ object CorpusQueries {
     * and the invariance/plan contract target. */
   private[graft] def pplBucketsDirect(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val scored = graft.text.NgramLm.selfPerplexity(docs, alpha = 0.5)
+    // the LM counts come from the shared asset (the m43 note) — the
+    // bucket build re-scans the corpus once for scoring, never to count
+    val scored = graft.text.NgramLm.scoreAgainst(docs,
+        graft.pipeline.DedupAssets.ngramCounts(s, dir, 2), alpha = 0.5)
       .select(col("doc_id"), col("perplexity"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
@@ -1815,10 +1832,9 @@ object CorpusQueries {
     * α-smoothing and the coalesce-to-zero join path carry real load. */
   def crossPerplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val reference = docs.filter(col("doc_id") < 100)
     graft.text.NgramLm.scoreAgainst(
       docs.filter(col("doc_id") >= 100),
-      graft.text.NgramLm.bigramCounts(reference), alpha = 0.5)
+      graft.pipeline.DedupAssets.refBigramCounts(s, dir), alpha = 0.5)
   }
 
   /** Token burstiness card (m123): for the corpus top-100 tokens by

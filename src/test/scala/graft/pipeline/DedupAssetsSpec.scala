@@ -174,6 +174,34 @@ class DedupAssetsSpec extends SparkSpec {
     stored shouldBe direct // perplexity compared by RAW BITS, not tolerance
   }
 
+  test("stored ngram-count assets round-trip the direct count passes exactly") {
+    // the LM tier's shared sufficient statistic (round-17 ask #2):
+    // counts are exact longs + gram strings, so stored ≡ direct is SET
+    // equality, no tolerance — this is what keeps every consumer's
+    // oracle hash unchanged through the asset switch
+    val docs = graft.Tables.documents(spark, dir)
+    val direct2 = graft.text.NgramLm.bigramCounts(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val stored2 = DedupAssets.ngramCounts(spark, dir, 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    stored2 shouldBe direct2
+    stored2 should not be empty
+    val direct3 = graft.text.KneserNey.trigramCounts(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val stored3 = DedupAssets.ngramCounts(spark, dir, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    stored3 shouldBe direct3
+    stored3 should not be empty
+    // m124's clean-reference model: its own asset, trained on doc_id < 100
+    val directRef = graft.text.NgramLm.bigramCounts(
+        docs.filter(col("doc_id") < 100))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val storedRef = DedupAssets.refBigramCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    storedRef shouldBe directRef
+    storedRef should not be empty
+  }
+
   test("a crashed build never publishes: no marker, no path, next caller rebuilds") {
     // Crash mid-publish (round-14 verdict ask #4): the build body throws
     // after the call is committed to writing — the final path must never

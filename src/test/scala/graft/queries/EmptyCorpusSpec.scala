@@ -114,6 +114,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "m138_kneser_ney" -> (CorpusQueries.kneserNeyPerplexity _),
     "m142_modified_kn" -> (CorpusQueries.modifiedKnPerplexity _),
     "m144_trigram_kn" -> (CorpusQueries.trigramKnPerplexity _),
+    // m145: same contract through the modified D-ladder (empty stored
+    // count asset → zero gram rows after the cross-join gate)
+    "m145_modified_trigram_kn" -> (CorpusQueries.modifiedTrigramKnPerplexity _),
     // m139/m143: empty word table → alphabet-less model → zero docs to
     // encode; the fertility card aggregates over zero rows
     "m139_wordpiece_tokens" -> (CorpusQueries.wordPieceTokenStats _),

@@ -744,8 +744,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("Exchange")
   }
 
-  test("m138: KN exchanges carry gram keys and count partials, never text; scalars broadcast") {
-    val p = plan(CorpusQueries.kneserNeyPerplexity(spark, dir))
+  test("m138: KN DIRECT build — exchanges carry gram keys and count partials, never text; scalars broadcast") {
+    // the BUILD-shape pin (what asset:ngramcounts2 + a fresh-count run
+    // pays); the served queries below scan the stored asset instead
+    val p = plan(graft.text.KneserNey.selfPerplexity(
+      graft.Tables.documents(spark, dir)))
     // every KN statistic is a re-aggregation of the bigram count table:
     // the corpus-sized exchanges carry (a, b) keys with map-side partial
     // counts, and the 1-row discount/vocab frame rides a broadcast —
@@ -757,17 +760,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
-  test("m142: modified-KN exchanges carry gram keys and count partials, never text") {
-    val p = plan(CorpusQueries.modifiedKnPerplexity(spark, dir))
-    p should include("partial_count")
-    p should include("BroadcastNestedLoopJoin")
-    (p should not).include("CartesianProduct")
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
-    (exchanges should not).include("text#")
+  test("m138/m142: served KN reads the STORED count asset — no second corpus count pass, no text in exchanges") {
+    for (q <- Seq(CorpusQueries.kneserNeyPerplexity _,
+                  CorpusQueries.modifiedKnPerplexity _)) {
+      val p = plan(q(spark, dir))
+      // the count table arrives as a parquet scan of the fingerprinted
+      // asset (round-17 ask #2): one corpus scan (scoring) per query
+      p should include("ngramcounts2")
+      p should include("BroadcastNestedLoopJoin")
+      (p should not).include("CartesianProduct")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+      (exchanges should not).include("text#")
+    }
   }
 
-  test("m144: trigram-KN exchanges carry gram keys and count partials, never text") {
-    val p = plan(CorpusQueries.trigramKnPerplexity(spark, dir))
+  test("m144/m145: served trigram KN reads the STORED order-3 count asset, never text in exchanges") {
+    for (q <- Seq(CorpusQueries.trigramKnPerplexity _,
+                  CorpusQueries.modifiedTrigramKnPerplexity _)) {
+      val p = plan(q(spark, dir))
+      p should include("ngramcounts3")
+      p should include("BroadcastNestedLoopJoin")
+      (p should not).include("CartesianProduct")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+      (exchanges should not).include("text#")
+    }
+  }
+
+  test("m144: trigram-KN DIRECT build — exchanges carry gram keys and count partials, never text") {
+    val p = plan(graft.text.KneserNey.trigramSelfPerplexity(
+      graft.Tables.documents(spark, dir)))
     p should include("partial_count")
     p should include("BroadcastNestedLoopJoin")
     (p should not).include("CartesianProduct")
