@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -126,6 +127,46 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
+    // CANARY normalization (round-16 verdict ask #3): three rounds of
+    // host-noise rows were adjudicated by narrative ("host-speed shift"
+    // notes); this makes the verdict mechanical. A pinned, data-free,
+    // scheduling-bound plan — 4M `range` ids hashed and summed over 64
+    // tasks, fixed work at any sf — is re-measured (min of 3) every
+    // [[CanaryEvery]] timed rows, each row records the canary in force
+    // when IT was measured, and both the in-run 3x guard and
+    // tools/update_bench_ref.py compare RATIOS to the same-run canary
+    // instead of wall-clock: a row whose seconds doubled while its
+    // canary doubled is host noise (ratio flat); a row whose ratio
+    // moved is a real plan change. SPARK_GRAFT_CANARY=0 disables.
+    val canaryOn = sys.env.get("SPARK_GRAFT_CANARY").forall(_ != "0")
+    val CanaryEvery = 10
+    var canaryNow = 0.0
+    var sinceCanary = 0
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryUsed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: full-range hash longs overflow an ANSI sum
+      spark.range(0L, 4000000L, 1L, 64)
+        .select(bit_xor(xxhash64(col("id"))))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def refreshCanary(): Unit = if (canaryOn) {
+      // min of 3: the first execution after a cold start pays codegen,
+      // and the canary must measure the HOST, not the JIT
+      val s = (1 to 3).map(_ => canaryOnce()).min
+      canarySamples += s
+      canaryNow = s
+      sinceCanary = 0
+    }
+    def canaryTick(name: String, force: Boolean = false): Unit = if (canaryOn) {
+      if (force || canarySamples.isEmpty || sinceCanary >= CanaryEvery)
+        refreshCanary()
+      sinceCanary += 1
+      canaryUsed(name) = canaryNow
+    }
+
     // Warm-up pass (disable with SPARK_GRAFT_WARMUP=0): each distinct plan
     // pays one-time Janino codegen compilation + JIT on first execution —
     // a fixed cost that amortizes to zero at production scale. The
@@ -189,6 +230,7 @@ object Bench {
         case None => Seq.empty
         case Some(only) =>
           def timed(name: String)(body: => Unit): (String, Double, Boolean) = {
+            canaryTick(name)
             statsListener.foreach { l => l.quiesce(); l.reset() }
             val t0 = System.nanoTime()
             val ok =
@@ -347,6 +389,7 @@ object Bench {
     // re-measure path as pass disagreement — a transient spanning BOTH
     // passes corrupts the row in a way the spread guard can't see
     // (BENCH_r12: m19 at 2.28 s vs 0.26 committed, both passes slow).
+    var refCanary: Option[Double] = None
     val benchRef: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Map.empty
@@ -367,7 +410,15 @@ object Bench {
           System.err.println(s"[bench] reference $path is for scale " +
             s"${refSf.getOrElse("<missing>")}, not $sfDir — 3x guard off")
           Map.empty
-        } else j \ "queries" match {
+        } else {
+          // the reference run's canary (seconds) — when present, the 3x
+          // guard compares host-speed-normalized ratios, not wall-clock
+          refCanary = j \ "canary" match {
+            case JDouble(v) => Some(v)
+            case JDecimal(v) => Some(v.toDouble)
+            case _ => None
+          }
+          j \ "queries" match {
           case JObject(fields) =>
             fields.collect {
               case (k, JDouble(v)) => k -> v
@@ -379,6 +430,7 @@ object Bench {
             System.err.println(
               s"[bench] reference $path has no queries object — 3x guard off")
             Map.empty
+          }
         }
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -389,7 +441,16 @@ object Bench {
     // Per-query stats come from the LAST measured pass (the same
     // statsOut map the asset rows wrote into above); the compact stdout
     // line never carries stats (its 1000-char budget is for timings).
+    // Host-speed scale for a row: its same-run canary over the committed
+    // reference's canary. >1 = this host/window is slower than the
+    // reference run's, and the 3x guard's threshold stretches with it —
+    // the mechanical form of the "host-speed shift" notes.
+    def canaryScale(name: String): Double = (refCanary, canaryUsed.get(name)) match {
+      case (Some(rc), Some(cn)) if rc > 0 && cn > 0 => cn / rc
+      case _ => 1.0
+    }
     val firstResults = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      canaryTick(name)
       var runs = (1 to passes).map { i =>
         statsListener.filter(_ => i == passes).foreach { l =>
           l.quiesce(); l.reset()
@@ -421,8 +482,11 @@ object Bench {
       // the cost, and the record then shows a STABLE elevated value.
       def refExceeded(rs: Seq[(Double, Boolean)]): Boolean = {
         val g = rs.filter(_._2).map(_._1)
+        // canary-normalized: the committed threshold stretches (or
+        // tightens) with the measured host-speed ratio, so a slow host
+        // window stops tripping the guard on rows whose ratio is flat
         g.nonEmpty && benchRef.get(name).exists(r =>
-          g.min > 3 * r && g.min > 0.2)
+          g.min > 3 * r * canaryScale(name) && g.min > 0.2)
       }
       var extra = 0
       while (passes > 1 && extra < 2 &&
@@ -430,7 +494,7 @@ object Bench {
              runs.filter(_._2).map(_._1).min > 0.05) {
         val why =
           if (spread(runs) > 5.0) f"passes disagree ${spread(runs)}%.1fx"
-          else f"min ${runs.filter(_._2).map(_._1).min}%.2fs > 3x committed ${benchRef(name)}%.2fs"
+          else f"min ${runs.filter(_._2).map(_._1).min}%.2fs > 3x committed ${benchRef(name)}%.2fs (canary scale ${canaryScale(name)}%.2f)"
         System.err.println(s"[bench] $name $why — re-measuring")
         runs = runs :+ timeOne(name, fn)
         releaseSnapshots()
@@ -456,11 +520,12 @@ object Bench {
     val results = {
       val flagged = firstResults.collect {
         case (name, t, ok)
-          if ok && benchRef.get(name).exists(r => t > 3 * r && t > 0.2) => name
+          if ok && benchRef.get(name).exists(r =>
+            t > 3 * r * canaryScale(name) && t > 0.2) => name
       }.toSet
       if (flagged.isEmpty) firstResults
       else {
-        System.err.println("[bench] end-of-suite requeue (still >3x committed): " +
+        System.err.println("[bench] end-of-suite requeue (still >3x committed, canary-scaled): " +
           flagged.toSeq.sorted.mkString(", "))
         firstResults.map {
           case (name, t, ok) if flagged(name) =>
@@ -468,7 +533,9 @@ object Bench {
             // snapshot replaces the earlier one too — otherwise a clean
             // requeue timing would ship with the load-window pass's
             // stats, the very numbers DESIGN §8 adjudicates rows with
-            // (review r16)
+            // (review r16); the canary force-refreshes so the requeue's
+            // ratio is the one in force when ITS timing was measured
+            canaryTick(name, force = true)
             statsListener.foreach { l => l.quiesce(); l.reset() }
             val (t2, ok2) = timeOne(name, benchQueries(name))
             statsListener.foreach { l => l.quiesce(); statsOut(name) = l.snapshot }
@@ -496,7 +563,28 @@ object Bench {
     // is time-to-failure, and this list is what says so.
     val assetFailures = assetTimes.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"assets":$assetsJson,"asset_failures":$assetFailures,"failures":$failures,"warm":$warm,"passes":$passes,"sf":"$sfDir"$statsJson}"""
+    // Canary block + per-row ratios (full record only): "canary".median
+    // is what update_bench_ref.py promotes into BENCH_REF's "canary";
+    // "ratios" is row-seconds / same-run-canary — the number a flagged
+    // row is adjudicated on (flat ratio = host noise, moved ratio =
+    // real). Asset rows carry ratios too (their drift adjudication,
+    // round-13 ask #1, wants the same mechanics).
+    val canaryJson =
+      if (!canaryOn || canarySamples.isEmpty) ""
+      else {
+        val sorted = canarySamples.sorted
+        val med = sorted(sorted.size / 2)
+        val allRows = assetTimes.map(a => (a._1, a._2)) ++
+          results.map(r => (r._1, r._2))
+        val ratios = allRows.flatMap { case (k, t) =>
+          canaryUsed.get(k).filter(_ > 0)
+            .map(c => "\"" + k + "\":" + f"${t / c}%.2f")
+        }.mkString("{", ",", "}")
+        s""","canary":{"plan":"range4m-xxhash64-xor-p64","median":${ms(med)},""" +
+          s""""ref":${refCanary.map(ms).getOrElse("null")},""" +
+          s""""samples":[${canarySamples.map(ms).mkString(",")}]},"ratios":$ratios"""
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"assets":$assetsJson,"asset_failures":$assetFailures,"failures":$failures,"warm":$warm,"passes":$passes,"sf":"$sfDir"$canaryJson$statsJson}"""
     // Persist the FULL-fidelity line to a file first: this is the
     // canonical record (every query, full precision, optional stats).
     // The stdout contract below is a derived view of it.

@@ -1,26 +1,35 @@
 #!/usr/bin/env python3
 """Regenerate BENCH_REF.json from a designated clean bench run — with the
 same no-silent-drift discipline update_ledger.sh enforces for query
-counts (round-16 verdict ask #8).
+counts (round-16 verdict ask #8), CANARY-NORMALIZED since round 17
+(round-16 verdict ask #3).
 
 Usage:
   python3 tools/update_bench_ref.py <run.json> [--note "why rows moved"]
                                     [--ref BENCH_REF.json] [--dry-run]
 
 <run.json> is a full-fidelity Bench record (SPARK_GRAFT_BENCH_OUT file:
-{"queries": {...}, "sf": ..., "failures": [...]}) measured on a quiet
-host. The tool:
+{"queries": {...}, "sf": ..., "failures": [...], "canary": {...}})
+measured on a quiet host. The tool:
 
-  * REFUSES (exit 1) when any existing row moved by more than 1.5x in
-    either direction unless --note explains it — a reference refresh
-    must never silently absorb a regression (or silently erase one);
-    the note and the per-row old->new values are appended to the
-    "changes" ledger inside BENCH_REF.json itself.
+  * Adjudicates drift on HOST-NORMALIZED ratios when both the run and
+    the reference carry a canary (run row / run-canary vs ref row /
+    ref-canary) — a row whose wall-clock doubled while the canary
+    doubled is host noise and refreshes silently; only a RATIO move
+    beyond 1.5x demands --note. Without a canary on either side it
+    falls back to wall-clock drift exactly as before.
+  * REFUSES (exit 1) when any existing row's (normalized) value moved
+    by more than 1.5x in either direction unless --note explains it —
+    a reference refresh must never silently absorb a regression (or
+    silently erase one); the note and the per-row old->new values are
+    appended to the "changes" ledger inside BENCH_REF.json itself.
   * REFUSES when the run's scale differs from the reference's, when the
     run recorded failures, or when a previously-referenced query is
     missing from the run (a registry change needs --note too).
   * New queries are added freely (listed); unchanged/small-drift rows
-    are refreshed in place.
+    are refreshed in place. The run's canary median is promoted into
+    the reference's top-level "canary" so Bench's in-run 3x guard can
+    normalize against it.
 """
 import argparse
 import datetime
@@ -57,6 +66,20 @@ def main() -> int:
 
     old = ref.get("queries", {})
     new = run.get("queries", {})
+    ref_canary = ref.get("canary")
+    run_canary = (run.get("canary") or {}).get("median")
+    # per-row same-run canary ratios, straight from the record when
+    # present; else derived from the run-level median
+    run_ratios = run.get("ratios") or {}
+    normalized = bool(ref_canary) and bool(run_canary)
+
+    def ratio_old(name):
+        return old[name] / ref_canary
+
+    def ratio_new(name):
+        if name in run_ratios:
+            return run_ratios[name]
+        return new[name] / run_canary
 
     moved = {}
     for name, t_old in sorted(old.items()):
@@ -64,14 +87,20 @@ def main() -> int:
             moved[name] = [t_old, None]  # removed query: needs a note too
             continue
         t_new = new[name]
-        lo, hi = sorted((max(t_old, 1e-9), max(t_new, 1e-9)))
+        if normalized:
+            a, b = ratio_old(name), ratio_new(name)
+        else:
+            a, b = t_old, t_new
+        lo, hi = sorted((max(a, 1e-9), max(b, 1e-9)))
         if hi / lo > DRIFT:
             moved[name] = [t_old, t_new]
+
     added = sorted(set(new) - set(old))
 
     if moved and not args.note:
-        print(f"REFUSE: {len(moved)} row(s) moved >{DRIFT}x (or vanished) "
-              "and no --note was given:", file=sys.stderr)
+        basis = "canary-normalized ratio" if normalized else "wall-clock"
+        print(f"REFUSE: {len(moved)} row(s) moved >{DRIFT}x by {basis} "
+              "(or vanished) and no --note was given:", file=sys.stderr)
         for name, (a, b) in sorted(moved.items()):
             print(f"  {name}: {a} -> {b}", file=sys.stderr)
         print("Re-run with --note 'reason' to record the change in the "
@@ -86,18 +115,25 @@ def main() -> int:
             "refresh via tools/update_bench_ref.py"),
         "queries": {k: new[k] for k in sorted(new)},
     }
+    if run_canary:
+        out["canary"] = run_canary
+    elif ref_canary:
+        out["canary"] = ref_canary
     changes = list(ref.get("changes", []))
     if moved:
         changes.append({
             "date": datetime.date.today().isoformat(),
             "note": args.note,
+            "basis": "ratio" if normalized else "seconds",
             "rows": {k: moved[k] for k in sorted(moved)},
         })
     if changes:
         out["changes"] = changes
 
+    basis = "ratio" if normalized else "seconds"
     print(f"rows: {len(old)} -> {len(new)} "
-          f"(added {len(added)}, moved>{DRIFT}x {len(moved)})")
+          f"(added {len(added)}, moved>{DRIFT}x-by-{basis} {len(moved)}; "
+          f"canary ref={ref_canary} run={run_canary})")
     for name in added:
         print(f"  added {name}: {new[name]}")
     for name, (a, b) in sorted(moved.items()):

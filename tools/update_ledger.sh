@@ -67,6 +67,29 @@ if [[ -n "$CORR_FILE" ]]; then
   fi
 fi
 
+# Gate artifacts must be COMMITTED at record time (round-16 verdict ask
+# #5, two rounds running): BENCH_r16.json untracked and three records
+# worktree-modified at judging time meant the judged tree and its gate
+# records diverged. A dirty or untracked gate artifact here fails the
+# ledger run loudly — commit the records, then run this script on the
+# clean tree (its own README/COVERAGE patches are not gate artifacts,
+# so there is no self-conflict). GRAFT_LEDGER_ALLOW_LAG=1 downgrades to
+# a warning for the same mid-round window as the count check above.
+DIRTY=$(git status --porcelain -- 'BENCH_r*.json' 'CORRECTNESS_r*.json' \
+  BENCH_REF.json BENCH_LOCAL.json LEAKCHECK.json COPYCHECK.json \
+  'BENCH_sf*.json' BENCH_sf1.md 2>/dev/null || true)
+if [[ -n "$DIRTY" ]]; then
+  if [[ "${GRAFT_LEDGER_ALLOW_LAG:-0}" == "1" ]]; then
+    echo "WARNING (lag allowed): gate artifacts dirty/untracked at record time:" >&2
+    echo "$DIRTY" >&2
+  else
+    echo "REFUSE: gate artifacts dirty/untracked at record time — commit them with the round:" >&2
+    echo "$DIRTY" >&2
+    echo "(set GRAFT_LEDGER_ALLOW_LAG=1 only for a mid-round triage run)" >&2
+    exit 1
+  fi
+fi
+
 patch() { # patch FILE REGEX REPLACEMENT — demand exactly one matching line
   local file=$1 re=$2 rep=$3
   local hits
