@@ -281,11 +281,27 @@ object CorpusQueries {
 
   /** DSIR importance weights (m95): hashed-bigram log p_target − log
     * p_raw per doc + top-20% selection — the importance-resampling data
-    * selector, scored against the planted-domain target set. */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    * selector, scored against the planted-domain target set.
+    *
+    * The heavy-tier entrypoint applies the EXECUTABLE shuffle-sizing
+    * rule (round-16 ask #4, [[graft.operators.ScalePartitions]]): the
+    * gen-300 probe measured this operator's aggregates spilling
+    * 10.2/68.5 GB at the fixed 32-partition cap, and the rule — a pure
+    * function of the corpus row count and Dsir's measured per-doc
+    * exchange footprint — widens both corpus-sized exchanges when the
+    * estimate outgrows the session floor. Below the threshold (every
+    * committed bench scale) the plan is byte-identical to before. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ScalePartitions
+    val n = ScalePartitions.forShuffle(
+      ScalePartitions.tableRows(s, s"$dir/documents.parquet"),
+      graft.text.Dsir.ShuffleBytesPerDoc,
+      floor = ScalePartitions.sessionFloor(s))
     graft.text.Dsir.importanceWeights(
       withSyntheticDomain(Tables.documents(s, dir)),
-      isTarget = col("doc_id") % 10 < 2)
+      isTarget = col("doc_id") % 10 < 2,
+      shufflePartitions = n)
+  }
 
   /** Global keep-first line dedup (m96) over the m92 noise corpus (its
     * shared boilerplate exercises cross-doc races; its mod-7 repeated

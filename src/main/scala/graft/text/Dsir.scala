@@ -45,16 +45,37 @@ object Dsir {
     conv(substring(md5(gram), 30, 3), 16, 10).cast("long") % buckets
   }
 
+  /** Measured per-document exchange footprint of the feature pass —
+    * the [[graft.operators.ScalePartitions]] calibration constant: the
+    * gen-300 probe recorded 6.1 GB of (doc_id, is_target, bucket,
+    * partial-count) shuffle for 1.5 M documents ≈ 4.3 KB/doc (~150
+    * gram rows × ~28 B); 4 KiB is the rounded rule input. */
+  val ShuffleBytesPerDoc: Long = 4096L
+
   /** Score every document against the target distribution and mark the
     * top `selectFrac` by log importance weight. `isTarget` is a boolean
     * Column over the input rows defining the target set (a curated
     * subset, a trusted source, …). Output: (doc_id, n_grams, logw,
     * selected); docs with fewer than two tokens carry no features and
-    * are absent (a featureless doc has no evidence either way). */
+    * are absent (a featureless doc has no evidence either way).
+    *
+    * `shufflePartitions` (the ScalePartitions rule output): when set,
+    * BOTH corpus-sized exchanges — the (doc, target, bucket) count
+    * aggregate and the per-doc weight fold — are keyed repartitions to
+    * that width, so their reducer state scales with the corpus instead
+    * of spilling at a fixed session cap (the gen-300 finding). The
+    * keyed repartition satisfies each aggregate's distribution, so no
+    * second exchange appears; map-side combine on these keys is
+    * negligible by construction (a doc's ~150 grams hit ~130 distinct
+    * buckets, and collect_list partials don't combine at all), so the
+    * exchange carries the same rows either way. Results are partition-
+    * invariant (spec-pinned identical to the default plan). */
   def importanceWeights(docs: DataFrame, isTarget: Column,
                         buckets: Int = 1024, selectFrac: Double = 0.2,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        shufflePartitions: Option[Int] = None): DataFrame = {
     require(selectFrac > 0.0 && selectFrac < 1.0, "selectFrac must be in (0,1)")
+    require(shufflePartitions.forall(_ > 0), "shufflePartitions must be > 0")
     val t = col("t")
     val grams = docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"), isTarget.as("is_target"),
@@ -68,7 +89,9 @@ object Dsir {
       // hash in the same projection — gram text never reaches an exchange
       .select(col("doc_id"), col("is_target"),
         bucketOf(col("gram"), buckets).as("bucket"))
-    val docBuckets = grams
+    val gramsP = shufflePartitions.fold(grams)(n =>
+      grams.repartition(n, col("doc_id"), col("is_target"), col("bucket")))
+    val docBuckets = gramsP
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("n_db"))
     val rawC = docBuckets.groupBy("bucket").agg(sum("n_db").as("n_r"))
@@ -86,8 +109,10 @@ object Dsir {
       .select(col("bucket"),
         (log((col("n_t") + half) / (col("tt") + bHalf)) -
           log((col("n_r") + half) / (col("tr") + bHalf))).as("lam"))
-    val scored = docBuckets
-      .join(broadcast(lam), Seq("bucket"))
+    val joined = docBuckets.join(broadcast(lam), Seq("bucket"))
+    val joinedP = shufflePartitions.fold(joined)(n =>
+      joined.repartition(n, col("doc_id")))
+    val scored = joinedP
       .groupBy("doc_id")
       .agg(
         sum("n_db").cast("long").as("n_grams"),
