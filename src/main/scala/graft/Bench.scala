@@ -306,7 +306,16 @@ object Bench {
               // over the planted labeled block (its exact parameters)
               graft.text.LangId.train(
                 graft.queries.CorpusQueries.syntheticLangDocs(spark,
-                  graft.queries.CorpusQueries.langOff(spark, sfDir))); () })
+                  graft.queries.CorpusQueries.langOff(spark, sfDir))); () }),
+            "asset:labeledlang" -> (() => {
+              // the m146/m147 labeled-set model: JSONL → production
+              // reader → 80% block split → distributed GD (its exact
+              // parameters — the memo's production train)
+              val off = graft.queries.CorpusQueries.labeledOff(spark, sfDir)
+              graft.text.LangId.train(
+                graft.queries.CorpusQueries.labeledSet(spark, sfDir)
+                  .filter(((org.apache.spark.sql.functions.col("doc_id") -
+                    off) / 5).cast("long") % 5 < 4)); () })
           )
           (only -- builds.map(_._1).toSet - "stream:ingest").foreach(u =>
             System.err.println(s"[bench] unknown asset row in SPARK_GRAFT_BENCH_ASSETS: $u"))

@@ -778,9 +778,52 @@ object OracleModelSql {
     * the [[graft.text.LangId.score]] closure, including the planted
     * labeled block regenerated from the same (phrase, 1 + i % 3)
     * formula. Training stays spec-pinned (the m40/m83 convention). */
-  private def langIdCtes(classes: Seq[String],
-                         wq: Seq[Seq[Long]], off: Long): String = {
-    def esc(s: String) = s.replace("'", "''")
+  private def langEsc(s: String) = s.replace("'", "''")
+
+  /** CASE i % 5 → language code / raw phrase — shared by the planted
+    * and the labeled corpus CTEs. */
+  private def langCaseLang: String =
+    graft.text.LangId.PlantedPhrases.zipWithIndex
+      .map { case ((l, _), j) => s"WHEN $j THEN '${langEsc(l)}'" }
+      .mkString(s"CASE i % ${graft.text.LangId.PlantedPhrases.size} ", " ", " END")
+  private def langCasePhrase(trailingSpace: Boolean): String =
+    graft.text.LangId.PlantedPhrases.zipWithIndex
+      .map { case ((_, p), j) =>
+        s"WHEN $j THEN '${langEsc(p)}${if (trailingSpace) " " else ""}'" }
+      .mkString(s"CASE i % ${graft.text.LangId.PlantedPhrases.size} ", " ", " END")
+
+  /** The m137 scoring corpus: every real doc plus the planted labeled
+    * block regenerated from the (phrase, 1 + i % 3) formula. */
+  private def plantedCorpusCtes(off: Long): String =
+    s"planted AS (SELECT CAST($off + i AS BIGINT) AS doc_id, " +
+      s"$langCaseLang AS lang, trim(repeat(${langCasePhrase(trailingSpace = true)}, 1 + i % 3)) AS text " +
+      s"FROM range(${graft.text.LangId.PlantedCount}) t(i)), " +
+      "corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text " +
+      "FROM documents WHERE text IS NOT NULL " +
+      "UNION ALL SELECT doc_id, lang, text FROM planted)"
+
+  /** The EXTERNAL labeled set (m146/m147): doc i = language i % 5,
+    * text = the word list rotated by (i/5) mod |words| and repeated
+    * 1 + i % 2 times — the exact CorpusQueries.labeledLangRows formula
+    * (list slicing replays the rotation; `where` draws the train/
+    * holdout line on the same id arithmetic both engines share). */
+  private def labeledCorpusCtes(off: Long, where: String): String =
+    s"lsrc AS (SELECT i, $langCaseLang AS lang, " +
+      s"string_split(${langCasePhrase(trailingSpace = false)}, ' ') AS tw " +
+      s"FROM range(${graft.queries.CorpusQueries.LabeledCount}) t(i)), " +
+      "lrot AS (SELECT i, lang, tw, CAST((i // 5) % len(tw) AS INTEGER) AS k FROM lsrc), " +
+      s"labeled AS (SELECT CAST($off + i AS BIGINT) AS doc_id, lang, " +
+      "trim(repeat(array_to_string(tw[k+1:] || tw[1:k], ' ') || ' ', " +
+      "CAST(1 + i % 2 AS INTEGER))) AS text FROM lrot), " +
+      s"corpus AS (SELECT doc_id, lang, text FROM labeled WHERE $where)"
+
+  /** The scoring chain over a `corpus(doc_id, lang, text)` CTE: hashed
+    * 2–4-gram buckets, exact integer z sums against the VALUES weight
+    * table, argmax/margin by (z DESC, class ASC) — bit-for-bit the
+    * [[graft.text.LangId.score]] closure. */
+  private def langIdChain(classes: Seq[String], wq: Seq[Seq[Long]],
+                          corpusCtes: String): String = {
+    def esc(s: String) = langEsc(s)
     val k = classes.size
     val d = graft.text.LangId.D
     val wcols = (0 until k).map(c => s"w$c").mkString(", ")
@@ -788,25 +831,13 @@ object OracleModelSql {
       (i.toString +: (0 until k).map(c => wq(c)(i).toString))
         .mkString("(", ", ", ")")
     }.mkString(", ")
-    val phrases = graft.text.LangId.PlantedPhrases
-    val caseLang = phrases.zipWithIndex
-      .map { case ((l, _), j) => s"WHEN $j THEN '${esc(l)}'" }
-      .mkString(s"CASE i % ${phrases.size} ", " ", " END")
-    val casePhrase = phrases.zipWithIndex
-      .map { case ((_, p), j) => s"WHEN $j THEN '${esc(p)} '" }
-      .mkString(s"CASE i % ${phrases.size} ", " ", " END")
     val sums = (0 until k).map(c => s"sum(w.w$c) AS s$c").mkString(", ")
     val zrows = classes.zipWithIndex.map { case (cls, c) =>
       s"SELECT doc_id, n_grams, $c AS c, '${esc(cls)}' AS cls, " +
         s"s$c AS z FROM zs"
     }.mkString(" UNION ALL ")
     s"WITH wt(idx, $wcols) AS (VALUES $wrows), " +
-      s"planted AS (SELECT CAST($off + i AS BIGINT) AS doc_id, " +
-      s"$caseLang AS lang, trim(repeat($casePhrase, 1 + i % 3)) AS text " +
-      s"FROM range(${graft.text.LangId.PlantedCount}) t(i)), " +
-      "corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text " +
-      "FROM documents WHERE text IS NOT NULL " +
-      "UNION ALL SELECT doc_id, lang, text FROM planted), " +
+      corpusCtes + ", " +
       "docs AS (SELECT doc_id, lang, " +
       "regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS t FROM corpus), " +
       "pos AS (SELECT doc_id, n, t, " +
@@ -833,23 +864,78 @@ object OracleModelSql {
       "FROM docs d LEFT JOIN pick p USING (doc_id)) "
   }
 
+  private def langIdCtes(classes: Seq[String],
+                         wq: Seq[Seq[Long]], off: Long): String =
+    langIdChain(classes, wq, plantedCorpusCtes(off))
+
   def langIdScore(classes: Seq[String],
                   wq: Seq[Seq[Long]], off: Long): String =
     langIdCtes(classes, wq, off) +
       "SELECT doc_id, lang, pred_lang, margin, n_grams FROM scored"
 
-  def langIdConfusion(classes: Seq[String],
-                      wq: Seq[Seq[Long]], off: Long): String =
+  /** m67: confusion crosstab + per-predicted-class TRAIN SUPPORT from
+    * the captured per-class counts ('unknown' is backed by none → 0). */
+  def langIdConfusion(classes: Seq[String], wq: Seq[Seq[Long]], off: Long,
+                      support: Seq[Long]): String = {
+    val supRows = classes.zip(support)
+      .map { case (c, n) => s"('${langEsc(c)}', $n)" }.mkString(", ")
     langIdCtes(classes, wq, off) +
-      ", c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs " +
+      s", sup(cls, sup_n) AS (VALUES $supRows), " +
+      "c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs " +
       "FROM scored GROUP BY 1, 2), " +
       "tt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total " +
       "FROM c GROUP BY 1) " +
       "SELECT c.lang, c.pred_lang, c.n_docs, tt.lang_total, " +
-      "CAST(c.n_docs AS DOUBLE) / CAST(tt.lang_total AS DOUBLE) AS share " +
-      "FROM c JOIN tt USING (lang)"
+      "CAST(c.n_docs AS DOUBLE) / CAST(tt.lang_total AS DOUBLE) AS share, " +
+      "CAST(coalesce(s.sup_n, 0) AS BIGINT) AS pred_train_support " +
+      "FROM c JOIN tt USING (lang) LEFT JOIN sup s ON s.cls = c.pred_lang"
+  }
+
+  /** m146: the captured labeled-set model scoring its 20% HOLDOUT —
+    * the labeled corpus regenerated by formula, split on the same id
+    * arithmetic. */
+  def langIdLabeledScore(classes: Seq[String],
+                         wq: Seq[Seq[Long]], off: Long): String =
+    langIdChain(classes, wq,
+      labeledCorpusCtes(off, s"((doc_id - $off) // 5) % 5 >= 4")) +
+      "SELECT doc_id, lang, pred_lang, margin, n_grams FROM scored"
+
+  /** m147: per-class calibration over the FULL labeled set — the
+    * softmax confidence of the predicted class rebuilt from the exact
+    * integer z's (denominator folded in class-index order, left-assoc,
+    * matching [[graft.text.LangId.scoreCalibrated]] op-for-op), then
+    * the m98 integer-bin recipe per predicted class. */
+  def langIdCalibration(classes: Seq[String],
+                        wq: Seq[Seq[Long]], off: Long): String = {
+    val k = classes.size
+    val denom = (0 until k)
+      .map(c => s"exp(CAST(z.s$c - p.zb AS DOUBLE) / 4294967296.0 / " +
+        "CAST(p.n_grams AS DOUBLE))")
+      .mkString(" + ")
+    langIdChain(classes, wq, labeledCorpusCtes(off, "TRUE")) +
+      ", pb AS (SELECT doc_id, n_grams, cls AS pred_lang, z AS zb " +
+      "FROM rk WHERE r = 1), " +
+      "cf AS (SELECT p.doc_id, d.lang, p.pred_lang, " +
+      s"CAST(floor(1000000000.0 / ($denom)) AS BIGINT) AS conf_q " +
+      "FROM pb p JOIN zs z USING (doc_id) JOIN docs d USING (doc_id)), " +
+      "b AS (SELECT pred_lang, " +
+      "least(CAST(floor(conf_q / 100000000.0) AS BIGINT), 9) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(count(*) FILTER (WHERE pred_lang = lang) AS BIGINT) AS n_correct, " +
+      "sum(conf_q) AS sum_q FROM cf GROUP BY 1, 2), " +
+      "tt AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS class_total " +
+      "FROM b GROUP BY 1), " +
+      "fin AS (SELECT b.pred_lang, b.bin, b.n, b.n_correct, " +
+      "CAST(b.sum_q AS DOUBLE) / 1000000000.0 / b.n AS mean_conf, " +
+      "CAST(b.n_correct AS DOUBLE) / b.n AS frac_correct, tt.class_total " +
+      "FROM b JOIN tt USING (pred_lang)) " +
+      "SELECT pred_lang, bin, n, n_correct, mean_conf, frac_correct, " +
+      "abs(mean_conf - frac_correct) AS gap, " +
+      "abs(mean_conf - frac_correct) * n / class_total AS ece_term FROM fin"
+  }
 
   private type LangCap = (Seq[String], Seq[Seq[Long]], Long)
+  private type LangCapSup = (Seq[String], Seq[Seq[Long]], Long, Seq[Long])
 
   def captured: Map[String, String] =
     OracleCapture.get[Ivf.Model]("m12_ann_ivf").map(m => "m12_ann_ivf" -> ivfTopK(m, 5, 4)).toMap ++
@@ -893,7 +979,13 @@ object OracleModelSql {
       OracleCapture.get[LangCap]("m137_langid_score")
         .filter(_._1.nonEmpty).map { case (cl, wq, off) =>
           "m137_langid_score" -> langIdScore(cl, wq, off) }.toMap ++
-      OracleCapture.get[LangCap]("m67_lang_confusion")
+      OracleCapture.get[LangCapSup]("m67_lang_confusion")
+        .filter(_._1.nonEmpty).map { case (cl, wq, off, sup) =>
+          "m67_lang_confusion" -> langIdConfusion(cl, wq, off, sup) }.toMap ++
+      OracleCapture.get[LangCap]("m146_langid_labeled")
         .filter(_._1.nonEmpty).map { case (cl, wq, off) =>
-          "m67_lang_confusion" -> langIdConfusion(cl, wq, off) }.toMap
+          "m146_langid_labeled" -> langIdLabeledScore(cl, wq, off) }.toMap ++
+      OracleCapture.get[LangCap]("m147_langid_calibration")
+        .filter(_._1.nonEmpty).map { case (cl, wq, off) =>
+          "m147_langid_calibration" -> langIdCalibration(cl, wq, off) }.toMap
 }

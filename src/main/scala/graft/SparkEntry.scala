@@ -391,6 +391,15 @@ object SparkEntry {
     // order 3, the config public KenLM defaults to; one flag on the
     // unified order-n recursion (round-17 verdict ask #1)
     "m145_modified_trigram_kn" -> (CorpusQueries.modifiedTrigramKnPerplexity _),
+    // m146: language-ID under the REAL labeled-set contract — train on
+    // an external JSONL labeled set (production reader + quarantine),
+    // score the 20% holdout (captured-weights replay,
+    // OracleModelSql.langIdLabeledScore; round-16 ask #7)
+    "m146_langid_labeled" -> (CorpusQueries.langIdLabeled _),
+    // m147: per-class calibration card over the labeled-set model's
+    // posteriors — the m98 ECE recipe per predicted class, integer-
+    // quantized confidences (OracleModelSql.langIdCalibration)
+    "m147_langid_calibration" -> (CorpusQueries.langIdCalibration _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)

@@ -799,6 +799,7 @@ object CorpusQueries {
     uniModels.synchronized { uniModels.clear() }
     langModels.synchronized { langModels.clear() }
     wpModels.synchronized { wpModels.clear() }
+    labeledModels.synchronized { labeledModels.clear() }
   }
 
   /** The planted per-language labeled set (m137/m67): 300 docs, 60 per
@@ -857,6 +858,136 @@ object CorpusQueries {
   def langIdScore(s: SparkSession, dir: String): DataFrame = {
     val model = langCapture(s, dir, "m137_langid_score")
     graft.text.LangId.score(langCorpus(s, dir), model)
+  }
+
+  // ---- the EXTERNAL labeled-set contract (m146/m147, round-16 ask #7) ----
+
+  /** Labeled docs in the external set: 600, 120 per language. */
+  private[graft] val LabeledCount = 600
+
+  /** The labeled block's id base: 4·docOff — the next fixture range
+    * after withSyntheticDups (docOff, 2·docOff) and the planted block
+    * (3·docOff). */
+  private[graft] def labeledOff(s: SparkSession, dir: String): Long =
+    4 * docOff(s, dir)
+
+  /** The external labeled set's rows — doc i: language i % 5, text =
+    * the language's word list ROTATED by (i/5) mod |words|, repeated
+    * 1 + i % 2 times. Rotation makes the texts distinct from the
+    * planted training block while staying a pure formula both engines
+    * reconstruct (DuckDB: list slicing + repeat). Fields follow the
+    * [[graft.schema.Document]] contract. */
+  private[graft] def labeledLangRows(off: Long): Seq[(Long, String, String, String, Long)] =
+    (0 until LabeledCount).map { i =>
+      val phrases = graft.text.LangId.PlantedPhrases
+      val (lang, phrase) = phrases(i % phrases.size)
+      val words = phrase.split(" ")
+      val k = (i / phrases.size) % words.length
+      val rot = (words.drop(k) ++ words.take(k)).mkString(" ")
+      val text = ((rot + " ") * (1 + i % 2)).trim
+      (off + i, text, lang, "labeled", text.length.toLong)
+    }
+
+  /** Write the labeled set as JSONL once per corpus per JVM and hand
+    * back the file path — m146/m147 read it through the PRODUCTION
+    * reader ([[graft.io.Sources.documentsJsonl]]: explicit schema,
+    * PERMISSIVE quarantine), which is the point of the contract: the
+    * trainer's input arrives the way external labeled corpora
+    * (Wikipedia/Tatoeba-style) actually ship. One deliberately
+    * truncated line exercises the quarantine path end-to-end — the
+    * reader must shed it into `_corrupt_record`, not fail the load
+    * (spec-pinned; the all-null quarantined row falls to the
+    * doc_id-null filter in [[labeledSet]]). */
+  private val labeledJsonlPaths = scala.collection.mutable.Map.empty[String, String]
+  private[graft] def labeledJsonlPath(s: SparkSession, dir: String): String =
+    labeledJsonlPaths.synchronized {
+      labeledJsonlPaths.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft-labeled-jsonl")
+        val lines = labeledLangRows(labeledOff(s, dir)).map {
+          case (id, text, lang, source, n) =>
+            s"""{"doc_id":$id,"text":"$text","lang":"$lang","source":"$source","n_chars":$n}"""
+        } :+ """{"doc_id":"""  // the truncated shipment line
+        val f = p.resolve("labeled.jsonl")
+        java.nio.file.Files.write(f,
+          lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        f.toString
+      })
+    }
+
+  /** The labeled set as the trainer sees it: JSONL → production reader
+    * → quarantine shed → (doc_id, lang, text). */
+  private[graft] def labeledSet(s: SparkSession, dir: String): DataFrame =
+    graft.io.Sources.documentsJsonl(s, labeledJsonlPath(s, dir))
+      .filter(col("doc_id").isNotNull) // quarantined lines are all-null
+      .select("doc_id", "lang", "text")
+
+  /** Train/holdout split of the labeled set: 80/20 on the id formula —
+    * by 5-doc BLOCK ((doc_id − off) / 5 mod 5 < 4), not raw id mod,
+    * because each block holds one doc per language: a raw mod-10 split
+    * would hold out only the last two classes. Both engines draw the
+    * identical line (DuckDB: (doc_id − off) // 5). Result: 96 train /
+    * 24 holdout docs per class, disclosed by Model.classCounts. */
+  private def labeledTrainFilter(off: Long) =
+    ((col("doc_id") - lit(off)) / lit(5)).cast("long") % 5 < 4
+
+  /** One labeled-set-trained model per corpus per JVM (the langModel
+    * memo convention) — trained ONLY on the 80% train split; m146
+    * scores the held-out 20%, m147 calibrates over the full set. */
+  private val labeledModels = scala.collection.mutable.Map.empty[String, graft.text.LangId.Model]
+  private[graft] def labeledModel(s: SparkSession, dir: String): graft.text.LangId.Model =
+    labeledModels.synchronized {
+      labeledModels.getOrElseUpdate(dir,
+        graft.text.LangId.train(
+          labeledSet(s, dir).filter(labeledTrainFilter(labeledOff(s, dir)))))
+    }
+
+  /** Held-out labeled-set scoring (m146): the m137 scorer under a REAL
+    * labeled-data contract — the model trains on the external set's
+    * 80% train split (arriving as JSONL through the production reader)
+    * and is evaluated on the 20% it never saw, the Wikipedia/Tatoeba
+    * shape of a production LID deployment. Captured weights replay the
+    * holdout scoring in the oracle. */
+  def langIdLabeled(s: SparkSession, dir: String): DataFrame = {
+    val off = labeledOff(s, dir)
+    val model = labeledModel(s, dir)
+    graft.OracleCapture.put("m146_langid_labeled",
+      (model.classes.toSeq, model.quantized.map(_.toSeq).toSeq, off))
+    graft.text.LangId.score(
+      labeledSet(s, dir).filter(!labeledTrainFilter(off)), model)
+  }
+
+  /** Per-class calibration card (m147): the m98 ECE recipe over the
+    * labeled-set model's POSTERIORS — per (predicted class, confidence
+    * decile): support, hits, mean confidence vs observed accuracy, the
+    * gap, and the class-weighted ECE term. The card a deployment reads
+    * before using m137-style confidences as routing thresholds.
+    * Determinism: conf is quantized ONCE per doc to an integer
+    * ([[graft.text.LangId.scoreCalibrated]]); bins and Σq are integer
+    * arithmetic from there; ratios divide in fixed operand order. */
+  def langIdCalibration(s: SparkSession, dir: String): DataFrame = {
+    val off = labeledOff(s, dir)
+    val model = labeledModel(s, dir)
+    graft.OracleCapture.put("m147_langid_calibration",
+      (model.classes.toSeq, model.quantized.map(_.toSeq).toSeq, off))
+    val scored = graft.text.LangId.scoreCalibrated(labeledSet(s, dir), model)
+    val binned = scored
+      .select(col("pred_lang"),
+        least(floor(col("conf_q") / lit(100000000L)).cast("long"), lit(9L)).as("bin"),
+        (col("pred_lang") === col("lang")).cast("long").as("hit"),
+        col("conf_q"))
+      .groupBy("pred_lang", "bin")
+      .agg(count(lit(1)).as("n"), sum("hit").as("n_correct"),
+        sum("conf_q").as("sum_q"))
+    val totals = binned.groupBy("pred_lang").agg(sum("n").as("class_total"))
+    binned.join(broadcast(totals), Seq("pred_lang"))
+      .select(col("pred_lang"), col("bin"), col("n"), col("n_correct"),
+        (col("sum_q").cast("double") / lit(1e9) / col("n")).as("mean_conf"),
+        (col("n_correct").cast("double") / col("n")).as("frac_correct"),
+        col("class_total"))
+      .withColumn("gap", abs(col("mean_conf") - col("frac_correct")))
+      .withColumn("ece_term",
+        col("gap") * col("n").cast("double") / col("class_total"))
+      .drop("class_total")
   }
 
   /** Learned quality filter (m83): logistic regression distilled from the
@@ -2384,15 +2515,29 @@ object CorpusQueries {
     * broadcast. Reads the shared per-corpus model, captured under its
     * OWN key (the no-shared-capture convention). */
   def langConfusion(s: SparkSession, dir: String): DataFrame = {
-    val model = langCapture(s, dir, "m67_lang_confusion")
+    import s.implicits._
+    val model = langModel(s, dir)
+    // m67's capture carries the per-class TRAIN SUPPORT alongside the
+    // weights (its own 4-tuple — the no-shared-capture convention)
+    graft.OracleCapture.put("m67_lang_confusion",
+      (model.classes.toSeq, model.quantized.map(_.toSeq).toSeq,
+        langOff(s, dir), model.classCounts.toSeq))
     val p = graft.text.LangId.score(langCorpus(s, dir), model)
       .select(col("lang"), col("pred_lang"))
     val counts = p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
     val totals = counts.groupBy("lang").agg(sum(col("n_docs")).as("lang_total"))
+    // per-PREDICTED-class training support (round-16 ask #7): the card
+    // must disclose how many labeled examples back each diagonal —
+    // 'unknown' (gram-less docs) is backed by none, coalesced to 0
+    val support = model.classes.zip(model.classCounts).toSeq
+      .toDF("pred_lang", "pred_train_support")
     counts.join(broadcast(totals), Seq("lang"))
+      .join(broadcast(support), Seq("pred_lang"), "left")
+      .na.fill(0L, Seq("pred_train_support"))
       .withColumn("share",
         col("n_docs").cast("double") / col("lang_total").cast("double"))
-      .select("lang", "pred_lang", "n_docs", "lang_total", "share")
+      .select("lang", "pred_lang", "n_docs", "lang_total", "share",
+        "pred_train_support")
   }
 
   /** Padding-waste report (m65): per-source accounting of what naive

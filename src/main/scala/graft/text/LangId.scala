@@ -103,8 +103,13 @@ object LangId {
     * intercept carries no information here; a skewed labeled corpus
     * would re-balance by sampling (the standard LID practice) rather
     * than re-introduce the ill-conditioned intercept. */
+  /** `classCounts(c)` = labeled examples of class c the trainer saw —
+    * the per-class SUPPORT a confusion/calibration card must disclose
+    * (a 99%-accurate class trained on 3 examples is not a 99% class;
+    * round-16 verdict ask #7). */
   final case class Model(classes: Array[String], w: Array[Array[Double]],
-                         nTrain: Long, losses: Array[Double]) {
+                         nTrain: Long, losses: Array[Double],
+                         classCounts: Array[Long]) {
     /** The quantized weights the scoring pass and the oracle replay
       * share: rint(w·2^32) as longs. */
     def quantized: Array[Array[Long]] =
@@ -216,9 +221,13 @@ object LangId {
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = feats.count()
-      if (n == 0L) return Model(Array.empty, Array.empty, 0L, Array.empty)
-      // class list: bounded by the number of languages, sorted
-      val classes = feats.map(_._1).distinct().collect().sorted
+      if (n == 0L)
+        return Model(Array.empty, Array.empty, 0L, Array.empty, Array.empty)
+      // class list: bounded by the number of languages, sorted; the
+      // per-class support rides the same bounded reduction
+      val byClass = feats.map(l => (l._1, 1L)).reduceByKey(_ + _)
+        .collect().toMap // ≤ #classes rows
+      val classes = byClass.keys.toArray.sorted
       val clsIdx = classes.zipWithIndex.toMap
       val k = classes.length
       val dim = k * D
@@ -260,7 +269,7 @@ object LangId {
         })
         val w = Array.tabulate(k)(c =>
           Array.tabulate(D)(j => wFlat(c * D + j)))
-        Model(classes, w, n, losses)
+        Model(classes, w, n, losses, classes.map(byClass))
       } finally rdd.unpersist(blocking = false)
     } finally feats.unpersist(blocking = false)
   }
@@ -348,5 +357,55 @@ object LangId {
         }
       }
       .toDF("doc_id", "lang", "pred_lang", "margin", "n_grams")
+  }
+
+  /** Calibrated scoring pass (m147): (doc_id, lang, pred_lang, conf_q)
+    * where conf_q = floor(1e9 / Σ_c exp(((z_c − z_best)/2^32)/n)) — the
+    * softmax probability of the PREDICTED class, quantized once to an
+    * integer (the m98 discipline: every downstream bin/sum is integer
+    * arithmetic). The denominator folds in FIXED class-index order and
+    * every term's operands are the exact quantized integers both
+    * engines share, so the doubles agree operation-for-operation; each
+    * exponent is ≤ 0, so denom ∈ [1, K] and nothing overflows. Docs
+    * with no grams carry no posterior and are absent (the confidence
+    * of a featureless doc is not a calibration data point). */
+  def scoreCalibrated(docs: DataFrame, model: Model,
+                      textCol: String = "text",
+                      langCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wq = model.quantized
+    val classes = model.classes
+    val k = classes.length
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id").cast("long"), col(langCol).cast("string"),
+        col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, lang, text) =>
+          val t = normalize(text)
+          val zq = new Array[Long](k)
+          val n = eachGram(md, t) { i =>
+            var c = 0
+            while (c < k) { zq(c) += wq(c)(i); c += 1 }
+          }
+          if (n == 0L || k == 0) None
+          else {
+            var best = 0
+            var c = 1
+            while (c < k) { if (zq(c) > zq(best)) best = c; c += 1 }
+            var denom = 0.0
+            c = 0
+            while (c < k) {
+              denom += math.exp(((zq(c) - zq(best)).toDouble / QScale32) / n.toDouble)
+              c += 1
+            }
+            Some((docId, lang, classes(best),
+              math.floor(1e9 / denom).toLong))
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "pred_lang", "conf_q")
   }
 }

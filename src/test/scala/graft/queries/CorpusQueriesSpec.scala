@@ -143,6 +143,56 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("labeled JSONL contract: quarantine sheds the truncated line, balanced 80/20 split, support disclosed") {
+    val d = sf("sf0.001")
+    val path = CorpusQueries.labeledJsonlPath(spark, d)
+    // the raw shipment: 600 clean rows + 1 deliberately truncated line,
+    // shed into _corrupt_record by the PERMISSIVE production reader
+    // (cache before the corrupt-only audit filter — the Sources
+    // contract)
+    val raw = graft.io.Sources.documentsJsonl(spark, path).cache()
+    try {
+      raw.count() shouldBe 601
+      raw.filter(col("_corrupt_record").isNotNull).count() shouldBe 1
+    } finally { raw.unpersist(); () }
+    val set = CorpusQueries.labeledSet(spark, d)
+    set.count() shouldBe 600
+    // the trained model discloses BALANCED per-class support: the
+    // block split holds out one full rotation group in five, so every
+    // language trains on 96 and is evaluated on 24
+    val m = CorpusQueries.labeledModel(spark, d)
+    m.classes.toSeq shouldBe Seq("de", "en", "es", "fr", "zh")
+    m.nTrain shouldBe 480L
+    m.classCounts.toSeq shouldBe Seq.fill(5)(96L)
+    // the holdout card covers every class and the planted-vocabulary
+    // model gets its own languages right out of sample
+    val hold = CorpusQueries.langIdLabeled(spark, d).collect()
+    hold.length shouldBe 120
+    hold.map(_.getString(1)).distinct.sorted shouldBe Array("de", "en", "es", "fr", "zh")
+    hold.count(r => r.getString(1) == r.getString(2)) shouldBe 120
+    // m67 discloses the per-predicted-class train support column
+    val conf = CorpusQueries.langConfusion(spark, d).collect()
+    conf.filter(_.getString(0) != "unknown")
+      .filter(r => Set("de", "en", "es", "fr", "zh")(r.getString(1)))
+      .foreach(_.getLong(5) shouldBe 60L) // planted block: 60/language
+  }
+
+  test("langIdCalibration: bins are integer-quantized, per-class ECE terms sum the card") {
+    val rows = CorpusQueries.langIdCalibration(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    // every labeled doc lands in exactly one (class, bin) cell
+    rows.map(_.getLong(2)).sum shouldBe 600L
+    rows.foreach { r =>
+      r.getLong(1) should (be >= 0L and be <= 9L)
+      val meanConf = r.getDouble(4)
+      val fracCorrect = r.getDouble(5)
+      meanConf should (be >= 0.0 and be <= 1.0)
+      fracCorrect should (be >= 0.0 and be <= 1.0)
+      r.getDouble(6) shouldBe math.abs(meanConf - fracCorrect) +- 1e-15
+      r.getDouble(7) should be >= 0.0
+    }
+  }
+
   test("qualityCalibration: buckets partition the corpus and means stay in range") {
     val rows = CorpusQueries.qualityCalibration(spark, sf("sf0.001")).collect()
     rows.length should be > 0

@@ -419,6 +419,26 @@ class PartitionInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("m146 labeled trainer: weights partition-invariant on the EXTERNAL set (direct train per run)") {
+    // the round-16 ask #7 contract: the production-shaped labeled set
+    // (JSONL → reader → quarantine shed → 80% split) trains to
+    // bit-identical quantized weights under any input partitioning —
+    // scoring the holdout is then integer-exact by construction
+    import org.apache.spark.sql.functions.{col, lit}
+    def blk(off: Long) =
+      ((col("doc_id") - lit(off)) / lit(5)).cast("long") % 5
+    assertInvariant { (s, d) =>
+      val off = CorpusQueries.labeledOff(s, d)
+      val train = CorpusQueries.labeledSet(s, d).filter(blk(off) < 4)
+      val a = graft.text.LangId.train(train, iters = 40)
+      val b = graft.text.LangId.train(train.repartition(7), iters = 40)
+      a.quantized.map(_.toSeq).toSeq shouldBe b.quantized.map(_.toSeq).toSeq
+      a.classCounts.toSeq shouldBe b.classCounts.toSeq
+      graft.text.LangId.score(
+        CorpusQueries.labeledSet(s, d).filter(blk(off) >= 4), a)
+    }
+  }
+
   test("m106/m107 dup mass: component closure and integer masses identical across partitionings") {
     // direct chain (the m99 discipline) — the asset-backed query would
     // reuse the first partitioning's stored cluster build

@@ -134,6 +134,30 @@ class LangIdSpec extends SparkSpec {
     out.head.getString(2) shouldBe "unknown"
   }
 
+  test("train discloses per-class support; counts sum to nTrain") {
+    val m = LangId.train(labeled, iters = 10)
+    m.classes.length shouldBe LangId.PlantedPhrases.size
+    m.classCounts.toSeq shouldBe Seq.fill(m.classes.length)(6L)
+    m.classCounts.sum shouldBe m.nTrain
+  }
+
+  test("scoreCalibrated: quantized confidence in [1/k, 1], argmax matches score, gramless docs absent") {
+    val model = LangId.train(labeled, iters = 30)
+    val docs = Seq(
+      (1L, "en", "the of and to in a is that"),
+      (2L, "de", "x")).toDF("doc_id", "lang", "text")
+    val out = LangId.scoreCalibrated(docs, model).collect()
+    out.length shouldBe 1 // the 1-char doc has no grams → no posterior
+    val r = out(0)
+    r.getLong(0) shouldBe 1L
+    r.getString(2) shouldBe LangId.score(docs, model)
+      .filter(col("doc_id") === 1L).head().getString(2)
+    // conf = 1/Σexp(z_c − z_best) ∈ [1/k, 1]; quantized once to bigint
+    val k = model.classes.length
+    r.getLong(3) should be >= (1e9 / k).toLong
+    r.getLong(3) should be <= 1000000000L
+  }
+
   test("m137/m67 on an empty real corpus: exactly the planted block, all on the diagonal") {
     val dir = s"/tmp/graft-langid-empty-${ProcessHandle.current().pid()}"
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
