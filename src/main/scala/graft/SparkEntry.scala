@@ -400,6 +400,11 @@ object SparkEntry {
     // posteriors — the m98 ECE recipe per predicted class, integer-
     // quantized confidences (OracleModelSql.langIdCalibration)
     "m147_langid_calibration" -> (CorpusQueries.langIdCalibration _),
+    // m148: the HLL MERGE path under real use — per-source sketches
+    // unioned into the corpus-wide distinct-shingle estimate by
+    // pointwise register max, no second pass over the shingle stream
+    // (round-16 ask #8; feeds the LshPlanner sizing at 100 TB)
+    "m148_hll_union" -> (CorpusQueries.hllUnionCard _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1672,18 +1677,8 @@ object SparkEntry {
     // the linear-counting branch selection are bit-identical
     // cross-engine; ln/division differences vanish at the 6-dp gate.
     "m140_hll_cardinality" ->
-      ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
-        "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
-        "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
-        "gd AS (SELECT DISTINCT source, gram FROM " +
-        "(SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
-        "hs AS (SELECT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h FROM gd), " +
-        "rb AS (SELECT source, h // 68719476736 AS bucket, h % 68719476736 AS rest FROM hs), " +
-        "rr AS (SELECT source, bucket, " +
-        "max(CASE WHEN rest = 0 THEN 37 ELSE 37 - length(bin(rest)) END) AS rho " +
-        "FROM rb GROUP BY 1, 2), " +
-        "pe AS (SELECT source, CAST(count(*) AS BIGINT) AS registers_hit, " +
+      (HllRegisterCtes +
+        ", pe AS (SELECT source, CAST(count(*) AS BIGINT) AS registers_hit, " +
         "sum(power(2.0, -rho)) AS sp FROM rr GROUP BY 1), " +
         "es AS (SELECT source, registers_hit, " +
         s"${graft.operators.HyperLogLog.AlphaM2} / (sp + CAST(4096 - registers_hit AS DOUBLE)) AS raw FROM pe), " +
@@ -1696,6 +1691,24 @@ object SparkEntry {
         "SELECT f.source, x.exact_distinct, f.registers_hit, f.hll_estimate, " +
         "(f.hll_estimate - CAST(x.exact_distinct AS DOUBLE)) / CAST(x.exact_distinct AS DOUBLE) AS rel_err " +
         "FROM fin f JOIN ex x USING (source)"),
+    // m148: the merge path — per-source register tables unioned into
+    // the corpus-wide sketch by pointwise max (rm), each scope
+    // estimated by the identical dyadic-exact arithmetic; the ALL row
+    // derives ONLY from the per-source registers, as in the engine.
+    "m148_hll_union" ->
+      (HllRegisterCtes +
+        ", pe AS (SELECT source AS scope, CAST(count(*) AS BIGINT) AS registers_hit, " +
+        "sum(power(2.0, -rho)) AS sp FROM rr GROUP BY 1), " +
+        "rm AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1), " +
+        "pm AS (SELECT 'ALL' AS scope, CAST(count(*) AS BIGINT) AS registers_hit, " +
+        "sum(power(2.0, -rho)) AS sp FROM rm HAVING count(*) > 0), " +
+        "ps AS (SELECT * FROM pe UNION ALL SELECT * FROM pm), " +
+        "es AS (SELECT scope, registers_hit, " +
+        s"${graft.operators.HyperLogLog.AlphaM2} / (sp + CAST(4096 - registers_hit AS DOUBLE)) AS raw FROM ps) " +
+        "SELECT scope, registers_hit, " +
+        "CASE WHEN raw <= 10240.0 AND registers_hit < 4096 " +
+        "THEN 4096.0 * ln(4096.0 / CAST(4096 - registers_hit AS DOUBLE)) " +
+        "ELSE raw END AS hll_estimate FROM es"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
     // agree on it), the same block-aligned window scan, and the Luhn
@@ -2620,6 +2633,23 @@ object SparkEntry {
       "c AS (SELECT a, b, count(*) AS cab FROM g GROUP BY 1, 2), " +
       "v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM " +
       "(SELECT a AS tok FROM c UNION SELECT b FROM c))"
+
+  /** Shared HLL oracle prefix (m140/m148): the m105 shingle CTEs, the
+    * md5-hex12 48-bit hash, and the per-(source, bucket) register table
+    * `rr` via exact integer bucket/rho arithmetic (bin() = minimal
+    * binary string in both engines). */
+  private[graft] val HllRegisterCtes: String =
+    "WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
+      "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+      "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+      "gd AS (SELECT DISTINCT source, gram FROM " +
+      "(SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+      "hs AS (SELECT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h FROM gd), " +
+      "rb AS (SELECT source, h // 68719476736 AS bucket, h % 68719476736 AS rest FROM hs), " +
+      "rr AS (SELECT source, bucket, " +
+      "max(CASE WHEN rest = 0 THEN 37 ELSE 37 - length(bin(rest)) END) AS rho " +
+      "FROM rb GROUP BY 1, 2)"
 
   /** Shared trigram-KN oracle prefix (m144/m145): the trigram stream
     * `g` via two leads, raw count table `c3`, context stats `ctx3`

@@ -62,6 +62,18 @@ object HyperLogLog {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** Union of sketches by POINTWISE REGISTER MAX — the merge that makes
+    * HLL the 100 TB distinct-count: per-partition/per-source/per-day
+    * sketches combine into any coarser scope without touching the data
+    * again, because max is associative, commutative and idempotent
+    * (spec-pinned: merging per-group register tables is EXACTLY the
+    * register table of the unioned input, so the merged estimate is
+    * bit-identical to a from-scratch build). `keepCols` is the coarser
+    * grouping retained (empty = one global sketch). */
+  def merge(regs: DataFrame, keepCols: Seq[String] = Seq.empty): DataFrame =
+    regs.groupBy(keepCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+
   /** Per-group estimate over a register table: (groupCols…,
     * registers_hit, hll_estimate). */
   def estimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {

@@ -1189,6 +1189,38 @@ object CorpusQueries {
           .as("rel_err"))
   }
 
+  /** HLL union card (m148): the sketch's MERGE PATH under real use —
+    * m140 certifies the estimator; this card consumes it where exact
+    * distinct is the scale problem: per-source distinct-shingle
+    * sketches are UNIONED into the corpus-wide cardinality by pointwise
+    * register max, without a second pass over the shingle stream (the
+    * number [[graft.dedup.LshPlanner]]'s sizing wants at 100 TB, where
+    * per-source sketches arrive from separate ingestion runs). Output:
+    * one row per source plus the merged 'ALL' row — the ALL estimate is
+    * derived ONLY from the per-source register tables (merge
+    * associativity makes it bit-identical to a from-scratch global
+    * sketch; spec-pinned, and the oracle recomputes the merge the same
+    * way). Exchange bound: sources × 4096 register rows in, ≤ 4096 out. */
+  def hllUnionCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HyperLogLog
+    val hashed = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "")
+      .select(col("source"), HyperLogLog.hash48(col("gram")).as("h"))
+    val regs = HyperLogLog.registers(hashed, Seq("source"), col("h"))
+    val perSource = HyperLogLog.estimate(regs, Seq("source"))
+      .select(col("source").as("scope"), col("registers_hit"), col("hll_estimate"))
+    val merged = HyperLogLog.estimate(HyperLogLog.merge(regs), Seq.empty)
+      // a GLOBAL aggregate emits one row even over zero registers —
+      // the empty-corpus contract wants an empty card, not (ALL, 0,
+      // null); any non-empty corpus hits ≥ 1 register
+      .filter(col("registers_hit") > 0)
+      .select(lit("ALL").as("scope"), col("registers_hit"), col("hll_estimate"))
+    perSource.unionByName(merged)
+  }
+
   /** Gopher rule card (m91): the MassiveText per-document rule battery —
     * rule bits + AND verdict, one projection pass. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =

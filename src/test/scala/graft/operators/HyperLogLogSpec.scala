@@ -36,6 +36,39 @@ class HyperLogLogSpec extends SparkSpec {
     merged shouldBe whole
   }
 
+  test("merge is associative/commutative and equals the from-scratch global sketch (m148)") {
+    // three disjoint 'sources' — merge(merge(A,B),C), merge(A,merge(B,C))
+    // and registers(A∪B∪C) must be the SAME register table, so the
+    // merged estimate is bit-identical to a from-scratch build (the
+    // dyadic-exact register sum makes even the estimate deterministic)
+    val vals = (1 to 9000).map(i => (s"s${i % 3}", s"value-$i")).toDF("g", "v")
+      .select(col("g"), HyperLogLog.hash48(col("v")).as("h"))
+    val perSource = HyperLogLog.merge( // identity on a register table
+      HyperLogLog.registers(vals, Seq("g"), col("h")), Seq("g"))
+    def regsOf(src: String) = perSource.filter(col("g") === src).drop("g")
+    val ab = HyperLogLog.merge(regsOf("s0").union(regsOf("s1")))
+    val bc = HyperLogLog.merge(regsOf("s1").union(regsOf("s2")))
+    val abc1 = HyperLogLog.merge(ab.union(regsOf("s2")))
+      .as[(Long, Int)].collect().toSet
+    val abc2 = HyperLogLog.merge(regsOf("s0").union(bc))
+      .as[(Long, Int)].collect().toSet
+    val global = HyperLogLog.registers(vals.drop("g").withColumn("g", lit("all")),
+        Seq("g"), col("h")).drop("g")
+      .as[(Long, Int)].collect().toSet
+    abc1 shouldBe global
+    abc2 shouldBe global
+    // and the estimates agree exactly (same registers → same dyadic sum)
+    val eMerged = HyperLogLog.estimate(HyperLogLog.merge(
+        HyperLogLog.registers(vals, Seq("g"), col("h"))), Seq.empty)
+      .select("hll_estimate").as[Double].head()
+    val eGlobal = HyperLogLog.estimate(
+        HyperLogLog.registers(vals.withColumn("g", lit("all")), Seq("g"), col("h")),
+        Seq("g"))
+      .select("hll_estimate").as[Double].head()
+    java.lang.Double.doubleToLongBits(eMerged) shouldBe
+      java.lang.Double.doubleToLongBits(eGlobal)
+  }
+
   test("estimate lands within 5% of a 50k-distinct truth (HLL regime)") {
     val vals = (1 to 50000).map(i => ("s", s"item-$i")).toDF("g", "v")
       .select(col("g"), HyperLogLog.hash48(col("v")).as("h"))

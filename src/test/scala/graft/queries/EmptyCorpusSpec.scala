@@ -123,6 +123,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "m143_wordpiece_fertility" -> (CorpusQueries.wordPieceFertility _),
     // m140: no shingles → no registers → no per-source estimate rows
     "m140_hll_cardinality" -> (CorpusQueries.hllCardinality _),
+    // m148: the merged-ALL row is gated on registers_hit > 0, so the
+    // global aggregate's one-row-on-empty artifact never surfaces
+    "m148_hll_union" -> (CorpusQueries.hllUnionCard _),
     // m141: the augmentation filters on non-null text first → zero rows
     "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m128: data-free design card — must still run (8 rows) on an empty
