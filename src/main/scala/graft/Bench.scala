@@ -311,11 +311,10 @@ object Bench {
               // the m146/m147 labeled-set model: JSONL → production
               // reader → 80% block split → distributed GD (its exact
               // parameters — the memo's production train)
-              val off = graft.queries.CorpusQueries.labeledOff(spark, sfDir)
               graft.text.LangId.train(
                 graft.queries.CorpusQueries.labeledSet(spark, sfDir)
-                  .filter(((org.apache.spark.sql.functions.col("doc_id") -
-                    off) / 5).cast("long") % 5 < 4)); () })
+                  .filter(graft.queries.CorpusQueries.labeledTrainFilter(
+                    graft.queries.CorpusQueries.labeledOff(spark, sfDir)))); () })
           )
           (only -- builds.map(_._1).toSet - "stream:ingest").foreach(u =>
             System.err.println(s"[bench] unknown asset row in SPARK_GRAFT_BENCH_ASSETS: $u"))
@@ -586,8 +585,12 @@ object Bench {
         val allRows = assetTimes.map(a => (a._1, a._2)) ++
           results.map(r => (r._1, r._2))
         val ratios = allRows.flatMap { case (k, t) =>
+          // 4 decimals: the refresh tool's 1.5x drift gate compares
+          // these against full-precision old-ratio values — 2-decimal
+          // quantization alone could trip or mask the gate on fast
+          // rows (review r17)
           canaryUsed.get(k).filter(_ > 0)
-            .map(c => "\"" + k + "\":" + f"${t / c}%.2f")
+            .map(c => "\"" + k + "\":" + f"${t / c}%.4f")
         }.mkString("{", ",", "}")
         s""","canary":{"plan":"range4m-xxhash64-xor-p64","median":${ms(med)},""" +
           s""""ref":${refCanary.map(ms).getOrElse("null")},""" +

@@ -803,15 +803,17 @@ object OracleModelSql {
       "UNION ALL SELECT doc_id, lang, text FROM planted)"
 
   /** The EXTERNAL labeled set (m146/m147): doc i = language i % 5,
-    * text = the word list rotated by (i/5) mod |words| and repeated
+    * text = the word list rotated by (i/5) mod 5 words and repeated
     * 1 + i % 2 times — the exact CorpusQueries.labeledLangRows formula
-    * (list slicing replays the rotation; `where` draws the train/
-    * holdout line on the same id arithmetic both engines share). */
+    * (list slicing replays the rotation; the rotation period equals
+    * the block-split period so holdout = rotation 4, unseen in train;
+    * `where` draws the train/holdout line on the same id arithmetic
+    * both engines share). */
   private def labeledCorpusCtes(off: Long, where: String): String =
     s"lsrc AS (SELECT i, $langCaseLang AS lang, " +
       s"string_split(${langCasePhrase(trailingSpace = false)}, ' ') AS tw " +
       s"FROM range(${graft.queries.CorpusQueries.LabeledCount}) t(i)), " +
-      "lrot AS (SELECT i, lang, tw, CAST((i // 5) % len(tw) AS INTEGER) AS k FROM lsrc), " +
+      "lrot AS (SELECT i, lang, tw, CAST((i // 5) % 5 AS INTEGER) AS k FROM lsrc), " +
       s"labeled AS (SELECT CAST($off + i AS BIGINT) AS doc_id, lang, " +
       "trim(repeat(array_to_string(tw[k+1:] || tw[1:k], ' ') || ' ', " +
       "CAST(1 + i % 2 AS INTEGER))) AS text FROM lrot), " +

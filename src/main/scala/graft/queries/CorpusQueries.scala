@@ -872,17 +872,22 @@ object CorpusQueries {
     4 * docOff(s, dir)
 
   /** The external labeled set's rows — doc i: language i % 5, text =
-    * the language's word list ROTATED by (i/5) mod |words|, repeated
-    * 1 + i % 2 times. Rotation makes the texts distinct from the
-    * planted training block while staying a pure formula both engines
-    * reconstruct (DuckDB: list slicing + repeat). Fields follow the
+    * the language's word list ROTATED by (block % 5) words where block
+    * = i / 5, repeated 1 + i % 2 times. The rotation index cycles with
+    * the SAME period as the 80/20 block split, so train blocks carry
+    * exactly rotations 0–3 and holdout blocks exactly rotation 4 — the
+    * held-out texts are unseen by the trainer BY CONSTRUCTION for
+    * every class (review r17: a |words|-period rotation leaked ~17/24
+    * de and es holdout docs into the train split because 38 and 36 are
+    * coprime to 5). Pure formula both engines reconstruct (DuckDB:
+    * list slicing + repeat); fields follow the
     * [[graft.schema.Document]] contract. */
   private[graft] def labeledLangRows(off: Long): Seq[(Long, String, String, String, Long)] =
     (0 until LabeledCount).map { i =>
       val phrases = graft.text.LangId.PlantedPhrases
       val (lang, phrase) = phrases(i % phrases.size)
       val words = phrase.split(" ")
-      val k = (i / phrases.size) % words.length
+      val k = (i / phrases.size) % 5
       val rot = (words.drop(k) ++ words.take(k)).mkString(" ")
       val text = ((rot + " ") * (1 + i % 2)).trim
       (off + i, text, lang, "labeled", text.length.toLong)
@@ -927,7 +932,7 @@ object CorpusQueries {
     * would hold out only the last two classes. Both engines draw the
     * identical line (DuckDB: (doc_id − off) // 5). Result: 96 train /
     * 24 holdout docs per class, disclosed by Model.classCounts. */
-  private def labeledTrainFilter(off: Long) =
+  private[graft] def labeledTrainFilter(off: Long) =
     ((col("doc_id") - lit(off)) / lit(5)).cast("long") % 5 < 4
 
   /** One labeled-set-trained model per corpus per JVM (the langModel

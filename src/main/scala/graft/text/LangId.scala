@@ -368,7 +368,16 @@ object LangId {
     * engines share, so the doubles agree operation-for-operation; each
     * exponent is ≤ 0, so denom ∈ [1, K] and nothing overflows. Docs
     * with no grams carry no posterior and are absent (the confidence
-    * of a featureless doc is not a calibration data point). */
+    * of a featureless doc is not a calibration data point).
+    *
+    * Cross-engine edge (documented, not eliminable): exp() is 1-ulp-
+    * accurate, not correctly rounded, so the two engines' denom can
+    * differ by an ulp — consequential ONLY when 1e9/denom sits within
+    * ~1 ulp of an integer AND that integer is a 1e8 decile boundary
+    * (a doc would flip bins). mean_conf is immune (a ±1 conf_q moves
+    * it by 1e-9/n, invisible at the 6-dp gate); this is the same
+    * residual the m89 floor(ppl·1e6) integer key carries, green since
+    * its round. */
   def scoreCalibrated(docs: DataFrame, model: Model,
                       textCol: String = "text",
                       langCol: String = "lang"): DataFrame = {

@@ -164,6 +164,17 @@ class CorpusQueriesSpec extends SparkSpec {
     m.classes.toSeq shouldBe Seq("de", "en", "es", "fr", "zh")
     m.nTrain shouldBe 480L
     m.classCounts.toSeq shouldBe Seq.fill(5)(96L)
+    // the holdout is DISJOINT from the train split at the TEXT level,
+    // not just by id: the rotation index cycles with the block-split
+    // period, so holdout texts are exactly the rotation the trainer
+    // never saw (review r17 — the |words|-period rotation leaked 17/24
+    // de and es holdout texts into train)
+    val off = CorpusQueries.labeledOff(spark, d)
+    val trainTexts = set.filter(CorpusQueries.labeledTrainFilter(off))
+      .select("text").collect().map(_.getString(0)).toSet
+    val holdTexts = set.filter(!CorpusQueries.labeledTrainFilter(off))
+      .select("text").collect().map(_.getString(0)).toSet
+    holdTexts.intersect(trainTexts) shouldBe empty
     // the holdout card covers every class and the planted-vocabulary
     // model gets its own languages right out of sample
     val hold = CorpusQueries.langIdLabeled(spark, d).collect()

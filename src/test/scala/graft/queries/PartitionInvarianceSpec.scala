@@ -424,18 +424,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (JSONL → reader → quarantine shed → 80% split) trains to
     // bit-identical quantized weights under any input partitioning —
     // scoring the holdout is then integer-exact by construction
-    import org.apache.spark.sql.functions.{col, lit}
-    def blk(off: Long) =
-      ((col("doc_id") - lit(off)) / lit(5)).cast("long") % 5
     assertInvariant { (s, d) =>
       val off = CorpusQueries.labeledOff(s, d)
-      val train = CorpusQueries.labeledSet(s, d).filter(blk(off) < 4)
+      val train = CorpusQueries.labeledSet(s, d)
+        .filter(CorpusQueries.labeledTrainFilter(off))
       val a = graft.text.LangId.train(train, iters = 40)
       val b = graft.text.LangId.train(train.repartition(7), iters = 40)
       a.quantized.map(_.toSeq).toSeq shouldBe b.quantized.map(_.toSeq).toSeq
       a.classCounts.toSeq shouldBe b.classCounts.toSeq
       graft.text.LangId.score(
-        CorpusQueries.labeledSet(s, d).filter(blk(off) >= 4), a)
+        CorpusQueries.labeledSet(s, d)
+          .filter(!CorpusQueries.labeledTrainFilter(off)), a)
     }
   }
 

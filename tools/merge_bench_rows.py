@@ -30,6 +30,12 @@ def main():
         tgt.setdefault("assets", {})[a] = t
     for k, v in (sub.get("stats") or {}).items():
         tgt.setdefault("stats", {})[k] = v
+    # per-row canary ratios travel WITH their rows: each ratio is
+    # seconds / the canary in force in ITS OWN run, so merging the
+    # subset's ratios keeps the drift gate adjudicating changed rows on
+    # fresh data instead of the target run's stale ratio (review r17)
+    for q, r in (sub.get("ratios") or {}).items():
+        tgt.setdefault("ratios", {})[q] = r
     # recompute from the rows rather than accumulating rounded deltas —
     # repeated merges must keep value == sum(queries) exactly
     tgt["value"] = round(sum(tgt["queries"].values()), 3)

@@ -77,8 +77,12 @@ def main() -> int:
         return old[name] / ref_canary
 
     def ratio_new(name):
-        if name in run_ratios:
-            return run_ratios[name]
+        # prefer the record's per-row ratio (canary AT measurement time)
+        # but never a zero-quantized one — a sub-resolution row falls
+        # back to full precision against the run median (review r17)
+        r = run_ratios.get(name)
+        if r:
+            return r
         return new[name] / run_canary
 
     moved = {}

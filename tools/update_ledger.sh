@@ -75,8 +75,11 @@ fi
 # clean tree (its own README/COVERAGE patches are not gate artifacts,
 # so there is no self-conflict). GRAFT_LEDGER_ALLOW_LAG=1 downgrades to
 # a warning for the same mid-round window as the count check above.
+# (COPYCHECK.json is deliberately absent: it is .gitignore'd as a
+# driver-owned per-round artifact, and `git status --porcelain` never
+# reports ignored files — listing it here would be dead code.)
 DIRTY=$(git status --porcelain -- 'BENCH_r*.json' 'CORRECTNESS_r*.json' \
-  BENCH_REF.json BENCH_LOCAL.json LEAKCHECK.json COPYCHECK.json \
+  BENCH_REF.json BENCH_LOCAL.json LEAKCHECK.json \
   'BENCH_sf*.json' BENCH_sf1.md 2>/dev/null || true)
 if [[ -n "$DIRTY" ]]; then
   if [[ "${GRAFT_LEDGER_ALLOW_LAG:-0}" == "1" ]]; then
