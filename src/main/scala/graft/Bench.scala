@@ -139,6 +139,7 @@ object Bench {
     // canary doubled is host noise (ratio flat); a row whose ratio
     // moved is a real plan change. SPARK_GRAFT_CANARY=0 disables.
     val canaryOn = sys.env.get("SPARK_GRAFT_CANARY").forall(_ != "0")
+    val CanaryPlan = "range12m-xxhash64-xor-p64"
     val CanaryEvery = 10
     var canaryNow = 0.0
     var sinceCanary = 0
@@ -146,8 +147,12 @@ object Bench {
     val canaryUsed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
-      // bit_xor, not sum: full-range hash longs overflow an ANSI sum
-      spark.range(0L, 4000000L, 1L, 64)
+      // bit_xor, not sum: full-range hash longs overflow an ANSI sum;
+      // 12M rows, not 4M: the first live record showed min-of-3 of a
+      // ~0.1 s plan spreading 0.088–0.203 s within one run (GC/settle
+      // jitter ~ the plan's own cost) — tripling the work drops the
+      // RELATIVE sample noise while one refresh stays ~1 s
+      spark.range(0L, 12000000L, 1L, 64)
         .select(bit_xor(xxhash64(col("id"))))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -419,12 +424,22 @@ object Bench {
             s"${refSf.getOrElse("<missing>")}, not $sfDir — 3x guard off")
           Map.empty
         } else {
-          // the reference run's canary (seconds) — when present, the 3x
-          // guard compares host-speed-normalized ratios, not wall-clock
-          refCanary = j \ "canary" match {
+          // the reference run's canary (seconds) — when present AND
+          // measured with the SAME canary plan, the 3x guard compares
+          // host-speed-normalized ratios, not wall-clock (a different
+          // plan's seconds would mis-scale every threshold)
+          val refPlan = j \ "canary_plan" match {
+            case JString(s) => Some(s); case _ => None
+          }
+          refCanary = (j \ "canary" match {
             case JDouble(v) => Some(v)
             case JDecimal(v) => Some(v.toDouble)
             case _ => None
+          }).filter { _ =>
+            val ok = refPlan.forall(_ == CanaryPlan)
+            if (!ok) System.err.println(
+              s"[bench] reference canary plan ${refPlan.get} != $CanaryPlan — ratio guard falls back to wall-clock")
+            ok
           }
           j \ "queries" match {
           case JObject(fields) =>
@@ -592,7 +607,7 @@ object Bench {
           canaryUsed.get(k).filter(_ > 0)
             .map(c => "\"" + k + "\":" + f"${t / c}%.4f")
         }.mkString("{", ",", "}")
-        s""","canary":{"plan":"range4m-xxhash64-xor-p64","median":${ms(med)},""" +
+        s""","canary":{"plan":"$CanaryPlan","median":${ms(med)},""" +
           s""""ref":${refCanary.map(ms).getOrElse("null")},""" +
           s""""samples":[${canarySamples.map(ms).mkString(",")}]},"ratios":$ratios"""
       }

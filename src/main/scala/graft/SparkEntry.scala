@@ -405,6 +405,15 @@ object SparkEntry {
     // pointwise register max, no second pass over the shingle stream
     // (round-16 ask #8; feeds the LshPlanner sizing at 100 TB)
     "m148_hll_union" -> (CorpusQueries.hllUnionCard _),
+    // m149: Count-Min frequency card — the sketch triad's frequency
+    // leg: per-source 4x1024 counters merged corpus-wide by add,
+    // probed with the exact top-20 shingles, one-sided error certified
+    "m149_cms_frequency" -> (CorpusQueries.cmsFrequencyCard _),
+    // m150: mergeable histogram quantile sketch — the triad's quantile
+    // leg: per-source 1024-bucket integer histograms merged by add,
+    // p50/p90/p99 vs exact nearest-rank with the deterministic
+    // ceil(R/W) bound certified per row
+    "m150_histogram_quantiles" -> (CorpusQueries.histogramQuantileCard _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1709,6 +1718,52 @@ object SparkEntry {
         "CASE WHEN raw <= 10240.0 AND registers_hit < 4096 " +
         "THEN 4096.0 * ln(4096.0 / CAST(4096 - registers_hit AS DOUBLE)) " +
         "ELSE raw END AS hll_estimate FROM es"),
+    // m149: the corpus-wide Count-Min counters recomputed directly
+    // (GROUP BY over all sources ≡ the engine's per-source merge, by
+    // the spec-pinned add-associativity), the same md5("j:gram")
+    // bucket arithmetic, exact top-20 probe with min-over-rows.
+    "m149_cms_frequency" ->
+      ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "occ AS (SELECT source, gram FROM (SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "cms AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 12))::BIGINT % 1024 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM occ CROSS JOIN range(4) t(r) GROUP BY 1, 2), " +
+        "ex AS (SELECT gram, CAST(count(*) AS BIGINT) AS exact_count FROM occ GROUP BY 1), " +
+        "top AS (SELECT gram, exact_count FROM ex ORDER BY exact_count DESC, gram LIMIT 20), " +
+        "pe AS (SELECT t.gram, rr.r, ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || t.gram), 1, 12))::BIGINT % 1024 AS bucket " +
+        "FROM top t CROSS JOIN range(4) rr(r)), " +
+        "est AS (SELECT pe.gram, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate " +
+        "FROM pe LEFT JOIN cms c ON c.r = pe.r AND c.bucket = pe.bucket GROUP BY 1) " +
+        "SELECT t.gram, t.exact_count, e.cms_estimate, " +
+        "CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overcount " +
+        "FROM top t JOIN est e USING (gram)"),
+    // m150: pure-integer bucketing ((v-lo)*1024 // r), window cumsum
+    // picks the rank bucket/value, upper-bound arithmetic mirrored
+    // div-for-div; q cast to DOUBLE (a DuckDB VALUES 0.5 is DECIMAL
+    // and would change the rank multiply).
+    "m150_histogram_quantiles" ->
+      ("WITH d AS (SELECT len(string_split_regex(lower(trim(text)), ' +')) AS v " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "rg AS (SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi, " +
+        "CAST(max(v) AS BIGINT) - CAST(min(v) AS BIGINT) + 1 AS r FROM d), " +
+        "bk AS (SELECT ((CAST(v AS BIGINT) - lo) * 1024) // r AS bucket FROM d CROSS JOIN rg), " +
+        "hs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hs), " +
+        "qs AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(x)), " +
+        "rk AS (SELECT q, n, greatest(CAST(ceil(q * n) AS BIGINT), 1) AS rnk FROM qs CROSS JOIN nn), " +
+        "cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hs), " +
+        "pick AS (SELECT q, min(bucket) AS b FROM rk JOIN cum ON cum.cum >= rk.rnk GROUP BY 1), " +
+        "vc AS (SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1), " +
+        "vcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM vc), " +
+        "exq AS (SELECT q, min(v) AS exact FROM rk JOIN vcum ON vcum.cum >= rk.rnk GROUP BY 1), " +
+        "fin AS (SELECT rk.q, rk.n, " +
+        "CAST(rg.lo + ((p.b + 1) * rg.r + 1023) // 1024 - 1 AS BIGINT) AS est, " +
+        "CAST(e.exact AS BIGINT) AS exact, " +
+        "CAST((rg.r + 1023) // 1024 AS BIGINT) AS bound " +
+        "FROM rk JOIN pick p USING (q) JOIN exq e USING (q) CROSS JOIN rg) " +
+        "SELECT q, n, est, exact, CAST(est - exact AS BIGINT) AS abs_err, bound FROM fin"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
     // agree on it), the same block-aligned window scan, and the Luhn

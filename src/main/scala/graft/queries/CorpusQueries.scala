@@ -1226,6 +1226,74 @@ object CorpusQueries {
     perSource.unionByName(merged)
   }
 
+  /** The full (non-distinct) per-source 3-shingle OCCURRENCE stream —
+    * the frequency sketch's input (m149; [[hllCardinality]]'s stream is
+    * the DISTINCT set, which is the other sketch's semantics). The
+    * CASE keeps short docs as one whole-text gram, mirroring the m140
+    * oracle construction token-for-token. */
+  private def shingleOccurrences(s: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    def at(i: org.apache.spark.sql.Column) = element_at(t, i)
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), split(lower(trim(col("text"))), " +").as("t"))
+      .select(col("source"), explode(
+        when(size(t) < 3, array(concat_ws(" ", t)))
+          .otherwise(transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", at(i), at(i + 1), at(i + 2))))).as("gram"))
+      .filter(col("gram") =!= "")
+  }
+
+  /** Count-Min frequency card (m149): the sketch triad's FREQUENCY leg
+    * under real use — per-source 4×1024 Count-Min counters over the
+    * shingle occurrence stream, MERGED corpus-wide by elementwise add
+    * (the m148 union story for frequencies), probed with the exact
+    * top-20 shingles and certified one-sided: estimate ≥ exact always,
+    * overcount ≤ εN (spec-pinned ≥ 0 per row). At 100 TB the exact
+    * side is the corpus-sized count this sketch replaces; the counter
+    * exchange stays ≤ sources × 4096 integer rows. */
+  def cmsFrequencyCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val occ = shingleOccurrences(s, dir)
+    val merged = CountMin.merge(CountMin.counters(occ, Seq("source"), col("gram")))
+    val top = occ.groupBy("gram").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("gram")).limit(20)
+    CountMin.estimate(merged, top, "gram")
+      .join(top, Seq("gram"))
+      .select(col("gram"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+  }
+
+  /** Histogram quantile-sketch card (m150): the triad's QUANTILE leg —
+    * per-source 1024-bucket integer histograms over per-doc token
+    * counts, merged corpus-wide by elementwise add, quantiles p50/p90/
+    * p99 read off the merged sketch and certified against the exact
+    * nearest-rank values with the sketch's own deterministic bound:
+    * 0 ≤ est − exact ≤ ceil(R/1024) (spec-pinned per row). The
+    * corpus-wide sort the exact side needs is what the sketch replaces
+    * at 100 TB; everything here is integer arithmetic, so the card is
+    * bit-deterministic cross-engine. */
+  def histogramQuantileCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistogramSketch
+    val vals = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("v"))
+    val range = HistogramSketch.valueRange(vals, col("v"))
+    val merged = HistogramSketch.merge(
+      HistogramSketch.counters(vals, Seq("source"), col("v"), range))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = HistogramSketch.quantiles(merged, range, qs)
+    val exact = HistogramSketch.exactQuantiles(
+      vals.groupBy("v").agg(count(lit(1)).as("cnt")), qs)
+    est.join(exact, Seq("q", "n"))
+      .crossJoin(broadcast(range))
+      .select(col("q"), col("n"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("abs_err"),
+        expr(s"(r + ${graft.operators.HistogramSketch.Width - 1}) div " +
+          s"${graft.operators.HistogramSketch.Width}").as("bound"))
+  }
+
   /** Gopher rule card (m91): the MassiveText per-document rule battery —
     * rule bits + AND verdict, one projection pass. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =

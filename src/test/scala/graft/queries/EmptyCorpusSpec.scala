@@ -126,6 +126,10 @@ class EmptyCorpusSpec extends SparkSpec {
     // m148: the merged-ALL row is gated on registers_hit > 0, so the
     // global aggregate's one-row-on-empty artifact never surfaces
     "m148_hll_union" -> (CorpusQueries.hllUnionCard _),
+    // m149: empty stream → empty counters → empty top-20 probe set
+    "m149_cms_frequency" -> (CorpusQueries.cmsFrequencyCard _),
+    // m150: empty range frame collapses build and estimate to zero rows
+    "m150_histogram_quantiles" -> (CorpusQueries.histogramQuantileCard _),
     // m141: the augmentation filters on non-null text first → zero rows
     "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m128: data-free design card — must still run (8 rows) on an empty

@@ -819,6 +819,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m148: the HLL union card never exchanges text; the merge is a bucket-max re-aggregation") {
+    val p = plan(CorpusQueries.hllUnionCard(spark, dir))
+    p should include("partial_max")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("gram#")
+    (exchanges should not).include("text#")
+  }
+
+  test("m149: CMS counter exchange carries (source, r, bucket, partial sum); no text, no cartesian") {
+    val p = plan(CorpusQueries.cmsFrequencyCard(spark, dir))
+    // counters partial-aggregate map-side (bounded at groups × d × w);
+    // the exact top-20 side is the certificate and the only place gram
+    // strings aggregate — text itself never reaches an exchange
+    p should include("partial_sum")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
+  test("m150: histogram sketch exchanges carry integer buckets/values only; range rides a broadcast") {
+    val p = plan(CorpusQueries.histogramQuantileCard(spark, dir))
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin") // the 1-row range frame
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
   test("m141: Luhn card detection is a zero-exchange codegen'd projection — no UDF") {
     val p = plan(CorpusQueries.ccLuhn(spark, dir))
     (p should not).include("Exchange")

@@ -68,21 +68,25 @@ def main() -> int:
     new = run.get("queries", {})
     ref_canary = ref.get("canary")
     run_canary = (run.get("canary") or {}).get("median")
-    # per-row same-run canary ratios, straight from the record when
-    # present; else derived from the run-level median
-    run_ratios = run.get("ratios") or {}
-    normalized = bool(ref_canary) and bool(run_canary)
+    # different canary PLANS are different clocks — fall back to
+    # wall-clock drift rather than scale by incomparable seconds
+    ref_plan = ref.get("canary_plan")
+    run_plan = (run.get("canary") or {}).get("plan")
+    plans_ok = ref_plan is None or run_plan is None or ref_plan == run_plan
+    normalized = bool(ref_canary) and bool(run_canary) and plans_ok
 
+    # MEDIAN-vs-MEDIAN on both sides: the reference stores only its
+    # run's canary median, so normalizing the new side by PER-ROW
+    # canaries would read within-run canary variance as drift — the
+    # first live refresh flagged 8 rows whose seconds were IDENTICAL
+    # because their end-of-suite canary samples ran fast (review r17b).
+    # The per-row ratios in the record remain the adjudication tool for
+    # rows the IN-RUN guard flags (each row against its own window);
+    # this gate compares stable run-level normalizations.
     def ratio_old(name):
         return old[name] / ref_canary
 
     def ratio_new(name):
-        # prefer the record's per-row ratio (canary AT measurement time)
-        # but never a zero-quantized one — a sub-resolution row falls
-        # back to full precision against the run median (review r17)
-        r = run_ratios.get(name)
-        if r:
-            return r
         return new[name] / run_canary
 
     moved = {}
@@ -121,8 +125,13 @@ def main() -> int:
     }
     if run_canary:
         out["canary"] = run_canary
+        plan = (run.get("canary") or {}).get("plan")
+        if plan:
+            out["canary_plan"] = plan
     elif ref_canary:
         out["canary"] = ref_canary
+        if ref.get("canary_plan"):
+            out["canary_plan"] = ref["canary_plan"]
     changes = list(ref.get("changes", []))
     if moved:
         changes.append({
