@@ -436,9 +436,13 @@ object Bench {
             case JDecimal(v) => Some(v.toDouble)
             case _ => None
           }).filter { _ =>
-            val ok = refPlan.forall(_ == CanaryPlan)
+            // ABSENT plan = mismatch, not match: every plan-less
+            // reference by definition predates the current plan, and
+            // trusting it would mis-scale all thresholds (review r17b)
+            val ok = refPlan.contains(CanaryPlan)
             if (!ok) System.err.println(
-              s"[bench] reference canary plan ${refPlan.get} != $CanaryPlan — ratio guard falls back to wall-clock")
+              s"[bench] reference canary plan ${refPlan.getOrElse("<absent>")} != " +
+                s"$CanaryPlan — ratio guard falls back to wall-clock")
             ok
           }
           j \ "queries" match {

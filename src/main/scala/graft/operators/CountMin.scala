@@ -54,6 +54,12 @@ object CountMin {
     val rb = explode(array((0 until Depth).map(j =>
       struct(lit(j).as("r"), bucketOf(j, itemCol).as("bucket"))): _*))
     rows
+      // null items are dropped HERE, not left to each caller:
+      // concat_ws would silently hash a null item as the bare salt
+      // ("j") while the oracle's `j || ':' || item` yields NULL and
+      // drops the row — a cross-engine counter divergence in a
+      // portability-pinned operator (review r17b)
+      .filter(itemCol.isNotNull)
       .select(groupCols.map(col) :+ rb.as("rb") :+ weight.as("w"): _*)
       .select(groupCols.map(col) :+ col("rb.r").as("r") :+
         col("rb.bucket").as("bucket") :+ col("w"): _*)
@@ -78,6 +84,7 @@ object CountMin {
     val rb = explode(array((0 until Depth).map(j =>
       struct(lit(j).as("r"), bucketOf(j, col(itemCol)).as("bucket"))): _*))
     val exploded = probes
+      .filter(col(itemCol).isNotNull) // the counters-side null rule
       .select((groupCols :+ itemCol).map(col) :+ rb.as("rb"): _*)
       .select((groupCols :+ itemCol).map(col) :+ col("rb.r").as("r") :+
         col("rb.bucket").as("bucket"): _*)

@@ -81,14 +81,19 @@ object HistogramSketch {
       .withColumn("rank",
         greatest(ceil(col("q") * col("n").cast("double")).cast("long"), lit(1L)))
       .withColumn("k",
+        // an explicit found FLAG, not a sentinel key: keys are values
+        // here on the exact path and may legitimately be negative — a
+        // `hit >= 0` latch would overwrite the pick with every later
+        // key whenever the picked value was negative (review r17b)
         aggregate(col("ks"),
-          struct(lit(0L).as("cum"), lit(-1L).as("hit")),
+          struct(lit(0L).as("cum"), lit(false).as("found"), lit(0L).as("hit")),
           (acc, x) => {
             val cum = acc.getField("cum") + x.getField("cnt")
             struct(cum.as("cum"),
-              when(acc.getField("hit") >= 0L, acc.getField("hit"))
+              (acc.getField("found") || cum >= col("rank")).as("found"),
+              when(acc.getField("found"), acc.getField("hit"))
                 .when(cum >= col("rank"), x.getField("k"))
-                .otherwise(lit(-1L)).as("hit"))
+                .otherwise(lit(0L)).as("hit"))
           }).getField("hit"))
       .select(col("q"), col("n"), col("k"))
   }

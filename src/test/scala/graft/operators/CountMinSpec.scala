@@ -70,6 +70,18 @@ class CountMinSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("null items are dropped inside the operator, never hashed as the bare salt") {
+    // review r17b: concat_ws would hash a null item as "j" alone while
+    // the oracle's j || ':' || item NULLs out — the operator owns the rule
+    val rows = Seq(("a", Option("x")), ("a", None), ("a", Option("x")))
+      .toDF("g", "item")
+    val cnts = CountMin.counters(rows, Seq("g"), col("item"))
+    CountMin.estimate(cnts, items(("a", "x")), "item", Seq("g"))
+      .head().getAs[Long]("cms_estimate") shouldBe 2L
+    // every cell holds exactly the two non-null occurrences
+    cnts.agg(max("cnt")).head().getLong(0) shouldBe 2L
+  }
+
   test("weighted counting: weight w adds w per occurrence") {
     val rows = items(("a", "x"), ("a", "x"))
     val est = CountMin.estimate(

@@ -59,6 +59,17 @@ class HistogramSketchSpec extends SparkSpec {
     est(1) should be <= 301L
   }
 
+  test("exactQuantiles picks correctly when the picked VALUE is negative (found flag, not a sentinel)") {
+    // review r17b: a `hit >= 0` latch overwrote a negative pick with
+    // every later value, returning the max instead of the quantile
+    val vc = Seq((-5L, 1L), (-3L, 1L), (10L, 1L)).toDF("v", "cnt")
+    val out = HistogramSketch.exactQuantiles(vc, Seq(0.5, 1.0 / 3, 1.0))
+      .select("q", "exact").as[(Double, Long)].collect().toMap
+    out(1.0 / 3) shouldBe -5L
+    out(0.5) shouldBe -3L
+    out(1.0) shouldBe 10L
+  }
+
   test("merge by elementwise add equals from-scratch; associative across three sources") {
     val rows = vals((1 to 600).map(i => (s"s${i % 3}", (i * 7 % 211).toLong)): _*)
     val range = HistogramSketch.valueRange(rows, col("v"))

@@ -69,10 +69,12 @@ def main() -> int:
     ref_canary = ref.get("canary")
     run_canary = (run.get("canary") or {}).get("median")
     # different canary PLANS are different clocks — fall back to
-    # wall-clock drift rather than scale by incomparable seconds
+    # wall-clock drift rather than scale by incomparable seconds; an
+    # ABSENT plan on either side is a mismatch, not a match (a
+    # plan-less record predates plan stamping, review r17b)
     ref_plan = ref.get("canary_plan")
     run_plan = (run.get("canary") or {}).get("plan")
-    plans_ok = ref_plan is None or run_plan is None or ref_plan == run_plan
+    plans_ok = ref_plan is not None and ref_plan == run_plan
     normalized = bool(ref_canary) and bool(run_canary) and plans_ok
 
     # MEDIAN-vs-MEDIAN on both sides: the reference stores only its
