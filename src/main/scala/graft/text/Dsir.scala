@@ -63,13 +63,14 @@ object Dsir {
     * BOTH corpus-sized exchanges — the (doc, target, bucket) count
     * aggregate and the per-doc weight fold — are keyed repartitions to
     * that width, so their reducer state scales with the corpus instead
-    * of spilling at a fixed session cap (the gen-300 finding). The
-    * keyed repartition satisfies each aggregate's distribution, so no
+    * of spilling at a fixed session cap (the gen-300 finding), AND the
+    * weight fold switches to the streaming sort-within-partitions form
+    * (no per-doc buffer — the gen-1000 escalation; see the fold note
+    * below). The keyed repartition satisfies each distribution, so no
     * second exchange appears; map-side combine on these keys is
     * negligible by construction (a doc's ~150 grams hit ~130 distinct
-    * buckets, and collect_list partials don't combine at all), so the
-    * exchange carries the same rows either way. Results are partition-
-    * invariant (spec-pinned identical to the default plan). */
+    * buckets), so the exchange carries the same rows either way.
+    * Results are BIT-identical to the default plan (spec-pinned). */
   def importanceWeights(docs: DataFrame, isTarget: Column,
                         buckets: Int = 1024, selectFrac: Double = 0.2,
                         textCol: String = "text",
@@ -110,18 +111,60 @@ object Dsir {
         (log((col("n_t") + half) / (col("tt") + bHalf)) -
           log((col("n_r") + half) / (col("tr") + bHalf))).as("lam"))
     val joined = docBuckets.join(broadcast(lam), Seq("bucket"))
-    val joinedP = shufflePartitions.fold(joined)(n =>
-      joined.repartition(n, col("doc_id")))
-    val scored = joinedP
-      .groupBy("doc_id")
-      .agg(
-        sum("n_db").cast("long").as("n_grams"),
-        // bucket-sorted fold: bucket is unique per doc, so the struct
-        // sort pins a total order and the double sum is associative-free
-        aggregate(
-          array_sort(collect_list(struct(col("bucket"),
-            (col("n_db") * col("lam")).as("c")))),
-          lit(0.0), (acc, x) => acc + x("c")).as("logw"))
+    // Two BIT-IDENTICAL shapes of the per-doc weight fold (both add
+    // the c = n_db·λ_b terms in ascending-bucket order — bucket is
+    // unique per doc, so the order is total and the double sum is
+    // associative-free either way; spec-pinned byte-equal):
+    //  - default: collect_list + array_sort + aggregate — one hash
+    //    aggregate, right up to the scale where its per-doc struct
+    //    buffers inflate ~8× over their exchange bytes in HEAP (the
+    //    gen-1000 residual spiller, round-17 probe);
+    //  - escalated (whenever the ScalePartitions rule fires): keyed
+    //    repartition + sortWithinPartitions + a STREAMING per-doc fold
+    //    in mapPartitions — no per-doc buffer anywhere; ordering spills
+    //    through Tungsten's external sorter (bounded, off-heap-ish)
+    //    instead of object arrays. This is the memory-lean exact fold
+    //    the gen-1000 probe named.
+    val scored = shufflePartitions match {
+      case None =>
+        joined
+          .groupBy("doc_id")
+          .agg(
+            sum("n_db").cast("long").as("n_grams"),
+            aggregate(
+              array_sort(collect_list(struct(col("bucket"),
+                (col("n_db") * col("lam")).as("c")))),
+              lit(0.0), (acc, x) => acc + x("c")).as("logw"))
+      case Some(n) =>
+        val s = docs.sparkSession
+        import s.implicits._
+        joined
+          .select(col("doc_id"), col("bucket"), col("n_db"),
+            (col("n_db") * col("lam")).as("c"))
+          .repartition(n, col("doc_id"))
+          .sortWithinPartitions("doc_id", "bucket")
+          .as[(Long, Long, Long, Double)]
+          .mapPartitions { (it: Iterator[(Long, Long, Long, Double)]) =>
+            // named `in`, NOT `buffered`: inside the anonymous Iterator
+            // the bare name would resolve to ITS OWN .buffered member
+            val in = it.buffered
+            new Iterator[(Long, Long, Double)] {
+              def hasNext: Boolean = in.hasNext
+              def next(): (Long, Long, Double) = {
+                val (docId, _, n0, c0) = in.next()
+                var nGrams = n0
+                var logw = 0.0 + c0 // the fold's lit(0.0) seed, kept
+                while (in.hasNext && in.head._1 == docId) {
+                  val (_, _, nDb, c) = in.next()
+                  nGrams += nDb
+                  logw += c
+                }
+                (docId, nGrams, logw)
+              }
+            }
+          }
+          .toDF("doc_id", "n_grams", "logw")
+    }
     val thr = scored.agg(
       percentile(col("logw"), lit(1.0 - selectFrac)).as("thr"))
     scored.crossJoin(broadcast(thr))
