@@ -130,8 +130,9 @@ object Bench {
     // CANARY normalization (round-16 verdict ask #3): three rounds of
     // host-noise rows were adjudicated by narrative ("host-speed shift"
     // notes); this makes the verdict mechanical. A pinned, data-free,
-    // scheduling-bound plan — 4M `range` ids hashed and summed over 64
-    // tasks, fixed work at any sf — is re-measured (min of 3) every
+    // scheduling-bound plan — 12M `range` ids xxhash64'd and folded
+    // with bit_xor over 64 tasks (the range12m-xxhash64-xor-p64 plan
+    // in DESIGN.md §8), fixed work at any sf — is re-measured (min of 3) every
     // [[CanaryEvery]] timed rows, each row records the canary in force
     // when IT was measured, and both the in-run 3x guard and
     // tools/update_bench_ref.py compare RATIOS to the same-run canary

@@ -45,10 +45,14 @@ object HistogramSketch {
   /** Bucket counts: one (groupCols…, bucket, cnt) row per hit bucket.
     * `range` is [[valueRange]]'s 1-row frame (pass the SAME frame to
     * [[quantiles]] — a sketch is only mergeable with sketches built on
-    * the same range). */
+    * the same range). NULL values are dropped HERE (the CountMin null
+    * rule): a nullable valueCol must not mint a null-bucket row that
+    * inflates n and diverges from SQL's NULL-dropping aggregate
+    * arithmetic — the operator owns the rule, not its callers. */
   def counters(rows: DataFrame, groupCols: Seq[String], valueCol: Column,
                range: DataFrame): DataFrame =
-    rows.select(groupCols.map(col) :+ valueCol.cast("long").as("v_"): _*)
+    rows.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ valueCol.cast("long").as("v_"): _*)
       .crossJoin(broadcast(range))
       .select(groupCols.map(col) :+
         expr(s"((v_ - lo) * $Width) div r").as("bucket"): _*)

@@ -904,13 +904,30 @@ object CorpusQueries {
     * (spec-pinned; the all-null quarantined row falls to the
     * doc_id-null filter in [[labeledSet]]). */
   private val labeledJsonlPaths = scala.collection.mutable.Map.empty[String, String]
+
+  /** Minimal JSON string escaper (\\, ", and control chars < 0x20):
+    * the labeled JSONL is built by interpolation, so a planted phrase
+    * containing a quote or backslash must become a VALID escaped
+    * string, not a silently quarantined line that shrinks the labeled
+    * set and desyncs the trainer from the oracle's formula replay. */
+  private[graft] def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
   private[graft] def labeledJsonlPath(s: SparkSession, dir: String): String =
     labeledJsonlPaths.synchronized {
       labeledJsonlPaths.getOrElseUpdate(dir, {
         val p = java.nio.file.Files.createTempDirectory("graft-labeled-jsonl")
         val lines = labeledLangRows(labeledOff(s, dir)).map {
           case (id, text, lang, source, n) =>
-            s"""{"doc_id":$id,"text":"$text","lang":"$lang","source":"$source","n_chars":$n}"""
+            s"""{"doc_id":$id,"text":"${jsonStr(text)}","lang":"${jsonStr(lang)}","source":"${jsonStr(source)}","n_chars":$n}"""
         } :+ """{"doc_id":"""  // the truncated shipment line
         val f = p.resolve("labeled.jsonl")
         java.nio.file.Files.write(f,

@@ -95,6 +95,20 @@ class HistogramSketchSpec extends SparkSpec {
     run(rows.repartition(13)) shouldBe run(rows)
   }
 
+  test("null values are dropped by counters itself (the CountMin null rule), not by callers") {
+    // advice r18: a nullable valueCol must not mint a null-bucket row
+    // that inflates n — the operator owns the null rule
+    val rows = Seq(("g", Some(1L)), ("g", None), ("g", Some(100L)), ("g", None))
+      .toDF("g", "v")
+    val range = HistogramSketch.valueRange(rows, col("v"))
+    val sk = HistogramSketch.counters(rows, Seq("g"), col("v"), range)
+    sk.filter(col("bucket").isNull).count() shouldBe 0
+    sk.agg(sum("cnt")).as[Long].head() shouldBe 2L // only the 2 non-null values
+    val est = HistogramSketch.quantiles(HistogramSketch.merge(sk), range, Seq(1.0))
+      .as[(Double, Long, Long)].head()
+    est._2 shouldBe 2L // n counts non-null rows only, matching SQL aggregates
+  }
+
   test("empty input: empty range, empty sketch, empty estimates — never a NaN or a lone row") {
     val none = vals()
     val range = HistogramSketch.valueRange(none, col("v"))

@@ -143,6 +143,28 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("jsonStr escapes quotes, backslashes and control chars into valid JSON (advice r18)") {
+    // a planted phrase containing " or \ must survive the JSONL round
+    // trip as a VALID escaped string, not a quarantined line
+    CorpusQueries.jsonStr("""he said "hi"""") shouldBe """he said \"hi\""""
+    CorpusQueries.jsonStr("""a\b""") shouldBe """a\\b"""
+    CorpusQueries.jsonStr("tab\there\nline") shouldBe "tab\\u0009here\\u000aline"
+    CorpusQueries.jsonStr("plain ascii stays") shouldBe "plain ascii stays"
+    // round-trip through the production reader: the escaped line parses
+    import java.nio.file.{Files, Paths}
+    val p = Files.createTempDirectory("graft-jsonstr")
+    val tricky = """quote " back \ slash"""
+    Files.write(p.resolve("t.jsonl"),
+      s"""{"doc_id":1,"text":"${CorpusQueries.jsonStr(tricky)}","lang":"en","source":"s","n_chars":1}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = graft.io.Sources
+      .documentsJsonl(spark, p.resolve("t.jsonl").toString).cache()
+    try {
+      back.filter(col("_corrupt_record").isNotNull).count() shouldBe 0
+      back.select("text").as[String].head() shouldBe tricky
+    } finally { back.unpersist(); () }
+  }
+
   test("labeled JSONL contract: quarantine sheds the truncated line, balanced 80/20 split, support disclosed") {
     val d = sf("sf0.001")
     val path = CorpusQueries.labeledJsonlPath(spark, d)

@@ -130,10 +130,15 @@ def main() -> int:
         plan = (run.get("canary") or {}).get("plan")
         if plan:
             out["canary_plan"] = plan
+    # A canary-less promoted run must NOT carry the old reference canary
+    # forward: the fresh rows were measured in a different host window,
+    # so pairing them with a stale canary silently mis-scales the 3x
+    # guard's ratio normalization. Omit canary entirely — Bench falls
+    # back to wall-clock comparison, which is at least honest.
     elif ref_canary:
-        out["canary"] = ref_canary
-        if ref.get("canary_plan"):
-            out["canary_plan"] = ref["canary_plan"]
+        print("note: promoted run has no canary; dropping the stale "
+              f"reference canary {ref_canary} (guard falls back to "
+              "wall-clock until a canaried run is promoted)")
     changes = list(ref.get("changes", []))
     if moved:
         changes.append({
