@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, CorpusQueries, RetailQueries}
+import graft.queries.{Analytics, CorpusQueries, LegacySql, RetailQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -72,6 +72,12 @@ object SparkEntry {
     "q41_range_window" -> (RetailQueries.rangeWindow _),
     "q42_range_join" -> (RetailQueries.rangeJoinBands _),
     "q43_grouping_sets" -> (RetailQueries.groupingSets _),
+    // S11/A7/F8 + the mart write path, pulled under the hash gate
+    // (round-17 verdict asks #2/#3) — see queries/LegacySql.scala.
+    "q44_legacy_users_sql" -> (LegacySql.usersRoundTrip _),
+    "q45_legacy_rollup" -> (LegacySql.legacyFactRollup _),
+    "q46_seeded_ids" -> ((s, dir) => LegacySql.seededIds(s, dir)),
+    "q47_mart_roundtrip" -> (LegacySql.martRoundTrip _),
     "m16_chunking" -> (CorpusQueries.chunkDocuments _),
     "m13_vocabulary" -> (CorpusQueries.vocabulary _),
     // M8 — training-data pipeline operators (SURVEY §7.2 M8)
@@ -667,6 +673,40 @@ object SparkEntry {
         "percent_rank() OVER w AS pr " +
         "FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"),
+    // q44: the reference's two processed_user rows replayed as VALUES —
+    // the Spark side's hash comes from a real CREATE/INSERT/SELECT.
+    "q44_legacy_users_sql" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'John', 'Doe', 'jd@example.com', TIMESTAMP '2025-07-24 10:00:00'), " +
+        "(CAST(2 AS BIGINT), 'Jane', 'Roe', 'jr@example.com', TIMESTAMP '2025-07-24 10:01:00')" +
+        ") AS t(id, firstname, lastname, email, created_at)"),
+    // q45: the 7-key staged rollup; product attrs via the part join with
+    // the |part| modulus riding a scalar subquery (the Spark side's
+    // broadcast 1-row frame), revenue through the decimal(18,2) bridge.
+    "q45_legacy_rollup" ->
+      ("WITH staged AS (SELECT CAST(e.ts AS DATE) AS event_date, e.event_type, " +
+        "e.event_id % np.np + 1 AS product_id, e.user_id, " +
+        "CAST(e.user_id AS VARCHAR) || ':' || CAST(CAST(e.ts AS DATE) AS VARCHAR) AS user_session, " +
+        "e.value AS price FROM events e CROSS JOIN (SELECT count(*) AS np FROM part) np) " +
+        "SELECT event_date, event_type, product_id, CAST(p.p_size AS BIGINT) AS category_id, " +
+        "p.p_brand AS brand, user_id, user_session, count(*) AS total_events, " +
+        "CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN price ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue " +
+        "FROM staged s JOIN part p ON s.product_id = p.p_partkey " +
+        "GROUP BY 1, 2, 3, 4, 5, 6, 7"),
+    // q46: the house seeded-id convention — md5(seed:i) mod N, the same
+    // first-48-bits-of-md5 primitive as the gate's row hashes.
+    "q46_seeded_ids" ->
+      ("SELECT CAST(n AS BIGINT) AS n, " +
+        "('0x' || substr(md5('7:' || CAST(n AS VARCHAR)), 1, 12))::BIGINT % 10000 AS user_id " +
+        "FROM generate_series(0, 999) t(n)"),
+    // q47: the mart read-back must equal the aggregate computed straight
+    // from the raw events — the write/register/recover lineage is on the
+    // Spark side only.
+    "q47_mart_roundtrip" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum, " +
+        "'2024-01-15' AS dt FROM events " +
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY 1"),
     "m16_chunking" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM documents) " +
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +

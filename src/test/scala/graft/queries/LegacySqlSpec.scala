@@ -38,6 +38,40 @@ class LegacySqlSpec extends SparkSpec {
     collected.toSeq shouldBe again.toSeq
   }
 
+  test("q44: users DDL round-trip is idempotent — a re-run re-creates, never appends") {
+    val d = sf("sf0.001")
+    val first = LegacySql.usersRoundTrip(spark, d).collect()
+    first.length shouldBe 2 // reference log: "Rows affected: 2"
+    val again = LegacySql.usersRoundTrip(spark, d).collect()
+    again.length shouldBe 2 // NOT 4 — drop+wipe+create, the reference's replace semantics
+    first.map(_.toString).sorted.toSeq shouldBe again.map(_.toString).sorted.toSeq
+  }
+
+  test("q46: seeded ids are partition-invariant and bounded — the scaladoc's claim vs rand(seed)") {
+    val d = sf("sf0.001")
+    val base = LegacySql.seededIds(spark, d).orderBy("n").collect().map(_.getLong(1))
+    all(base.toSeq) should (be >= 0L and be < 10000L)
+    // the property rand(seed) does NOT have: invariance to partitioning
+    val repart = LegacySql.seededIds(spark, d)
+      .repartition(7).orderBy("n").collect().map(_.getLong(1))
+    base.toSeq shouldBe repart.toSeq
+    // different seeds give different streams
+    val other = LegacySql.seededIds(spark, d, seed = 8L).orderBy("n")
+      .collect().map(_.getLong(1))
+    base.toSeq should not be other.toSeq
+  }
+
+  test("q47: mart round-trip is idempotent and the S6 empty day leaves no partition") {
+    val d = sf("sf0.001")
+    val first = LegacySql.martRoundTrip(spark, d).collect().map(_.toString).sorted.toSeq
+    val again = LegacySql.martRoundTrip(spark, d).collect().map(_.toString).sorted.toSeq
+    first shouldBe again // dynamic overwrite of the same day, not an append
+    // S6: the empty 1999-01-01 write was skipped — the crawler table
+    // holds exactly one dt partition
+    spark.table("agg_daily_counts_rt").select("dt").distinct().collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("2024-01-15")
+  }
+
   test("A7: legacy 7-key wide fact rollup shape") {
     import spark.implicits._
     val staged = Seq(

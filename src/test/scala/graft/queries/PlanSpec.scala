@@ -968,6 +968,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
+  test("q45: legacy rollup broadcasts the part dim and the scalar modulus; one hash-agg exchange with partial combine") {
+    val p = plan(LegacySql.legacyFactRollup(spark, dir))
+    // the dim join and the |part| scalar frame must both broadcast —
+    // the only hash exchange is the 7-key rollup's own
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include("partial_count")
+  }
+
   test("m106/m107: dup-mass reports read the stored cluster asset; exchanges carry ids and counts, never text") {
     for (q <- Seq(CorpusQueries.dupFamilyHistogram _, CorpusQueries.sourceDupMass _)) {
       val p = plan(q(spark, dir))
