@@ -420,6 +420,10 @@ object SparkEntry {
     // p50/p90/p99 vs exact nearest-rank with the deterministic
     // ceil(R/W) bound certified per row
     "m150_histogram_quantiles" -> (CorpusQueries.histogramQuantileCard _),
+    // m151: the sketch triad's CONSUMER — m132's per-source quantile
+    // card served from MERGED shard sketches (p90 = the source's
+    // truncation cap); hash gate proves merge-path ≡ direct arithmetic
+    "m151_sketch_source_quantiles" -> (CorpusQueries.sketchSourceQuantiles _),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1804,6 +1808,33 @@ object SparkEntry {
         "CAST((rg.r + 1023) // 1024 AS BIGINT) AS bound " +
         "FROM rk JOIN pick p USING (q) JOIN exq e USING (q) CROSS JOIN rg) " +
         "SELECT q, n, est, exact, CAST(est - exact AS BIGINT) AS abs_err, bound FROM fin"),
+    // m151: m150's integer replay grouped per source; the oracle computes
+    // buckets DIRECTLY (no shard split), so hash equality is itself the
+    // merge-correctness proof. Global range, per-source windows.
+    "m151_sketch_source_quantiles" ->
+      ("WITH d AS (SELECT source, len(string_split_regex(lower(trim(text)), ' +')) AS v " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "rg AS (SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi, " +
+        "CAST(max(v) AS BIGINT) - CAST(min(v) AS BIGINT) + 1 AS r FROM d), " +
+        "bk AS (SELECT source, ((CAST(v AS BIGINT) - lo) * 1024) // r AS bucket FROM d CROSS JOIN rg), " +
+        "hs AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2), " +
+        "nn AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hs GROUP BY 1), " +
+        "qs AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.25), (0.5), (0.75), (0.9)) v(x)), " +
+        "rk AS (SELECT source, q, n, greatest(CAST(ceil(q * n) AS BIGINT), 1) AS rnk FROM qs CROSS JOIN nn), " +
+        "cum AS (SELECT source, bucket, sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum FROM hs), " +
+        "pick AS (SELECT rk.source, q, min(bucket) AS b FROM rk JOIN cum " +
+        "ON cum.source = rk.source AND cum.cum >= rk.rnk GROUP BY 1, 2), " +
+        "vc AS (SELECT source, CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2), " +
+        "vcum AS (SELECT source, v, sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum FROM vc), " +
+        "exq AS (SELECT rk.source, q, min(v) AS exact FROM rk JOIN vcum " +
+        "ON vcum.source = rk.source AND vcum.cum >= rk.rnk GROUP BY 1, 2) " +
+        "SELECT rk.source, rk.q, rk.n, " +
+        "CAST(rg.lo + ((p.b + 1) * rg.r + 1023) // 1024 - 1 AS BIGINT) AS est, " +
+        "CAST(e.exact AS BIGINT) AS exact, " +
+        "CAST(rg.lo + ((p.b + 1) * rg.r + 1023) // 1024 - 1 - e.exact AS BIGINT) AS abs_err, " +
+        "CAST((rg.r + 1023) // 1024 AS BIGINT) AS bound " +
+        "FROM rk JOIN pick p ON p.source = rk.source AND p.q = rk.q " +
+        "JOIN exq e ON e.source = rk.source AND e.q = rk.q CROSS JOIN rg"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
     // agree on it), the same block-aligned window scan, and the Luhn

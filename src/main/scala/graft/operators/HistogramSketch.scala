@@ -71,11 +71,13 @@ object HistogramSketch {
     * realized value set for the exact certificate), no corpus-sized
     * sort anywhere. Output: (q, n, k). Empty input → empty. */
   private def pickByRank(kv: DataFrame, keyCol: String,
-                         qs: Seq[Double]): DataFrame = {
+                         qs: Seq[Double],
+                         groupCols: Seq[String] = Seq.empty): DataFrame = {
     val s = kv.sparkSession
     import s.implicits._
     val qdf = qs.toDF("q")
-    kv.agg(sort_array(collect_list(struct(col(keyCol).as("k"), col("cnt"))))
+    kv.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(keyCol).as("k"), col("cnt"))))
         .as("ks"), sum(col("cnt")).as("n"))
       .filter(col("n").isNotNull)
       .crossJoin(broadcast(qdf))
@@ -99,7 +101,7 @@ object HistogramSketch {
                 .when(cum >= col("rank"), x.getField("k"))
                 .otherwise(lit(0L)).as("hit"))
           }).getField("hit"))
-      .select(col("q"), col("n"), col("k"))
+      .select((groupCols.map(col) ++ Seq(col("q"), col("n"), col("k"))): _*)
   }
 
   /** Quantile estimates from a (bucket, cnt) sketch: (q, n, est) where
@@ -107,17 +109,33 @@ object HistogramSketch {
     * ≤ ceil(R/W)−1 overshoot the card certifies. */
   def quantiles(sketch: DataFrame, range: DataFrame,
                 qs: Seq[Double]): DataFrame =
-    pickByRank(sketch, "bucket", qs)
+    quantilesBy(sketch, range, qs, Seq.empty)
+
+  /** Per-group quantile estimates from a (groupCols…, bucket, cnt)
+    * sketch — the m151 consumer path: each group's fold is bounded by
+    * W buckets, so the whole read is |groups|·W rows, never a
+    * corpus-sized sort. All groups must share ONE `range` frame (a
+    * sketch is only mergeable/comparable on a common bucketing). */
+  def quantilesBy(sketch: DataFrame, range: DataFrame, qs: Seq[Double],
+                  groupCols: Seq[String]): DataFrame =
+    pickByRank(sketch, "bucket", qs, groupCols)
       .crossJoin(broadcast(range))
-      .select(col("q"), col("n"),
+      .select((groupCols.map(col) ++ Seq(col("q"), col("n"),
         (col("lo") + expr(s"((k + 1) * r + ${Width - 1}) div $Width") - 1L)
-          .as("est"))
+          .as("est"))): _*)
 
   /** EXACT nearest-rank quantiles from a (v, cnt) value-count table —
     * the certificate side of the m150 card (realized-value-bounded
     * fold; at 100 TB this is the thing the sketch replaces): (q, n,
     * exact). */
   def exactQuantiles(valueCounts: DataFrame, qs: Seq[Double]): DataFrame =
-    pickByRank(valueCounts, "v", qs)
-      .select(col("q"), col("n"), col("k").as("exact"))
+    exactQuantilesBy(valueCounts, qs, Seq.empty)
+
+  /** Per-group exact nearest-rank quantiles from a (groupCols…, v, cnt)
+    * table — m151's certificate side. */
+  def exactQuantilesBy(valueCounts: DataFrame, qs: Seq[Double],
+                       groupCols: Seq[String]): DataFrame =
+    pickByRank(valueCounts, "v", qs, groupCols)
+      .select((groupCols.map(col) ++
+        Seq(col("q"), col("n"), col("k").as("exact"))): _*)
 }

@@ -1311,6 +1311,46 @@ object CorpusQueries {
           s"${graft.operators.HistogramSketch.Width}").as("bound"))
   }
 
+  /** Sketch-served per-source length caps (m151): the m150 histogram
+    * sketch CONSUMED in a real decision — m132's per-source token-count
+    * quantile card re-served from MERGED shard sketches instead of the
+    * exact per-group nearest-rank pass, with the p90 row being the
+    * per-source truncation cap the mix tier reads. The lineage contains
+    * a genuine merge: per-(source, shard) sketches are built first and
+    * folded with [[graft.operators.HistogramSketch.merge]] — the DuckDB
+    * oracle computes per-source buckets DIRECTLY, so the hash gate
+    * itself proves merge-path ≡ direct arithmetic (the m148 HLL-union
+    * pattern, now for quantiles). Certificate columns: exact
+    * nearest-rank value and the deterministic 0 ≤ est − exact ≤
+    * ceil(R/W) bound per row. At 100 TB the exact side is what the
+    * sketch replaces: the sketch read is |sources|·1024 integer rows;
+    * the exact side needs every realized (source, value) pair. All
+    * sources share ONE range frame — sketches are only mergeable on a
+    * common bucketing. */
+  def sketchSourceQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistogramSketch
+    val vals = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), " +")).cast("long").as("v"))
+    val range = HistogramSketch.valueRange(vals, col("v"))
+    val sharded = HistogramSketch.counters(
+      vals.withColumn("shard_", pmod(col("doc_id"), lit(2L))),
+      Seq("source", "shard_"), col("v"), range)
+    val merged = HistogramSketch.merge(sharded, keepCols = Seq("source"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val est = HistogramSketch.quantilesBy(merged, range, qs, Seq("source"))
+    val exact = HistogramSketch.exactQuantilesBy(
+      vals.groupBy("source", "v").agg(count(lit(1)).as("cnt")),
+      qs, Seq("source"))
+    est.join(exact, Seq("source", "q", "n"))
+      .crossJoin(broadcast(range))
+      .select(col("source"), col("q"), col("n"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("abs_err"),
+        expr(s"(r + ${graft.operators.HistogramSketch.Width - 1}) div " +
+          s"${graft.operators.HistogramSketch.Width}").as("bound"))
+  }
+
   /** Gopher rule card (m91): the MassiveText per-document rule battery —
     * rule bits + AND verdict, one projection pass. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =

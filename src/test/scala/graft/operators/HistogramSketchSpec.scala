@@ -95,6 +95,43 @@ class HistogramSketchSpec extends SparkSpec {
     run(rows.repartition(13)) shouldBe run(rows)
   }
 
+  test("grouped merge associativity: per-(g, shard) sketches folded to per-g equal from-scratch per-g counters (m151)") {
+    val rows = Seq.tabulate(600)(i => (s"s${i % 3}", i.toLong % 2, (i * 7 % 211).toLong))
+      .toDF("g", "shard_", "v")
+    val range = HistogramSketch.valueRange(rows, col("v"))
+    val merged = HistogramSketch.merge(
+      HistogramSketch.counters(rows, Seq("g", "shard_"), col("v"), range),
+      keepCols = Seq("g")).as[(String, Long, Long)].collect().toSet
+    val direct = HistogramSketch.counters(rows, Seq("g"), col("v"), range)
+      .as[(String, Long, Long)].collect().toSet
+    merged shouldBe direct
+  }
+
+  test("quantilesBy: per-group estimates honor the per-group exact values within the global bound (m151)") {
+    val rows = Seq.tabulate(900)(i => (s"s${i % 3}", (i * 13 % 997 + (i % 3) * 500).toLong))
+      .toDF("g", "v")
+    val range = HistogramSketch.valueRange(rows, col("v"))
+    val bound = range.select(expr(s"(r + ${HistogramSketch.Width - 1}) div ${HistogramSketch.Width}"))
+      .as[Long].head()
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = HistogramSketch.quantilesBy(
+      HistogramSketch.counters(rows, Seq("g"), col("v"), range), range, qs, Seq("g"))
+      .select("g", "q", "est").as[(String, Double, Long)].collect()
+      .map { case (g, q, e) => (g, q) -> e }.toMap
+    val exact = HistogramSketch.exactQuantilesBy(
+      rows.groupBy("g", "v").agg(count(lit(1)).as("cnt")), qs, Seq("g"))
+      .select("g", "q", "exact").as[(String, Double, Long)].collect()
+      .map { case (g, q, e) => (g, q) -> e }.toMap
+    est.keySet shouldBe exact.keySet
+    est.keySet.size shouldBe 9 // 3 groups x 3 qs
+    est.foreach { case (k, e) =>
+      withClue(s"$k: ") {
+        (e - exact(k)) should be >= 0L
+        (e - exact(k)) should be <= bound
+      }
+    }
+  }
+
   test("null values are dropped by counters itself (the CountMin null rule), not by callers") {
     // advice r18: a nullable valueCol must not mint a null-bucket row
     // that inflates n — the operator owns the null rule
