@@ -545,17 +545,17 @@ object Bench {
     // regression measures the same elevated value here and the record
     // keeps it; the row is then adjudicated against its flat shuffle
     // stats (DESIGN.md §8).
-    val results = {
+    val (results, requeuedRows) = {
       val flagged = firstResults.collect {
         case (name, t, ok)
           if ok && benchRef.get(name).exists(r =>
             t > 3 * r * canaryScale(name) && t > 0.2) => name
       }.toSet
-      if (flagged.isEmpty) firstResults
+      if (flagged.isEmpty) (firstResults, flagged)
       else {
         System.err.println("[bench] end-of-suite requeue (still >3x committed, canary-scaled): " +
           flagged.toSeq.sorted.mkString(", "))
-        firstResults.map {
+        (firstResults.map {
           case (name, t, ok) if flagged(name) =>
             // the requeue is the row's LAST measured pass, so its stats
             // snapshot replaces the earlier one too — otherwise a clean
@@ -570,7 +570,7 @@ object Bench {
             releaseSnapshots()
             (name, if (ok2) math.min(t, t2) else t, ok)
           case r => r
-        }
+        }, flagged)
       }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
@@ -616,7 +616,24 @@ object Bench {
           s""""ref":${refCanary.map(ms).getOrElse("null")},""" +
           s""""samples":[${canarySamples.map(ms).mkString(",")}]},"ratios":$ratios"""
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"assets":$assetsJson,"asset_failures":$assetFailures,"failures":$failures,"warm":$warm,"passes":$passes,"sf":"$sfDir"$canaryJson$statsJson}"""
+    // The requeue list lives IN the record (round-17 verdict ask #1: a
+    // clean run must carry an EMPTY list mechanically, not be inferred
+    // from stderr), and "suite_scale" = this run's wall over the
+    // committed reference's wall on the shared successful rows — the
+    // within-run window factor that adjudicated r17's flagged rows when
+    // the scheduling-bound canary mis-tracked a CPU-speed window
+    // (canary said 0.83x while wall ran 1.2x; DESIGN §8).
+    val requeuedJson = requeuedRows.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suiteScaleJson = {
+      val shared = results.collect {
+        case (name, t, ok) if ok && benchRef.contains(name) =>
+          (t, benchRef(name))
+      }
+      if (shared.isEmpty) "null"
+      else f"${shared.map(_._1).sum / shared.map(_._2).sum}%.3f"
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"assets":$assetsJson,"asset_failures":$assetFailures,"failures":$failures,"requeued":$requeuedJson,"suite_scale":$suiteScaleJson,"warm":$warm,"passes":$passes,"sf":"$sfDir"$canaryJson$statsJson}"""
     // Persist the FULL-fidelity line to a file first: this is the
     // canonical record (every query, full precision, optional stats).
     // The stdout contract below is a derived view of it.
