@@ -19,8 +19,9 @@ object StreamingIngest {
 
   /** Daily event counts as a streaming aggregation (the legacy A6 summary
     * query, incrementalized). */
-  def dailyCounts(spark: SparkSession, rawRoot: String): DataFrame =
-    Sources.rawEventsStream(spark, rawRoot)
+  def dailyCounts(spark: SparkSession, rawRoot: String,
+                  maxFilesPerTrigger: Int = 10): DataFrame =
+    Sources.rawEventsStream(spark, rawRoot, maxFilesPerTrigger)
       .withWatermark("event_time", "1 day")
       .groupBy(window(col("event_time"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))

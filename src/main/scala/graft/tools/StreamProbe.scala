@@ -80,8 +80,18 @@ object StreamProbe {
             StreamingIngest.dailyCounts(spark, root.toString),
             s"$root/out_stream", ckpt)
         }
+        // 5. A/B: the same cold catch-up in ONE micro-batch
+        //    (maxFilesPerTrigger = all files) — the bulk-backfill
+        //    batching a production catch-up would choose
+        val (t1, _) = time {
+          StreamingIngest.runAvailableNow(
+            StreamingIngest.dailyCounts(spark, root.toString,
+              maxFilesPerTrigger = 10000),
+            s"$root/out_stream1", s"$root/ckpt1_$rep")
+        }
         println(f"[probe] rep=$rep batch=$tb%.2fs stream_cold=$tc%.2fs " +
-          f"stream_resume=$tr%.2fs batches=$nBatches " +
+          f"stream_cold_1batch=$t1%.2fs stream_resume=$tr%.2fs " +
+          f"batches=$nBatches " +
           f"machinery=${tc - tb}%.2fs (${(tc - tb) / tc * 100}%.0f%%)")
       }
     } finally {
