@@ -184,4 +184,33 @@ object RetailPipeline {
   sealed trait RunOutcome { def date: String }
   final case class RunComplete(date: String, tables: Set[String]) extends RunOutcome
   final case class RunFailed(date: String, error: Throwable) extends RunOutcome
+
+  /** A ready-made notify hook that turns the branch DECISION into an
+    * OBSERVABLE ARTIFACT: each outcome appends one row to a catalog
+    * run-manifest table — the engine's analogue of the reference's
+    * complete/failure notification tasks landing in the Airflow
+    * task-instance log (logs/dag_id=retail_pipeline/.../task_id=
+    * choose_branch), queryable instead of buried in scheduler logs.
+    * Columns are deterministic (no wall-clock): a re-run of a day
+    * APPENDS a new decision row, so the manifest is the run HISTORY —
+    * `max(run_seq)` per date is the current state, the full table is
+    * the audit trail. At scale this is a metadata-tier append (1 row
+    * per DAG-day), never a data-plane cost. */
+  def manifestNotify(spark: org.apache.spark.sql.SparkSession,
+                     table: String = "pipeline_runs"): RunOutcome => Unit = {
+    out =>
+      import spark.implicits._
+      val (branch, tables, error) = out match {
+        case RunComplete(_, ts) =>
+          ("complete", ts.toSeq.sorted.mkString(","), null: String)
+        case RunFailed(_, e) =>
+          ("failed", null: String,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      val row = Seq((out.date, branch, tables, error))
+        .toDF("date", "branch", "tables", "error")
+      if (spark.catalog.tableExists(table))
+        row.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
+      else row.write.saveAsTable(table)
+  }
 }

@@ -133,6 +133,27 @@ class RetailPipelineSpec extends SparkSpec {
     }
   }
 
+  test("manifestNotify lands each branch decision as a queryable run-manifest row (choose_branch artifact)") {
+    spark.sql("DROP TABLE IF EXISTS pipeline_runs_spec")
+    val p = new RetailPipeline(spark, root, mart,
+      loadedAt = lit("2019-10-03 00:00:00").cast("timestamp"),
+      notify = RetailPipeline.manifestNotify(spark, "pipeline_runs_spec"))
+    p.runDayNotified("2019-10-01").isSuccess shouldBe true
+    p.runDayNotified("2019-10-03").isFailure shouldBe true // the S2 empty day
+    p.runDayNotified("2019-10-01").isSuccess shouldBe true // re-run APPENDS
+    val m = spark.table("pipeline_runs_spec")
+      .select("date", "branch", "tables", "error").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    m.length shouldBe 3 // history, not state: the re-run is a new row
+    m.count(_ == ("2019-10-01", "complete",
+      "daily_funnel_by_brand,daily_revenue_summary,top_brands_by_revenue",
+      null)) shouldBe 2
+    val failed = m.filter(_._2 == "failed")
+    failed.map(_._1).toSeq shouldBe Seq("2019-10-03")
+    failed.head._4 should include("IllegalStateException")
+    spark.sql("DROP TABLE pipeline_runs_spec")
+  }
+
   test("a throwing notify hook propagates with the run error suppressed") {
     val p = new RetailPipeline(spark, root, mart,
       loadedAt = lit("2019-10-03 00:00:00").cast("timestamp"),
