@@ -424,6 +424,10 @@ object SparkEntry {
     // card served from MERGED shard sketches (p90 = the source's
     // truncation cap); hash gate proves merge-path ≡ direct arithmetic
     "m151_sketch_source_quantiles" -> (CorpusQueries.sketchSourceQuantiles _),
+    // m152: the frequency sketch consumed in the dedup planner's
+    // decision — CMS point estimates pick the stop-grams the m14 dfCap
+    // rule prunes, one-sidedness certified (missed_prunes ≡ 0)
+    "m152_cms_prune_plan" -> ((s, dir) => CorpusQueries.cmsPrunePlan(s, dir)),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1835,6 +1839,32 @@ object SparkEntry {
         "CAST((rg.r + 1023) // 1024 AS BIGINT) AS bound " +
         "FROM rk JOIN pick p ON p.source = rk.source AND p.q = rk.q " +
         "JOIN exq e ON e.source = rk.source AND e.q = rk.q CROSS JOIN rg"),
+    // m152: the df stream is the per-doc DISTINCT gram set (gd), CMS
+    // counters/estimates replayed with the m149 idioms, both policies'
+    // prune bits and pair budgets recomputed as exact integers.
+    "m152_cms_prune_plan" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "cms AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 12))::BIGINT % 1024 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM gd CROSS JOIN range(4) t(r) GROUP BY 1, 2), " +
+        "dfT AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM gd GROUP BY 1), " +
+        "pe AS (SELECT t.gram, rr.r, ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || t.gram), 1, 12))::BIGINT % 1024 AS bucket " +
+        "FROM dfT t CROSS JOIN range(4) rr(r)), " +
+        "est AS (SELECT pe.gram, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est " +
+        "FROM pe LEFT JOIN cms c ON c.r = pe.r AND c.bucket = pe.bucket GROUP BY 1), " +
+        "j AS (SELECT t.df, e.est, t.df > 8 AS pe_, e.est > 8 AS pc_ " +
+        "FROM dfT t JOIN est e USING (gram)) " +
+        "SELECT CAST(8 AS BIGINT) AS tau, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(count(*) FILTER (WHERE pe_) AS BIGINT) AS exact_pruned, " +
+        "CAST(count(*) FILTER (WHERE pc_) AS BIGINT) AS cms_pruned, " +
+        "CAST(count(*) FILTER (WHERE pc_ AND NOT pe_) AS BIGINT) AS false_prunes, " +
+        "CAST(count(*) FILTER (WHERE pe_ AND NOT pc_) AS BIGINT) AS missed_prunes, " +
+        "CAST(sum(CASE WHEN NOT pe_ THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget_exact, " +
+        "CAST(sum(CASE WHEN NOT pc_ THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget_cms " +
+        "FROM j"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
     // agree on it), the same block-aligned window scan, and the Luhn

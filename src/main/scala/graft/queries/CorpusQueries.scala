@@ -1281,6 +1281,55 @@ object CorpusQueries {
         (col("cms_estimate") - col("exact_count")).as("overcount"))
   }
 
+  /** CMS-planned stop-gram pruning (m152): the frequency sketch
+    * CONSUMED in the dedup planner's real decision — which grams are
+    * viral enough to prune before posting lists exist ([[graft.dedup
+    * .NgramJaccard.invertedIndexPairs]]'s dfCap rule, m14). The exact
+    * rule needs a full df aggregate over every (doc, gram) pair; the
+    * sketch rule reads point estimates off the merged Count-Min
+    * counters — and because CMS error is ONE-SIDED (estimate ≥ true
+    * df always), the sketch policy prunes a SUPERSET of the exact
+    * policy: it can never under-prune a viral gram, only over-prune a
+    * borderline one. `missed_prunes` is that guarantee as a certified
+    * output column (always 0); `false_prunes` prices the trade; the
+    * pair budgets (Σ df·(df−1)/2 over KEPT grams — the candidate-join
+    * cost the planner is protecting) show what each policy admits.
+    * One summary row; every column an exact integer. At 100 TB the
+    * exact df side is the certificate that gets dropped — the decision
+    * path is sketch-only, bounded at 4×1024 counters. */
+  def cmsPrunePlan(s: SparkSession, dir: String, tau: Long = 8L): DataFrame = {
+    import graft.operators.CountMin
+    val gd = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "") // per-doc DISTINCT by construction (set semantics)
+    val sketch = CountMin.merge(CountMin.counters(gd, Seq.empty, col("gram")))
+    val dfT = gd.groupBy("gram").agg(count(lit(1)).as("df"))
+    val est = CountMin.estimate(sketch, dfT.select("gram"), "gram")
+    dfT.join(est, Seq("gram"))
+      .select(col("df"), col("cms_estimate"),
+        (col("df") > tau).as("pe"), (col("cms_estimate") > tau).as("pc"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("pe"), 1L).otherwise(0L)).as("exact_pruned"),
+        sum(when(col("pc"), 1L).otherwise(0L)).as("cms_pruned"),
+        sum(when(col("pc") && !col("pe"), 1L).otherwise(0L)).as("false_prunes"),
+        sum(when(col("pe") && !col("pc"), 1L).otherwise(0L)).as("missed_prunes"),
+        // div, not / — Spark's / on longs is true (double) division;
+        // the oracle's // is integer, and the hash gate sees the type
+        sum(when(!col("pe"), expr("df * (df - 1) div 2")).otherwise(0L))
+          .as("pair_budget_exact"),
+        sum(when(!col("pc"), expr("df * (df - 1) div 2")).otherwise(0L))
+          .as("pair_budget_cms"))
+      // a global aggregate emits one row even over zero grams — the
+      // empty-corpus contract wants an empty card (the m148 gate)
+      .filter(col("n_grams") > 0)
+      .select(lit(tau).as("tau"), col("n_grams"), col("exact_pruned"),
+        col("cms_pruned"), col("false_prunes"), col("missed_prunes"),
+        col("pair_budget_exact"), col("pair_budget_cms"))
+  }
+
   /** Histogram quantile-sketch card (m150): the triad's QUANTILE leg —
     * per-source 1024-bucket integer histograms over per-doc token
     * counts, merged corpus-wide by elementwise add, quantiles p50/p90/

@@ -143,6 +143,30 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m152: CMS prune plan — one-sidedness certified (missed ≡ 0), superset prune, budget never above exact") {
+    val d = sf("sf0.001")
+    val row = CorpusQueries.cmsPrunePlan(spark, d).collect()
+    row.length shouldBe 1
+    val r = row.head
+    val (nGrams, exactPruned, cmsPruned, falseP, missedP, pbExact, pbCms) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))
+    nGrams should be > 0L
+    // the mathematical guarantee the card certifies: CMS est >= df
+    // always, so a gram the exact rule prunes is ALWAYS sketch-pruned
+    missedP shouldBe 0L
+    cmsPruned shouldBe exactPruned + falseP
+    // over-pruning only shrinks the admitted candidate budget
+    pbCms should be <= pbExact
+    // the decision does real work on this fixture: something prunes
+    exactPruned should be > 0L
+    // tau sensitivity: a huge tau prunes nothing and the budgets agree
+    val loose = CorpusQueries.cmsPrunePlan(spark, d, tau = Long.MaxValue / 4).collect().head
+    loose.getLong(2) shouldBe 0L
+    loose.getLong(3) shouldBe 0L
+    loose.getLong(6) shouldBe loose.getLong(7)
+  }
+
   test("jsonStr escapes quotes, backslashes and control chars into valid JSON (advice r18)") {
     // a planted phrase containing " or \ must survive the JSONL round
     // trip as a VALID escaped string, not a quarantined line

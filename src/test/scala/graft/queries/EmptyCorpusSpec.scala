@@ -130,6 +130,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "m149_cms_frequency" -> (CorpusQueries.cmsFrequencyCard _),
     // m150: empty range frame collapses build and estimate to zero rows
     "m150_histogram_quantiles" -> (CorpusQueries.histogramQuantileCard _),
+    // m151: per-source grouping → zero groups → empty card
+    "m151_sketch_source_quantiles" -> (CorpusQueries.sketchSourceQuantiles _),
+    // m152: the global summary row is gated on n_grams > 0
+    "m152_cms_prune_plan" -> ((s: SparkSession, d: String) => CorpusQueries.cmsPrunePlan(s, d)),
     // m141: the augmentation filters on non-null text first → zero rows
     "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m128: data-free design card — must still run (8 rows) on an empty

@@ -119,6 +119,30 @@ class KneserNeySpec extends SparkSpec {
     KneserNey.modifiedScoreAgainst(docs((1L, "a b c")), emptyLm).count() shouldBe 0
   }
 
+  test("held-out n1=0 edge behaves exactly as documented: unseen continuation scores +Inf, seen grams stay ML-finite") {
+    // Training corpus with NO singleton bigram types: "x y x y x y" →
+    // (x,y):3, (y,x):2 → n1 = 0, n2 = 1 → D = 0/(0+2) = 0. Zero
+    // discount = zero freed mass, so the unigram leak is gone — the
+    // inherent estimator edge the object doc pins (advice r17):
+    val lm = NgramLm.bigramCounts(docs((1L, "x y x y x y")))
+    val out = KneserNey.scoreAgainst(
+      docs((10L, "x y"), (11L, "x z")), lm)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    // seen bigram: undiscounted ML — p(y|x) = 3/3 = 1 → ce = 0, finite
+    out(10L) shouldBe 0.0 +- 1e-12
+    // z never appears in the final slot → p = 0 → +Inf, NOT NaN
+    out(11L).isPosInfinity shouldBe true
+    // and the documented pre-emption works: minCount keeps the corpus
+    // out of the degenerate branch only when singletons exist — the
+    // caller's real fallback is the add-α NgramLm, which stays finite
+    val addAlpha = graft.text.NgramLm.scoreAgainst(
+      docs((11L, "x z")), lm)
+    addAlpha.count() shouldBe 1
+    val ce = addAlpha.select("cross_entropy").as[Double].head()
+    ce.isNaN shouldBe false
+    ce.isInfinite shouldBe false
+  }
+
   // ---- modified KN (m142) ----
 
   // Same 2-doc fixture under Chen & Goodman's per-count discounts:
