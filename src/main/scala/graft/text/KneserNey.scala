@@ -259,8 +259,16 @@ object KneserNey {
       case 3 => "n_trigrams"
       case k => s"n_${k}grams"
     }
+    // Spark's log(0) is NULL and avg SKIPS nulls — without the explicit
+    // -Inf branch, a held-out doc mixing one impossible gram (the
+    // documented n1=0 edge) with seen grams would score a FINITE
+    // average over its survivors, silently dropping the impossible
+    // event. p = 0 must poison the whole doc: ln 0 = -Inf, ce = +Inf
+    // (the object doc's contract, spec-pinned). Self-scoring never
+    // takes the branch (every gram realized ⇒ p > 0).
+    val lnP = when(p > 0.0, log(p)).otherwise(lit(Double.NegativeInfinity))
     joined.groupBy("doc_id")
-      .agg(count(lit(1)).as(nCol), (-avg(log(p))).as("cross_entropy"))
+      .agg(count(lit(1)).as(nCol), (-avg(lnP)).as("cross_entropy"))
       .withColumn("perplexity", exp(col("cross_entropy")))
   }
 

@@ -132,6 +132,12 @@ class KneserNeySpec extends SparkSpec {
     out(10L) shouldBe 0.0 +- 1e-12
     // z never appears in the final slot → p = 0 → +Inf, NOT NaN
     out(11L).isPosInfinity shouldBe true
+    // the silent-skip trap this edge guards (Spark log(0) is NULL and
+    // avg SKIPS nulls): a MIXED doc — one seen gram, one impossible —
+    // must also be +Inf, never a finite average over its survivors
+    val mixed = KneserNey.scoreAgainst(docs((12L, "x y x z")), lm)
+      .select("cross_entropy").as[Double].head()
+    mixed.isPosInfinity shouldBe true
     // and the documented pre-emption works: minCount keeps the corpus
     // out of the degenerate branch only when singletons exist — the
     // caller's real fallback is the add-α NgramLm, which stays finite
