@@ -563,11 +563,19 @@ object Bench {
             // stats, the very numbers DESIGN §8 adjudicates rows with
             // (review r16); the canary force-refreshes so the requeue's
             // ratio is the one in force when ITS timing was measured
+            val prevCanary = canaryUsed.get(name)
             canaryTick(name, force = true)
             statsListener.foreach { l => l.quiesce(); l.reset() }
             val (t2, ok2) = timeOne(name, benchQueries(name))
             statsListener.foreach { l => l.quiesce(); statsOut(name) = l.snapshot }
             releaseSnapshots()
+            // "each row records the canary in force when ITS timing was
+            // measured" — when the requeue is SLOWER the kept timing is
+            // still the original window's, so the original canary must
+            // travel with it (review r18: a window-1 time over a
+            // window-2 canary skews the very ratio flagged rows are
+            // adjudicated on)
+            if (!(ok2 && t2 < t)) prevCanary.foreach(canaryUsed(name) = _)
             (name, if (ok2) math.min(t, t2) else t, ok)
           case r => r
         }, flagged)

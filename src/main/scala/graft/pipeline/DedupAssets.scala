@@ -179,7 +179,9 @@ object DedupAssets {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Shared close-the-walk recursive delete (also used by
+    * [[graft.queries.LegacySql]] — keep the single leak-free copy). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])

@@ -192,10 +192,12 @@ object RetailPipeline {
     * task-instance log (logs/dag_id=retail_pipeline/.../task_id=
     * choose_branch), queryable instead of buried in scheduler logs.
     * Columns are deterministic (no wall-clock): a re-run of a day
-    * APPENDS a new decision row, so the manifest is the run HISTORY —
-    * `max(run_seq)` per date is the current state, the full table is
-    * the audit trail. At scale this is a metadata-tier append (1 row
-    * per DAG-day), never a data-plane cost. */
+    * APPENDS a new decision row carrying a monotone `run_seq` (a
+    * process-level counter — ordering without a timestamp), so the
+    * manifest is the run HISTORY and `max(run_seq)` per date IS the
+    * current state; the full table is the audit trail. At scale this
+    * is a metadata-tier append (1 row per DAG-day), never a data-plane
+    * cost. */
   def manifestNotify(spark: org.apache.spark.sql.SparkSession,
                      table: String = "pipeline_runs"): RunOutcome => Unit = {
     out =>
@@ -207,10 +209,12 @@ object RetailPipeline {
           ("failed", null: String,
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      val row = Seq((out.date, branch, tables, error))
-        .toDF("date", "branch", "tables", "error")
+      val row = Seq((manifestSeq.incrementAndGet(), out.date, branch, tables, error))
+        .toDF("run_seq", "date", "branch", "tables", "error")
       if (spark.catalog.tableExists(table))
         row.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
       else row.write.saveAsTable(table)
   }
+
+  private val manifestSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }

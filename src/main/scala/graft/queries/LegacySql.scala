@@ -45,12 +45,9 @@ object LegacySql {
     s.sql("SELECT id, firstname, lastname, email, created_at FROM graft_users")
   }
 
+  // the shared leak-free recursive delete (closes its walk stream)
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.pipeline.DedupAssets.deleteRecursively(p)
 
   // -------------------------------------------------------------- A7
   /** The legacy 7-key wide fact rollup (pyc .281472805440288: GROUP BY
@@ -145,6 +142,14 @@ object LegacySql {
     // S6: a day with no rows writes NOTHING (no empty dt= directory)
     Sinks.writeMartParquet(daily.filter(lit(false)), root,
       "daily_counts_rt", "1999-01-01")
+    // The mart root is per-CORPUS-DIR but the catalog name is global,
+    // and registerMartTable skips CREATE when a schema-matching table
+    // already exists — which would leave the table pointing at a
+    // PREVIOUS dir's root in a session that runs q47 over two corpora
+    // (review r18: silent stale reads against the oracle's fresh
+    // events). Drop first: register then always re-points at THIS root
+    // and recoverPartitions sees exactly its partitions.
+    s.sql("DROP TABLE IF EXISTS agg_daily_counts_rt")
     Sinks.registerMartTable(daily, root, "daily_counts_rt")
     s.table("agg_daily_counts_rt")
       .select(col("event_type"), col("n"), col("value_sum"), col("dt"))

@@ -142,15 +142,20 @@ class RetailPipelineSpec extends SparkSpec {
     p.runDayNotified("2019-10-03").isFailure shouldBe true // the S2 empty day
     p.runDayNotified("2019-10-01").isSuccess shouldBe true // re-run APPENDS
     val m = spark.table("pipeline_runs_spec")
-      .select("date", "branch", "tables", "error").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .select("run_seq", "date", "branch", "tables", "error").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
     m.length shouldBe 3 // history, not state: the re-run is a new row
-    m.count(_ == ("2019-10-01", "complete",
+    m.count(t => (t._2, t._3, t._4, t._5) == ("2019-10-01", "complete",
       "daily_funnel_by_brand,daily_revenue_summary,top_brands_by_revenue",
       null)) shouldBe 2
-    val failed = m.filter(_._2 == "failed")
-    failed.map(_._1).toSeq shouldBe Seq("2019-10-03")
-    failed.head._4 should include("IllegalStateException")
+    val failed = m.filter(_._3 == "failed")
+    failed.map(_._2).toSeq shouldBe Seq("2019-10-03")
+    failed.head._5 should include("IllegalStateException")
+    // run_seq is the documented current-state key: strictly monotone,
+    // and max(run_seq) for the re-run date picks the LATER complete row
+    m.map(_._1).distinct.length shouldBe 3
+    val d1 = m.filter(_._2 == "2019-10-01").sortBy(_._1)
+    d1.last._1 should be > d1.head._1
     spark.sql("DROP TABLE pipeline_runs_spec")
   }
 

@@ -70,6 +70,18 @@ class LegacySqlSpec extends SparkSpec {
     // holds exactly one dt partition
     spark.table("agg_daily_counts_rt").select("dt").distinct().collect()
       .map(_.getString(0)).toSeq shouldBe Seq("2024-01-15")
+    // cross-dir re-point (review r18): running q47 over a SECOND corpus
+    // in the same session must serve the second corpus's aggregate, not
+    // the first root's stale partitions
+    import spark.implicits._
+    val other = LegacySql.martRoundTrip(spark, sf("sf0.01"))
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    val direct = graft.Tables.events(spark, sf("sf0.01"))
+      .filter(org.apache.spark.sql.functions.to_date(col("ts")) === "2024-01-15")
+      .count()
+    other shouldBe direct
+    first should not be LegacySql.martRoundTrip(spark, sf("sf0.01"))
+      .collect().map(_.toString).sorted.toSeq
   }
 
   test("A7: legacy 7-key wide fact rollup shape") {
