@@ -428,6 +428,10 @@ object SparkEntry {
     // decision — CMS point estimates pick the stop-grams the m14 dfCap
     // rule prunes, one-sidedness certified (missed_prunes ≡ 0)
     "m152_cms_prune_plan" -> ((s, dir) => CorpusQueries.cmsPrunePlan(s, dir)),
+    // m153: KMV k-minimum-values sketch — the set-OPERATION leg (HLL
+    // unions, KMV intersects): pairwise source Jaccard estimates from
+    // sketches alone, certified against the exact m60-style overlap
+    "m153_kmv_source_overlap" -> ((s, dir) => CorpusQueries.kmvSourceOverlap(s, dir)),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1865,6 +1869,36 @@ object SparkEntry {
         "CAST(sum(CASE WHEN NOT pe_ THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget_exact, " +
         "CAST(sum(CASE WHEN NOT pc_ THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget_cms " +
         "FROM j"),
+    // m153: KMV replay — per-source k-smallest distinct hash48 rows via
+    // row_number, the pair union's k-smallest the same way, membership
+    // via left joins; Jaccard divisions double-for-double.
+    "m153_kmv_source_overlap" ->
+      ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h " +
+        "FROM (SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "sk AS (SELECT source, h FROM (SELECT source, h, " +
+        "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gd) WHERE rn <= 256), " +
+        "srcs AS (SELECT DISTINCT source FROM gd), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a JOIN srcs b ON a.source < b.source), " +
+        "ku AS (SELECT src_a, src_b, h, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn " +
+        "FROM (SELECT DISTINCT p.src_a, p.src_b, s.h FROM p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b)), " +
+        "kk AS (SELECT src_a, src_b, h FROM ku WHERE rn <= 256), " +
+        "est AS (SELECT k.src_a, k.src_b, CAST(count(*) AS BIGINT) AS k_used, " +
+        "CAST(count(*) FILTER (WHERE sa.h IS NOT NULL AND sb.h IS NOT NULL) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS est_jaccard " +
+        "FROM kk k LEFT JOIN sk sa ON sa.source = k.src_a AND sa.h = k.h " +
+        "LEFT JOIN sk sb ON sb.source = k.src_b AND sb.h = k.h GROUP BY 1, 2), " +
+        "nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM gd GROUP BY 1), " +
+        "ni AS (SELECT x.source AS src_a, y.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter " +
+        "FROM gd x JOIN gd y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2) " +
+        "SELECT e.src_a, e.src_b, e.k_used, e.est_jaccard, " +
+        "CAST(coalesce(ni.n_inter, 0) AS DOUBLE) / CAST(na.nd + nb.nd - coalesce(ni.n_inter, 0) AS DOUBLE) AS exact_jaccard, " +
+        "abs(e.est_jaccard - CAST(coalesce(ni.n_inter, 0) AS DOUBLE) / CAST(na.nd + nb.nd - coalesce(ni.n_inter, 0) AS DOUBLE)) AS abs_err " +
+        "FROM est e JOIN nd na ON na.source = e.src_a JOIN nd nb ON nb.source = e.src_b " +
+        "LEFT JOIN ni ON ni.src_a = e.src_a AND ni.src_b = e.src_b"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
     // agree on it), the same block-aligned window scan, and the Luhn

@@ -1281,6 +1281,52 @@ object CorpusQueries {
         (col("cms_estimate") - col("exact_count")).as("overcount"))
   }
 
+  /** KMV cross-source overlap card (m153): the set-OPERATION sketch —
+    * per-source k-minimum-values sketches over distinct 3-shingle
+    * hashes (the m140/m148 stream), pairwise Jaccard ESTIMATES from
+    * sketches alone, certified against the exact pairwise overlap (the
+    * m60 semantics) per pair. This is the capability HLL cannot give
+    * the planner: HLL unions but never intersects; KMV's k-smallest
+    * state supports union, intersection and Jaccard between any two
+    * scopes — at 100 TB the mirror-site detector reads |sources|²
+    * sketch pairs of k longs each instead of the exact pairwise
+    * shingle join, and the exact side of THIS card is that join,
+    * documented as the thing dropped at scale. Every statistic is a
+    * pure function of the item set (no order/partition sensitivity),
+    * so the whole chain is hash-certified cross-engine. */
+  def kmvSourceOverlap(s: SparkSession, dir: String,
+                       k: Int = graft.operators.KmvSketch.DefaultK): DataFrame = {
+    import graft.operators.{HyperLogLog, KmvSketch}
+    val hashed = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "")
+      .select(col("source"), HyperLogLog.hash48(col("gram")).as("h"))
+    val sk = hashed.groupBy("source").agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+    val pairs = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("src_b"), col("sk").as("skb"))))
+      .filter(col("src_a") < col("src_b"))
+    val gd = hashed.distinct()
+    val nd = gd.groupBy("source").agg(count(lit(1)).as("nd"))
+    val inter = gd.as("x")
+      .join(gd.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(nd.select(col("source").as("src_a"), col("nd").as("nd_a"))), Seq("src_a"))
+      .join(broadcast(nd.select(col("source").as("src_b"), col("nd").as("nd_b"))), Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        size(KmvSketch.unionSketch(col("ska"), col("skb"), k)).cast("long").as("k_used"),
+        KmvSketch.jaccardEstimate(col("ska"), col("skb"), k).as("est_jaccard"),
+        (col("n_inter").cast("double") /
+          (col("nd_a") + col("nd_b") - col("n_inter")).cast("double")).as("exact_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+  }
+
   /** CMS-planned stop-gram pruning (m152): the frequency sketch
     * CONSUMED in the dedup planner's real decision — which grams are
     * viral enough to prune before posting lists exist ([[graft.dedup

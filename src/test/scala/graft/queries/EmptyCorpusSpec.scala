@@ -134,6 +134,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m151_sketch_source_quantiles" -> (CorpusQueries.sketchSourceQuantiles _),
     // m152: the global summary row is gated on n_grams > 0
     "m152_cms_prune_plan" -> ((s: SparkSession, d: String) => CorpusQueries.cmsPrunePlan(s, d)),
+    // m153: zero sources → zero sketches → zero pairs
+    "m153_kmv_source_overlap" -> ((s: SparkSession, d: String) => CorpusQueries.kmvSourceOverlap(s, d)),
     // m141: the augmentation filters on non-null text first → zero rows
     "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m128: data-free design card — must still run (8 rows) on an empty

@@ -978,6 +978,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     p should include("partial_count")
   }
 
+  test("m153: KMV card exchanges carry (source, hash) longs and k-bounded sketch arrays, never gram text") {
+    val p = plan(CorpusQueries.kmvSourceOverlap(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (exchanges should not).include("gram#")
+    p should include("ObjectHashAggregate") // the bounded kMin buffer plan
+    (p should not).include("CartesianProduct")
+  }
+
   test("m106/m107: dup-mass reports read the stored cluster asset; exchanges carry ids and counts, never text") {
     for (q <- Seq(CorpusQueries.dupFamilyHistogram _, CorpusQueries.sourceDupMass _)) {
       val p = plan(q(spark, dir))
