@@ -85,4 +85,82 @@ object StreamingCorpus {
           batch, indexed, threshold = threshold, dfCap = dfCap), id)
       }
       .start()
+
+  /** Streaming distinct-cardinality at the front door: every
+    * micro-batch's HLL registers fold into a STANDING register store by
+    * pointwise max (foreachBatch) — state bounded at groups × 4096
+    * integer rows however long the stream runs, where an exact
+    * streaming `approx/count_distinct` would either grow state with
+    * every new value or lose mergeability across restarts.
+    *
+    * Why this is exactly-once-CORRECT without exactly-once plumbing:
+    * register max is associative, commutative and IDEMPOTENT, so an
+    * at-least-once foreachBatch replay of the same micro-batch folds to
+    * the identical store, and the standing registers after ANY batch
+    * split are bit-identical to one batch build over every row seen
+    * (spec-pinned: stream ≡ batch registers exactly, across a restart).
+    *
+    * Store layout: versioned dirs `v<n>` under `storeDir`, where n is
+    * STORE-monotone (max existing version + 1 — NOT the micro-batch id,
+    * which resets to 0 on a restarted query and would shadow the
+    * standing store behind a lexicographically larger old version). The
+    * new version is fully written BEFORE older versions are retired; a
+    * batch replay writes a fresh version whose content is IDENTICAL
+    * (idempotent fold), and [[latestRegisters]] reads the newest
+    * COMPLETE version (parquet `_SUCCESS` marker) — a crash mid-write
+    * leaves the previous version in place. Single-writer contract: one
+    * streaming query owns a store at a time (foreachBatch is already
+    * serialized within a query). */
+  def hllRegisterStream(docs: DataFrame, groupCol: String,
+                        hashCol: org.apache.spark.sql.Column,
+                        storeDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        import graft.operators.HyperLogLog
+        val fresh = HyperLogLog.registers(batch, Seq(groupCol), hashCol)
+        val versions = completeVersions(storeDir)
+        val merged = versions.lastOption.map(p => s.read.parquet(p.toString)) match {
+          case Some(standing) =>
+            HyperLogLog.merge(standing.unionByName(fresh),
+              keepCols = Seq(groupCol))
+          case None => fresh
+        }
+        val next = versions.lastOption
+          .map(_.getFileName.toString.stripPrefix("v").toLong + 1L)
+          .getOrElse(0L)
+        merged.write.mode("overwrite").parquet(f"$storeDir/v$next%012d")
+        retireOlderVersions(storeDir, next)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The newest COMPLETE register version under `storeDir` (None before
+    * the first batch commits). */
+  def latestRegisters(s: org.apache.spark.sql.SparkSession,
+                      storeDir: String): Option[DataFrame] =
+    completeVersions(storeDir).lastOption
+      .map(p => s.read.parquet(p.toString))
+
+  private def completeVersions(storeDir: String): Seq[java.nio.file.Path] = {
+    val root = java.nio.file.Paths.get(storeDir)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val l = java.nio.file.Files.list(root)
+      try {
+        val b = Vector.newBuilder[java.nio.file.Path]
+        l.forEach { p =>
+          if (p.getFileName.toString.startsWith("v") &&
+              java.nio.file.Files.exists(p.resolve("_SUCCESS"))) b += p
+        }
+        b.result().sortBy(_.getFileName.toString)
+      } finally l.close()
+    }
+  }
+
+  private def retireOlderVersions(storeDir: String, id: Long): Unit =
+    completeVersions(storeDir)
+      .filter(_.getFileName.toString < f"v$id%012d")
+      .foreach(graft.pipeline.DedupAssets.deleteRecursively)
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import java.sql.Timestamp
 
 case class StreamDoc(doc_id: Long, arrival_ts: Timestamp, text: String)
@@ -109,6 +110,53 @@ class StreamingCorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     flagged.toSet shouldBe batchPairs.toSet
     flagged.toSet shouldBe Set((10L, 1L), (12L, 2L))
+  }
+
+  test("streaming HLL register store equals the one-shot batch build — across batches AND a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.HyperLogLog
+    val store = java.nio.file.Files.createTempDirectory("graft-hll-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hll-ckpt").toString
+    val docs = (1 to 120).map(i =>
+      StreamDoc(i.toLong, ts(i % 50), s"src${i % 3} content ${i % 37} filler"))
+    def src(d: StreamDoc) = s"src${d.doc_id % 3}"
+    // stream in two chunks under one query, then a THIRD after a restart
+    val in1 = MemoryStream[StreamDoc]
+    val q1 = StreamingCorpus.hllRegisterStream(
+      in1.toDF().select(col("text"), expr("concat('src', doc_id % 3)").as("source")),
+      "source", HyperLogLog.hash48(col("text")), store, ckpt)
+    in1.addData(docs.take(40): _*); q1.processAllAvailable()
+    in1.addData(docs.slice(40, 80): _*); q1.processAllAvailable()
+    q1.stop()
+    val in2 = MemoryStream[StreamDoc] // a fresh query on the same store
+    val q2 = StreamingCorpus.hllRegisterStream(
+      in2.toDF().select(col("text"), expr("concat('src', doc_id % 3)").as("source")),
+      "source", HyperLogLog.hash48(col("text")),
+      store, java.nio.file.Files.createTempDirectory("graft-hll-ckpt2").toString)
+    in2.addData(docs.drop(80): _*); q2.processAllAvailable()
+    q2.stop()
+    // register max is associative/commutative/idempotent → the standing
+    // store is BIT-IDENTICAL to one batch build over every row seen
+    val streamed = StreamingCorpus.latestRegisters(spark, store).get
+      .select("source", "bucket", "rho")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = HyperLogLog.registers(
+        docs.map(d => (src(d), d.text)).toDF("source", "text")
+          .select(col("source"), HyperLogLog.hash48(col("text")).as("h")),
+        Seq("source"), col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    streamed shouldBe batch
+    // and the estimates agree with the exact distinct per source
+    val est = HyperLogLog.estimate(
+        StreamingCorpus.latestRegisters(spark, store).get, Seq("source"))
+      .select("source", "hll_estimate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = docs.map(d => (src(d), d.text)).distinct.groupBy(_._1)
+      .view.mapValues(_.size).toMap
+    est.keySet shouldBe exact.keySet
+    est.foreach { case (s0, e) =>
+      math.abs(e - exact(s0)) / exact(s0) should be < 0.25 // 37 distinct, m=4096 → near-exact linear counting
+    }
   }
 
   test("content dedup drops exact copies across micro-batches within the horizon") {
