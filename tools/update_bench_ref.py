@@ -12,12 +12,14 @@ Usage:
 {"queries": {...}, "sf": ..., "failures": [...], "canary": {...}})
 measured on a quiet host. The tool:
 
-  * Adjudicates drift on HOST-NORMALIZED ratios when both the run and
-    the reference carry a canary (run row / run-canary vs ref row /
-    ref-canary) — a row whose wall-clock doubled while the canary
-    doubled is host noise and refreshes silently; only a RATIO move
-    beyond 1.5x demands --note. Without a canary on either side it
-    falls back to wall-clock drift exactly as before.
+  * Adjudicates drift on the LAYERED basis (DESIGN §8, round 18):
+    preferred is the run's own `suite_scale` (its wall over THIS
+    reference's wall on shared rows) — the window normalizer measured
+    against the exact baseline being updated, immune to the canary's
+    sample variance; records without the field fall back to
+    HOST-NORMALIZED canary ratios (run row / run-canary vs ref row /
+    ref-canary, same plan required), then to raw wall-clock. Only a
+    normalized move beyond 1.5x demands --note.
   * REFUSES (exit 1) when any existing row's (normalized) value moved
     by more than 1.5x in either direction unless --note explains it —
     a reference refresh must never silently absorb a regression (or
@@ -76,6 +78,15 @@ def main() -> int:
     run_plan = (run.get("canary") or {}).get("plan")
     plans_ok = ref_plan is not None and ref_plan == run_plan
     normalized = bool(ref_canary) and bool(run_canary) and plans_ok
+    # PREFERRED basis (round 18, DESIGN §8's layered adjudication): the
+    # run's suite_scale — its wall-clock over THIS reference's wall on
+    # the shared rows — is the window normalizer measured against the
+    # exact baseline being updated, immune to the canary's own sample
+    # variance (a 25% canary-median wobble once flagged 43 rows whose
+    # walls were at reference level). Canary ratios remain the fallback
+    # for records that predate the field.
+    suite_scale = run.get("suite_scale")
+    use_suite = isinstance(suite_scale, (int, float)) and suite_scale > 0
 
     # MEDIAN-vs-MEDIAN on both sides: the reference stores only its
     # run's canary median, so normalizing the new side by PER-ROW
@@ -97,7 +108,9 @@ def main() -> int:
             moved[name] = [t_old, None]  # removed query: needs a note too
             continue
         t_new = new[name]
-        if normalized:
+        if use_suite:
+            a, b = t_old, t_new / suite_scale
+        elif normalized:
             a, b = ratio_old(name), ratio_new(name)
         else:
             a, b = t_old, t_new
@@ -108,7 +121,8 @@ def main() -> int:
     added = sorted(set(new) - set(old))
 
     if moved and not args.note:
-        basis = "canary-normalized ratio" if normalized else "wall-clock"
+        basis = ("suite-scale-corrected wall" if use_suite
+                 else "canary-normalized ratio" if normalized else "wall-clock")
         print(f"REFUSE: {len(moved)} row(s) moved >{DRIFT}x by {basis} "
               "(or vanished) and no --note was given:", file=sys.stderr)
         for name, (a, b) in sorted(moved.items()):
@@ -144,13 +158,13 @@ def main() -> int:
         changes.append({
             "date": datetime.date.today().isoformat(),
             "note": args.note,
-            "basis": "ratio" if normalized else "seconds",
+            "basis": ("suite" if use_suite else "ratio" if normalized else "seconds"),
             "rows": {k: moved[k] for k in sorted(moved)},
         })
     if changes:
         out["changes"] = changes
 
-    basis = "ratio" if normalized else "seconds"
+    basis = "suite" if use_suite else "ratio" if normalized else "seconds"
     print(f"rows: {len(old)} -> {len(new)} "
           f"(added {len(added)}, moved>{DRIFT}x-by-{basis} {len(moved)}; "
           f"canary ref={ref_canary} run={run_canary})")
