@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Writers (SURVEY §2.1 sinks).
   *
@@ -81,8 +82,20 @@ object Sinks {
       def shape(s: org.apache.spark.sql.types.StructType) =
         s.fields.toSeq.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
       val expected = shape(df.schema) :+ ("dt", org.apache.spark.sql.types.StringType)
+      // LOCATION mismatch re-creates too (review r18): a session whose
+      // second pipeline/mart uses a different root must not keep serving
+      // the FIRST root's partitions through a schema-matching stale
+      // table — the crawler analogue re-points at the root it crawls.
+      def locationDiffers: Boolean = {
+        val current = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .select("data_type").collect().headOption.map(_.getString(0))
+        val want = fs.makeQualified(location).toUri.toString
+        !current.map(c => new org.apache.hadoop.fs.Path(c).toUri.toString)
+          .contains(want)
+      }
       if (spark.catalog.tableExists(table) &&
-          shape(spark.table(table).schema) != expected) {
+          (shape(spark.table(table).schema) != expected || locationDiffers)) {
         spark.sql(s"DROP TABLE $table")
       }
       if (!spark.catalog.tableExists(table)) {

@@ -77,9 +77,11 @@ object KmvSketch {
           val takeX = j >= y.n || (i < x.n && x.hs(i) <= y.hs(j))
           val v = if (takeX) x.hs(i) else y.hs(j)
           if (takeX) i += 1 else j += 1
-          // skip the duplicate when both sides carry the same hash
-          if (i < x.n && x.hs(i) == v && !takeX) i += 1
-          if (j < y.n && y.hs(j) == v && takeX) j += 1
+          // cross-side duplicate skip: each buffer is internally
+          // duplicate-free, and ties (x head == y head) always take the
+          // x side, so the only duplicate to skip is y's head after an
+          // x take — the symmetric x-side case is unreachable
+          if (takeX && j < y.n && y.hs(j) == v) j += 1
           out(m) = v; m += 1
         }
         x.hs = if (m == out.length) out else java.util.Arrays.copyOf(out, m)

@@ -192,12 +192,16 @@ object RetailPipeline {
     * task-instance log (logs/dag_id=retail_pipeline/.../task_id=
     * choose_branch), queryable instead of buried in scheduler logs.
     * Columns are deterministic (no wall-clock): a re-run of a day
-    * APPENDS a new decision row carrying a monotone `run_seq` (a
-    * process-level counter — ordering without a timestamp), so the
-    * manifest is the run HISTORY and `max(run_seq)` per date IS the
-    * current state; the full table is the audit trail. At scale this
-    * is a metadata-tier append (1 row per DAG-day), never a data-plane
-    * cost. */
+    * APPENDS a new decision row carrying a monotone `run_seq` seeded
+    * from max(run_seq) ALREADY IN THE TABLE (ordering without a
+    * timestamp that survives JVM restarts — a process-local counter
+    * would reset to 1 against the persisted manifest and make the
+    * documented current-state query pick a stale row, review r18), so
+    * the manifest is the run HISTORY and `max(run_seq)` per date IS
+    * the current state; the full table is the audit trail.
+    * Single-writer contract (one scheduler appends, the reference's
+    * own model); at scale this is a metadata-tier append + one
+    * metadata-tier max() read per DAG-day, never a data-plane cost. */
   def manifestNotify(spark: org.apache.spark.sql.SparkSession,
                      table: String = "pipeline_runs"): RunOutcome => Unit = {
     out =>
@@ -209,12 +213,19 @@ object RetailPipeline {
           ("failed", null: String,
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      val row = Seq((manifestSeq.incrementAndGet(), out.date, branch, tables, error))
+      val next =
+        if (spark.catalog.tableExists(table))
+          spark.table(table)
+            .agg(org.apache.spark.sql.functions.max("run_seq")).head()
+            .getAs[Any](0) match {
+              case null => 1L
+              case n: Long => n + 1L
+            }
+        else 1L
+      val row = Seq((next, out.date, branch, tables, error))
         .toDF("run_seq", "date", "branch", "tables", "error")
       if (spark.catalog.tableExists(table))
         row.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
       else row.write.saveAsTable(table)
   }
-
-  private val manifestSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }

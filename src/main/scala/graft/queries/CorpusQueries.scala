@@ -1303,12 +1303,17 @@ object CorpusQueries {
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
       .filter(col("gram") =!= "")
       .select(col("source"), HyperLogLog.hash48(col("gram")).as("h"))
-    val sk = hashed.groupBy("source").agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+    // The shingle walk is the dominant cost and FOUR consumers read its
+    // distinct stream (sketches, sizes, both sides of the intersection
+    // join) — pin it once (review r18; the harness frees snapshots
+    // between queries). kMin is duplicate-insensitive (spec-pinned), so
+    // the sketch builds from the same distinct stream.
+    val (gd, _) = graft.Snapshot.pinTracked(hashed.distinct())
+    val sk = gd.groupBy("source").agg(KmvSketch.kMin(k)(col("h")).as("sk"))
     val pairs = sk.select(col("source").as("src_a"), col("sk").as("ska"))
       .crossJoin(broadcast(
         sk.select(col("source").as("src_b"), col("sk").as("skb"))))
       .filter(col("src_a") < col("src_b"))
-    val gd = hashed.distinct()
     val nd = gd.groupBy("source").agg(count(lit(1)).as("nd"))
     val inter = gd.as("x")
       .join(gd.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))

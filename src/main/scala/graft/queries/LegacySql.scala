@@ -142,14 +142,11 @@ object LegacySql {
     // S6: a day with no rows writes NOTHING (no empty dt= directory)
     Sinks.writeMartParquet(daily.filter(lit(false)), root,
       "daily_counts_rt", "1999-01-01")
-    // The mart root is per-CORPUS-DIR but the catalog name is global,
-    // and registerMartTable skips CREATE when a schema-matching table
-    // already exists — which would leave the table pointing at a
-    // PREVIOUS dir's root in a session that runs q47 over two corpora
-    // (review r18: silent stale reads against the oracle's fresh
-    // events). Drop first: register then always re-points at THIS root
-    // and recoverPartitions sees exactly its partitions.
-    s.sql("DROP TABLE IF EXISTS agg_daily_counts_rt")
+    // registerMartTable itself re-creates the table when the standing
+    // one points at a DIFFERENT root (the review-r18 stale-read fix
+    // lives in the sink, so every caller — the pipeline's three mart
+    // tables included — gets it, not just this query); the cross-dir
+    // spec below proves it through this call.
     Sinks.registerMartTable(daily, root, "daily_counts_rt")
     s.table("agg_daily_counts_rt")
       .select(col("event_type"), col("n"), col("value_sum"), col("dt"))

@@ -159,8 +159,14 @@ object StreamingCorpus {
     }
   }
 
+  /** Retire superseded versions, KEEPING the latest two: a concurrent
+    * reader holding a lazy [[latestRegisters]] frame over version n−1
+    * must not have its files deleted mid-scan when the stream commits
+    * version n (review r18) — one full version of grace is the read
+    * window; versions are groups × 4096 integer rows, so the cost of
+    * keeping one extra is nil. */
   private def retireOlderVersions(storeDir: String, id: Long): Unit =
     completeVersions(storeDir)
-      .filter(_.getFileName.toString < f"v$id%012d")
+      .filter(_.getFileName.toString < f"v${id - 1}%012d")
       .foreach(graft.pipeline.DedupAssets.deleteRecursively)
 }

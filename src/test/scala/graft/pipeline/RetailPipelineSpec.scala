@@ -156,6 +156,16 @@ class RetailPipelineSpec extends SparkSpec {
     m.map(_._1).distinct.length shouldBe 3
     val d1 = m.filter(_._2 == "2019-10-01").sortBy(_._1)
     d1.last._1 should be > d1.head._1
+    // restart semantics (review r18): run_seq is seeded from the TABLE,
+    // not a process counter — a "new JVM" (fresh notify hook) continues
+    // the sequence instead of resetting and shadowing history
+    val p2 = new RetailPipeline(spark, root, mart,
+      loadedAt = lit("2019-10-03 00:00:00").cast("timestamp"),
+      notify = RetailPipeline.manifestNotify(spark, "pipeline_runs_spec"))
+    p2.runDayNotified("2019-10-01").isSuccess shouldBe true
+    val seqs = spark.table("pipeline_runs_spec")
+      .select("run_seq").collect().map(_.getLong(0)).sorted.toSeq
+    seqs shouldBe Seq(1L, 2L, 3L, 4L) // continued, never duplicated
     spark.sql("DROP TABLE pipeline_runs_spec")
   }
 

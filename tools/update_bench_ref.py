@@ -13,13 +13,14 @@ Usage:
 measured on a quiet host. The tool:
 
   * Adjudicates drift on the LAYERED basis (DESIGN §8, round 18):
-    preferred is the run's own `suite_scale` (its wall over THIS
-    reference's wall on shared rows) — the window normalizer measured
-    against the exact baseline being updated, immune to the canary's
-    sample variance; records without the field fall back to
-    HOST-NORMALIZED canary ratios (run row / run-canary vs ref row /
-    ref-canary, same plan required), then to raw wall-clock. Only a
-    normalized move beyond 1.5x demands --note.
+    preferred is the MEDIAN of per-row run/ref ratios, computed locally
+    against the exact reference being updated — immune to the canary's
+    sample variance AND to a slow subset dominating suite time (a sum
+    ratio would self-absolve it). A suite-level median move beyond 1.5x
+    that the canary does not corroborate REFUSES outright (the
+    uniform-regression tripwire: only the data-free canary can tell a
+    host window from everything regressing together). Records without
+    shared rows fall back to canary ratios, then raw wall-clock.
   * REFUSES (exit 1) when any existing row's (normalized) value moved
     by more than 1.5x in either direction unless --note explains it —
     a reference refresh must never silently absorb a regression (or
@@ -78,15 +79,20 @@ def main() -> int:
     run_plan = (run.get("canary") or {}).get("plan")
     plans_ok = ref_plan is not None and ref_plan == run_plan
     normalized = bool(ref_canary) and bool(run_canary) and plans_ok
-    # PREFERRED basis (round 18, DESIGN §8's layered adjudication): the
-    # run's suite_scale — its wall-clock over THIS reference's wall on
-    # the shared rows — is the window normalizer measured against the
-    # exact baseline being updated, immune to the canary's own sample
-    # variance (a 25% canary-median wobble once flagged 43 rows whose
-    # walls were at reference level). Canary ratios remain the fallback
-    # for records that predate the field.
-    suite_scale = run.get("suite_scale")
-    use_suite = isinstance(suite_scale, (int, float)) and suite_scale > 0
+    # PREFERRED basis (round 18, DESIGN §8's layered adjudication): a
+    # window normalizer computed LOCALLY against the reference being
+    # updated — the record's own suite_scale may have been measured
+    # against an older reference (review r18), and the canary's sample
+    # variance once flagged 43 rows whose walls were at reference
+    # level. MEDIAN of per-row ratios, not the sum ratio: a regressed
+    # subset dominating suite time would drag a sum-based scale and
+    # self-absolve (review r18); the median resists until more than
+    # half the ROWS move together — and that case is caught by the
+    # canary tripwire below.
+    shared_rows = [n for n in old if n in new and old[n] > 0]
+    _ratios = sorted(new[n] / old[n] for n in shared_rows)
+    med_scale = _ratios[len(_ratios) // 2] if _ratios else 1.0
+    use_suite = bool(_ratios)
 
     # MEDIAN-vs-MEDIAN on both sides: the reference stores only its
     # run's canary median, so normalizing the new side by PER-ROW
@@ -109,7 +115,7 @@ def main() -> int:
             continue
         t_new = new[name]
         if use_suite:
-            a, b = t_old, t_new / suite_scale
+            a, b = t_old, t_new / med_scale
         elif normalized:
             a, b = ratio_old(name), ratio_new(name)
         else:
@@ -119,6 +125,26 @@ def main() -> int:
             moved[name] = [t_old, t_new]
 
     added = sorted(set(new) - set(old))
+
+    # Uniform-move tripwire: NO whole-suite normalizer can tell "host
+    # window" from "everything regressed together" — only the data-free
+    # canary is immune to query-plan changes. A suite-level median move
+    # beyond the gate that the canary does NOT corroborate demands a
+    # note even when no individual row moved relative to the median.
+    suite_unexplained = None
+    if use_suite and (med_scale > DRIFT or med_scale < 1 / DRIFT):
+        canary_window = (run_canary / ref_canary) if normalized else None
+        corroborated = (canary_window is not None and
+                        1 / DRIFT < med_scale / canary_window < DRIFT)
+        if not corroborated:
+            suite_unexplained = (med_scale, canary_window)
+    if suite_unexplained and not args.note:
+        m, cw = suite_unexplained
+        print(f"REFUSE: suite-level median ratio {m:.2f} moved beyond "
+              f"{DRIFT}x and the canary does not corroborate it "
+              f"(canary window: {cw}) — a uniform regression would look "
+              "exactly like this; --note required.", file=sys.stderr)
+        return 1
 
     if moved and not args.note:
         basis = ("suite-scale-corrected wall" if use_suite
@@ -158,13 +184,13 @@ def main() -> int:
         changes.append({
             "date": datetime.date.today().isoformat(),
             "note": args.note,
-            "basis": ("suite" if use_suite else "ratio" if normalized else "seconds"),
+            "basis": ("suite-median" if use_suite else "ratio" if normalized else "seconds"),
             "rows": {k: moved[k] for k in sorted(moved)},
         })
     if changes:
         out["changes"] = changes
 
-    basis = "suite" if use_suite else "ratio" if normalized else "seconds"
+    basis = "suite-median" if use_suite else "ratio" if normalized else "seconds"
     print(f"rows: {len(old)} -> {len(new)} "
           f"(added {len(added)}, moved>{DRIFT}x-by-{basis} {len(moved)}; "
           f"canary ref={ref_canary} run={run_canary})")
