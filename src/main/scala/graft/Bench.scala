@@ -575,7 +575,14 @@ object Bench {
             // travel with it (review r18: a window-1 time over a
             // window-2 canary skews the very ratio flagged rows are
             // adjudicated on)
-            if (!(ok2 && t2 < t)) prevCanary.foreach(canaryUsed(name) = _)
+            // prevCanary None + kept original timing: REMOVE the entry
+            // rather than leave the force-refreshed window-2 canary
+            // paired with the window-1 timing — the exact skew this
+            // restore exists to prevent (ADVICE r18)
+            if (!(ok2 && t2 < t)) prevCanary match {
+              case Some(c) => canaryUsed(name) = c
+              case None    => canaryUsed.remove(name)
+            }
             (name, if (ok2) math.min(t, t2) else t, ok)
           case r => r
         }, flagged)
@@ -633,15 +640,25 @@ object Bench {
     // (canary said 0.83x while wall ran 1.2x; DESIGN §8).
     val requeuedJson = requeuedRows.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val suiteScaleJson = {
+    // "suite_scale" = MEDIAN of per-row t/ref ratios over the shared
+    // successful rows — the same basis update_bench_ref.py recomputes
+    // (a sum-of-walls ratio lets a regressed subset that dominates
+    // suite time self-absolve; the median resists until more than half
+    // the ROWS move together — ADVICE r18). The old sum basis still
+    // ships as "suite_wall_ratio" for the run-total narrative.
+    val (suiteScaleJson, suiteWallJson) = {
       val shared = results.collect {
         case (name, t, ok) if ok && benchRef.contains(name) =>
           (t, benchRef(name))
       }
-      if (shared.isEmpty) "null"
-      else f"${shared.map(_._1).sum / shared.map(_._2).sum}%.3f"
+      if (shared.isEmpty) ("null", "null")
+      else {
+        val ratios = shared.map { case (t, r) => t / r }.sorted
+        (f"${ratios(ratios.size / 2)}%.3f",
+          f"${shared.map(_._1).sum / shared.map(_._2).sum}%.3f")
+      }
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"assets":$assetsJson,"asset_failures":$assetFailures,"failures":$failures,"requeued":$requeuedJson,"suite_scale":$suiteScaleJson,"warm":$warm,"passes":$passes,"sf":"$sfDir"$canaryJson$statsJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"assets":$assetsJson,"asset_failures":$assetFailures,"failures":$failures,"requeued":$requeuedJson,"suite_scale":$suiteScaleJson,"suite_wall_ratio":$suiteWallJson,"warm":$warm,"passes":$passes,"sf":"$sfDir"$canaryJson$statsJson}"""
     // Persist the FULL-fidelity line to a file first: this is the
     // canonical record (every query, full precision, optional stats).
     // The stdout contract below is a derived view of it.

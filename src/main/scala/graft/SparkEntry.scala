@@ -432,6 +432,11 @@ object SparkEntry {
     // unions, KMV intersects): pairwise source Jaccard estimates from
     // sketches alone, certified against the exact m60-style overlap
     "m153_kmv_source_overlap" -> ((s, dir) => CorpusQueries.kmvSourceOverlap(s, dir)),
+    // m154: the KMV K-WAY consumer — every source sketch folded into
+    // one corpus sketch (k-way merge ≡ pairwise chain, spec-pinned);
+    // the combined-corpus distinct card at |sources|×k-longs cost, the
+    // exact corpus-wide distinct riding along as the certificate
+    "m154_kmv_union_card" -> ((s, dir) => CorpusQueries.kmvCorpusUnionCard(s, dir)),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1868,7 +1873,10 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE pe_ AND NOT pc_) AS BIGINT) AS missed_prunes, " +
         "CAST(sum(CASE WHEN NOT pe_ THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget_exact, " +
         "CAST(sum(CASE WHEN NOT pc_ THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS pair_budget_cms " +
-        "FROM j"),
+        // HAVING mirrors the Spark side's n_grams > 0 gate: a global
+        // aggregate over an empty corpus must yield ZERO rows in BOTH
+        // engines (the m148 empty-card contract; ADVICE r18)
+        "FROM j HAVING count(*) > 0"),
     // m153: KMV replay — per-source k-smallest distinct hash48 rows via
     // row_number, the pair union's k-smallest the same way, membership
     // via left joins; Jaccard divisions double-for-double.
@@ -1899,6 +1907,30 @@ object SparkEntry {
         "abs(e.est_jaccard - CAST(coalesce(ni.n_inter, 0) AS DOUBLE) / CAST(na.nd + nb.nd - coalesce(ni.n_inter, 0) AS DOUBLE)) AS abs_err " +
         "FROM est e JOIN nd na ON na.source = e.src_a JOIN nd nb ON nb.source = e.src_b " +
         "LEFT JOIN ni ON ni.src_a = e.src_a AND ni.src_b = e.src_b"),
+    // m154: the k-way fold replayed as the k smallest over the union of
+    // per-source sketches; the estimator's constant 255·2⁴⁸ is an exact
+    // double in both engines, division double-for-double; WHERE
+    // n_sources > 0 mirrors the Spark empty-corpus gate.
+    "m154_kmv_union_card" ->
+      ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h " +
+        "FROM (SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "sk AS (SELECT source, h FROM (SELECT source, h, " +
+        "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gd) WHERE rn <= 256), " +
+        "kk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn " +
+        "FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= 256), " +
+        "card AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk FROM kk), " +
+        "ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM gd), " +
+        "ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM gd), " +
+        "est AS (SELECT CASE WHEN card.k_used < 256 THEN CAST(card.k_used AS DOUBLE) " +
+        "ELSE (CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)) / CAST(greatest(card.hk, 1) AS DOUBLE) END AS e, " +
+        "card.k_used FROM card) " +
+        "SELECT ns.n_sources, est.k_used, est.e AS est_distinct, ex.exact_distinct, " +
+        "abs(est.e - CAST(ex.exact_distinct AS DOUBLE)) / CAST(ex.exact_distinct AS DOUBLE) AS rel_err " +
+        "FROM ns, est, ex WHERE ns.n_sources > 0"),
     // m141: the augmentation (pure function of doc_id) replayed verbatim,
     // then the same candidate regex (no lookarounds — Java regex and RE2
     // agree on it), the same block-aligned window scan, and the Luhn

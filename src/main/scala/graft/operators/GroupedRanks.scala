@@ -41,7 +41,21 @@ object GroupedRanks {
   /** Append `rankCol` (0-based dense rank of the row within its
     * `groupCol` group, ordered by `orderCols`) and `countCol` (the
     * group's total row count). `orderCols` must totally order rows
-    * within each group (include a unique tie-break). */
+    * within each group (include a unique tie-break).
+    *
+    * '''Driver-state contract (verdict r18 #6):''' step 2 collects one
+    * (partition, group, count) tuple per group-slice; because range
+    * partitioning makes every group CONTIGUOUS, that is ≤ #partitions +
+    * #groups tuples — NOT partitions × groups — plus a broadcast of the
+    * same size. The operator is therefore safe only when `groupCol` is
+    * metadata-tier cardinality (strata, sources, labels: up to ~10⁶
+    * groups ≈ tens of MB of driver state), never a row-grain key. Every
+    * current caller groups on a stratum column: QuotaSample (quota
+    * groups over a cap-pruned skeleton), GroupQuantiles and the
+    * quality-percentile / stratified-split queries (`source`, tens of
+    * values) — worst case ≈ #partitions + #sources tuples. A row-grain
+    * group wouldn't just blow driver memory, it would also be the wrong
+    * tool: per-row groups rank trivially to 0 without a pass. */
   def withRankAndCount(df: DataFrame, groupCol: String,
                        orderCols: Seq[Column],
                        rankCol: String = "rk",

@@ -200,11 +200,20 @@ object RetailPipeline {
     * the manifest is the run HISTORY and `max(run_seq)` per date IS
     * the current state; the full table is the audit trail.
     * Single-writer contract (one scheduler appends, the reference's
-    * own model); at scale this is a metadata-tier append + one
-    * metadata-tier max() read per DAG-day, never a data-plane cost. */
+    * own model) — ENFORCED within the JVM, not just documented: the
+    * read-max-then-append below is not atomic, so concurrent per-day
+    * backfill notifies in one driver would mint duplicate run_seq
+    * values and break the max(run_seq)-per-date current-state query on
+    * ties (ADVICE r18). `manifestLock` serializes the whole
+    * read+append; cross-JVM writers remain out of contract (one
+    * scheduler process, as in the reference). At scale this is a
+    * metadata-tier append + one metadata-tier max() read per DAG-day,
+    * never a data-plane cost — the lock holds for that metadata read,
+    * never a data-plane job. */
+  private val manifestLock = new Object
   def manifestNotify(spark: org.apache.spark.sql.SparkSession,
                      table: String = "pipeline_runs"): RunOutcome => Unit = {
-    out =>
+    out => manifestLock.synchronized {
       import spark.implicits._
       val (branch, tables, error) = out match {
         case RunComplete(_, ts) =>
@@ -227,5 +236,6 @@ object RetailPipeline {
       if (spark.catalog.tableExists(table))
         row.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
       else row.write.saveAsTable(table)
+    }
   }
 }

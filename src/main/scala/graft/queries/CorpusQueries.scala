@@ -1332,6 +1332,52 @@ object CorpusQueries {
       .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
   }
 
+  /** KMV k-way union card (m154): the MULTI-source consumer the m153
+    * pair card stops short of — "how many unique shingles does the
+    * combined corpus have", answered by folding EVERY source's sketch
+    * into one corpus sketch (verdict r18 #4). The fold re-aggregates
+    * sketch CONTENTS through the same k-min aggregator: semantically
+    * the k-way sorted-array merge (the k smallest of a union are always
+    * inside the union of the per-set k smallest), spec-pinned ≡ a
+    * pairwise [[graft.operators.KmvSketch.unionSketch]] chain in any
+    * association order. The exact corpus-wide distinct count rides
+    * along as the certificate — the full-corpus distinct aggregate this
+    * sketch replaces at 100 TB, where the planner reads |sources| × k
+    * longs instead. Exchange budget: sources × k longs for the fold,
+    * one count-distinct exchange for the certificate leg only. */
+  def kmvCorpusUnionCard(s: SparkSession, dir: String,
+                         k: Int = graft.operators.KmvSketch.DefaultK): DataFrame = {
+    import graft.operators.{HyperLogLog, KmvSketch}
+    val hashed = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "")
+      .select(col("source"), HyperLogLog.hash48(col("gram")).as("h"))
+    // one distinct pass feeds all three consumers (sketches, source
+    // count, exact certificate) — the m153 pin-once discipline
+    val (gd, _) = graft.Snapshot.pinTracked(hashed.distinct())
+    val sk = gd.groupBy("source").agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+    // the k-way merge: every source sketch's entries re-aggregated
+    // through kMin — duplicate-insensitive sorted-set state, so this IS
+    // the sorted-array k-way merge, distributed (≤ sources × k longs)
+    val folded = sk.select(col("source"), explode(col("sk")).as("h"))
+      .agg(KmvSketch.kMin(k)(col("h")).as("sk"),
+        count_distinct(col("source")).as("n_sources"))
+    val exact = gd.agg(count_distinct(col("h")).as("exact_distinct"))
+    folded.crossJoin(broadcast(exact))
+      .select(col("n_sources"),
+        size(col("sk")).cast("long").as("k_used"),
+        KmvSketch.distinctEstimate(col("sk"), k).as("est_distinct"),
+        col("exact_distinct"),
+        (abs(KmvSketch.distinctEstimate(col("sk"), k) -
+          col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).as("rel_err"))
+      // empty-corpus contract: a global aggregate emits one row even
+      // over zero sources — the card must be EMPTY then (m148/m152 gate)
+      .filter(col("n_sources") > 0)
+  }
+
   /** CMS-planned stop-gram pruning (m152): the frequency sketch
     * CONSUMED in the dedup planner's real decision — which grams are
     * viral enough to prune before posting lists exist ([[graft.dedup

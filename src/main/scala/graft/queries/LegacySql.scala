@@ -34,6 +34,11 @@ object LegacySql {
       s"graft-legacy-users-${ProcessHandle.current().pid()}")
     s.sql("DROP TABLE IF EXISTS graft_users")
     deleteRecursively(loc)
+    // Pre-create the LOCATION directory: CREATE TABLE ... LOCATION on a
+    // missing path self-heals but logs a FileNotFoundException stack
+    // trace first — and a clean gate log is a correctness tool (a real
+    // failure must not be buried in expected noise, verdict r18 #2).
+    java.nio.file.Files.createDirectories(loc)
     s.sql(s"""CREATE TABLE graft_users (
              |  id BIGINT, firstname STRING, lastname STRING,
              |  email STRING, created_at TIMESTAMP)

@@ -136,6 +136,55 @@ object StreamingCorpus {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming KMV standing store (verdict r18 #5): the HLL pattern
+    * extended to the set-OPERATION sketch — every micro-batch's hashes
+    * fold into a standing per-group k-minimum-values sketch, giving the
+    * stream what HLL registers cannot: live set operations (today's
+    * stream vs the standing corpus — union, intersection, Jaccard via
+    * [[graft.operators.KmvSketch.jaccardEstimate]]) at ≤ groups × k
+    * longs of state however long the stream runs.
+    *
+    * Same exactly-once-correct-without-exactly-once-plumbing argument
+    * as [[hllRegisterStream]]: KMV state is the k smallest DISTINCT
+    * hashes — a pure function of the item SET — so the fold (re-
+    * aggregating standing sketch entries with the batch's fresh hashes
+    * through the same k-min buffer) is associative, commutative and
+    * IDEMPOTENT; an at-least-once foreachBatch replay folds to the
+    * identical store, and the standing sketch after ANY batch split is
+    * bit-identical to one batch build over every row seen (spec-pinned
+    * across chunks and a restart). Versioned-store mechanics (store-
+    * monotone `v<n>`, `_SUCCESS`-complete reads, keep-latest-two
+    * retirement, single-writer) are shared with the HLL store. */
+  def kmvSketchStream(docs: DataFrame, groupCol: String,
+                      hashCol: org.apache.spark.sql.Column,
+                      storeDir: String, checkpoint: String,
+                      k: Int = graft.operators.KmvSketch.DefaultK)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        import graft.operators.KmvSketch
+        val fresh = batch.select(col(groupCol), hashCol.as("h"))
+        val versions = completeVersions(storeDir)
+        val all = versions.lastOption.map(p => s.read.parquet(p.toString)) match {
+          case Some(standing) =>
+            // standing sketch entries re-enter the same k-min fold —
+            // the k smallest of a union are always inside the union of
+            // the per-side k smallest, so this IS the sketch merge
+            fresh.unionByName(
+              standing.select(col(groupCol), explode(col("sk")).as("h")))
+          case None => fresh
+        }
+        val merged = all.groupBy(groupCol).agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+        val next = versions.lastOption
+          .map(_.getFileName.toString.stripPrefix("v").toLong + 1L)
+          .getOrElse(0L)
+        merged.write.mode("overwrite").parquet(f"$storeDir/v$next%012d")
+        retireOlderVersions(storeDir, next)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** The newest COMPLETE register version under `storeDir` (None before
     * the first batch commits). */
   def latestRegisters(s: org.apache.spark.sql.SparkSession,

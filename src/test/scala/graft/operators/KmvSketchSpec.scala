@@ -40,6 +40,36 @@ class KmvSketchSpec extends SparkSpec {
     merged.toSeq shouldBe full.toSeq
   }
 
+  test("k-way fold ≡ pairwise unionSketch chain in any association order ≡ from-scratch (m154 contract)") {
+    // three overlapping sets with > k union, so the k-bound actually cuts
+    val sets = Seq(
+      (1L to 300L).map(i => i * 7 % 9973),
+      (1L to 300L).map(i => i * 11 % 9973),
+      (1L to 300L).map(i => i * 13 % 9973))
+    val k = 64
+    val dfs = sets.map(vs => hs(vs: _*))
+    val full = sketchOf(dfs.reduce(_ union _), k) // from-scratch over all rows
+    // the m154 k-way fold: every sketch's entries re-aggregated at once
+    val kway = dfs.map(df => df.groupBy("g").agg(KmvSketch.kMin(k)(col("h")).as("sk")))
+      .reduce(_ union _)
+      .select(col("g"), explode(col("sk")).as("h"))
+      .groupBy("g").agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+      .select("sk").as[Array[Long]].head()
+    // pairwise unionSketch chains, both association orders
+    val Seq(sa, sb, sc) = dfs.map(df => df.groupBy("g")
+      .agg(KmvSketch.kMin(k)(col("h")).as("sk")).select("sk").as[Array[Long]].head())
+    def lit3(a: Array[Long]) = typedLit(a.toSeq)
+    def chain(x: org.apache.spark.sql.Column) =
+      spark.range(1).select(x.as("sk")).select("sk").as[Seq[Long]].head()
+    val leftAssoc = chain(KmvSketch.unionSketch(
+      KmvSketch.unionSketch(lit3(sa), lit3(sb), k), lit3(sc), k))
+    val rightAssoc = chain(KmvSketch.unionSketch(
+      lit3(sa), KmvSketch.unionSketch(lit3(sb), lit3(sc), k), k))
+    kway.toSeq shouldBe full.toSeq
+    leftAssoc shouldBe full.toSeq
+    rightAssoc shouldBe full.toSeq
+  }
+
   test("distinctEstimate: exact below k; within 10% at 50k distinct with k=256") {
     val small = hs(1L, 2L, 3L).groupBy("g")
       .agg(KmvSketch.distinctEstimate(KmvSketch.kMin(256)(col("h"))).as("est"))

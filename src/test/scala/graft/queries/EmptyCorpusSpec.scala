@@ -136,6 +136,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "m152_cms_prune_plan" -> ((s: SparkSession, d: String) => CorpusQueries.cmsPrunePlan(s, d)),
     // m153: zero sources → zero sketches → zero pairs
     "m153_kmv_source_overlap" -> ((s: SparkSession, d: String) => CorpusQueries.kmvSourceOverlap(s, d)),
+    // m154: the global fold row is gated on n_sources > 0
+    "m154_kmv_union_card" -> ((s: SparkSession, d: String) => CorpusQueries.kmvCorpusUnionCard(s, d)),
     // m141: the augmentation filters on non-null text first → zero rows
     "m141_cc_luhn" -> (CorpusQueries.ccLuhn _),
     // m128: data-free design card — must still run (8 rows) on an empty

@@ -450,4 +450,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant((s, d) => graft.dedup.DupStats.sourceDupMass(
       CorpusQueries.mirroredAugmentedDocs(s, d), freshClusters(s, d)))
   }
+
+  test("m154 KMV union card: k-way fold identical across partitionings (sketch = pure function of the set)") {
+    assertInvariant((s, d) => CorpusQueries.kmvCorpusUnionCard(s, d))
+  }
 }

@@ -987,6 +987,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (p should not).include("CartesianProduct")
   }
 
+  test("m154: KMV union fold exchanges carry ≤ sources × k longs, never gram text") {
+    val p = plan(CorpusQueries.kmvCorpusUnionCard(spark, dir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+    (exchanges should not).include("gram#")
+    p should include("ObjectHashAggregate") // the k-bounded fold buffer
+    (p should not).include("CartesianProduct")
+  }
+
   test("m106/m107: dup-mass reports read the stored cluster asset; exchanges carry ids and counts, never text") {
     for (q <- Seq(CorpusQueries.dupFamilyHistogram _, CorpusQueries.sourceDupMass _)) {
       val p = plan(q(spark, dir))

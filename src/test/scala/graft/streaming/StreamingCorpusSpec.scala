@@ -159,6 +159,49 @@ class StreamingCorpusSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV sketch store equals the one-shot batch sketch — across batches AND a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{HyperLogLog, KmvSketch}
+    val store = java.nio.file.Files.createTempDirectory("graft-kmv-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString
+    val docs = (1 to 120).map(i =>
+      StreamDoc(i.toLong, ts(i % 50), s"src${i % 3} content ${i % 37} filler"))
+    def src(d: StreamDoc) = s"src${d.doc_id % 3}"
+    val k = 16 // < distinct count per group, so the k-bound actually cuts
+    val in1 = MemoryStream[StreamDoc]
+    val q1 = StreamingCorpus.kmvSketchStream(
+      in1.toDF().select(col("text"), expr("concat('src', doc_id % 3)").as("source")),
+      "source", HyperLogLog.hash48(col("text")), store, ckpt, k)
+    in1.addData(docs.take(40): _*); q1.processAllAvailable()
+    in1.addData(docs.slice(40, 80): _*); q1.processAllAvailable()
+    q1.stop()
+    val in2 = MemoryStream[StreamDoc] // a fresh query on the same store
+    val q2 = StreamingCorpus.kmvSketchStream(
+      in2.toDF().select(col("text"), expr("concat('src', doc_id % 3)").as("source")),
+      "source", HyperLogLog.hash48(col("text")),
+      store, java.nio.file.Files.createTempDirectory("graft-kmv-ckpt2").toString, k)
+    in2.addData(docs.drop(80): _*); q2.processAllAvailable()
+    q2.stop()
+    // KMV state is a pure function of the item set → the standing store
+    // is BIT-IDENTICAL to one batch build over every row seen
+    val streamed = StreamingCorpus.latestRegisters(spark, store).get
+      .select("source", "sk")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    val batch = docs.map(d => (src(d), d.text)).toDF("source", "text")
+      .select(col("source"), HyperLogLog.hash48(col("text")).as("h"))
+      .groupBy("source").agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    streamed shouldBe batch
+    // and the standing sketches serve a live SET OPERATION — the
+    // stream-vs-standing-corpus overlap HLL registers cannot answer
+    val sk = StreamingCorpus.latestRegisters(spark, store).get
+    val pair = sk.filter(col("source") === "src0").select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("source") === "src1").select(col("sk").as("skb")))
+      .select(KmvSketch.jaccardEstimate(col("ska"), col("skb"), k).as("j"))
+      .as[Double].head()
+    pair should (be >= 0.0 and be <= 1.0)
+  }
+
   test("content dedup drops exact copies across micro-batches within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]

@@ -92,7 +92,13 @@ def main() -> int:
     shared_rows = [n for n in old if n in new and old[n] > 0]
     _ratios = sorted(new[n] / old[n] for n in shared_rows)
     med_scale = _ratios[len(_ratios) // 2] if _ratios else 1.0
-    use_suite = bool(_ratios)
+    # The median basis needs enough shared rows to mean anything: with
+    # 1-3 shared rows the median self-normalizes (one shared row makes
+    # t_new/med_scale == t_old identically, so that row can never trip
+    # the gate, and the median row is definitionally unflaggable).
+    # Require >= 5 shared rows; otherwise fall back to canary-ratio or
+    # raw wall-clock (ADVICE r18).
+    use_suite = len(_ratios) >= 5
 
     # MEDIAN-vs-MEDIAN on both sides: the reference stores only its
     # run's canary median, so normalizing the new side by PER-ROW
