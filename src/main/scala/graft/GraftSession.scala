@@ -20,12 +20,31 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** ObjectHashAggregate sort-fallback threshold (round 19). Spark's
+    * default is 128 KEYS because it cannot size arbitrary object
+    * buffers — but every typed Aggregator in this engine carries a
+    * buffer that is CAPPED BY CONSTRUCTION (CappedCollect ≤ cap+1
+    * longs, KmvSketch ≤ k longs, HistogramSketch 1024 counters, the
+    * funnel's fixed stages), so the conservative default just forced
+    * every corpus-sized aggregation into the sort-based path — an
+    * external sort of the whole input stream. Measured at the gen-1000
+    * octave on asset:pairs: 13.4 GB mem + 1.9 GB disk spill at the
+    * default, ZERO at this threshold, wall 23.5 → 21.1 s. State
+    * arithmetic for the bound: 262144 keys × ~500 B worst-case buffer
+    * (dfCap = 50 longs + headers) ≈ 128 MB per task, ×32 concurrent
+    * tasks ≈ 4 GB worst case on the 8 GB bench heap — and the sort
+    * fallback still engages past the threshold, so an unforeseen
+    * million-group task degrades exactly as before instead of OOMing. */
+  val ObjectAggFallbackKeys = 262144
+
   def builder(master: String = "local[*]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        ObjectAggFallbackKeys.toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Build (or reuse) the session and make sure the extensions are live
