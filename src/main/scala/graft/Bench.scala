@@ -90,10 +90,7 @@ object Bench {
       // future default drift or an ambient conf (round-15 verdict ask #7;
       // the full 177-query gate is hash-green under this pin).
       .config("spark.sql.ansi.enabled", "true")
-      // bounded-buffer aggregators make a roomy ObjectHashAggregate hash
-      // map safe — see GraftSession.ObjectAggFallbackKeys (round 19; the
-      // 128-key default forced corpus-sized aggs into a full input sort:
-      // asset:pairs gen-1000 spilled 13.4 GB, zero at this setting)
+      // rationale + safety arithmetic: GraftSession.ObjectAggFallbackKeys
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         GraftSession.ObjectAggFallbackKeys.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -563,31 +560,34 @@ object Bench {
           flagged.toSeq.sorted.mkString(", "))
         (firstResults.map {
           case (name, t, ok) if flagged(name) =>
-            // the requeue is the row's LAST measured pass, so its stats
-            // snapshot replaces the earlier one too — otherwise a clean
-            // requeue timing would ship with the load-window pass's
-            // stats, the very numbers DESIGN §8 adjudicates rows with
-            // (review r16); the canary force-refreshes so the requeue's
-            // ratio is the one in force when ITS timing was measured
+            // Timing, canary AND stats must come from the SAME pass:
+            // whichever pass's timing ships, its canary and its stats
+            // snapshot ship with it (review r16 added the stats replace
+            // for a kept requeue; review r18 restored the canary for a
+            // kept original; review r19 found a failed/slower requeue
+            // still overwrote statsOut with the aborted pass's partial
+            // bytes — the adjudication numbers — while keeping the
+            // original timing).
             val prevCanary = canaryUsed.get(name)
+            val prevStats = statsOut.get(name)
             canaryTick(name, force = true)
             statsListener.foreach { l => l.quiesce(); l.reset() }
             val (t2, ok2) = timeOne(name, benchQueries(name))
             statsListener.foreach { l => l.quiesce(); statsOut(name) = l.snapshot }
             releaseSnapshots()
-            // "each row records the canary in force when ITS timing was
-            // measured" — when the requeue is SLOWER the kept timing is
-            // still the original window's, so the original canary must
-            // travel with it (review r18: a window-1 time over a
-            // window-2 canary skews the very ratio flagged rows are
-            // adjudicated on)
-            // prevCanary None + kept original timing: REMOVE the entry
-            // rather than leave the force-refreshed window-2 canary
-            // paired with the window-1 timing — the exact skew this
-            // restore exists to prevent (ADVICE r18)
-            if (!(ok2 && t2 < t)) prevCanary match {
-              case Some(c) => canaryUsed(name) = c
-              case None    => canaryUsed.remove(name)
+            val keepRequeue = ok2 && t2 < t
+            if (!keepRequeue) {
+              // original pass's timing kept → restore ITS canary and
+              // stats; a None restores by REMOVAL, never by leaving the
+              // requeue window's value behind (ADVICE r18 / review r19)
+              prevCanary match {
+                case Some(c) => canaryUsed(name) = c
+                case None    => canaryUsed.remove(name)
+              }
+              prevStats match {
+                case Some(s) => statsOut(name) = s
+                case None    => statsOut.remove(name)
+              }
             }
             (name, if (ok2) math.min(t, t2) else t, ok)
           case r => r
@@ -639,11 +639,9 @@ object Bench {
       }
     // The requeue list lives IN the record (round-17 verdict ask #1: a
     // clean run must carry an EMPTY list mechanically, not be inferred
-    // from stderr), and "suite_scale" = this run's wall over the
-    // committed reference's wall on the shared successful rows — the
-    // within-run window factor that adjudicated r17's flagged rows when
-    // the scheduling-bound canary mis-tracked a CPU-speed window
-    // (canary said 0.83x while wall ran 1.2x; DESIGN §8).
+    // from stderr). The window-level field it rides with is defined
+    // ONCE, below at its computation (round 19 — two comment blocks had
+    // defined "suite_scale" two different ways).
     val requeuedJson = requeuedRows.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // "suite_scale" = MEDIAN of per-row t/ref ratios over the shared

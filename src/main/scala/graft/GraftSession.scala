@@ -22,20 +22,33 @@ object GraftSession {
 
   /** ObjectHashAggregate sort-fallback threshold (round 19). Spark's
     * default is 128 KEYS because it cannot size arbitrary object
-    * buffers — but every typed Aggregator in this engine carries a
-    * buffer that is CAPPED BY CONSTRUCTION (CappedCollect ≤ cap+1
-    * longs, KmvSketch ≤ k longs, HistogramSketch 1024 counters, the
-    * funnel's fixed stages), so the conservative default just forced
-    * every corpus-sized aggregation into the sort-based path — an
-    * external sort of the whole input stream. Measured at the gen-1000
-    * octave on asset:pairs: 13.4 GB mem + 1.9 GB disk spill at the
-    * default, ZERO at this threshold, wall 23.5 → 21.1 s. State
-    * arithmetic for the bound: 262144 keys × ~500 B worst-case buffer
-    * (dfCap = 50 longs + headers) ≈ 128 MB per task, ×32 concurrent
-    * tasks ≈ 4 GB worst case on the 8 GB bench heap — and the sort
-    * fallback still engages past the threshold, so an unforeseen
-    * million-group task degrades exactly as before instead of OOMing. */
-  val ObjectAggFallbackKeys = 262144
+    * buffers, so every corpus-sized typed aggregation ran as an
+    * external SORT of its whole input stream — measured at the
+    * gen-1000 octave on asset:pairs: 13.4 GB mem + 1.9 GB disk spill
+    * at the default, ZERO at this threshold (and at 4× it), wall
+    * 23.5 → 18.6 s.
+    *
+    * The threshold is SESSION-GLOBAL, so the safety arithmetic must
+    * cover BOTH buffer families that plan as ObjectHashAggregate
+    * (review r19 — the first cut of this constant argued only from the
+    * capped one):
+    *  - the engine's typed Aggregators, capped by construction
+    *    (CappedCollect ≤ cap+1 longs, KmvSketch ≤ k, HistogramSketch
+    *    1024 counters): 65536 × ~500 B ≈ 32 MB per task — negligible;
+    *  - built-in collect_list/collect_set at DOCUMENT grain (LineDedup,
+    *    SpanScrub cut lists, DSIR/outlier vectors): buffers are a doc's
+    *    lines/cuts, ~2–4 KB typical → 65536 × 4 KB ≈ 256 MB per task,
+    *    ×32 concurrent ≈ 8 GB ABSOLUTE worst case if every task is a
+    *    text collect at max width — in practice those aggregations
+    *    run at ≤ thousands of groups per task at every measured octave
+    *    (gen-1000: 36 k docs/task), far below the threshold.
+    * Past the threshold the sort fallback still engages, so an
+    * unforeseen million-group task degrades exactly as the old default
+    * did instead of OOMing. 262144 also measured zero-spill on the
+    * capped family but quadruples the unbounded-collect exposure for
+    * no additional benefit — 65536 is the smallest power of two that
+    * keeps the gen-1000 capped tier fully in the hash path. */
+  val ObjectAggFallbackKeys = 65536
 
   def builder(master: String = "local[*]"): SparkSession.Builder =
     SparkSession.builder()

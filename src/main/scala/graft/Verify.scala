@@ -25,10 +25,7 @@ object Verify {
       // future default drift or an ambient conf (round-15 verdict ask #7;
       // the full 177-query gate is hash-green under this pin).
       .config("spark.sql.ansi.enabled", "true")
-      // bounded-buffer aggregators make a roomy ObjectHashAggregate hash
-      // map safe — see GraftSession.ObjectAggFallbackKeys (round 19; the
-      // 128-key default forced corpus-sized aggs into a full input sort:
-      // asset:pairs gen-1000 spilled 13.4 GB, zero at this setting)
+      // rationale + safety arithmetic: GraftSession.ObjectAggFallbackKeys
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         GraftSession.ObjectAggFallbackKeys.toString)
       .config("spark.ui.enabled", "false")

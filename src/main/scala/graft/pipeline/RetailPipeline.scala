@@ -181,6 +181,9 @@ object RetailPipeline {
     * analogue of the reference's complete/failed notification tasks.
     * Carries table NAMES, not frames: a notification channel gets
     * identifiers to report, never live plans to re-execute. */
+  // single-writer enforcement for manifestNotify's read-max+append
+  private val manifestLock = new Object
+
   sealed trait RunOutcome { def date: String }
   final case class RunComplete(date: String, tables: Set[String]) extends RunOutcome
   final case class RunFailed(date: String, error: Throwable) extends RunOutcome
@@ -210,7 +213,6 @@ object RetailPipeline {
     * metadata-tier append + one metadata-tier max() read per DAG-day,
     * never a data-plane cost — the lock holds for that metadata read,
     * never a data-plane job. */
-  private val manifestLock = new Object
   def manifestNotify(spark: org.apache.spark.sql.SparkSession,
                      table: String = "pipeline_runs"): RunOutcome => Unit = {
     out => manifestLock.synchronized {

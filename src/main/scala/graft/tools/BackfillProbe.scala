@@ -51,6 +51,15 @@ object BackfillProbe {
     }
   }
 
+  /** Drain the async listener bus so the snapshot sees every task-end
+    * event from the measured section (the Bench quiesce discipline —
+    * a snapshot taken before the bus drains under-counts the tail). */
+  private def drain(sc: org.apache.spark.SparkContext): Unit = {
+    val deadline = System.nanoTime + 10000000000L
+    while (!org.apache.spark.graft.BenchListenerBus.drain(sc, 2000) &&
+           System.nanoTime < deadline) Thread.sleep(10)
+  }
+
   def main(args: Array[String]): Unit = {
     val amp = args.headOption.map(_.toInt).getOrElse(10)
     require(amp >= 1, s"amp must be >= 1, got $amp")
@@ -58,24 +67,32 @@ object BackfillProbe {
     val refRoot = args.lift(2).getOrElse("/root/reference/data/raw")
     val wh = s"/tmp/graft-probe-wh-${ProcessHandle.current().pid()}"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GraftSession.builder carries the engine session contract (UTC,
+    // ANSI, AQE, extensions, the ObjectHashAggregate threshold) so the
+    // probe measures the pipeline under the SAME aggregate-execution
+    // settings as the suite it extends — review r19: a fifth hand-rolled
+    // builder had silently omitted the threshold pin.
+    val spark = graft.GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val days = (1 to 31).map(d => f"2019-10-$d%02d")
 
-    // ---- amplify (skipped when this amp's output already exists) ----
+    // ---- amplify (skipped only when THIS amp already owns rawOut) ----
+    // One fixed marker whose CONTENT is the amp value: a stale per-amp
+    // marker from an earlier run at a different factor must not let the
+    // probe label 30× data as amp=10 (review r19).
     val t0 = System.nanoTime()
-    val marker = java.nio.file.Paths.get(s"$rawOut/.amp-$amp-complete")
-    if (!java.nio.file.Files.exists(marker)) {
+    val marker = java.nio.file.Paths.get(s"$rawOut/.amp-complete")
+    val markerAmp =
+      if (java.nio.file.Files.exists(marker))
+        scala.util.Try(java.nio.file.Files.readString(marker).trim.toInt).toOption
+      else None
+    if (!markerAmp.contains(amp)) {
+      java.nio.file.Files.deleteIfExists(marker)
       days.foreach { d =>
         val raw = graft.io.Sources.rawEventsCsv(spark, refRoot, d)
         val amped = raw
@@ -96,7 +113,7 @@ object BackfillProbe {
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ssXXX")
           .csv(s"$rawOut/Day_Wise/$d/event.csv")
       }
-      java.nio.file.Files.createFile(marker)
+      java.nio.file.Files.writeString(marker, s"$amp\n")
     }
     val ampSec = (System.nanoTime() - t0) / 1e9
 
@@ -107,6 +124,12 @@ object BackfillProbe {
     val t1 = System.nanoTime()
     val ran = pipeline.backfill(days.head, days.last)
     val backfillSec = (System.nanoTime() - t1) / 1e9
+    // Snapshot the stats NOW, after a bus drain — the verification
+    // counts below re-scan everything the backfill wrote, and their
+    // bytes must not inflate the backfill's own evidence (review r19).
+    drain(spark.sparkContext)
+    val backfillStats = listener.json
+    spark.sparkContext.removeSparkListener(listener)
 
     val staging = spark.table("staging_events").count()
     val fact = spark.table("fact_events").count()
@@ -118,7 +141,7 @@ object BackfillProbe {
         s""""fact":$fact,"dim_user":$dimUser,"dim_product":$dimProduct,""" +
         s""""mart_days":$martDays,""" +
         f""""amplify_sec":$ampSec%.1f,"backfill_sec":$backfillSec%.1f,""" +
-        s""""stats":${listener.json}}""")
+        s""""stats":$backfillStats}""")
     spark.stop()
   }
 }
