@@ -47,7 +47,18 @@ object GraftSession {
     * did instead of OOMing. 262144 also measured zero-spill on the
     * capped family but quadruples the unbounded-collect exposure for
     * no additional benefit — 65536 is the smallest power of two that
-    * keeps the gen-1000 capped tier fully in the hash path. */
+    * keeps the gen-1000 capped tier fully in the hash path.
+    *
+    * Headroom contract (review r19b): this sizes to the MEASURED
+    * octave, not far beyond it — a capped-family task that grows past
+    * the threshold (a larger octave, a skewed partition) re-enters the
+    * sort path and its spill REAPPEARS IN THE BENCH RECORD, which is
+    * the designed tripwire: when adjudicating a new spill on an
+    * ObjectHashAggregate row, check groups-per-task against this
+    * constant BEFORE suspecting the plan (DESIGN §8). Raising it is
+    * pre-validated up to 4× (262144 measured zero-spill same-session),
+    * and on a real cluster it should scale with per-task memory —
+    * 65536 is calibrated to the 8 GB / 32-concurrent-task bench JVM. */
   val ObjectAggFallbackKeys = 65536
 
   def builder(master: String = "local[*]"): SparkSession.Builder =

@@ -16,13 +16,14 @@ object RunReference {
   def main(args: Array[String]): Unit = {
     val rawRoot = args.headOption.getOrElse("/root/reference/data/raw")
     val wh = args.lift(1).getOrElse(s"/tmp/graft-reference-wh-${ProcessHandle.current().pid()}")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    // GraftSession.builder: the backfill's evidence rows sit in the same
+    // BENCH_sf1 table as BackfillProbe's, so both must measure under the
+    // suite session contract (ANSI, AQE, aggregate threshold) —
+    // review r19b found this main still on a hand-rolled builder.
+    val spark = GraftSession.builder(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -56,8 +56,15 @@ object BackfillProbe {
     * a snapshot taken before the bus drains under-counts the tail). */
   private def drain(sc: org.apache.spark.SparkContext): Unit = {
     val deadline = System.nanoTime + 10000000000L
-    while (!org.apache.spark.graft.BenchListenerBus.drain(sc, 2000) &&
-           System.nanoTime < deadline) Thread.sleep(10)
+    var drained = false
+    while (!drained && System.nanoTime < deadline) {
+      drained = org.apache.spark.graft.BenchListenerBus.drain(sc, 2000)
+      if (!drained) Thread.sleep(10)
+    }
+    // a silent timeout would ship under-counted stats into the PROBE
+    // record (review r19b — Bench's quiesce warns in the same case)
+    if (!drained)
+      System.err.println("[probe] stats listener did not quiesce in 10 s")
   }
 
   def main(args: Array[String]): Unit = {

@@ -22,11 +22,11 @@ object ProbeTiming {
     val root = java.nio.file.Files.createTempDirectory("graft-probe-amort")
     sys.props("graft.dedup.assetRoot") = root.toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GraftSession.builder: every evidence-producing main measures under
+    // the suite's session contract (ANSI, AQE, aggregate threshold) —
+    // review r19b found this probe still on a hand-rolled builder.
+    val spark = graft.GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
