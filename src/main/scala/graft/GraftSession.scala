@@ -71,6 +71,47 @@ object GraftSession {
         ObjectAggFallbackKeys.toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
+  /** s3a configuration profile mirroring the reference's actual object
+    * layout (raw `s3://…/Day_Wise/<date>/event.csv` reads, mart
+    * `s3://…/aggregates/<metric>/dt=…` partitioned parquet writes —
+    * retail_pipeline_assets.py:37, retail_pipeline.py:81). Sources and
+    * Sinks already take generic Hadoop paths, so an `s3a://` root works
+    * with NO code change — this profile is the session-level half: the
+    * standard public hadoop-aws settings a parquet-on-S3 deployment
+    * needs, centralized so a user switching from the reference cannot
+    * mis-assemble them either.
+    *
+    *  - the MAGIC committer: S3 has no atomic directory rename, so the
+    *    default FileOutputCommitter is both slow (copy-based "rename")
+    *    and unsafe on task retry; the magic committer stages multipart
+    *    uploads and completes them at job commit — the documented
+    *    committer for Spark-on-S3 (public Hadoop S3A committer docs);
+    *  - committer conflict-mode REPLACE scoped to the mart's
+    *    `partitionBy("dt")` overwrite semantics (S3/S5's idempotent
+    *    re-run contract);
+    *  - connection/thread pool sized for the day-partitioned layout
+    *    (many small objects read concurrently by one stage).
+    *
+    * Credentials are deliberately NOT set here: the default s3a
+    * provider chain (env → instance profile) is the production path,
+    * and baking keys into session conf is the anti-pattern. This
+    * sandbox has no object store, so the profile is exercised by
+    * GraftSessionSpec asserting the confs land on the builder — the
+    * dataflow it configures is the same one the local-path tests run
+    * end-to-end. */
+  def withS3aProfile(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.hadoop.fs.s3a.committer.magic.enabled", "true")
+      .config("spark.hadoop.fs.s3a.committer.name", "magic")
+      .config("spark.sql.sources.commitProtocolClass",
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+      .config("spark.sql.parquet.output.committer.class",
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+      .config("spark.hadoop.fs.s3a.committer.staging.conflict-mode", "replace")
+      .config("spark.hadoop.fs.s3a.connection.maximum", "96")
+      .config("spark.hadoop.fs.s3a.threads.max", "64")
+      .config("spark.hadoop.fs.s3a.fast.upload", "true")
+      .config("spark.hadoop.fs.s3a.directory.marker.retention", "keep")
+
   /** Build (or reuse) the session and make sure the extensions are live
     * even when an earlier session without them already exists.
     *

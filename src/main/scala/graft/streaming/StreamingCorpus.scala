@@ -185,6 +185,39 @@ object StreamingCorpus {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** The decision the standing KMV store serves: overlap of an
+    * INCOMING batch (today's candidate shipment, a new crawl slice)
+    * against every group already in the corpus — the admission-planning
+    * card ("is src7's delivery mostly content we already hold?") that
+    * HLL registers cannot answer. One bounded sketch is built over the
+    * fresh batch (one exchange of ≤ k longs), then every standing group
+    * sketch joins it broadcast-style: per group, the standing distinct
+    * estimate, the batch-vs-group Jaccard estimate, and the estimated
+    * count of the batch's items already present (jaccard × union — the
+    * KMV identity, all from ≤ 2k longs per pair). Cost at 100 TB:
+    * reading |groups| × k longs; the corpora themselves never move.
+    * Estimates are exact whenever both sets fit inside their sketches
+    * (spec-pinned, with a streamed-store ≡ batch-sketch parity pin). */
+  def kmvOverlapCard(s: org.apache.spark.sql.SparkSession, storeDir: String,
+                     fresh: DataFrame, hashCol: org.apache.spark.sql.Column,
+                     k: Int = graft.operators.KmvSketch.DefaultK): DataFrame = {
+    import graft.operators.KmvSketch
+    val standing = latestRegisters(s, storeDir).getOrElse(
+      return s.emptyDataFrame)
+    val freshSk = fresh.select(hashCol.as("h"))
+      .agg(KmvSketch.kMin(k)(col("h")).as("skf"))
+    val union = KmvSketch.unionSketch(col("sk"), col("skf"), k)
+    standing.crossJoin(broadcast(freshSk))
+      .filter(size(col("skf")) > 0) // empty batch → empty card
+      .select(
+        standing.columns.filter(_ != "sk").map(col) :+
+          KmvSketch.distinctEstimate(col("sk"), k).as("standing_distinct") :+
+          KmvSketch.distinctEstimate(col("skf"), k).as("batch_distinct") :+
+          KmvSketch.jaccardEstimate(col("sk"), col("skf"), k).as("est_jaccard") :+
+          (KmvSketch.jaccardEstimate(col("sk"), col("skf"), k) *
+            KmvSketch.distinctEstimate(union, k)).as("est_common"): _*)
+  }
+
   /** The newest COMPLETE register version under `storeDir` (None before
     * the first batch commits). */
   def latestRegisters(s: org.apache.spark.sql.SparkSession,

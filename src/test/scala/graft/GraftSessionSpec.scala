@@ -22,6 +22,38 @@ class GraftSessionSpec extends SparkSpec {
     s.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
   }
 
+  test("withS3aProfile pins the magic committer and pool settings; never credentials") {
+    // No object store in this sandbox — the contract under test is that
+    // the profile lands the documented conf set on the builder (the
+    // dataflow it configures is what the local-path suites run e2e).
+    val opts = extractOptions(GraftSession.withS3aProfile(
+      org.apache.spark.sql.SparkSession.builder()))
+    opts("spark.hadoop.fs.s3a.committer.name") shouldBe "magic"
+    opts("spark.hadoop.fs.s3a.committer.magic.enabled") shouldBe "true"
+    opts("spark.sql.sources.commitProtocolClass") should include("PathOutputCommitProtocol")
+    opts("spark.sql.parquet.output.committer.class") should include("BindingParquetOutputCommitter")
+    opts("spark.hadoop.fs.s3a.committer.staging.conflict-mode") shouldBe "replace"
+    opts.keys.filter(_.contains("s3a")).foreach { k =>
+      withClue(s"credential-shaped key $k must not be set by the profile: ") {
+        (k should not).include("access.key")
+        (k should not).include("secret.key")
+        (k should not).include("session.token")
+      }
+    }
+  }
+
+  private def extractOptions(b: org.apache.spark.sql.SparkSession.Builder): Map[String, String] = {
+    // Builder#options is private; read it reflectively — the spec's job
+    // is asserting WHAT the profile sets, not how Spark stores it.
+    val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+      .takeWhile(_ != null)
+      .flatMap(_.getDeclaredFields)
+      .find(f => classOf[scala.collection.mutable.HashMap[_, _]].isAssignableFrom(f.getType))
+      .getOrElse(fail("SparkSession.Builder no longer holds an options HashMap"))
+    f.setAccessible(true)
+    f.get(b).asInstanceOf[scala.collection.mutable.HashMap[String, String]].toMap
+  }
+
   test("snapshot-free suppression denies ONLY the localCheckpoint caveat (ADVICE r15)") {
     GraftSession.silenceSnapshotFreeWarning()
     val ctx = org.apache.logging.log4j.LogManager.getContext(false)

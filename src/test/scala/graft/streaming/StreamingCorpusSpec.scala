@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import java.sql.Timestamp
 
 case class StreamDoc(doc_id: Long, arrival_ts: Timestamp, text: String)
@@ -200,6 +200,39 @@ class StreamingCorpusSpec extends SparkSpec {
       .select(KmvSketch.jaccardEstimate(col("ska"), col("skb"), k).as("j"))
       .as[Double].head()
     pair should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("kmvOverlapCard: exact overlap counts off the STREAMED store whenever sets fit the sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.HyperLogLog
+    val store = java.nio.file.Files.createTempDirectory("graft-kmv-card").toString
+    // standing corpus: src0 holds items 0..9, src1 holds 5..14 (as text)
+    val docs = (0 to 9).map(i => StreamDoc(i.toLong, ts(i), s"item-$i")) ++
+      (5 to 14).map(i => StreamDoc(100L + i, ts(i), s"item-$i"))
+    def src(d: StreamDoc) = if (d.doc_id < 100) "src0" else "src1"
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingCorpus.kmvSketchStream(
+      in.toDF().select(col("text"),
+        expr("CASE WHEN doc_id < 100 THEN 'src0' ELSE 'src1' END").as("source")),
+      "source", HyperLogLog.hash48(col("text")), store,
+      java.nio.file.Files.createTempDirectory("graft-kmv-card-ckpt").toString)
+    in.addData(docs: _*); q.processAllAvailable(); q.stop()
+    // incoming batch: items 8..12 ({8,9} already in src0, all 5 in src1)
+    val batch = (8 to 12).map(i => s"item-$i").toDF("text")
+    val card = StreamingCorpus.kmvOverlapCard(spark, store,
+        batch, HyperLogLog.hash48(col("text")))
+      .select("source", "standing_distinct", "batch_distinct", "est_common")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // all sets ≪ k=256, so every estimate is EXACT
+    card("src0") shouldBe ((10.0, 5.0, 2.0))
+    card("src1") shouldBe ((10.0, 5.0, 5.0))
+    // empty batch → empty card; missing store → empty frame
+    StreamingCorpus.kmvOverlapCard(spark, store,
+      spark.emptyDataFrame.withColumn("text", lit("x")).filter(lit(false)),
+      HyperLogLog.hash48(col("text"))).count() shouldBe 0
+    StreamingCorpus.kmvOverlapCard(spark, "/nonexistent-store-dir",
+      batch, HyperLogLog.hash48(col("text"))).count() shouldBe 0
   }
 
   test("content dedup drops exact copies across micro-batches within the horizon") {
