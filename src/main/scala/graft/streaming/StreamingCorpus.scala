@@ -175,7 +175,13 @@ object StreamingCorpus {
               standing.select(col(groupCol), explode(col("sk")).as("h")))
           case None => fresh
         }
-        val merged = all.groupBy(groupCol).agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+        // sk_k rides in the store so a consumer built with a DIFFERENT
+        // k fails loudly instead of silently mis-estimating (a saturated
+        // k=64 sketch read as k=256 reports its size as the EXACT
+        // distinct count — review r19c)
+        val merged = all.groupBy(groupCol)
+          .agg(KmvSketch.kMin(k)(col("h")).as("sk"))
+          .withColumn("sk_k", lit(k))
         val next = versions.lastOption
           .map(_.getFileName.toString.stripPrefix("v").toLong + 1L)
           .getOrElse(0L)
@@ -202,20 +208,35 @@ object StreamingCorpus {
                      fresh: DataFrame, hashCol: org.apache.spark.sql.Column,
                      k: Int = graft.operators.KmvSketch.DefaultK): DataFrame = {
     import graft.operators.KmvSketch
+    // A missing/unready store FAILS, never degrades: an admission
+    // planner reading a typo'd dir as "zero overlap, admit everything"
+    // is a correctness hazard, and the zero-column emptyDataFrame the
+    // first cut returned broke any column-referencing consumer anyway
+    // (review r19c). Callers that expect a cold start probe
+    // latestRegisters themselves.
     val standing = latestRegisters(s, storeDir).getOrElse(
-      return s.emptyDataFrame)
+      throw new IllegalStateException(
+        s"kmvOverlapCard: no complete KMV store version under $storeDir " +
+          "— wrong dir, or the stream has not committed its first batch"))
+    // k mismatch fails loudly off the store's own sk_k stamp: a
+    // saturated smaller-k sketch read at a larger k would report its
+    // SIZE as the exact distinct count (review r19c).
+    val storeK = standing.select("sk_k").head().getInt(0)
+    require(storeK == k,
+      s"kmvOverlapCard: store at $storeDir was built with k=$storeK, " +
+        s"read with k=$k — estimates would be silently wrong")
     val freshSk = fresh.select(hashCol.as("h"))
       .agg(KmvSketch.kMin(k)(col("h")).as("skf"))
-    val union = KmvSketch.unionSketch(col("sk"), col("skf"), k)
+    // union/jaccard each constructed ONCE; est_common derives from the
+    // projected est_jaccard column, not a re-evaluated expression
     standing.crossJoin(broadcast(freshSk))
       .filter(size(col("skf")) > 0) // empty batch → empty card
-      .select(
-        standing.columns.filter(_ != "sk").map(col) :+
-          KmvSketch.distinctEstimate(col("sk"), k).as("standing_distinct") :+
-          KmvSketch.distinctEstimate(col("skf"), k).as("batch_distinct") :+
-          KmvSketch.jaccardEstimate(col("sk"), col("skf"), k).as("est_jaccard") :+
-          (KmvSketch.jaccardEstimate(col("sk"), col("skf"), k) *
-            KmvSketch.distinctEstimate(union, k)).as("est_common"): _*)
+      .withColumn("standing_distinct", KmvSketch.distinctEstimate(col("sk"), k))
+      .withColumn("batch_distinct", KmvSketch.distinctEstimate(col("skf"), k))
+      .withColumn("est_jaccard", KmvSketch.jaccardEstimate(col("sk"), col("skf"), k))
+      .withColumn("est_common", col("est_jaccard") *
+        KmvSketch.distinctEstimate(KmvSketch.unionSketch(col("sk"), col("skf"), k), k))
+      .drop("sk", "skf", "sk_k")
   }
 
   /** The newest COMPLETE register version under `storeDir` (None before

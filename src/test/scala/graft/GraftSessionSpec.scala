@@ -30,9 +30,16 @@ class GraftSessionSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.builder()))
     opts("spark.hadoop.fs.s3a.committer.name") shouldBe "magic"
     opts("spark.hadoop.fs.s3a.committer.magic.enabled") shouldBe "true"
-    opts("spark.sql.sources.commitProtocolClass") should include("PathOutputCommitProtocol")
-    opts("spark.sql.parquet.output.committer.class") should include("BindingParquetOutputCommitter")
-    opts("spark.hadoop.fs.s3a.committer.staging.conflict-mode") shouldBe "replace"
+    // boundaries pinned as ABSENCES (review r19c): the spark-hadoop-cloud
+    // protocol classes are an optional module (setting them without it
+    // fails every write) and PathOutputCommitProtocol rejects the
+    // warehouse upsert's dynamicPartitionOverwrite; staging conflict-mode
+    // is dead config under the magic committer; fast.upload is a no-op
+    // since Hadoop 3 — none may creep back in silently.
+    opts.keySet should not contain "spark.sql.sources.commitProtocolClass"
+    opts.keySet should not contain "spark.sql.parquet.output.committer.class"
+    opts.keySet should not contain "spark.hadoop.fs.s3a.committer.staging.conflict-mode"
+    opts.keySet should not contain "spark.hadoop.fs.s3a.fast.upload"
     opts.keys.filter(_.contains("s3a")).foreach { k =>
       withClue(s"credential-shaped key $k must not be set by the profile: ") {
         (k should not).include("access.key")

@@ -227,12 +227,21 @@ class StreamingCorpusSpec extends SparkSpec {
     // all sets ≪ k=256, so every estimate is EXACT
     card("src0") shouldBe ((10.0, 5.0, 2.0))
     card("src1") shouldBe ((10.0, 5.0, 5.0))
-    // empty batch → empty card; missing store → empty frame
-    StreamingCorpus.kmvOverlapCard(spark, store,
+    // empty batch → empty card WITH the full schema (consumers can
+    // still reference columns); missing store / wrong k FAIL loudly —
+    // a typo'd dir must never read as "no overlap, admit everything"
+    val empty = StreamingCorpus.kmvOverlapCard(spark, store,
       spark.emptyDataFrame.withColumn("text", lit("x")).filter(lit(false)),
-      HyperLogLog.hash48(col("text"))).count() shouldBe 0
-    StreamingCorpus.kmvOverlapCard(spark, "/nonexistent-store-dir",
-      batch, HyperLogLog.hash48(col("text"))).count() shouldBe 0
+      HyperLogLog.hash48(col("text")))
+    empty.select("source", "est_common", "est_jaccard").count() shouldBe 0
+    intercept[IllegalStateException] {
+      StreamingCorpus.kmvOverlapCard(spark, "/nonexistent-store-dir",
+        batch, HyperLogLog.hash48(col("text")))
+    }.getMessage should include("no complete KMV store")
+    intercept[IllegalArgumentException] {
+      StreamingCorpus.kmvOverlapCard(spark, store,
+        batch, HyperLogLog.hash48(col("text")), k = 64)
+    }.getMessage should include("built with k=256")
   }
 
   test("content dedup drops exact copies across micro-batches within the horizon") {
