@@ -26,7 +26,10 @@ object Bench {
     * BEFORE the drain can be equal at stale values if the final job's
     * start event hasn't dispatched), then requires started == ended on
     * the freshly-dispatched counters, looping until both hold. */
-  private final class QueryStatsListener(sc: org.apache.spark.SparkContext)
+  // private[graft]: BackfillProbe reuses this listener (review r19d —
+  // its first cut re-implemented the fields and drain loop verbatim
+  // minus the started==ended guard, and two copies drift)
+  private[graft] final class QueryStatsListener(sc: org.apache.spark.SparkContext)
       extends org.apache.spark.scheduler.SparkListener {
     private val started = new java.util.concurrent.atomic.AtomicLong
     private val ended = new java.util.concurrent.atomic.AtomicLong
@@ -80,20 +83,12 @@ object Bench {
     // Dataset.checkpoint (graft.Snapshot reliable mode) so the overhead of
     // the fault-tolerant configuration is measurable — the 100 TB deploy
     // recipe needs a number, not a claim (DESIGN.md §5a).
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GraftSession.builder IS the session contract (UTC, ANSI pin, AQE,
+    // aggregate threshold, extensions) — review r19d: after three rounds
+    // of hand-rolled builders each missing a pin, the harness mains
+    // build on the shared factory and add only their own knobs.
+    val builder = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // ANSI pinned EXPLICITLY (it is the Spark 4 default, and the whole
-      // operator surface is written to it — try_element_at, overflow-safe
-      // minhash arithmetic): the correctness record must not depend on a
-      // future default drift or an ambient conf (round-15 verdict ask #7;
-      // the full 177-query gate is hash-green under this pin).
-      .config("spark.sql.ansi.enabled", "true")
-      // rationale + safety arithmetic: GraftSession.ObjectAggFallbackKeys
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        GraftSession.ObjectAggFallbackKeys.toString)
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
       .foreach(d => builder.config("spark.graft.checkpointDir", d))
@@ -655,7 +650,12 @@ object Bench {
         case (name, t, ok) if ok && benchRef.contains(name) =>
           (t, benchRef(name))
       }
-      if (shared.isEmpty) ("null", "null")
+      // Same ≥5-shared-rows floor as update_bench_ref's use_suite
+      // (review r19d): on a 1-2 row subset run the median IS the
+      // measured row's own ratio, so per-row seconds/suite_scale would
+      // read exactly 1.0× by construction and a genuine regression
+      // re-measured in a subset could never trip the layered gate.
+      if (shared.size < 5) ("null", "null")
       else {
         val ratios = shared.map { case (t, r) => t / r }.sorted
         (f"${ratios(ratios.size / 2)}%.3f",

@@ -81,14 +81,19 @@ object GraftSession {
     * needs, centralized so a user switching from the reference cannot
     * mis-assemble them either.
     *
-    *  - the MAGIC committer enabled at the s3a layer: S3 has no atomic
-    *    directory rename, so the default FileOutputCommitter is both
-    *    slow (copy-based "rename") and unsafe on task retry; the magic
-    *    committer stages multipart uploads and completes them at job
-    *    commit — the documented committer for Spark-on-S3 (public
-    *    Hadoop S3A committer docs). The SPARK-side protocol binding is
-    *    deliberately left out — see the inline note below for the
-    *    spark-hadoop-cloud and dynamic-partition-overwrite boundaries;
+    *  - the MAGIC committer PRE-POSITIONED at the s3a layer: S3 has no
+    *    atomic directory rename, so the default FileOutputCommitter is
+    *    both slow (copy-based "rename") and unsafe on task retry; the
+    *    magic committer stages multipart uploads and completes them at
+    *    job commit (public Hadoop S3A committer docs). Stated plainly
+    *    (review r19d): with ONLY this profile, Spark SQL writes still
+    *    run the default rename-based committer — Spark's datasource
+    *    path consults the fs.s3a committer keys only through the
+    *    spark-hadoop-cloud protocol classes, which this profile
+    *    deliberately does not set (see the inline note below for why:
+    *    optional module, and a dynamic-partition-overwrite
+    *    incompatibility). On a build that ships that module, activation
+    *    is the two protocol confs on top of this profile;
     *  - connection/thread pool sized for the day-partitioned layout
     *    (many small objects read concurrently by one stage).
     *

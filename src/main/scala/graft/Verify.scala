@@ -15,19 +15,13 @@ object Verify {
     require(unknown.isEmpty,
       s"unknown queries in subset: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GraftSession.builder IS the session contract (UTC, the explicit
+    // ANSI pin from round-15 ask #7, AQE, aggregate threshold,
+    // extensions) — review r19d: the harness mains build on the shared
+    // factory and add only their own knobs, so a future contract pin
+    // cannot be missed in one of three hand-rolled copies.
+    val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // ANSI pinned EXPLICITLY (it is the Spark 4 default, and the whole
-      // operator surface is written to it — try_element_at, overflow-safe
-      // minhash arithmetic): the correctness record must not depend on a
-      // future default drift or an ambient conf (round-15 verdict ask #7;
-      // the full 177-query gate is hash-green under this pin).
-      .config("spark.sql.ansi.enabled", "true")
-      // rationale + safety arithmetic: GraftSession.ObjectAggFallbackKeys
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        GraftSession.ObjectAggFallbackKeys.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

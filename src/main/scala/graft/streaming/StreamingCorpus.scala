@@ -168,6 +168,17 @@ object StreamingCorpus {
         val versions = completeVersions(storeDir)
         val all = versions.lastOption.map(p => s.read.parquet(p.toString)) match {
           case Some(standing) =>
+            // The WRITER guards k too (review r19d): restarting the
+            // stream with a larger k would fold 64-truncated sketches
+            // and re-stamp them sk_k=256 — content that is only the 64
+            // smallest hashes of history, which the reader would then
+            // trust as exact. A store's k is fixed at creation.
+            standing.select("sk_k").limit(1).collect().headOption.foreach { r =>
+              require(r.getInt(0) == k,
+                s"kmvSketchStream: store at $storeDir was created with " +
+                  s"k=${r.getInt(0)}, stream restarted with k=$k — " +
+                  "a KMV store's k is fixed at creation")
+            }
             // standing sketch entries re-enter the same k-min fold —
             // the k smallest of a union are always inside the union of
             // the per-side k smallest, so this IS the sketch merge
@@ -220,8 +231,15 @@ object StreamingCorpus {
           "— wrong dir, or the stream has not committed its first batch"))
     // k mismatch fails loudly off the store's own sk_k stamp: a
     // saturated smaller-k sketch read at a larger k would report its
-    // SIZE as the exact distinct count (review r19c).
-    val storeK = standing.select("sk_k").head().getInt(0)
+    // SIZE as the exact distinct count (review r19c). headOption: a
+    // store whose only version has ZERO groups (an empty first
+    // micro-batch) must hit the same loud path, not a bare
+    // NoSuchElementException (review r19d).
+    val storeK = standing.select("sk_k").limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"kmvOverlapCard: KMV store at $storeDir has no groups yet " +
+          "(its only committed version is empty)"))
+      .getInt(0)
     require(storeK == k,
       s"kmvOverlapCard: store at $storeDir was built with k=$storeK, " +
         s"read with k=$k — estimates would be silently wrong")

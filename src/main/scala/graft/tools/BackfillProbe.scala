@@ -29,44 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object BackfillProbe {
 
-  private final class StatsListener extends org.apache.spark.scheduler.SparkListener {
-    var in, sr, sw, ms, ds, peak, maxTaskSr = 0L
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      synchronized {
-        val m = t.taskMetrics
-        if (m != null) {
-          val r = m.shuffleReadMetrics.totalBytesRead
-          in += m.inputMetrics.bytesRead
-          sr += r; sw += m.shuffleWriteMetrics.bytesWritten
-          ms += m.memoryBytesSpilled; ds += m.diskBytesSpilled
-          peak = math.max(peak, m.peakExecutionMemory)
-          maxTaskSr = math.max(maxTaskSr, r)
-        }
-      }
-    def json: String = synchronized {
-      s"""{"input":$in,"shuffle_read":$sr,"shuffle_write":$sw,""" +
-        s""""mem_spill":$ms,"disk_spill":$ds,"peak_exec_mem":$peak,""" +
-        s""""max_task_shuffle_read":$maxTaskSr}"""
-    }
-  }
-
-  /** Drain the async listener bus so the snapshot sees every task-end
-    * event from the measured section (the Bench quiesce discipline —
-    * a snapshot taken before the bus drains under-counts the tail). */
-  private def drain(sc: org.apache.spark.SparkContext): Unit = {
-    val deadline = System.nanoTime + 10000000000L
-    var drained = false
-    while (!drained && System.nanoTime < deadline) {
-      drained = org.apache.spark.graft.BenchListenerBus.drain(sc, 2000)
-      if (!drained) Thread.sleep(10)
-    }
-    // a silent timeout would ship under-counted stats into the PROBE
-    // record (review r19b — Bench's quiesce warns in the same case)
-    if (!drained)
-      System.err.println("[probe] stats listener did not quiesce in 10 s")
-  }
-
   def main(args: Array[String]): Unit = {
     val amp = args.headOption.map(_.toInt).getOrElse(10)
     require(amp >= 1, s"amp must be >= 1, got $amp")
@@ -125,17 +87,21 @@ object BackfillProbe {
     val ampSec = (System.nanoTime() - t0) / 1e9
 
     // ---- backfill under the stats listener ----
-    val listener = new StatsListener
+    // Bench's own QueryStatsListener (shared since review r19d — the
+    // probe's first cut re-implemented it verbatim minus the
+    // started==ended drain guard): same fields, same quiesce discipline,
+    // one definition to evolve.
+    val listener = new graft.Bench.QueryStatsListener(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     val pipeline = new graft.pipeline.RetailPipeline(spark, rawOut, s"$wh/mart")
     val t1 = System.nanoTime()
     val ran = pipeline.backfill(days.head, days.last)
     val backfillSec = (System.nanoTime() - t1) / 1e9
-    // Snapshot the stats NOW, after a bus drain — the verification
+    // Snapshot the stats NOW, after the quiesce — the verification
     // counts below re-scan everything the backfill wrote, and their
     // bytes must not inflate the backfill's own evidence (review r19).
-    drain(spark.sparkContext)
-    val backfillStats = listener.json
+    listener.quiesce()
+    val backfillStats = listener.snapshot
     spark.sparkContext.removeSparkListener(listener)
 
     val staging = spark.table("staging_events").count()

@@ -242,6 +242,20 @@ class StreamingCorpusSpec extends SparkSpec {
       StreamingCorpus.kmvOverlapCard(spark, store,
         batch, HyperLogLog.hash48(col("text")), k = 64)
     }.getMessage should include("built with k=256")
+    // the WRITER guards k too: restarting the stream at a different k
+    // would fold truncated sketches and re-stamp them as the larger k
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = StreamingCorpus.kmvSketchStream(
+      in2.toDF().select(col("text"), lit("src0").as("source")),
+      "source", HyperLogLog.hash48(col("text")), store,
+      java.nio.file.Files.createTempDirectory("graft-kmv-card-ckpt2").toString,
+      k = 64)
+    in2.addData(StreamDoc(999L, ts(0), "item-99"))
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    thrown.getMessage should include("k is fixed at creation")
   }
 
   test("content dedup drops exact copies across micro-batches within the horizon") {
