@@ -437,6 +437,13 @@ object SparkEntry {
     // the combined-corpus distinct card at |sources|×k-longs cost, the
     // exact corpus-wide distinct riding along as the certificate
     "m154_kmv_union_card" -> ((s, dir) => CorpusQueries.kmvCorpusUnionCard(s, dir)),
+    // m155/m156 (verdict r19 #4): the sketch tier's PRODUCTION modes —
+    // m149/m152 with the exact certificate legs off, i.e. the work that
+    // actually remains at 100 TB (bounded counter build + bounded
+    // watchlist probe / map-side broadcast policy). The certified rows
+    // stay the estimate-quality gates; these pin the production walls.
+    "m155_cms_frequency_prod" -> ((s, dir) => CorpusQueries.cmsFrequencyProduction(s, dir)),
+    "m156_cms_prune_prod" -> ((s, dir) => CorpusQueries.cmsPruneProduction(s, dir)),
     // m101: Cohen's κ between the three quality gates (rule / learned /
     // perplexity) — the gate-redundancy report (captured-weights replay,
     // OracleModelSql.gateAgreement)
@@ -1877,6 +1884,50 @@ object SparkEntry {
         // aggregate over an empty corpus must yield ZERO rows in BOTH
         // engines (the m148 empty-card contract; ADVICE r18)
         "FROM j HAVING count(*) > 0"),
+    // m155: the production frequency path replayed — the m149 counters
+    // verbatim, probed with the deterministic watchlist (min-doc_id
+    // document's distinct shingles, first 20 by gram order) instead of
+    // the exact top-20; every value an exact integer.
+    "m155_cms_frequency_prod" ->
+      ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "occ AS (SELECT source, gram FROM (SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "cms AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 12))::BIGINT % 1024 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM occ CROSS JOIN range(4) t(r) GROUP BY 1, 2), " +
+        "fd AS (SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL), " +
+        "ft AS (SELECT string_split_regex(lower(trim(text)), ' +') AS t " +
+        "FROM documents JOIN fd USING (doc_id)), " +
+        "fg AS (SELECT CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM ft), " +
+        "watch AS (SELECT DISTINCT gram FROM (SELECT unnest(gs) AS gram FROM fg) " +
+        "WHERE gram <> '' ORDER BY gram LIMIT 20), " +
+        "pe AS (SELECT w.gram, rr.r, ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || w.gram), 1, 12))::BIGINT % 1024 AS bucket " +
+        "FROM watch w CROSS JOIN range(4) rr(r)) " +
+        "SELECT pe.gram, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate " +
+        "FROM pe LEFT JOIN cms c ON c.r = pe.r AND c.bucket = pe.bucket GROUP BY 1"),
+    // m156: the production prune policy replayed — the m152 counters
+    // verbatim, est per distinct gram joined back to the (doc, gram)
+    // stream, both counts exact integers; HAVING mirrors the Spark
+    // empty-corpus gate.
+    "m156_cms_prune_prod" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS gs FROM toks), " +
+        "gd AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
+        "cms AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 12))::BIGINT % 1024 AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM gd CROSS JOIN range(4) t(r) GROUP BY 1, 2), " +
+        "dfg AS (SELECT DISTINCT gram FROM gd), " +
+        "pe AS (SELECT t.gram, rr.r, ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || t.gram), 1, 12))::BIGINT % 1024 AS bucket " +
+        "FROM dfg t CROSS JOIN range(4) rr(r)), " +
+        "est AS (SELECT pe.gram, min(coalesce(c.cnt, 0)) AS e " +
+        "FROM pe LEFT JOIN cms c ON c.r = pe.r AND c.bucket = pe.bucket GROUP BY 1), " +
+        "j AS (SELECT e.e FROM gd JOIN est e USING (gram)) " +
+        "SELECT CAST(8 AS BIGINT) AS tau, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(count(*) FILTER (WHERE e > 8) AS BIGINT) AS n_pairs_pruned " +
+        "FROM j HAVING count(*) > 0"),
     // m153: KMV replay — per-source k-smallest distinct hash48 rows via
     // row_number, the pair union's k-smallest the same way, membership
     // via left joins; Jaccard divisions double-for-double.
@@ -1888,12 +1939,12 @@ object SparkEntry {
         "gd AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h " +
         "FROM (SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
         "sk AS (SELECT source, h FROM (SELECT source, h, " +
-        "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gd) WHERE rn <= 256), " +
+        s"row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gd) WHERE rn <= $KmvK), " +
         "srcs AS (SELECT DISTINCT source FROM gd), " +
         "p AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a JOIN srcs b ON a.source < b.source), " +
         "ku AS (SELECT src_a, src_b, h, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn " +
         "FROM (SELECT DISTINCT p.src_a, p.src_b, s.h FROM p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b)), " +
-        "kk AS (SELECT src_a, src_b, h FROM ku WHERE rn <= 256), " +
+        s"kk AS (SELECT src_a, src_b, h FROM ku WHERE rn <= $KmvK), " +
         "est AS (SELECT k.src_a, k.src_b, CAST(count(*) AS BIGINT) AS k_used, " +
         "CAST(count(*) FILTER (WHERE sa.h IS NOT NULL AND sb.h IS NOT NULL) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE) AS est_jaccard " +
@@ -1908,9 +1959,10 @@ object SparkEntry {
         "FROM est e JOIN nd na ON na.source = e.src_a JOIN nd nb ON nb.source = e.src_b " +
         "LEFT JOIN ni ON ni.src_a = e.src_a AND ni.src_b = e.src_b"),
     // m154: the k-way fold replayed as the k smallest over the union of
-    // per-source sketches; the estimator's constant 255·2⁴⁸ is an exact
-    // double in both engines, division double-for-double; WHERE
-    // n_sources > 0 mirrors the Spark empty-corpus gate.
+    // per-source sketches; the estimator's constant (k−1)·2⁴⁸ is an
+    // exact double in both engines (k interpolated from KmvK so the
+    // engines share one constant — ADVICE r19), division double-for-
+    // double; WHERE n_sources > 0 mirrors the Spark empty-corpus gate.
     "m154_kmv_union_card" ->
       ("WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL), " +
         "toks AS (SELECT source, string_split_regex(lower(trim(text)), ' +') AS t FROM d), " +
@@ -1919,14 +1971,14 @@ object SparkEntry {
         "gd AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h " +
         "FROM (SELECT source, unnest(gs) AS gram FROM g) WHERE gram <> ''), " +
         "sk AS (SELECT source, h FROM (SELECT source, h, " +
-        "row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gd) WHERE rn <= 256), " +
+        s"row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gd) WHERE rn <= $KmvK), " +
         "kk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn " +
-        "FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= 256), " +
+        s"FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= $KmvK), " +
         "card AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk FROM kk), " +
         "ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM gd), " +
         "ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM gd), " +
-        "est AS (SELECT CASE WHEN card.k_used < 256 THEN CAST(card.k_used AS DOUBLE) " +
-        "ELSE (CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)) / CAST(greatest(card.hk, 1) AS DOUBLE) END AS e, " +
+        s"est AS (SELECT CASE WHEN card.k_used < $KmvK THEN CAST(card.k_used AS DOUBLE) " +
+        s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE)) / CAST(greatest(card.hk, 1) AS DOUBLE) END AS e, " +
         "card.k_used FROM card) " +
         "SELECT ns.n_sources, est.k_used, est.e AS est_distinct, ex.exact_distinct, " +
         "abs(est.e - CAST(ex.exact_distinct AS DOUBLE)) / CAST(ex.exact_distinct AS DOUBLE) AS rel_err " +
@@ -2928,6 +2980,13 @@ object SparkEntry {
       s"FROM $src) "
 
   private val TextStatsBase: String = "WITH " + textStatsBaseOver("documents")
+
+  /** The Spark KMV tier's k, interpolated into the m153/m154 replays so
+    * both engines share ONE constant (ADVICE r19: the SQL hard-coded
+    * k=256 and 255·2⁴⁸, so a future DefaultK change would silently
+    * desynchronize the oracle). 2⁴⁸ stays literal — it is the hash48
+    * space size, not k-dependent. */
+  private val KmvK: Int = graft.operators.KmvSketch.DefaultK
 
   private[graft] val QualityExpr: String =
     "(0.4 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0) " +

@@ -1281,6 +1281,89 @@ object CorpusQueries {
         (col("cms_estimate") - col("exact_count")).as("overcount"))
   }
 
+  /** Production (certificate-off) frequency card (m155, verdict r19
+    * #4): what m149 costs once its exact top-20 certificate — the
+    * corpus-sized count the sketch exists to replace — is dropped at
+    * 100 TB. The surviving work: the per-source counter build (ONE
+    * exchange bounded at sources × 4×1024 integer rows), the corpus
+    * merge, and point probes for a BOUNDED watchlist. The watchlist
+    * stands in for the planner's query set and is deterministic
+    * without any corpus-sized aggregate: the first document's (min
+    * doc_id — a scalar partial-agg fold) distinct shingles, first
+    * `probes` by gram order. m149 stays the estimate-quality gate;
+    * this row's oracle replays the identical counters + watchlist, so
+    * the production path is hash-checked in its own right. */
+  def cmsFrequencyProduction(s: SparkSession, dir: String,
+                             probes: Int = 20): DataFrame = {
+    import graft.operators.CountMin
+    val occ = shingleOccurrences(s, dir)
+    val merged = CountMin.merge(
+      CountMin.counters(occ, Seq("source"), col("gram")))
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val watch = docs
+      .join(broadcast(docs.agg(min(col("doc_id")).as("doc_id"))), Seq("doc_id"))
+      .select(explode(
+        graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "")
+      .distinct()
+      .orderBy("gram").limit(probes)
+    CountMin.estimate(merged, watch, "gram")
+      .select(col("gram"), col("cms_estimate"))
+  }
+
+  /** Production (certificate-off) prune policy (m156, verdict r19 #4):
+    * the decision path m152's exact-df leg certifies and 100 TB drops.
+    * The merged counters are ≤ 4×1024 integer cells at ANY corpus
+    * size, so they are collected once and folded into four dense
+    * array LITERALS — the policy below is then a pure map-side
+    * projection over the (doc, gram) stream: no df aggregate, no
+    * per-gram state, and the summary's only exchange beyond the
+    * bounded counter build is the scalar partial-agg fold of the two
+    * counts. Emits one row: (tau, n_pairs, n_pairs_pruned) — the
+    * candidate-pair stream size and how much of it the sketch policy
+    * prunes. m152 remains the certificate surface (missed_prunes ≡ 0);
+    * this row's oracle recomputes the same counters and policy
+    * exactly, so the production decision is hash-checked too. */
+  def cmsPruneProduction(s: SparkSession, dir: String,
+                         tau: Long = 8L): DataFrame = {
+    import graft.operators.CountMin
+    val gd0 = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
+      .filter(col("gram") =!= "")
+    // pinned once: the shingle walk feeds both the counter build (run
+    // eagerly by the collect below) and the streamed policy count —
+    // the m153/m154 pin-once discipline (harness frees it after)
+    val (gd, _) = graft.Snapshot.pinTracked(gd0)
+    val sketch = CountMin.merge(CountMin.counters(gd, Seq.empty, col("gram")))
+    val dense: IndexedSeq[Array[Long]] = {
+      val a = IndexedSeq.fill(CountMin.Depth)(Array.fill(CountMin.Width)(0L))
+      sketch.collect().foreach { row =>
+        a(row.getAs[Int]("r"))(row.getAs[Long]("bucket").toInt) =
+          row.getAs[Long]("cnt")
+      }
+      a
+    }
+    // try_element_at, not element_at: ANSI throws on out-of-bounds, and
+    // while bucketOf is provably mod-Width, the null path also makes
+    // the empty-corpus zero-sketch read as estimate 0 rather than a
+    // special case
+    val est = least((0 until CountMin.Depth).map { j =>
+      coalesce(
+        try_element_at(typedlit(dense(j).toSeq),
+          (CountMin.bucketOf(j, col("gram")) + 1).cast("int")),
+        lit(0L))
+    }: _*)
+    gd.select(est.as("e"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("e") > tau, 1L).otherwise(0L)).as("n_pairs_pruned"))
+      // empty-corpus contract: the global aggregate's one row over zero
+      // pairs must not survive (the m148/m152 gate)
+      .filter(col("n_pairs") > 0)
+      .select(lit(tau).as("tau"), col("n_pairs"), col("n_pairs_pruned"))
+  }
+
   /** KMV cross-source overlap card (m153): the set-OPERATION sketch —
     * per-source k-minimum-values sketches over distinct 3-shingle
     * hashes (the m140/m148 stream), pairwise Jaccard ESTIMATES from

@@ -159,7 +159,15 @@ object StreamingCorpus {
                       hashCol: org.apache.spark.sql.Column,
                       storeDir: String, checkpoint: String,
                       k: Int = graft.operators.KmvSketch.DefaultK)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // The writer-side k guard runs on the FIRST standing-store read
+    // only (ADVICE r19): a store's k is fixed at creation and this
+    // query is the store's single writer, so once one batch has
+    // verified the stamp, re-collecting it every micro-batch is a
+    // driver job spent re-proving an invariant nothing can change.
+    // foreachBatch is serialized within a query, so a plain var in the
+    // closure is safe.
+    var kVerified = false
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
@@ -173,11 +181,14 @@ object StreamingCorpus {
             // and re-stamp them sk_k=256 — content that is only the 64
             // smallest hashes of history, which the reader would then
             // trust as exact. A store's k is fixed at creation.
-            standing.select("sk_k").limit(1).collect().headOption.foreach { r =>
-              require(r.getInt(0) == k,
-                s"kmvSketchStream: store at $storeDir was created with " +
-                  s"k=${r.getInt(0)}, stream restarted with k=$k — " +
-                  "a KMV store's k is fixed at creation")
+            if (!kVerified) {
+              standing.select("sk_k").limit(1).collect().headOption.foreach { r =>
+                require(r.getInt(0) == k,
+                  s"kmvSketchStream: store at $storeDir was created with " +
+                    s"k=${r.getInt(0)}, stream restarted with k=$k — " +
+                    "a KMV store's k is fixed at creation")
+              }
+              kVerified = true
             }
             // standing sketch entries re-enter the same k-min fold —
             // the k smallest of a union are always inside the union of
@@ -201,6 +212,7 @@ object StreamingCorpus {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The decision the standing KMV store serves: overlap of an
     * INCOMING batch (today's candidate shipment, a new crawl slice)

@@ -52,11 +52,22 @@ class GraftSessionSpec extends SparkSpec {
   private def extractOptions(b: org.apache.spark.sql.SparkSession.Builder): Map[String, String] = {
     // Builder#options is private; read it reflectively — the spec's job
     // is asserting WHAT the profile sets, not how Spark stores it.
-    val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+    // Match the field by NAME first (ADVICE r19: a blind first-HashMap
+    // type scan would silently assert against the wrong map if a future
+    // Spark adds another HashMap field ahead of `options`); the type
+    // scan survives only as a fallback for a renamed-but-unique field,
+    // and anything ambiguous fails the spec rather than passing on a
+    // guess.
+    val fields = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
       .takeWhile(_ != null)
       .flatMap(_.getDeclaredFields)
-      .find(f => classOf[scala.collection.mutable.HashMap[_, _]].isAssignableFrom(f.getType))
-      .getOrElse(fail("SparkSession.Builder no longer holds an options HashMap"))
+      .filter(f => classOf[scala.collection.mutable.HashMap[_, _]].isAssignableFrom(f.getType))
+      .toSeq
+    val f = fields.find(_.getName.stripSuffix("$1").endsWith("options"))
+      .orElse(if (fields.size == 1) fields.headOption else None)
+      .getOrElse(fail(
+        s"SparkSession.Builder holds no unambiguous options HashMap " +
+          s"(candidates: ${fields.map(_.getName).mkString(", ")})"))
     f.setAccessible(true)
     f.get(b).asInstanceOf[scala.collection.mutable.HashMap[String, String]].toMap
   }

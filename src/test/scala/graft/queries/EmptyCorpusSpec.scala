@@ -134,6 +134,11 @@ class EmptyCorpusSpec extends SparkSpec {
     "m151_sketch_source_quantiles" -> (CorpusQueries.sketchSourceQuantiles _),
     // m152: the global summary row is gated on n_grams > 0
     "m152_cms_prune_plan" -> ((s: SparkSession, d: String) => CorpusQueries.cmsPrunePlan(s, d)),
+    // m155: null min-doc_id joins nothing → empty watchlist → empty card
+    "m155_cms_frequency_prod" -> ((s: SparkSession, d: String) => CorpusQueries.cmsFrequencyProduction(s, d)),
+    // m156: empty sketch collects to all-zero arrays; the summary row is
+    // gated on n_pairs > 0
+    "m156_cms_prune_prod" -> ((s: SparkSession, d: String) => CorpusQueries.cmsPruneProduction(s, d)),
     // m153: zero sources → zero sketches → zero pairs
     "m153_kmv_source_overlap" -> ((s: SparkSession, d: String) => CorpusQueries.kmvSourceOverlap(s, d)),
     // m154: the global fold row is gated on n_sources > 0

@@ -839,6 +839,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     (exchanges should not).include("text#")
   }
 
+  test("m155: production frequency card — counter exchange bounded, no corpus text in any exchange") {
+    val p = plan(CorpusQueries.cmsFrequencyProduction(spark, dir))
+    // same counter build as m149 (partial_sum map-side); the only gram
+    // strings that reach an exchange are the single watch document's
+    // distinct shingles (bounded by one doc, not the corpus)
+    p should include("partial_sum")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("text#")
+  }
+
+  test("m156: production prune policy is map-side — NO gram or text in any exchange, no join at all") {
+    // the sketch rides a collected 4×1024 array literal, so the
+    // RETURNED plan is: pinned (doc, gram) scan → projection → scalar
+    // partial-agg fold. A gram-keyed exchange here would mean the df
+    // aggregate crept back in — the exact thing this mode drops.
+    val p = plan(CorpusQueries.cmsPruneProduction(spark, dir))
+    (p should not).include("SortMergeJoin")
+    (p should not).include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    (exchanges should not).include("gram#")
+    (exchanges should not).include("text#")
+  }
+
   test("m150: histogram sketch exchanges carry integer buckets/values only; range rides a broadcast") {
     val p = plan(CorpusQueries.histogramQuantileCard(spark, dir))
     p should include("partial_count")

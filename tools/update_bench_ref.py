@@ -33,6 +33,12 @@ measured on a quiet host. The tool:
     are refreshed in place. The run's canary median is promoted into
     the reference's top-level "canary" so Bench's in-run 3x guard can
     normalize against it.
+  * ASSET rows (round 20): the run's "assets" object (asset:*/stream:*
+    cold-build rows) is carried into the reference and adjudicated with
+    the same 1.5x gate, normalized by the ASSET-phase median when >=5
+    asset rows are shared (the cold builds run in a different window
+    than the warm query passes). A run with asset_failures, or one
+    missing the asset tier a reference carries, REFUSES.
 """
 import argparse
 import datetime
@@ -62,6 +68,11 @@ def main() -> int:
     failures = run.get("failures") or []
     if failures:
         problems.append(f"run recorded failures: {failures}")
+    asset_failures = run.get("asset_failures") or []
+    if asset_failures:
+        problems.append(
+            f"run recorded asset failures (their values are time-to-"
+            f"failure, unpromotable): {asset_failures}")
     if problems:
         for p in problems:
             print(f"REFUSE: {p}", file=sys.stderr)
@@ -132,6 +143,45 @@ def main() -> int:
 
     added = sorted(set(new) - set(old))
 
+    # Asset tier (round 20, verdict r19 #1): the asset:*/stream:* rows
+    # ride the same reference with the same drift gate. Their window
+    # normalizer is the ASSET-phase median (the cold builds run before
+    # the warm-up pass, so their host window can differ from the query
+    # phase's); with fewer than 5 shared asset rows the basis falls back
+    # down the same ladder as queries (query suite-median -> canary ->
+    # raw wall). Asset moves land in the same `moved` dict (the name
+    # prefixes keep the tiers unambiguous) and the same changes ledger.
+    old_assets = ref.get("assets", {})
+    new_assets = run.get("assets", {})
+    _aratios = sorted(new_assets[n] / old_assets[n]
+                      for n in old_assets
+                      if n in new_assets and old_assets[n] > 0)
+    asset_scale = _aratios[len(_aratios) // 2] if _aratios else 1.0
+    use_asset_suite = len(_aratios) >= 5
+    for name, t_old in sorted(old_assets.items()):
+        if name not in new_assets:
+            if new_assets:  # a run with NO asset tier at all (pre-round-
+                moved[name] = [t_old, None]  # 20 record) drops pins with
+            continue                         # the note below, not row-by-row
+        t_new = new_assets[name]
+        if use_asset_suite:
+            a, b = t_old, t_new / asset_scale
+        elif use_suite:
+            a, b = t_old, t_new / med_scale
+        elif normalized:
+            a, b = t_old / ref_canary, t_new / run_canary
+        else:
+            a, b = t_old, t_new
+        lo, hi = sorted((max(a, 1e-9), max(b, 1e-9)))
+        if hi / lo > DRIFT:
+            moved[name] = [t_old, t_new]
+    if old_assets and not new_assets:
+        print("REFUSE: reference carries asset rows but the promoted run "
+              "has no assets object (subset or SPARK_GRAFT_BENCH_ASSETS=0 "
+              "run?) — promote a full run.", file=sys.stderr)
+        return 1
+    added_assets = sorted(set(new_assets) - set(old_assets))
+
     # Uniform-move tripwire: NO whole-suite normalizer can tell "host
     # window" from "everything regressed together" — only the data-free
     # canary is immune to query-plan changes. A suite-level median move
@@ -171,6 +221,8 @@ def main() -> int:
             "refresh via tools/update_bench_ref.py"),
         "queries": {k: new[k] for k in sorted(new)},
     }
+    if new_assets:
+        out["assets"] = {k: new_assets[k] for k in sorted(new_assets)}
     if run_canary:
         out["canary"] = run_canary
         plan = (run.get("canary") or {}).get("plan")
@@ -187,21 +239,31 @@ def main() -> int:
               "wall-clock until a canaried run is promoted)")
     changes = list(ref.get("changes", []))
     if moved:
-        changes.append({
+        entry = {
             "date": datetime.date.today().isoformat(),
             "note": args.note,
             "basis": ("suite-median" if use_suite else "ratio" if normalized else "seconds"),
             "rows": {k: moved[k] for k in sorted(moved)},
-        })
+        }
+        if any(k.startswith(("asset:", "stream:")) for k in moved):
+            entry["asset_basis"] = ("asset-median" if use_asset_suite
+                                    else entry["basis"])
+        changes.append(entry)
     if changes:
         out["changes"] = changes
 
     basis = "suite-median" if use_suite else "ratio" if normalized else "seconds"
+    asset_basis = ("asset-median" if use_asset_suite else basis)
     print(f"rows: {len(old)} -> {len(new)} "
           f"(added {len(added)}, moved>{DRIFT}x-by-{basis} {len(moved)}; "
           f"canary ref={ref_canary} run={run_canary})")
+    print(f"asset rows: {len(old_assets)} -> {len(new_assets)} "
+          f"(added {len(added_assets)}, basis {asset_basis}, "
+          f"asset_scale {asset_scale:.3f})")
     for name in added:
         print(f"  added {name}: {new[name]}")
+    for name in added_assets:
+        print(f"  added {name}: {new_assets[name]}")
     for name, (a, b) in sorted(moved.items()):
         print(f"  moved {name}: {a} -> {b}")
     if args.dry_run:
