@@ -1327,15 +1327,21 @@ object CorpusQueries {
   def cmsPruneProduction(s: SparkSession, dir: String,
                          tau: Long = 8L): DataFrame = {
     import graft.operators.CountMin
-    val gd0 = Tables.documents(s, dir)
+    val gd = Tables.documents(s, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
       .filter(col("gram") =!= "")
-    // pinned once: the shingle walk feeds both the counter build (run
-    // eagerly by the collect below) and the streamed policy count —
-    // the m153/m154 pin-once discipline (harness frees it after)
-    val (gd, _) = graft.Snapshot.pinTracked(gd0)
+    // DELIBERATELY not pinned (unlike m153/m154's distinct stream): the
+    // shingle walk feeds the counter build (run eagerly by the collect
+    // below) and the policy count, but it is a CORPUS-SIZED exploded
+    // stream and both consumers are narrow pipelined scans — paying the
+    // walk twice is the 100 TB-correct trade. The first cut pinned it
+    // and measured the consequence at gen-1000 (5M docs, ~150M (doc,
+    // gram) rows): the localCheckpoint's storage squeezed execution
+    // memory to an UNABLE_TO_ACQUIRE_MEMORY task failure, while the
+    // unpinned double-scan completes. Snapshot state must stay bounded
+    // (sketches, not streams) — the same rule the store tier follows.
     val sketch = CountMin.merge(CountMin.counters(gd, Seq.empty, col("gram")))
     val dense: IndexedSeq[Array[Long]] = {
       val a = IndexedSeq.fill(CountMin.Depth)(Array.fill(CountMin.Width)(0L))

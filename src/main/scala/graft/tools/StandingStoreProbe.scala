@@ -86,8 +86,9 @@ object StandingStoreProbe {
           val st = StreamingCorpus.latestRegisters(spark, store).get
           val (groups, stateRows, maxGroup) = sketch match {
             case "kmv" =>
-              val r = st.agg(count(lit(1)), sum(size(col("sk"))),
-                max(size(col("sk")))).head()
+              val r = st.agg(count(lit(1)),
+                sum(size(col("sk")).cast("long")),
+                max(size(col("sk")).cast("long"))).head()
               (r.getLong(0), r.getLong(1), r.getLong(2))
             case _ =>
               // HLL register rows are (group, bucket, rho) — bounded at
