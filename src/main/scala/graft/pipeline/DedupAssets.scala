@@ -238,8 +238,14 @@ object DedupAssets {
     materialized(s, "phash", dir, Seq("doc_id"))(
       graft.multimodal.Multimodal.dHashes(
         graft.multimodal.Multimodal.packImages(
-          graft.queries.CorpusQueries.augmentedDocs(s, dir)
-            .filter(col("text").isNotNull && length(col("text")) > 0))))
+          // adaptive scan spread (Tables.documentsSpread note): the PNG
+          // encode+decode is pure codec CPU fused into the scan stage —
+          // the round-20 A/B measured this build 4.9 -> 2.9 s once the
+          // walk left the single-task scan
+          graft.Tables.spreadSmallScan(s,
+            graft.queries.CorpusQueries.augmentedDocs(s, dir)
+              .filter(col("text").isNotNull && length(col("text")) > 0),
+            s"$dir/documents.parquet", "doc_id"))))
 
   /** Per-media feature table (doc_id, n_bytes, byte_mean, head_hash,
     * format, width, height, channels, luma_mean) — the full decode +

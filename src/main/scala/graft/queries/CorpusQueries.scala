@@ -42,6 +42,15 @@ object CorpusQueries {
     })
   private[graft] def docOff(s: SparkSession, dir: String): Long =
     synthOffset(Tables.documents(s, dir), s"$dir::documents", "doc_id")
+
+  /** The adaptive scan spread ([[Tables.documentsSpread]]) applied to a
+    * documents-DERIVED frame (an augmented fixture) — same gate, same
+    * stats source (the documents footer; the fixture adds a bounded
+    * number of synthetic rows, so the gate arithmetic is unchanged).
+    * Opt-in at the CPU-dense sites only; each use is justified by the
+    * round-20 A/B in OPTIMIZATION_r20.md. */
+  private def spreadDocs(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    Tables.spreadSmallScan(s, df, s"$dir/documents.parquet", "doc_id")
   private[graft] def vecOff(s: SparkSession, dir: String): Long =
     synthOffset(Tables.embeddings(s, dir), s"$dir::embeddings", "vec_id")
 
@@ -96,7 +105,8 @@ object CorpusQueries {
 
   /** PII scrub over the PII-augmented corpus (m20). */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
-    graft.text.PiiRedact.redact(withSyntheticPii(Tables.documents(s, dir)))
+    graft.text.PiiRedact.redact(
+      spreadDocs(s, dir, withSyntheticPii(Tables.documents(s, dir))))
 
   /** Deterministic card-number augmentation for m141 — a pure function
     * of doc_id (the withSyntheticPii recipe), replayed verbatim in the
@@ -117,7 +127,8 @@ object CorpusQueries {
     * PII tier beyond m20's regex scrub (checksum validation kills the
     * order-id/serial false positives). Zero-exchange projection. */
   def ccLuhn(s: SparkSession, dir: String): DataFrame =
-    graft.text.Luhn.cardCounts(withSyntheticCards(Tables.documents(s, dir)))
+    graft.text.Luhn.cardCounts(
+      spreadDocs(s, dir, withSyntheticCards(Tables.documents(s, dir))))
 
   /** Per-source quota sample, cap 7 (m21) — two-phase pruned sampler. */
   def sourceQuotaSample(s: SparkSession, dir: String): DataFrame =
@@ -208,7 +219,7 @@ object CorpusQueries {
     * and m92 (line rules). */
   def repetitionRules(s: SparkSession, dir: String): DataFrame =
     graft.text.TextOps.repetitionRulesCompiled(
-      withSyntheticRepetition(Tables.documents(s, dir)))
+      spreadDocs(s, dir, withSyntheticRepetition(Tables.documents(s, dir))))
 
   /** Heavy-hitter 3-grams (m111) over the m93 repetition fixture (the
     * planted spam phrase is exactly the boilerplate the diagnostic
@@ -218,7 +229,7 @@ object CorpusQueries {
     * guarantee, so the oracle replays it sketch-free. */
   def heavyGrams(s: SparkSession, dir: String): DataFrame =
     graft.text.HeavyGrams.heavyGrams(
-      withSyntheticRepetition(Tables.documents(s, dir)))
+      spreadDocs(s, dir, withSyntheticRepetition(Tables.documents(s, dir))))
 
   /** Paper-exact position-union repetition card (m109): same families,
     * thresholds and fixture as m93, but a character counts at most once
@@ -226,7 +237,7 @@ object CorpusQueries {
     * side by side. */
   def repetitionRulesUnion(s: SparkSession, dir: String): DataFrame =
     graft.text.TextOps.repetitionRulesUnion(
-      withSyntheticRepetition(Tables.documents(s, dir)))
+      spreadDocs(s, dir, withSyntheticRepetition(Tables.documents(s, dir))))
 
   /** m94's corpus: [[withSyntheticLines]] plus the deterministic noise
     * every C4 rule needs to fire both ways — the base boilerplate lines
@@ -262,7 +273,7 @@ object CorpusQueries {
     * counterpart to the Gopher scoring battery (m91–m93). */
   def c4Rules(s: SparkSession, dir: String): DataFrame =
     graft.text.C4Rules.c4Rules(
-      withSyntheticC4Noise(Tables.documents(s, dir)))
+      spreadDocs(s, dir, withSyntheticC4Noise(Tables.documents(s, dir))))
 
   /** m95's corpus: a six-word domain phrase appended to doc_id ≡ 0,1
     * (mod 10) — the corpus vocabulary is uniform across sources, so
@@ -298,7 +309,7 @@ object CorpusQueries {
       graft.text.Dsir.ShuffleBytesPerDoc,
       floor = ScalePartitions.sessionFloor(s))
     graft.text.Dsir.importanceWeights(
-      withSyntheticDomain(Tables.documents(s, dir)),
+      spreadDocs(s, dir, withSyntheticDomain(Tables.documents(s, dir))),
       isTarget = col("doc_id") % 10 < 2,
       shufflePartitions = n)
   }
@@ -839,7 +850,7 @@ object CorpusQueries {
   /** The m137/m67 scoring corpus: every real doc plus the planted
     * labeled block. */
   private def langCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select("doc_id", "lang", "text")
+    Tables.documentsSpread(s, dir).select("doc_id", "lang", "text")
       .unionByName(syntheticLangDocs(s, langOff(s, dir)))
 
   private def langCapture(s: SparkSession, dir: String,
@@ -1150,7 +1161,7 @@ object CorpusQueries {
     * longs/strings, so every consumer's hash is unchanged (pinned
     * stored ≡ direct in DedupAssetsSpec). */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.NgramLm.scoreAgainst(Tables.documents(s, dir),
+    graft.text.NgramLm.scoreAgainst(Tables.documentsSpread(s, dir),
       graft.pipeline.DedupAssets.ngramCounts(s, dir, 2), alpha = 0.5)
 
   /** Interpolated Kneser–Ney self-perplexity (m138): the smoothing the
@@ -1160,14 +1171,14 @@ object CorpusQueries {
     * full count table (the m43 convention); counts from the shared
     * asset (the m43 note). */
   def kneserNeyPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.scoreAgainst(Tables.documents(s, dir),
+    graft.text.KneserNey.scoreAgainst(Tables.documentsSpread(s, dir),
       graft.pipeline.DedupAssets.ngramCounts(s, dir, 2))
 
   /** MODIFIED Kneser–Ney self-perplexity (m142): the KenLM default —
     * per-count discounts D1/D2/D3+ from the counts-of-counts (Chen &
     * Goodman 1998), one tier above m138's single-discount form. */
   def modifiedKnPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.modifiedScoreAgainst(Tables.documents(s, dir),
+    graft.text.KneserNey.modifiedScoreAgainst(Tables.documentsSpread(s, dir),
       graft.pipeline.DedupAssets.ngramCounts(s, dir, 2))
 
   /** Trigram interpolated KN self-perplexity (m144): the order the
@@ -1175,7 +1186,7 @@ object CorpusQueries {
     * over the trigram table, lower order on CONTINUATION counts
     * (c'(bc) = N1+(·bc)), terminating at the m138 unigram level. */
   def trigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.trigramScoreAgainst(Tables.documents(s, dir),
+    graft.text.KneserNey.trigramScoreAgainst(Tables.documentsSpread(s, dir),
       graft.pipeline.DedupAssets.ngramCounts(s, dir, 3))
 
   /** Trigram MODIFIED KN self-perplexity (m145): order 3 with the
@@ -1183,7 +1194,7 @@ object CorpusQueries {
     * configuration public KenLM actually defaults to (modified KN at
     * order 3–5), now one flag on the unified order-n recursion. */
   def modifiedTrigramKnPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.text.KneserNey.modifiedTrigramScoreAgainst(Tables.documents(s, dir),
+    graft.text.KneserNey.modifiedTrigramScoreAgainst(Tables.documentsSpread(s, dir),
       graft.pipeline.DedupAssets.ngramCounts(s, dir, 3))
 
   /** HLL cardinality card (m140): per-source distinct 3-shingle count by
@@ -1194,7 +1205,7 @@ object CorpusQueries {
     * the identical value set. */
   def hllCardinality(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.HyperLogLog
-    val hashed = Tables.documents(s, dir)
+    val hashed = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("source"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
@@ -1225,7 +1236,7 @@ object CorpusQueries {
     * way). Exchange bound: sources × 4096 register rows in, ≤ 4096 out. */
   def hllUnionCard(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.HyperLogLog
-    val hashed = Tables.documents(s, dir)
+    val hashed = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("source"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
@@ -1251,7 +1262,7 @@ object CorpusQueries {
   private def shingleOccurrences(s: SparkSession, dir: String): DataFrame = {
     val t = col("t")
     def at(i: org.apache.spark.sql.Column) = element_at(t, i)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), split(lower(trim(col("text"))), " +").as("t"))
       .select(col("source"), explode(
@@ -1327,7 +1338,7 @@ object CorpusQueries {
   def cmsPruneProduction(s: SparkSession, dir: String,
                          tau: Long = 8L): DataFrame = {
     import graft.operators.CountMin
-    val gd = Tables.documents(s, dir)
+    val gd = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
@@ -1386,7 +1397,7 @@ object CorpusQueries {
   def kmvSourceOverlap(s: SparkSession, dir: String,
                        k: Int = graft.operators.KmvSketch.DefaultK): DataFrame = {
     import graft.operators.{HyperLogLog, KmvSketch}
-    val hashed = Tables.documents(s, dir)
+    val hashed = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("source"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
@@ -1437,7 +1448,7 @@ object CorpusQueries {
   def kmvCorpusUnionCard(s: SparkSession, dir: String,
                          k: Int = graft.operators.KmvSketch.DefaultK): DataFrame = {
     import graft.operators.{HyperLogLog, KmvSketch}
-    val hashed = Tables.documents(s, dir)
+    val hashed = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("source"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
@@ -1485,7 +1496,7 @@ object CorpusQueries {
     * path is sketch-only, bounded at 4×1024 counters. */
   def cmsPrunePlan(s: SparkSession, dir: String, tau: Long = 8L): DataFrame = {
     import graft.operators.CountMin
-    val gd = Tables.documents(s, dir)
+    val gd = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(graft.dedup.NgramJaccard.wordShingleSet(col("text"), lit(3))).as("gram"))
@@ -1527,7 +1538,7 @@ object CorpusQueries {
     * bit-deterministic cross-engine. */
   def histogramQuantileCard(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.HistogramSketch
-    val vals = Tables.documents(s, dir)
+    val vals = Tables.documentsSpread(s, dir)
       .filter(col("text").isNotNull)
       .select(col("source"),
         size(split(lower(trim(col("text"))), " +")).cast("long").as("v"))
@@ -1589,7 +1600,7 @@ object CorpusQueries {
   /** Gopher rule card (m91): the MassiveText per-document rule battery —
     * rule bits + AND verdict, one projection pass. */
   def gopherRules(s: SparkSession, dir: String): DataFrame =
-    TextOps.gopherRules(Tables.documents(s, dir))
+    TextOps.gopherRules(Tables.documentsSpread(s, dir))
 
   /** Perplexity buckets (m89): the CCNet head/middle/tail cut — per
     * source, rank docs by LM self-perplexity and split into terciles
@@ -1712,7 +1723,7 @@ object CorpusQueries {
     * the ANN tier. Matrix is a plan literal; one projection pass. */
   def jlNormCard(s: SparkSession, dir: String): DataFrame =
     graft.similarity.JlProjection.normCard(
-      Tables.embeddings(s, dir), d = 64, k = 16)
+      Tables.embeddingsSpread(s, dir), d = 64, k = 16)
 
   /** BM25 top-k retrieval (m103): the lexical half of a hybrid retrieval
     * stack. Queries are the first-8-distinct-term bags of docs 0–9 (the
@@ -1720,7 +1731,7 @@ object CorpusQueries {
     * to floor(s·10⁶) before summing, so the aggregate is exact integer
     * arithmetic and the DuckDB oracle replays it bit-for-bit. */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
     val bags = graft.text.Bm25.queryBags(
       docs.filter(col("doc_id") < 10), maxTerms = 8)
     graft.text.Bm25.topK(docs, bags, k = 10)
@@ -1743,7 +1754,8 @@ object CorpusQueries {
     * quote-augmented corpus — quotes/excerpts score ~1.0 in their
     * contained direction where the symmetric m14 tier is blind. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.NgramJaccard.containmentPairs(quotedAugmentedDocs(s, dir))
+    graft.dedup.NgramJaccard.containmentPairs(
+      spreadDocs(s, dir, quotedAugmentedDocs(s, dir)))
 
   /** Stored-index BM25 probe (m112): same queries, same k as m103, but
     * served from the persisted term-sorted postings asset instead of
@@ -1810,7 +1822,7 @@ object CorpusQueries {
   /** Flesch reading-ease / FK-grade card (m108) — the formula-based
     * readability proxy next to the rule batteries and the learned gate. */
   def readability(s: SparkSession, dir: String): DataFrame =
-    graft.text.Readability.card(Tables.documents(s, dir))
+    graft.text.Readability.card(Tables.documentsSpread(s, dir))
 
   /** Corpus-law fit (m57): Zipf slope/intercept/r² over globally-ranked
     * term frequencies plus the Heaps exponent across per-source
@@ -1821,7 +1833,7 @@ object CorpusQueries {
   /** Cross-source overlap matrix (m60): pairwise shared-shingle mass
     * between sources — the mirror-site / double-ingest detector. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SourceOverlap.overlapMatrix(Tables.documents(s, dir))
+    graft.dedup.SourceOverlap.overlapMatrix(Tables.documentsSpread(s, dir))
 
   /** PMI collocations (m58): adjacent-bigram pointwise mutual information
     * with unigram marginals — m22's frequency ranking normalized into an
@@ -1831,7 +1843,7 @@ object CorpusQueries {
 
   /** Winnowing fingerprints over the documents table (m23). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Winnowing.fingerprints(Tables.documents(s, dir))
+    graft.dedup.Winnowing.fingerprints(Tables.documentsSpread(s, dir))
 
   /** Rare-token quality scoring against a corpus vocabulary (m24):
     * per-doc out-of-vocabulary rate and mean log corpus-frequency of
@@ -2256,7 +2268,7 @@ object CorpusQueries {
     * realized recall. */
   def lshBucketDrops(s: SparkSession, dir: String): DataFrame =
     graft.dedup.MinHashLSH.bucketDropReport(
-      augmentedDocs(s, dir), bucketCaps = Seq(3, 1000))
+      spreadDocs(s, dir, augmentedDocs(s, dir)), bucketCaps = Seq(3, 1000))
 
   /** Per-source token-count quantile card (m132): exact p0/p25/p50/p75/
     * p90/p100 of document token counts per source, by nearest-rank
@@ -2282,7 +2294,8 @@ object CorpusQueries {
     * bag-of-words twins (which Jaccard cannot separate) score LOW here,
     * which is the point of the tier. */
   def editSimilarityPairs(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.EditSimilarity.scorePairs(augmentedDocs(s, dir),
+    graft.dedup.EditSimilarity.scorePairs(
+      spreadDocs(s, dir, augmentedDocs(s, dir)),
       graft.pipeline.DedupAssets.minhashCandidates(s, dir))
 
   /** Kolmogorov–Smirnov drift test (m127): per source, the KS statistic
@@ -2375,7 +2388,7 @@ object CorpusQueries {
     * this genuinely exercises the unseen-gram/unseen-context backoff:
     * α-smoothing and the coalesce-to-zero join path carry real load. */
   def crossPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
     graft.text.NgramLm.scoreAgainst(
       docs.filter(col("doc_id") >= 100),
       graft.pipeline.DedupAssets.refBigramCounts(s, dir), alpha = 0.5)

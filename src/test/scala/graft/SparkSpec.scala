@@ -21,6 +21,16 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}")
+      // Scan spread OFF for the spec session: PlanSpec pins the 100 TB
+      // plan shape, and the size-gated spread (Tables.spreadSmallScan)
+      // vanishes above its row gate by construction — so the spread-off
+      // plan IS the scale plan the pins exist to protect. The spread's
+      // own gate arithmetic, plan shape and result parity are pinned by
+      // ScanSpreadSpec (which toggles this conf locally — suites run
+      // sequentially in the forked test JVM); spread-ON correctness of
+      // all 203 registered queries is gated by Verify + the DuckDB
+      // oracle at sf0.001/sf0.01, which run with the production default.
+      .config("spark.graft.scanSpread.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
