@@ -296,7 +296,7 @@ object Bench {
             // production parameters.
             "asset:qcmodel" -> (() => {
               graft.text.QualityClassifier.trainDistributed(
-                Tables.documents(spark, sfDir)); () }),
+                Tables.documentsSpread(spark, sfDir)); () }),
             "asset:bpemodel" -> (() => {
               // the m40/m79/m88 shared model's exact parameters
               graft.text.Bpe.trainDistributed(

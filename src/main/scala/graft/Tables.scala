@@ -47,14 +47,16 @@ object Tables {
     * removes), `.rowsPerTask` (64 — at least that many docs per task
     * so task-launch overhead never exceeds the per-row work). */
   private[graft] def spreadSmallScan(spark: SparkSession, df: DataFrame,
-                                     path: String, key: String): DataFrame = {
+                                     path: String, key: String,
+                                     maxRowsDefault: Long = 262144L,
+                                     rowsPerTaskDefault: Long = 64L): DataFrame = {
     def conf(k: String, d: String): String =
       spark.conf.getOption(s"spark.graft.scanSpread.$k").getOrElse(d)
     if (conf("enabled", "true") != "true") df
     else {
       val rows = graft.operators.ScalePartitions.tableRows(spark, path)
-      val maxRows = conf("maxRows", "262144").toLong
-      val perTask = conf("rowsPerTask", "64").toLong.max(1L)
+      val maxRows = conf("maxRows", maxRowsDefault.toString).toLong
+      val perTask = conf("rowsPerTask", rowsPerTaskDefault.toString).toLong.max(1L)
       val parts = math.min(
         spark.sparkContext.defaultParallelism.toLong, rows / perTask)
       // HASH partitioning on the table's unique key, not round-robin:
@@ -122,4 +124,15 @@ object Tables {
     * (m102's 64×16 projection pass). */
   def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
     loadSpread(spark, dir, "embeddings", "vec_id")
+
+  /** [[lineitem]] behind the scan spread, for the wide-aggregate retail
+    * rows (q27/q28/q29) whose whole wall is one decimal-heavy partial
+    * aggregate fused into a ≤3-task scan. The row gate scales to the
+    * table's ~60 B rows (1M rows ≈ the same ~60–80 MB wire budget as
+    * the documents gate) and the per-task floor to the lighter per-row
+    * work; above the gate the plan is byte-identical, as everywhere. */
+  def lineitemSpread(spark: SparkSession, dir: String): DataFrame =
+    spreadSmallScan(spark, load(spark, dir, "lineitem"),
+      s"$dir/lineitem.parquet", "l_orderkey",
+      maxRowsDefault = 1L << 20, rowsPerTaskDefault = 4096L)
 }

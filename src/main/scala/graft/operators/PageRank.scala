@@ -77,21 +77,34 @@ object PageRank {
     }
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var ranksRdds: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
-    for (_ <- 1 to iterations) {
+    // Pin CADENCE (round-20 optimization): an eager localCheckpoint per
+    // iteration kept the plan flat but cost one materialization job +
+    // sync per step — at sf0.1 the loop's wall was ~50 % job-scheduling
+    // gaps (59 jobs for 10 iterations). Pinning every PinEvery
+    // iterations bounds the unpinned plan at PinEvery join+agg layers
+    // (planning stays trivial; shuffle reuse covers the re-read) while
+    // halving the checkpoint jobs. Values are unchanged by construction:
+    // the dataflow between pins is the same exchanges with the same
+    // partial-aggregation shape, checkpointed or not (oracle-verified).
+    val PinEvery = edges.sparkSession.conf
+      .getOption("spark.graft.pagerank.pinEvery").map(_.toInt).getOrElse(2)
+    for (i <- 1 to iterations) {
       val contribs = base.join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("od")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       // Re-join the FULL node set so in-degree-0 nodes keep the
       // (1−d)/N floor instead of silently dropping out (mass leak on
       // directed inputs otherwise).
-      val (next, nextRdds) = snapshot(
-        nodes.join(contribs, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(1.0 - damping) / n +
-              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
-      ranksRdds.foreach(_.unpersist(blocking = false)) // superseded round
-      ranks = next
-      ranksRdds = nextRdds
+      val stepped = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / n +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (i % PinEvery == 0 || i == iterations) {
+        val (next, nextRdds) = snapshot(stepped)
+        ranksRdds.foreach(_.unpersist(blocking = false)) // superseded round
+        ranks = next
+        ranksRdds = nextRdds
+      } else ranks = stepped
     }
     baseRdds.foreach(_.unpersist(blocking = false))
     nodesRdds.foreach(_.unpersist(blocking = false))

@@ -17,7 +17,7 @@ object Analytics {
     * partition before the shuffle; decimal sums keep results
     * order-independent. */
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit("2000-12-01"))
+    val l = Tables.lineitemSpread(s, dir).filter(col("l_shipdate") <= lit("2000-12-01"))
     val extDec = col("l_extendedprice").cast("decimal(18,2)")
     val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(22,6)")
     l.groupBy("l_returnflag", "l_linestatus")
@@ -42,7 +42,7 @@ object Analytics {
   def topOrdersByRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("2000-01-01"))
-    val liAgg = Tables.lineitem(s, dir)
+    val liAgg = Tables.lineitemSpread(s, dir)
       .filter(col("l_shipdate") > lit("1998-01-01"))
       .groupBy(col("l_orderkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -68,7 +68,7 @@ object Analytics {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
-    val liAgg = Tables.lineitem(s, dir)
+    val liAgg = Tables.lineitemSpread(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(22,6)")).as("rev"),

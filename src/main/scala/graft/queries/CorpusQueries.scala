@@ -796,7 +796,7 @@ object CorpusQueries {
   private def qcModel(s: SparkSession, dir: String): graft.text.QualityClassifier.Model =
     qcModels.synchronized {
       qcModels.getOrElseUpdate(dir, {
-        val m = graft.text.QualityClassifier.trainDistributed(Tables.documents(s, dir))
+        val m = graft.text.QualityClassifier.trainDistributed(Tables.documentsSpread(s, dir))
         qcTrainCount.incrementAndGet() // counts SUCCESSFUL trains (spec hook)
         m
       })

@@ -231,12 +231,27 @@ object LangId {
       val clsIdx = classes.zipWithIndex.toMap
       val k = classes.length
       val dim = k * D
+      val rdd0 = feats.map { case (lang, idxs, xs) => (clsIdx(lang), idxs, xs) }
+      // Driver-local fast path (FixedPointGd.LocalTrainMaxRows): the
+      // quantized accumulation is order-independent, so the driver fold
+      // is bit-identical to the per-partition fold — it just skips one
+      // scheduling barrier per iteration (asset:langmodel/labeledlang
+      // were ~3 s each, mostly the 500 per-iteration job barriers).
+      if (n <= FixedPointGd.LocalTrainMaxRows) {
+        val local = rdd0.collect()
+        val (wFlat, losses) = FixedPointGd.loop(n, dim, iters, lr, stopInv, { w =>
+          val acc = new FixedPointGd.ExactAcc(dim + 1)
+          local.foreach { case (y, idxs, xs) => accumulate(acc, w, k, y, idxs, xs) }
+          acc.sums
+        })
+        val wL = Array.tabulate(k)(c => Array.tabulate(D)(j => wFlat(c * D + j)))
+        return Model(classes, wL, n, losses, classes.map(byClass))
+      }
       val parts = math.min(feats.getNumPartitions.toLong,
         (n - 1) / TrainRowsPerPartition + 1).toInt
       // re-cache frame-sized (the QualityClassifier.trainDistributed
       // partitioning rule: iterate over partitions sized by THIS frame,
       // not the corpus layout), releasing the scan-shaped cache once
-      val rdd0 = feats.map { case (lang, idxs, xs) => (clsIdx(lang), idxs, xs) }
       val rdd =
         if (parts < feats.getNumPartitions) {
           val r = rdd0.coalesce(parts)

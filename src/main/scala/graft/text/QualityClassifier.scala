@@ -220,6 +220,20 @@ object QualityClassifier {
       val n = raw.count()
       if (n == 0L)
         return Model(Array.fill(NumFeatures + 1)(0.0), 0L, Array.empty)
+      // Driver-local fast path (FixedPointGd.LocalTrainMaxRows): the
+      // quantized accumulation is order-independent, so folding the
+      // collected rows on the driver is bit-identical to the
+      // distributed per-partition fold — it just skips one scheduling
+      // barrier per iteration (asset:qcmodel measured 6.0 s of which
+      // ~5 s was the 500 single-partition job barriers).
+      if (n <= FixedPointGd.LocalTrainMaxRows) {
+        val local = raw.collect()
+        return gdLoop(n, iters, lr, stopInv, { w =>
+          val acc = new ExactAcc(NumFeatures + 2)
+          local.foreach { case (y, f) => accumulate(acc, w, y, f) }
+          acc.sums
+        })
+      }
       val parts = math.min(raw.getNumPartitions.toLong,
         (n - 1) / TrainRowsPerPartition + 1).toInt
       // Re-cache at the frame-sized partitioning (one pass over raw's
